@@ -1,0 +1,84 @@
+"""Portable deterministic hashing — identical results in Spark SQL and
+DuckDB SQL, which is what makes the MinHash/SimHash/fingerprint operators
+oracle-checkable value-for-value.
+
+The trick: both engines expose md5() returning the same lowercase hex
+string, and both can parse a hex prefix into a BIGINT
+(Spark: conv(hex, 16, 10) cast bigint; DuckDB: CAST('0x'||hex AS BIGINT)).
+A 15-hex-char prefix is 60 bits — always inside signed-64 range.
+
+MinHash permutations are the classic universal-hash family
+h_i(x) = (a_i * x + b_i) mod p with p prime. To keep a_i * x inside
+signed-64 arithmetic in *both* engines we hash shingles to 32 bits and
+draw a_i < 2^31: (2^31)*(2^32) < 2^63.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 32-bit universal-hash modulus (largest prime < 2^32).
+MINHASH_P = 4294967291
+NUM_PERM = 64  # signature length
+LSH_BANDS = 16  # 16 bands x 4 rows; P(candidate | s=0.8) = 1-(1-0.8^4)^16 ≈ 0.9998
+LSH_ROWS = 4
+
+_rng = random.Random(0x5CA1AB1E)
+# (a, b) pairs for the 64 permutations; a in [1, 2^31), b in [0, p).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (_rng.randrange(1, 1 << 31), _rng.randrange(0, MINHASH_P)) for _ in range(NUM_PERM)
+]
+
+SIMHASH_BITS = 60  # bits of the md5-prefix hash used for simhash
+
+
+def hash60(c: Column) -> Column:
+    """60-bit positive BIGINT hash of a string column (md5-prefix based).
+
+    Spark-side twin of DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash32(c: Column) -> Column:
+    """32-bit positive BIGINT hash (md5 8-hex-char prefix)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def duck_hash60(expr: str) -> str:
+    """DuckDB SQL for hash60 of an expression."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def duck_hash32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def minhash_signature(shingle_hashes: Column) -> Column:
+    """64-element MinHash signature over an array<long> of 32-bit shingle
+    hashes. Pure Catalyst: per permutation, array_min of an affine rehash —
+    stays in whole-stage codegen, no shuffle, no Python.
+    """
+    def perm(a: int, b: int):
+        # Factory closure: pyspark introspects lambda arity, so the params
+        # must be captured, not passed as defaulted arguments.
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    sig = [F.array_min(F.transform(shingle_hashes, perm(a, b))) for a, b in MINHASH_PARAMS]
+    return F.array(*sig)
+
+
+def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:
+    """DuckDB SQL producing (doc, perm_id, minhash) from a relation of
+    (doc, shingle-hash32) rows — the oracle-side twin of
+    ``minhash_signature``. Uses a VALUES list of the same (a, b) params.
+    """
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"""
+    SELECT {doc_col} AS doc, p.i AS perm, MIN((p.a * {hash_col} + p.b) % {MINHASH_P}) AS mh
+    FROM {rel}, (VALUES {values}) AS p(i, a, b)
+    GROUP BY {doc_col}, p.i
+    """

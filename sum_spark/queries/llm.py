@@ -1,0 +1,325 @@
+"""LLM-training-data-pipeline queries: deduplication (exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity search
+(brute-force and IVF k-NN), and text analysis — each with an exact DuckDB
+oracle built from the *same* constants (stopword tables, hash params,
+shingle size) as the Spark implementation.
+
+The MinHash/SimHash oracles are possible because both engines share the
+portable md5-based hash family (functions/hashing.py): the oracle checks
+values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sum_spark.functions.hashing import SIMHASH_BITS, duck_hash60
+from sum_spark.functions.text import (
+    LANG_STOPWORDS,
+    SHINGLE_N,
+    duck_stopword_hits,
+    duck_word_shingles,
+)
+from sum_spark.operators import dedup, textops
+from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
+from sum_spark.queries.base import query
+from sum_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text), keeper = min doc_id.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs).orderBy("keep_id")
+
+
+_SHINGLES_DUCK = duck_word_shingles("w", SHINGLE_N)
+
+_NGRAM_JACCARD_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(i / (na.n + nb.n - i), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = doc_a
+    JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE i / (na.n + nb.n - i) >= 0.8
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc="Exact word-3-shingle Jaccard >= 0.8 via inverted-index self-join.",
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_ngram_jaccard(docs, threshold=0.8)
+
+
+@query(
+    "dedup_minhash_lsh",
+    # Oracle = ground-truth all-pairs Jaccard: the LSH pipeline's
+    # exact-verified output must equal it (recall ≈ 1 - 1e-18 at the
+    # corpus's s≈0.98 near-dup similarity).
+    oracle=_NGRAM_JACCARD_ORACLE,
+    doc="MinHash(64) + LSH(16x4) near-dup candidates, exact-verified at 0.8.",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_minhash_lsh(docs, threshold=0.8)
+
+
+def _duck_simhash_terms(hashes_expr: str) -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        bit_sum = (
+            f"list_sum(list_transform({hashes_expr}, "
+            f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {bit_sum} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+    return " + ".join(terms)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sets AS (
+      SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh FROM d
+    ),
+    hs AS (
+      SELECT doc_id, list_transform(sh, s -> {duck_hash60('s')}) AS hh
+      FROM sets WHERE len(sh) > 0
+    ),
+    sim AS (SELECT doc_id, ({_duck_simhash_terms('hh')}) AS sh60 FROM hs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh60, b.sh60)) AS BIGINT) AS dist
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh60, b.sh60)) <= 3
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_SIMHASH_ORACLE,
+    doc="60-bit SimHash over word-3-shingles; pairs with Hamming distance <= 3 "
+    "found via the pigeonhole chunk join (exact, not probabilistic).",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_simhash(docs, max_dist=3)
+
+
+_EMB_PAIR_SUMS = """
+    ex AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             unnest(a.embedding) AS x, unnest(b.embedding) AS y
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    sums AS (
+      SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM ex GROUP BY id_a, id_b
+    )
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="WITH "
+    + _EMB_PAIR_SUMS
+    + """
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS sim
+    FROM sums
+    WHERE CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END >= 0.45
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding near-dup pairs, cosine >= 0.45 (exact all-pairs ground "
+    "truth; scale path = IVF bucket join / LSH).",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.dedup_embedding_cosine(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+def _duck_knn(filter_probe: str, join_extra: str, k: int) -> str:
+    return f"""
+    WITH ex AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+             unnest(e.embedding) AS x, unnest(p.embedding) AS y
+      FROM embeddings e JOIN embeddings p
+        ON {filter_probe} AND e.vec_id <> p.vec_id{join_extra}
+    ),
+    sums AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM ex GROUP BY probe_id, vec_id
+    ),
+    sims AS (
+      SELECT probe_id, vec_id,
+             ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS sim
+      FROM sums
+    ),
+    ranked AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      FROM sims
+    )
+    SELECT probe_id, vec_id, sim, rank FROM ranked
+    WHERE rank <= {k} ORDER BY probe_id, rank
+    """
+
+
+@query(
+    "knn_bruteforce",
+    oracle=_duck_knn("p.vec_id <= 3", "", 10),
+    doc="Exact top-10 cosine neighbors for probes vec_id<=3: broadcast "
+    "probes x full scan + per-probe top-k (the find_similar generalization).",
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 3)
+    return knn_bruteforce(
+        emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+
+
+def _duck_bucket(alias: str, n_bits: int = 8) -> str:
+    terms = [
+        f"CASE WHEN {alias}.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "knn_ivf",
+    oracle=_duck_knn(
+        "p.vec_id <= 3",
+        f" AND {_duck_bucket('e')} = {_duck_bucket('p')}",
+        5,
+    ),
+    doc="IVF-style approximate k-NN: coarse sign-bit bucket (8 bits) "
+    "equi-join restricts each probe to its bucket — partition-prunable at "
+    "scale. k=5 within bucket.",
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 3)
+    return knn_ivf(emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _duck_lang_hits() -> tuple[str, str]:
+    cols = []
+    for lang, words in LANG_STOPWORDS:
+        cols.append(f"CAST({duck_stopword_hits('w', words)} AS BIGINT) AS h_{lang}")
+    case = " ".join(
+        f"WHEN h_{lang} = g THEN '{lang}'" for lang, _ in LANG_STOPWORDS
+    )
+    return ",\n           ".join(cols), f"CASE {case} END"
+
+
+_LANG_COLS, _LANG_CASE = _duck_lang_hits()
+_LANG_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang, _ in LANG_STOPWORDS) + ")"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    h AS (SELECT doc_id, {_LANG_COLS} FROM t),
+    g AS (SELECT *, {_LANG_GREATEST} AS g FROM h)
+    SELECT doc_id, {_LANG_CASE} AS pred_lang, g AS hits
+    FROM g ORDER BY doc_id
+    """,
+    doc="Heuristic stopword-table language ID; argmax with fixed-order "
+    "tie-break.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.lang_id(docs)
+
+
+_EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 CAST({_EN_HITS} AS DOUBLE) AS eh
+          FROM t)
+    SELECT doc_id, n_words, ROUND(eh / n_words, 4) AS stop_ratio,
+           ROUND(least(1.0, n_words / 100.0) * 0.5 + (eh / n_words) * 0.5, 4) AS score
+    FROM q ORDER BY doc_id
+    """,
+    doc="Quality scoring: length saturation + stopword ratio.",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.quality_score(docs)
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Token statistics per document.",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.token_count(docs)
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5(lower(trim(text))) AS fp,
+           {duck_hash60('lower(trim(text))')} AS fp60
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Deterministic document fingerprint (md5 + 60-bit integer form).",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.fingerprint(docs)

@@ -1,0 +1,145 @@
+"""Vector-kernel queries Q24/Q25 (SURVEY §2.F) over the ``embeddings``
+table — the direct analog of the reference's records
+(vec_id ↔ id, embedding ↔ data; FIXTURES.md §B).
+
+DuckDB oracles compute the same float32 -> float64 accumulation via
+positional UNNEST zipping, so values match at the mandated 4-decimal
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sum_spark.functions.vector import cosine, dot, jaccard, magnitude
+from sum_spark.operators.similarity import find_similar
+from sum_spark.queries.base import query
+from sum_spark.sources.tables import load_table
+
+# Shared oracle scaffold: consecutive (vec_id, vec_id+next) pairs via LEAD,
+# exploded positionally (multiple UNNESTs zip in DuckDB).
+_PAIRS_CTE = """
+    WITH pairs AS (
+      SELECT vec_id, embedding AS e1, LEAD(embedding) OVER (ORDER BY vec_id) AS e2
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, unnest(e1) AS x, unnest(e2) AS y
+      FROM pairs WHERE e2 IS NOT NULL
+    )
+"""
+
+
+@query(
+    "q24a_vector_kernels",
+    oracle=_PAIRS_CTE
+    + """
+    , sums AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM ex GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(d, 4) AS dp, ROUND(na, 4) AS mag_a,
+           ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cos_sim
+    FROM sums ORDER BY vec_id
+    """,
+    doc="dot / magnitude / cosine (zero-denominator -> 0.0 rule, "
+    "/root/reference/node/wrapper/record.go:96-103) over consecutive "
+    "embedding pairs. Sequential-pair semantics need a global LEAD; at "
+    "100 TB this becomes a range-partitioned window (repartitionByRange on "
+    "vec_id) — expressed here in its simplest correct form.",
+)
+def q24a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = W.orderBy("vec_id")
+    pairs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e1"),
+        F.lead("embedding").over(w).alias("e2"),
+    ).where(F.col("e2").isNotNull())
+    return pairs.select(
+        "vec_id",
+        F.round(dot("e1", "e2"), 4).alias("dp"),
+        F.round(magnitude("e1"), 4).alias("mag_a"),
+        F.round(cosine("e1", "e2"), 4).alias("cos_sim"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "q24b_jaccard",
+    oracle=_PAIRS_CTE
+    + """
+    , sums AS (
+      SELECT vec_id,
+             SUM(CASE WHEN x > 0 AND y > 0 THEN 1.0 ELSE 0.0 END) AS m11,
+             SUM(CASE WHEN (x > 0) <> (y > 0) THEN 1.0 ELSE 0.0 END) AS m10
+      FROM ex GROUP BY vec_id
+    )
+    SELECT vec_id,
+           ROUND(CASE WHEN m11 + m10 = 0 THEN 0.0 ELSE m11 / (m11 + m10) END, 4) AS jac
+    FROM sums ORDER BY vec_id
+    """,
+    doc="Binary Jaccard m11/(m11+m10) (/root/reference/node/wrapper/record.go:129-147) "
+    "over sign-binarized consecutive embedding pairs.",
+)
+def q24b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    binarize = lambda c: F.transform(  # noqa: E731
+        F.col(c), lambda x: F.when(x > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    w = W.orderBy("vec_id")
+    pairs = (
+        emb.select("vec_id", binarize("embedding").alias("b1"), F.col("embedding"))
+        .withColumn("b2", F.lead(binarize("embedding")).over(w))
+        .where(F.col("b2").isNotNull())
+    )
+    return pairs.select(
+        "vec_id", F.round(jaccard("b1", "b2"), 4).alias("jac")
+    ).orderBy("vec_id")
+
+
+@query(
+    "q25_find_similar",
+    oracle="""
+    WITH probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 1),
+    ex AS (
+      SELECT e.vec_id, unnest(e.embedding) AS x, unnest(p.pe) AS y
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> 1
+    ),
+    sums AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM ex GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT vec_id,
+             ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS sim
+      FROM sums
+      WHERE CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END >= 0.0
+    )
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 20
+    """,
+    doc="The canonical findSimilar oracle (/root/reference/README.md:147-166) "
+    "end to end: probe vec_id=1, threshold 0.0, top-20 by cosine. The "
+    "broadcast of the probe row ≡ the master's code-patching "
+    "(master/ast_raccoon.go:94-148).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = find_similar(
+        emb, probe_id=1, threshold=0.0, id_col="vec_id", vec_col="embedding"
+    )
+    # Round *after* thresholding (matching the oracle), then re-rank on the
+    # rounded value with vec_id tie-break so the top-20 cut is deterministic.
+    return (
+        out.select("vec_id", F.round("sim", 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(20)
+    )

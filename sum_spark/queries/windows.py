@@ -1,0 +1,109 @@
+"""Time-window queries Q27-Q29 (SURVEY §2.F) in their batch-declared form.
+
+The streaming forms (Structured Streaming with watermarks) live in
+``sum_spark.streaming``; these batch twins are what the DuckDB oracle can
+check, and the streaming tests assert stream==batch on the same input.
+
+All event timestamps are TIMESTAMP_NTZ (tables.load_table), so window
+alignment and date_trunc are timezone-independent and line up with the
+oracle's UTC-naive date_trunc/epoch arithmetic regardless of the caller's
+session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sum_spark.queries.base import query
+from sum_spark.sources.tables import load_table
+
+
+@query(
+    "q27_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS c,
+           ROUND(SUM(value), 2) AS s
+    FROM events GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+    doc="1-hour tumbling window. Spark F.window(ts, '1 hour') starts are "
+    "epoch-aligned in UTC ≡ date_trunc('hour').",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "c", "s")
+        .orderBy("ws", "event_type")
+    )
+
+
+@query(
+    "q28_sliding_window",
+    oracle="""
+    WITH g AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS w0,
+             event_type, value
+      FROM events
+    ),
+    e AS (
+      SELECT w0 AS ws, event_type, value FROM g
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS ws, event_type, value FROM g
+    )
+    SELECT ws, event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+    FROM e GROUP BY ws, event_type ORDER BY ws, event_type
+    """,
+    doc="1-hour window sliding every 30 minutes: each event lands in 2 "
+    "windows. Oracle = union of the two offset tumbling grids.",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "c", "s")
+        .orderBy("ws", "event_type")
+    )
+
+
+@query(
+    "q29_session_window",
+    oracle="""
+    SELECT user_id, MIN(ts) AS s, MAX(ts) AS e, COUNT(*) AS n
+    FROM (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM events) b
+    ) g
+    GROUP BY user_id, grp ORDER BY user_id, s
+    """,
+    doc="30-minute-gap sessionization (gaps-and-islands). Streaming twin: "
+    "F.session_window(ts, '30 minutes') in sum_spark.streaming.",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("brk")
+    )
+    grp = F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        events.select("user_id", "ts", "event_id", brk)
+        .withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .select("user_id", "s", "e", "n")
+        .orderBy("user_id", "s")
+    )

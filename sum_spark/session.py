@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the configuration is written for the
+100 TB posture (AQE with partition coalescing + skew-join handling,
+shuffle partitions sized explicitly, Arrow for every Python<->JVM hop)
+so the same code is cluster-ready.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB on ~1000 executors these would be set per-cluster; the point of
+# fixing them here is that every operator in the package is written assuming
+# AQE + explicit shuffle sizing, never the 200-partition default.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # files.maxPartitionBytes default 128m is right for the 100 TB posture;
+    # left untouched so parquet splits stay aligned with row groups.
+}
+
+
+def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a local session tuned for this engine.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_utc(spark: SparkSession) -> None:
+    """Pin session timezone to UTC.
+
+    Called inside every time-sensitive query so results are correct even
+    when the caller supplies its own session: Spark timestamps are
+    session-TZ-relative while the DuckDB oracle's are UTC-naive, so window
+    alignment and date_trunc must be evaluated in UTC.
+    """
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
