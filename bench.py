@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload selection mirrors BASELINE.md: the findSimilar family (the
+reference's flagship), the relational suite's heaviest shapes, windowed
+aggregation, and the LLM-pipeline operators. Each query runs once after a
+warm-up action so JVM/session startup is excluded; timing is
+end-to-end (plan + execute + collect-to-count).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_filter_project",
+    "q03_pagination",
+    "q06_join_multiway_agg",
+    "q08_semi_join",
+    "q12_grouped_agg",
+    "q14_rollup",
+    "q16_rank_per_group",
+    "q19_topk",
+    "q25_find_similar",
+    "q27_tumbling_window",
+    "q29_session_window",
+    "knn_bruteforce",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_lang_id",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from sum_spark.session import get_spark
+    from sum_spark.queries import REGISTRY
+
+    spark = get_spark("sum_spark_bench")
+
+    # Warm up the JVM + parquet footer caches with a trivial action.
+    REGISTRY["q02_point_lookup"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        # count() executes the full plan; the driver-side result transfer
+        # (tiny) is excluded so we measure engine work, not IPC.
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from sum_spark.functions.hashing import (
     hash60,
     minhash_signature,
 )
-from sum_spark.functions.text import tokens, word_shingles
+from sum_spark.functions.text import SHINGLE_N, tokens, word_shingles
 from sum_spark.functions.vector import cosine
 
 
@@ -45,11 +45,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingles: array<string> distinct) word-3-shingle sets."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(tokens(text_col))).alias("shingles"),
-    ).where(F.size("shingles") > 0)
+    """(id, shingles: array<string> distinct) word-3-shingle sets.
+
+    Staged projections on purpose: tokenizing inline would re-evaluate
+    split(text) inside every element_at lambda (~3 x #shingles splits of
+    the full text per row — quadratic in document length); materializing
+    the words array first makes shingle construction linear.
+    """
+    words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
+    # Filter on the words count (equivalent to size(shingles) > 0 for
+    # SHINGLE_N-shingles): filtering on the shingle array would push the
+    # whole shingle expression down past the projection and re-inline it.
+    words = words.where(F.size("__words") >= SHINGLE_N)
+    return words.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("__words"))).alias("shingles")
+    )
 
 
 def _exact_jaccard_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
@@ -88,7 +98,12 @@ def dedup_ngram_jaccard(
     """
     sets = shingle_sets(df, text_col, id_col)
     sizes = sets.select("doc_id", F.size("shingles").alias("n"))
-    ex = sets.select("doc_id", F.explode("shingles").alias("s"))
+    # Explode 60-bit shingle hashes, not shingle strings: same join graph,
+    # ~3x smaller shuffle and a long join key. Collision risk 2^-60 per
+    # shingle pair — far below any observable effect on the counts.
+    ex = sets.select(
+        "doc_id", F.explode(F.transform("shingles", lambda s: hash60(s))).alias("s")
+    )
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
@@ -129,11 +144,13 @@ def dedup_minhash_lsh(
     At 100 TB only steps 3-4 shuffle, and only on O(#near-dup) rows.
     """
     sets = shingle_sets(df, text_col, id_col)
-    sig = sets.select(
-        "doc_id",
-        "shingles",
-        minhash_signature(F.transform("shingles", lambda s: hash32(s))).alias("sig"),
+    # Materialize the md5-based shingle hashes in their own projection:
+    # the 64 permutation subtrees all reference this array, and inlining
+    # the md5 transform into each would hash every shingle 64 times.
+    hashed = sets.select(
+        "doc_id", "shingles", F.transform("shingles", lambda s: hash32(s)).alias("shash")
     )
+    sig = hashed.select("doc_id", "shingles", minhash_signature(F.col("shash")).alias("sig"))
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -167,12 +184,13 @@ def dedup_minhash_lsh(
     return _exact_jaccard_pairs(cand, sets, threshold)
 
 
-def simhash(shingles_col) -> F.Column:
-    """60-bit SimHash over an array<string> of features, as one Catalyst
-    expression: per bit j, sign of sum over features of (bit j of the
-    60-bit md5 hash ? +1 : -1).
+def simhash(hashes) -> F.Column:
+    """60-bit SimHash over an array<long> of 60-bit feature hashes, as one
+    Catalyst expression: per bit j, sign of sum over features of
+    (bit j set ? +1 : -1). Callers must pass a *materialized* hash-array
+    column — the 60 bit-vote aggregates each reference it, and inlining
+    the md5 transform would hash every feature 60 times.
     """
-    hashes = F.transform(shingles_col, lambda s: hash60(s))
 
     def bit_vote(j: int):
         # Factory closure (pyspark introspects lambda arity).
@@ -204,7 +222,10 @@ def dedup_simhash(
     n_chunks = max_dist + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     sets = shingle_sets(df, text_col, id_col)
-    sh = sets.select("doc_id", simhash(F.col("shingles")).alias("sh"))
+    hashed = sets.select(
+        "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("shash")
+    )
+    sh = hashed.select("doc_id", simhash(F.col("shash")).alias("sh"))
     mask = (1 << chunk_bits) - 1
     chunks = sh.select(
         "doc_id",
@@ -242,21 +263,59 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup: all pairs with cosine >= threshold.
+    """Embedding near-dup: all pairs with cosine >= threshold (exact).
 
-    Exact form: self cross join with id< ordering — O(N²), correct at test
-    scale. The 100 TB path is knn_ivf-style bucketing (join on coarse
-    bucket) or MLlib BucketedRandomProjectionLSH; this exact form is kept
-    as the oracle-checkable ground truth. Output: (id_a, id_b, sim).
+    Executed as a blocked broadcast GEMM: the normalized matrix is
+    broadcast once (ids + float64 rows), and each partition computes
+    block x matrix^T with NumPy inside mapInPandas, emitting only
+    above-threshold upper-triangle pairs. This avoids ever materializing
+    the O(N²) pair join — a Catalyst cross join recomputes two norms and
+    a 64-dim dot per pair and is ~40x slower at 5k vectors.
+
+    Scale posture: exact all-pairs is inherently bounded by the broadcast
+    side fitting in executor memory (~1.3 MB per 5k x 64 floats; fine to
+    low millions of rows). Beyond that, prune candidates first (knn_ivf
+    buckets / LSH) — the reason those operators exist.
+    Zero-magnitude rows follow the cosine->0.0 rule (the row is zeroed by
+    normalization, so it never crosses a positive threshold).
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Collect ids+vectors once on the driver for the broadcast side. This
+    # is the operator's explicit memory bound, not a hidden driver loop.
+    pdf = rows.toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+
+    def block_sims(it):
+        all_ids = b_ids.value
+        all_unit = b_unit.value
+        for block in it:
+            bmat = np.stack(block["v"].to_numpy()).astype(np.float64)
+            bnorm = np.linalg.norm(bmat, axis=1)
+            bunit = bmat / np.where(bnorm == 0.0, 1.0, bnorm)[:, None]
+            sims = bunit @ all_unit.T  # (block, N)
+            bid = block["id"].to_numpy()
+            # Upper triangle by id, threshold on the unrounded value.
+            mask = (sims >= threshold) & (bid[:, None] < all_ids[None, :])
+            li, rj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": bid[li],
+                    "id_b": all_ids[rj],
+                    "sim": np.round(sims[li, rj], 4),
+                }
+            )
+
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("__s"))
-        .where(F.col("__s") >= threshold)
-        .select("id_a", "id_b", F.round("__s", 4).alias("sim"))
+        rows.repartition(max(2, spark.sparkContext.defaultParallelism), "id")
+        .mapInPandas(block_sims, schema="id_a long, id_b long, sim double")
         .orderBy("id_a", "id_b")
     )
