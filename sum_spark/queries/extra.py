@@ -1,0 +1,233 @@
+"""Extended relational coverage beyond the core Q01-Q29 inventory:
+pivot, exact percentiles, ordered array aggregation, additional window
+functions, regex/string and datetime scalar functions, and the declared
+approximate-distinct variant (rows-only check per SURVEY §2.F Q13 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sum_spark.queries.base import query
+from sum_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q30_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id ORDER BY user_id LIMIT 100
+    """,
+    doc="Pivot (wide counts per event_type). Explicit value list — at scale "
+    "an implicit pivot would need an extra distinct pass to discover columns.",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES
+    ]
+    return out.select(*cols).orderBy("user_id").limit(100)
+
+
+@query(
+    "q31_distinct_projection",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    """,
+    doc="DISTINCT on a projection (the deterministic form of dropDuplicates).",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q32_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB "
+    "quantile_cont). The scale path is percentile_approx (t-digest), "
+    "excluded from hash-matching like every approximate op.",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("med"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q33_array_agg",
+    oracle="""
+    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Ordered array aggregation (sort_array(collect_list) ≡ list(ORDER BY)).",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "q34_window_misc",
+    oracle="""
+    SELECT o_orderkey,
+           NTILE(4) OVER w AS nt,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+           ROUND(CUME_DIST() OVER w, 4) AS cd
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey LIMIT 100
+    """,
+    doc="ntile / percent_rank / cume_dist analytic functions.",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("nt"),
+            F.round(F.percent_rank().over(w), 4).alias("pr"),
+            F.round(F.cume_dist().over(w), 4).alias("cd"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q35_regex_string",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([0-9]+)', 1) AS num,
+           replace(p_brand, 'Brand', 'B') AS b,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS sz,
+           trim(concat('  ', p_type, '  ')) AS t
+    FROM part ORDER BY p_partkey LIMIT 50
+    """,
+    doc="Regex extraction + string manipulation scalar functions.",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .orderBy("p_partkey")
+        .limit(50)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "([0-9]+)", 1).alias("num"),
+            F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("b"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("sz"),
+            F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("t"),
+        )
+    )
+
+
+@query(
+    "q36_datetime_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(extract(year FROM ts) AS INT) AS y,
+           CAST(extract(month FROM ts) AS INT) AS mo,
+           CAST(extract(day FROM ts) AS INT) AS d,
+           CAST(extract(hour FROM ts) AS INT) AS h,
+           CAST(ts AS DATE) AS dt
+    FROM events ORDER BY event_id LIMIT 100
+    """,
+    doc="Datetime part extraction (year/month/day/hour + date cast).",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.orderBy("event_id")
+        .limit(100)
+        .select(
+            "event_id",
+            F.year("ts").alias("y"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.col("ts").cast("date").alias("dt"),
+        )
+    )
+
+
+@query(
+    "q37_case_null_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS nonneg
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    doc="CASE / NULLIF / COALESCE / GREATEST conditional scalar functions.",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.orderBy("c_custkey")
+        .limit(100)
+        .select(
+            "c_custkey",
+            tier.alias("tier"),
+            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+                "seg"
+            ),
+            F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("nonneg"),
+        )
+    )
+
+
+@query(
+    "q38_approx_count_distinct",
+    oracle=None,  # approximate: HLL sketches differ across engines by design
+    doc="approx_count_distinct (HLL++) — the declared perf variant of Q13, "
+    "rows-only checked because approximate results are engine-specific "
+    "(SURVEY §2.F Q13 note).",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey").alias("acd"))
+        .orderBy("o_orderpriority")
+    )

@@ -38,10 +38,15 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             import datetime
 
+            import numpy as np
+
             if s.map(lambda v: v is None or isinstance(v, datetime.date)).all():
                 # Spark DATE -> datetime.date objects; DuckDB DATE ->
                 # datetime64 at midnight. Canonicalize both to datetime64.
                 df[c] = pd.to_datetime(s).astype("datetime64[us]")
+            elif s.map(lambda v: v is None or isinstance(v, (list, np.ndarray))).all():
+                # Array columns: Spark gives lists, DuckDB ndarrays.
+                df[c] = s.map(lambda v: str(tuple(v)) if v is not None else None)
             else:
                 df[c] = s.map(lambda v: str(v) if v is not None else None)
     return df.sort_values(by=list(df.columns), ignore_index=True)
