@@ -8,11 +8,19 @@ twin for each SQL-expressible query.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sum_spark.queries import REGISTRY
+# The driver may import this module from any working directory; make the
+# sibling sum_spark package importable regardless.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from sum_spark.queries import REGISTRY  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

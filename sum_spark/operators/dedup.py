@@ -85,16 +85,19 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs shingle-Jaccard >= threshold via an inverted-index
     self-join: explode distinct shingles, equi-join on the shingle, count
     common shingles per pair, finish with |A|+|B|-common.
 
     This is the scalable exact form — the join key is a shingle, so only
-    docs *sharing* a shingle ever meet; no cross join. Skew note: at corpus
-    scale, cap document frequency per shingle (drop stop-shingles) before
-    the join; not applied here because the oracle checks the uncapped
-    result. Output: (doc_a, doc_b, jaccard) ordered.
+    docs *sharing* a shingle ever meet; no cross join. ``max_df`` is the
+    skew guard for corpus scale: shingles appearing in more than max_df
+    documents (stop-shingles — the hot keys that blow up the self-join)
+    are dropped from candidate generation. It changes the computed
+    intersection counts, so the oracle-checked default leaves it off.
+    Output: (doc_a, doc_b, jaccard) ordered.
     """
     sets = shingle_sets(df, text_col, id_col)
     sizes = sets.select("doc_id", F.size("shingles").alias("n"))
@@ -104,6 +107,9 @@ def dedup_ngram_jaccard(
     ex = sets.select(
         "doc_id", F.explode(F.transform("shingles", lambda s: hash60(s))).alias("s")
     )
+    if max_df is not None:
+        hot = ex.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), "s")
     common = (

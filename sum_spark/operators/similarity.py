@@ -28,12 +28,17 @@ def find_similar(
     vec_col: str = "data",
     k: int | None = None,
     round_to: int | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Cosine similarity of every record against one probe record.
 
     Returns (id_col, sim) with sim >= threshold, descending, probe excluded
     (≡ records.AllBut, /root/reference/node/wrapper/records.go:45-57).
     The zero-magnitude -> 0.0 cosine rule is inherited from the kernel.
+    With ``strict=True`` a missing probe raises KeyError (≡ ctx.Error
+    "Vector N not found.", /root/reference/README.md:149-151) at the cost
+    of one point-lookup action; the default stays lazy and yields an
+    empty result.
 
     Scale: the probe is one broadcast row, the scan is embarrassingly
     parallel, and ``k`` compiles to TakeOrderedAndProject (per-partition
@@ -44,6 +49,8 @@ def find_similar(
         records.where(F.col(id_col) == probe_id)
         .select(F.col(vec_col).alias("__probe_vec"))
     )
+    if strict and probe.limit(1).count() == 0:
+        raise KeyError(f"Vector {probe_id} not found.")
     sim = cosine(F.col(vec_col), F.col("__probe_vec"))
     if round_to is not None:
         sim = F.round(sim, round_to)
@@ -115,21 +122,28 @@ def knn_ivf(
     vec_col: str = "data",
     n_bits: int = 8,
     round_to: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate k-NN: search only records in the probe's coarse bucket.
+    """Approximate k-NN: search only records in the probe's coarse bucket(s).
 
     The bucket equi-join replaces the cross join — Catalyst executes it as
     a broadcast hash join on bucket id, so each record is compared against
-    only the probes that share its bucket. Recall is partial (single-probe
-    IVF); raise n_probes by ORing neighboring buckets in a follow-up.
-    Output: (probe_id, id, sim, rank), rank within bucket.
+    only the probes that share its bucket. ``n_probes > 1`` adds classic
+    multi-probe: the probe also searches the buckets at Hamming distance 1
+    (one sign bit flipped, nearest decision boundaries first), trading
+    n_probes x candidate volume for recall.
+    Output: (probe_id, id, sim, rank), rank within the probed buckets.
     """
+    n_probes = max(1, min(n_probes, n_bits + 1))
     b = ivf_bucket(vec_col, n_bits)
     r = records.withColumn("__bucket", b)
+    probe_buckets = F.array(
+        b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)]
+    )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__pv"),
-        b.alias("__bucket"),
+        F.explode(probe_buckets).alias("__bucket"),
     )
     sim = cosine(F.col(vec_col), F.col("__pv"))
     if round_to is not None:

@@ -59,28 +59,90 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_quantile_cols(ps: dict[str, float]) -> tuple[str, str]:
+    """(aggregate-select, final-select) SQL fragments for exact interpolated
+    quantiles with the explicit formula a*(1-f) + b*f — the same expression
+    structure the Spark side builds, so both engines produce bit-identical
+    doubles (builtin percentile/quantile_cont implementations interpolate
+    with algebraically-equal but floating-point-different formulas)."""
+    aggs, finals = [], []
+    for name, p in ps.items():
+        # CAST AS DOUBLE is load-bearing: a bare 0.9 literal is DECIMAL in
+        # DuckDB, making (n-1)*p exact decimal arithmetic while Spark uses
+        # IEEE doubles — the interpolation fraction then genuinely differs.
+        pd = f"CAST({p} AS DOUBLE)"
+        k = f"CAST(floor((n - 1) * {pd}) AS BIGINT)"
+        aggs.append(
+            f"MIN(CASE WHEN rn = {k} + 1 THEN v END) AS a_{name},\n"
+            f"           MIN(CASE WHEN rn = {k} + 2 THEN v END) AS b_{name},\n"
+            f"           MIN((n - 1) * {pd} - floor((n - 1) * {pd})) AS f_{name}"
+        )
+        # Round at 4 decimals, not 2: the median of 2-decimal money values
+        # is an exact .xx5 midpoint, where Spark (rounds the binary
+        # expansion) and DuckDB (rounds the shortest decimal repr) disagree;
+        # at 4 decimals no interpolated midpoint lands on a boundary.
+        finals.append(
+            f"ROUND(a_{name} * (1 - f_{name}) + COALESCE(b_{name}, a_{name}) * f_{name}, 4) AS {name}"
+        )
+    return ",\n           ".join(aggs), ",\n           ".join(finals)
+
+
+_Q32_AGGS, _Q32_FINALS = _duck_quantile_cols({"med": 0.5, "p90": 0.9})
+
+
 @query(
     "q32_percentile",
-    oracle="""
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+           {_Q32_AGGS}
+      FROM r GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS med,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+           {_Q32_FINALS}
+    FROM g ORDER BY l_returnflag
     """,
-    doc="Exact interpolated percentiles (Spark percentile ≡ DuckDB "
-    "quantile_cont). The scale path is percentile_approx (t-digest), "
-    "excluded from hash-matching like every approximate op.",
+    doc="Exact interpolated percentiles via explicit window-rank quantile "
+    "(same a*(1-f)+b*f arithmetic on both engines — builtin percentile vs "
+    "quantile_cont interpolate with floating-point-different formulas and "
+    "flip 2-decimal roundings). The scale path is percentile_approx "
+    "(t-digest), excluded from hash-matching like every approximate op.",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2).alias("med"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 2).alias("p90"),
-        )
-        .orderBy("l_returnflag")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = W.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
     )
+    aggs = []
+    for name, p in {"med": 0.5, "p90": 0.9}.items():
+        pos = (F.col("n") - 1) * F.lit(p)
+        k = F.floor(pos)
+        aggs += [
+            F.min(F.when(F.col("rn") == k + 1, F.col("v"))).alias(f"a_{name}"),
+            F.min(F.when(F.col("rn") == k + 2, F.col("v"))).alias(f"b_{name}"),
+            F.min(pos - F.floor(pos)).alias(f"f_{name}"),
+        ]
+    g = r.groupBy("l_returnflag").agg(*aggs)
+    finals = [
+        F.round(
+            F.col(f"a_{name}") * (1 - F.col(f"f_{name}"))
+            + F.coalesce(F.col(f"b_{name}"), F.col(f"a_{name}")) * F.col(f"f_{name}"),
+            4,  # see oracle note: 2-decimal rounding sits on .xx5 midpoints
+        ).alias(name)
+        for name in ("med", "p90")
+    ]
+    return g.select("l_returnflag", *finals).orderBy("l_returnflag")
 
 
 @query(

@@ -1,0 +1,76 @@
+"""Operator-level tests for the similarity search family (find_similar,
+k-NN brute force, IVF buckets, multi-probe) and dedup scale options."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sum_spark.operators import dedup
+from sum_spark.operators.similarity import find_similar, knn_bruteforce, knn_ivf
+from sum_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "embeddings")
+
+
+def test_find_similar_excludes_probe_and_orders(emb):
+    rows = find_similar(emb, 1, threshold=-1.0, id_col="vec_id", vec_col="embedding", k=5).collect()
+    assert len(rows) == 5
+    assert all(r["vec_id"] != 1 for r in rows)
+    sims = [r["sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_find_similar_threshold_filters(emb):
+    all_rows = find_similar(emb, 1, threshold=-1.0, id_col="vec_id", vec_col="embedding").count()
+    some = find_similar(emb, 1, threshold=0.2, id_col="vec_id", vec_col="embedding").count()
+    assert 0 < some < all_rows
+
+
+def test_find_similar_strict_missing_probe(emb):
+    with pytest.raises(KeyError, match="not found"):
+        find_similar(emb, 10**9, threshold=0.0, id_col="vec_id", vec_col="embedding", strict=True)
+    # lazy default: empty result, no error
+    assert (
+        find_similar(emb, 10**9, threshold=0.0, id_col="vec_id", vec_col="embedding").count()
+        == 0
+    )
+
+
+def test_knn_bruteforce_k_per_probe(emb):
+    probes = emb.where(F.col("vec_id") <= 2)
+    out = knn_bruteforce(emb, probes, k=7, id_col="vec_id", vec_col="embedding")
+    counts = {r["probe_id"]: r["n"] for r in out.groupBy("probe_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 7, 2: 7} or counts == {0: 7, 1: 7, 2: 7}
+
+
+def test_knn_ivf_subset_of_bruteforce_candidates(emb):
+    probes = emb.where(F.col("vec_id") == 1)
+    ivf = knn_ivf(emb, probes, k=50, id_col="vec_id", vec_col="embedding")
+    ivf_rows = ivf.collect()
+    # every IVF neighbor shares the probe's bucket by construction
+    brute = {
+        r["vec_id"]: r["sim"]
+        for r in knn_bruteforce(emb, probes, k=10**6, id_col="vec_id", vec_col="embedding").collect()
+    }
+    for r in ivf_rows:
+        assert r["vec_id"] in brute
+        assert r["sim"] == pytest.approx(brute[r["vec_id"]], abs=1e-9)
+
+
+def test_knn_ivf_multiprobe_increases_candidates(emb):
+    probes = emb.where(F.col("vec_id") == 1)
+    one = knn_ivf(emb, probes, k=10**6, id_col="vec_id", vec_col="embedding", n_probes=1).count()
+    four = knn_ivf(emb, probes, k=10**6, id_col="vec_id", vec_col="embedding", n_probes=4).count()
+    assert four >= one
+
+
+def test_ngram_max_df_prunes_hot_shingles(spark):
+    rows = [(i, "the common shingle appears everywhere plus unique token%d here now" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.dedup_ngram_jaccard(df, threshold=0.1).count()
+    capped = dedup.dedup_ngram_jaccard(df, threshold=0.1, max_df=3).count()
+    assert capped <= uncapped
