@@ -1,0 +1,76 @@
+"""Plan-regression tests: the physical plans the engine is designed around
+must survive refactors — filters and projections pushed into the parquet
+scan, small sides broadcast, ORDER BY+LIMIT compiled to
+TakeOrderedAndProject, no accidental cartesian products, and no
+re-inlined expensive expressions in the dedup operators (the round-1
+10-40x regressions)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from sum_spark.queries import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_and_projection_pushdown(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q01_filter_project")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # filter reached the scan
+    schema = re.search(r"ReadSchema: (\S+)", p).group(1)
+    assert "c_acctbal" not in schema  # unused columns pruned from the scan
+
+
+def test_point_lookup_pushdown(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q02_point_lookup")
+    assert "EqualTo(o_orderkey,7)" in p
+
+
+def test_broadcast_joins_used(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q05_join_inner")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # 5-row region must not shuffle
+
+
+def test_find_similar_broadcasts_probe(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q25_find_similar")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q19_topk")
+    assert "TakeOrderedAndProject" in p  # not a global Sort + Limit
+    assert re.search(r"\bSort\b(?!.*TakeOrdered)", p) is None
+
+
+@pytest.mark.parametrize(
+    "name,expensive,max_occurrences",
+    [
+        # split(text) must be materialized once per row, not inlined into
+        # every element_at lambda (3 x #shingles evaluations).
+        ("dedup_minhash_lsh", "split(text", 8),
+        ("dedup_simhash", "split(text", 8),
+        # the md5 shingle hash must not be duplicated across the 64
+        # permutation / 60 bit-vote subtrees.
+        ("dedup_minhash_lsh", "md5(cast(lambda", 8),
+        ("dedup_simhash", "md5(cast(lambda", 8),
+    ],
+)
+def test_no_reinlined_expensive_expressions(spark, sf_smoke, name, expensive, max_occurrences):
+    p = plan_of(spark, sf_smoke, name)
+    count = p.count(expensive)
+    assert count <= max_occurrences, (
+        f"{expensive!r} appears {count}x in the {name} plan — an expensive "
+        f"expression got re-inlined into a multi-reference subtree"
+    )
