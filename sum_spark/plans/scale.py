@@ -1,0 +1,62 @@
+"""Scale-out plan utilities: the tools a 100 TB deployment reaches for
+when the default shuffle strategy isn't enough.
+
+These are deliberately thin wrappers over Spark primitives — the point is
+to encode the *pattern* (and test it) rather than invent machinery:
+
+- ``salted_join``: skew-buster for joins where a handful of hot keys
+  dominate (the manual form of what AQE skew-join does at runtime, usable
+  when AQE can't split — e.g. aggregations after the join).
+- ``bucketize_table``: co-located storage so repeated joins/aggs on the
+  same key need no exchange at all (the reference's analog is sequential-id
+  placement + rebalancing, /root/reference/master/balancer.go — Spark
+  bucketing does it declaratively at write time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting: the left (skewed) side gets a random
+    salt in [0, salt); the right side is replicated ``salt`` times with an
+    exploded salt column; the join key becomes (key, salt), splitting each
+    hot key's row group across ``salt`` reducers.
+
+    Use when one side has pathological key skew and the other is too big
+    to broadcast. Output columns = left ∪ right minus the helper columns.
+    """
+    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def bucketize_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed table:
+    subsequent equi-joins/aggs on ``key`` between bucketed tables with the
+    same bucket count run with NO shuffle exchange (bucket-to-bucket).
+
+    This is the batch analog of pre-partitioning a 100 TB fact table by
+    its join key once at ingest instead of shuffling per query.
+    """
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
