@@ -50,6 +50,9 @@ __all__ = [
     "vec_equal",
     "vec_get",
     "meta_get",
+    "is_null",
+    "is_same",
+    "set_data",
 ]
 
 
@@ -169,3 +172,20 @@ def vec_get(a: Column | str, index: int) -> Column:
 def meta_get(meta: Column | str, name: str) -> Column:
     """Metadata value or '' when absent. Reference: node/wrapper/record.go:62-66."""
     return F.coalesce(_col(meta)[name], F.lit(""))
+
+
+def is_null(rec: Column | str) -> Column:
+    """Lookup-miss test (≡ wrapped-record IsNull after a Find miss,
+    node/wrapper/record.go:41-44) — in join terms, a left-join miss."""
+    return _col(rec).isNull()
+
+
+def is_same(id_a: Column | str, id_b: Column | str) -> Column:
+    """Identity by id (≡ Is, node/wrapper/record.go:46-54)."""
+    return _col(id_a) == _col(id_b)
+
+
+def set_data(df, vec_col: str, new_data: Column):
+    """Replace the vector column (≡ SetData, node/wrapper/record.go:35-39 —
+    in-memory only there; here a projection, persisted by the caller)."""
+    return df.withColumn(vec_col, new_data)

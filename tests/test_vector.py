@@ -132,3 +132,20 @@ def test_backend_select_dispatch(vec_df):
 def test_magnitude_matches_math(vec_df):
     got = _one(vec_df, V.magnitude("a"), row=4)
     assert got == pytest.approx(math.sqrt(3.0))
+
+
+def test_is_null_is_same_set_data(spark):
+    left = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    right = spark.createDataFrame([(1, "hit")], "id long, w string")
+    joined = left.join(right, "id", "left")
+    # IsNull ≡ left-join miss (record.go:41-44)
+    misses = joined.select("id", V.is_null("w").alias("m")).orderBy("id").collect()
+    assert [r["m"] for r in misses] == [False, True]
+    # Is ≡ identity by id (record.go:46-54)
+    same = left.crossJoin(right.select(F.col("id").alias("id2")))
+    got = same.select(V.is_same("id", "id2").alias("s")).orderBy(F.col("s").desc()).collect()
+    assert [r["s"] for r in got] == [True, False]
+    # SetData ≡ vector replacement (record.go:35-39)
+    df = spark.createDataFrame([([1.0],)], "data array<float>")
+    out = V.set_data(df, "data", F.array(F.lit(9.0).cast("float")))
+    assert out.first()["data"] == [9.0]
