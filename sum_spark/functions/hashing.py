@@ -62,13 +62,19 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     hashes. Pure Catalyst: per permutation, array_min of an affine rehash —
     stays in whole-stage codegen, no shuffle, no Python.
     """
-    def perm(a: int, b: int):
+    def perm_min(a: int, b: int):
         # Factory closure: pyspark introspects lambda arity, so the params
         # must be captured, not passed as defaulted arguments.
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+        # aggregate+least folds to the minimum directly — no intermediate
+        # permuted array materialized per permutation (64 allocations/row
+        # saved vs transform+array_min).
+        return F.aggregate(
+            shingle_hashes,
+            F.lit(MINHASH_P).cast("long"),
+            lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)),
+        )
 
-    sig = [F.array_min(F.transform(shingle_hashes, perm(a, b))) for a, b in MINHASH_PARAMS]
-    return F.array(*sig)
+    return F.array(*[perm_min(a, b) for a, b in MINHASH_PARAMS])
 
 
 def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:

@@ -52,6 +52,13 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     the full text per row — quadratic in document length); materializing
     the words array first makes shingle construction linear.
     """
+    spark = df.sparkSession
+    # A single-file input arrives as ONE partition (a parquet row group is
+    # not splittable), which would serialize all downstream hashing on one
+    # core. Redistribute the raw rows first — a tiny shuffle that unlocks
+    # full parallelism for the expensive per-document expressions. At real
+    # scale the scan has many files and this is a no-op-sized safety net.
+    df = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
     # Filter on the words count (equivalent to size(shingles) > 0 for
     # SHINGLE_N-shingles): filtering on the shingle array would push the
