@@ -1,0 +1,76 @@
+"""As-of join: for each left row, the latest right row of the same key
+with right.ts <= left.ts.
+
+Spark has no native ASOF JOIN (DuckDB does — the oracle uses it); a naive
+theta join (`l.key = r.key AND r.ts <= l.ts` + rank) explodes to the full
+per-key history per row. The scalable form used here is the classic
+union-sort-window trick:
+
+  1. tag right rows, project their carried columns, null-pad the rest;
+  2. union with left rows;
+  3. one window per key ordered by (ts, right-first-on-ties):
+     last(value, ignorenulls) propagates the most recent right value
+     forward onto every left row;
+  4. keep left rows.
+
+Exactly one shuffle (the window partitioning), no row amplification —
+this survives a 100 TB fact table joined against a large dimension
+history, which the rank-over-theta-join form does not. Tie semantics:
+a right row at the same timestamp IS visible (>=), matching DuckDB ASOF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    values: dict[str, str] | None = None,
+) -> DataFrame:
+    """``values`` maps output-column -> right-column to carry as-of
+    (default: every right column except the key and timestamp).
+    Output: all left columns + the carried columns (NULL when no right
+    row precedes the left row — left-join semantics)."""
+    if values is None:
+        values = {c: c for c in right.columns if c not in (on, ts_col)}
+
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("__is_r"),
+        *[F.col(src).alias(f"__v_{out}") for out, src in values.items()],
+    )
+    l = left.select(
+        "*",
+        F.lit(0).alias("__is_r"),
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(f"__v_{out}")
+            for out, src in values.items()
+        ],
+    )
+    # Null-pad the left-only columns on the right side, then align.
+    for c in left.columns:
+        if c not in (on, ts_col):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = l.unionByName(r.select(*l.columns))
+
+    # Right rows sort before left rows at equal ts -> inclusive (>=) as-of.
+    w = (
+        W.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_r").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = [
+        F.last(f"__v_{out}", ignorenulls=True).over(w).alias(out) for out in values
+    ]
+    return (
+        u.select(*left.columns, F.col("__is_r"), *carried)
+        .where(F.col("__is_r") == 0)
+        .drop("__is_r")
+    )

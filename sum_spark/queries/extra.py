@@ -293,3 +293,33 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("o_custkey").alias("acd"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q39_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    ORDER BY e.event_id
+    """,
+    doc="As-of join: each event annotated with the user's most recent "
+    "purchase at or before it. Spark lacks ASOF JOIN (DuckDB's native one "
+    "is the oracle); implemented with the union-sort-window trick "
+    "(operators/asof.py) — one shuffle, no row amplification.",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    out = asof_join(
+        events, purchases, on="user_id", ts_col="ts",
+        values={"purchase_ts": "ts", "purchase_value": "value"},
+    )
+    return out.orderBy("event_id")

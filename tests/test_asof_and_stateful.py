@@ -1,0 +1,85 @@
+"""As-of join semantics tests and the applyInPandasWithState stateful
+operator (state must survive across micro-batches)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sum_spark.operators.asof import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(10)), (3, 1, _ts(2)), (4, 2, _ts(7))],
+        "event_id long, user_id long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(9), 200.0), (2, _ts(8), 300.0)],
+        "user_id long, ts timestamp_ntz, value double",
+    )
+    return left, right
+
+
+def test_asof_picks_latest_at_or_before(asof_data):
+    left, right = asof_data
+    out = {
+        r["event_id"]: r["v"]
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", values={"v": "value"}
+        ).collect()
+    }
+    assert out[1] == 100.0  # equal timestamp IS visible (>= semantics)
+    assert out[2] == 200.0  # latest of the two priors
+    assert out[3] is None  # nothing at or before 00:02
+    assert out[4] is None  # user 2's right row is later (00:08 > 00:07)
+
+
+def test_stateful_totals_survive_microbatches(spark, sf_smoke, tmp_path):
+    from sum_spark.streaming.stateful import running_user_totals
+    from sum_spark.sources.tables import load_table
+
+    # Split events into two files -> two micro-batches (maxFilesPerTrigger=1).
+    events = load_table(spark, sf_smoke, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "stream_src")
+    half = events.count() // 2
+    events.limit(half).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    events.subtract(events.limit(half)).coalesce(1).write.mode("append").parquet(
+        os.path.join(src, "b1")
+    )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b1"))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_stateful")
+    assert out.count() > 0
+    # The running count is monotonic; its max per user must equal the true
+    # batch count — only possible if state persisted across micro-batches.
+    final = {
+        r["user_id"]: r["m"]
+        for r in out.groupBy("user_id").agg(F.max("n").alias("m")).collect()
+    }
+    truth = {
+        r["user_id"]: r["c"]
+        for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert final == truth
