@@ -54,7 +54,11 @@ def main() -> None:
     for rows, dims, threshold in [(*g, 0.9) for g in GRID] + [(*DISTRIBUTED, 0.5)]:
         mat = rng.random((rows, dims), dtype=np.float32)
         pdf = pd.DataFrame({"id": np.arange(1, rows + 1), "data": list(mat)})
-        df = spark.createDataFrame(pdf, schema).cache()
+        # Partition count sized to the data (~100k floats per partition):
+        # a 10-row table spread over 32 default partitions pays 32 empty
+        # task launches per query — pure scheduling overhead at this scale.
+        n_parts = max(1, min(32, rows * dims // 100_000))
+        df = spark.createDataFrame(pdf, schema).coalesce(n_parts).cache()
         df.count()  # materialize the cache: the reference holds records in RAM
         t = []
         for i in range(4):
