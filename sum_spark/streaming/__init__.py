@@ -1,3 +1,10 @@
+from sum_spark.streaming.joins import (
+    enrich_stream,
+    make_parquet_batch_sink,
+    purchases_after_signup,
+    write_foreach_batch_parquet,
+)
+from sum_spark.streaming.stateful import running_user_totals
 from sum_spark.streaming.windows import (
     dedup_events,
     read_event_stream,
@@ -9,9 +16,14 @@ from sum_spark.streaming.windows import (
 
 __all__ = [
     "dedup_events",
+    "enrich_stream",
+    "make_parquet_batch_sink",
+    "purchases_after_signup",
     "read_event_stream",
     "run_to_memory",
+    "running_user_totals",
     "sessionized",
     "sliding_counts",
     "tumbling_counts",
+    "write_foreach_batch_parquet",
 ]

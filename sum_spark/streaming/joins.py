@@ -45,17 +45,37 @@ def purchases_after_signup(events: DataFrame, within: str = "1 hour") -> DataFra
     ).select(purchases.user_id, "signup_ts", "purchase_ts", "value")
 
 
-def write_foreach_batch_parquet(stream_df: DataFrame, path: str, checkpoint: str):
-    """Exactly-once parquet sink via foreachBatch: idempotent per-batch
-    overwrite into a batch-id subdirectory (re-delivered batches rewrite
-    the same directory instead of duplicating rows)."""
+def make_parquet_batch_sink(path: str):
+    """Idempotent foreachBatch sink: each micro-batch overwrites its own
+    batch-id subdirectory, so a re-delivered batch rewrites identical data
+    instead of duplicating rows."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
+    return sink
+
+
+def write_foreach_batch_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Parquet sink via foreachBatch with per-batch idempotent writes.
+
+    Batch ids are CHECKPOINT-scoped: ``path`` and ``checkpoint`` must live
+    and die together. Restarting with a fresh checkpoint against an
+    existing ``path`` restarts ids at 0 and overwrites earlier batches —
+    point a new run at a new output path (or keep the checkpoint).
+
+    ``trigger`` is passed to ``writeStream.trigger`` (default
+    availableNow=True for bounded drains; use
+    ``{"processingTime": "10 seconds"}`` for a continuous source).
+    """
     return (
-        stream_df.writeStream.foreachBatch(sink)
+        stream_df.writeStream.foreachBatch(make_parquet_batch_sink(path))
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -47,7 +47,7 @@ def test_stream_stream_join_matches_batch(spark, sf_smoke):
         & (p.purchase_ts >= s.signup_ts)
         & (p.purchase_ts <= s.signup_ts + F.expr("INTERVAL 1 HOUR")),
     ).count()
-    assert out.count() == truth
+    assert out.count() == truth > 0  # non-vacuity: fixture has real matches
 
 
 def test_foreach_batch_sink_exactly_once_layout(spark, sf_smoke, tmp_path):
@@ -60,3 +60,16 @@ def test_foreach_batch_sink_exactly_once_layout(spark, sf_smoke, tmp_path):
     batch = load_table(spark, sf_smoke, "events")
     assert written.count() == batch.count()
     assert written.select("event_id").distinct().count() == batch.count()
+
+
+def test_foreach_batch_sink_idempotent_on_redelivery(spark, sf_smoke, tmp_path):
+    """Redelivery simulation: the same batch id written twice must not
+    duplicate rows (the property the batch-id overwrite layout exists for)."""
+    from sum_spark.streaming.joins import make_parquet_batch_sink
+
+    sink = make_parquet_batch_sink(str(tmp_path / "out2"))
+    batch = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    sink(batch, 0)
+    sink(batch, 0)  # re-delivered micro-batch, same id
+    written = spark.read.parquet(str(tmp_path / "out2"))
+    assert written.count() == batch.count()
