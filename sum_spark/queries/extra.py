@@ -323,3 +323,69 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         values={"purchase_ts": "ts", "purchase_value": "value"},
     )
     return out.orderBy("event_id")
+
+
+@query(
+    "q40_scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates it into the "
+    "same left-outer aggregate join as Q07; declared to exercise the "
+    "subquery rewrite machinery.",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sumspark_q40_c")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sumspark_q40_o")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM sumspark_q40_o WHERE o_custkey = c_custkey) AS n
+        FROM sumspark_q40_c ORDER BY c_custkey LIMIT 100
+        """
+    )
+
+
+@query(
+    "q41_in_subquery",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+    ORDER BY p_partkey
+    """,
+    doc="IN-subquery — rewritten by Catalyst to a left-semi join (the "
+    "declared Q08 EXISTS form's sibling).",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 49)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return part.join(keys, "p_partkey", "left_semi").select("p_partkey").orderBy("p_partkey")
+
+
+@query(
+    "q42_unpivot",
+    oracle="""
+    SELECT p_partkey, 'price' AS k, p_retailprice AS v FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part
+    ORDER BY p_partkey, k LIMIT 100
+    """,
+    doc="Unpivot (wide -> long) via stack; oracle is the portable UNION ALL "
+    "form.",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .selectExpr(
+            "p_partkey",
+            "stack(2, 'price', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (k, v)",
+        )
+        .orderBy("p_partkey", "k")
+        .limit(100)
+    )
