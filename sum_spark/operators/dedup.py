@@ -69,11 +69,15 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def _exact_jaccard_pairs(cand: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Verify candidate (doc_a, doc_b) pairs against exact shingle-set
-    Jaccard; emit pairs >= threshold with the rounded score."""
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb"))
+def _exact_jaccard_pairs(
+    cand: DataFrame, sets: DataFrame, threshold: float, feat_col: str = "shingles"
+) -> DataFrame:
+    """Verify candidate (doc_a, doc_b) pairs against exact feature-set
+    Jaccard; emit pairs >= threshold with the rounded score. ``feat_col``
+    may be the shingle strings or their sorted hash arrays (identical
+    counts up to negligible 60-bit collisions, far cheaper to intersect)."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col(feat_col).alias("__sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col(feat_col).alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size(F.array_union("__sa", "__sb")).cast("double")
     j = inter / union
@@ -107,33 +111,40 @@ def dedup_ngram_jaccard(
     Output: (doc_a, doc_b, jaccard) ordered.
     """
     sets = shingle_sets(df, text_col, id_col)
-    sizes = sets.select("doc_id", F.size("shingles").alias("n"))
-    # Explode 60-bit shingle hashes, not shingle strings: same join graph,
-    # ~3x smaller shuffle and a long join key. Collision risk 2^-60 per
-    # shingle pair — far below any observable effect on the counts.
-    ex = sets.select(
-        "doc_id", F.explode(F.transform("shingles", lambda s: hash60(s))).alias("s")
+    # Prefix filtering (the PPJoin family's core pruning rule): two sets
+    # with Jaccard >= t MUST share an element among their first
+    # |A| - ceil(t*|A|) + 1 elements under any fixed global order — here
+    # the sorted 60-bit shingle hashes. Exploding only the prefix shrinks
+    # the candidate self-join quadratically (~(1-t)^2 of the pairs) with
+    # zero loss of exactness; candidates are then verified on the full
+    # shingle sets. (60-bit hash collision risk 2^-60 per shingle pair —
+    # far below any observable effect.)
+    hashed = sets.select(
+        "doc_id",
+        "shingles",
+        F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
+    )
+    prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(float(threshold))) + 1).cast(
+        "int"
+    )
+    ex = hashed.select(
+        "doc_id", F.explode(F.slice("hh", 1, prefix_len)).alias("s")
     )
     if max_df is not None:
         hot = ex.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
         ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), "s")
     b = ex.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
+    cand = (
         a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(j >= threshold)
-        .select("doc_a", "doc_b", F.round(j, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    # Verify on the sorted hash arrays: long-array intersects are ~an order
+    # of magnitude cheaper than intersecting ~20-char shingle strings.
+    return _exact_jaccard_pairs(
+        cand, hashed.select("doc_id", "hh"), threshold, feat_col="hh"
     )
 
 
