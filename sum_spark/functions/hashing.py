@@ -62,19 +62,27 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     hashes. Pure Catalyst: per permutation, array_min of an affine rehash —
     stays in whole-stage codegen, no shuffle, no Python.
     """
-    def perm_min(a: int, b: int):
-        # Factory closure: pyspark introspects lambda arity, so the params
-        # must be captured, not passed as defaulted arguments.
-        # aggregate+least folds to the minimum directly — no intermediate
-        # permuted array materialized per permutation (64 allocations/row
-        # saved vs transform+array_min).
-        return F.aggregate(
-            shingle_hashes,
-            F.lit(MINHASH_P).cast("long"),
-            lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)),
-        )
-
-    return F.array(*[perm_min(a, b) for a, b in MINHASH_PARAMS])
+    # ONE fold over the shingle hashes carrying all 64 minima as the
+    # accumulator array; the permutation params live in two literal arrays
+    # indexed inside the lambda. Expression size is O(1) instead of O(64)
+    # — 64 separate aggregate subtrees blow past whole-stage-codegen
+    # limits and fall back to interpreted evaluation, which then gets
+    # re-evaluated per join branch (measured 10-70s swings at sf0.1).
+    a_lits = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PARAMS])
+    b_lits = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PARAMS])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), NUM_PERM)
+    return F.aggregate(
+        shingle_hashes,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (F.element_at(a_lits, i + 1) * h + F.element_at(b_lits, i + 1))
+                % F.lit(MINHASH_P),
+            ),
+        ),
+    )
 
 
 def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:

@@ -169,12 +169,20 @@ def dedup_minhash_lsh(
     """
     sets = shingle_sets(df, text_col, id_col)
     # Materialize the md5-based shingle hashes in their own projection:
-    # the 64 permutation subtrees all reference this array, and inlining
-    # the md5 transform into each would hash every shingle 64 times.
+    # the permutation fold references this array many times, and inlining
+    # the md5 transform would hash every shingle per permutation.
     hashed = sets.select(
-        "doc_id", "shingles", F.transform("shingles", lambda s: hash32(s)).alias("shash")
+        "doc_id",
+        F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
+        F.transform("shingles", lambda s: hash32(s)).alias("shash"),
     )
-    sig = hashed.select("doc_id", "shingles", minhash_signature(F.col("shash")).alias("sig"))
+    # Persist the signatures: higher-order-function expressions are
+    # evaluated interpreted (outside whole-stage codegen), so letting the
+    # band self-join's two branches and the verify stage each recompute
+    # the 64-permutation fold costs seconds per branch at sf0.1 (and 64x
+    # that at scale). The persisted intermediate is tiny (ids + 64 longs +
+    # hash array per doc) and Spark evicts it LRU.
+    sig = hashed.select("doc_id", "hh", minhash_signature(F.col("shash")).alias("sig")).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -205,28 +213,39 @@ def dedup_minhash_lsh(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_jaccard_pairs(cand, sets, threshold)
+    return _exact_jaccard_pairs(
+        cand, sig.select("doc_id", "hh"), threshold, feat_col="hh"
+    )
 
 
 def simhash(hashes) -> F.Column:
-    """60-bit SimHash over an array<long> of 60-bit feature hashes, as one
-    Catalyst expression: per bit j, sign of sum over features of
-    (bit j set ? +1 : -1). Callers must pass a *materialized* hash-array
-    column — the 60 bit-vote aggregates each reference it, and inlining
-    the md5 transform would hash every feature 60 times.
+    """60-bit SimHash over an array<long> of 60-bit feature hashes: per bit
+    j, sign of sum over features of (bit j set ? +1 : -1), packed into one
+    long.
+
+    Built as ONE fold carrying all 60 bit-votes in the accumulator array
+    (indexed transform against a literal powers-of-two array) — 60
+    separate aggregate subtrees are evaluated interpreted (HOFs never
+    enter whole-stage codegen) and would be recomputed per consumer
+    branch. Callers must pass a *materialized* hash-array column so the
+    md5 transform is not inlined per vote.
     """
-
-    def bit_vote(j: int):
-        # Factory closure (pyspark introspects lambda arity).
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(hashes, F.lit(0), bit_vote(j))
-        out = out + F.when(bit_sum > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda c, j: c
+            + F.when(h.bitwiseAND(F.element_at(powers, j + 1)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ),
+    )
+    packed = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def dedup_simhash(
@@ -249,7 +268,9 @@ def dedup_simhash(
     hashed = sets.select(
         "doc_id", F.transform("shingles", lambda s: hash60(s)).alias("shash")
     )
-    sh = hashed.select("doc_id", simhash(F.col("shash")).alias("sh"))
+    # Persisted for the same reason as the MinHash signatures: the chunk
+    # self-join's branches would each re-evaluate the interpreted fold.
+    sh = hashed.select("doc_id", simhash(F.col("shash")).alias("sh")).persist()
     mask = (1 << chunk_bits) - 1
     chunks = sh.select(
         "doc_id",

@@ -37,7 +37,11 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] = one JVM doing all executor work: the driver heap IS the
+        # cluster memory. An undersized heap shows up as growing GC pauses
+        # on the shuffle-heavy operators (measured 5-50s swings on the
+        # dedup joins at 8g; flat at 64g on the 128 GiB test box).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _BASE_CONF.items():
