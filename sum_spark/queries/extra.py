@@ -389,3 +389,57 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey", "k")
         .limit(100)
     )
+
+
+@query(
+    "q43_two_level_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+           COUNT(*) AS c, ROUND(SUM(value), 2) AS s,
+           ROUND(MIN(value), 2) AS mn, ROUND(MAX(value), 2) AS mx
+    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    """,
+    doc="Continuous-aggregate pattern: the daily grain is served from the "
+    "hourly partial rollup (operators/rollup_ts.py) — the oracle computes "
+    "daily directly from raw events, proving partial re-aggregation is "
+    "lossless for count/sum/min/max.",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.rollup_ts import hourly_rollup, rollup_to
+
+    hourly = hourly_rollup(load_table(spark, sf_dir, "events"))
+    daily = rollup_to(hourly, "day")
+    return daily.select(
+        F.col("g").cast("date").alias("d"),
+        "event_type",
+        "c",
+        F.round("s", 2).alias("s"),
+        F.round("mn", 2).alias("mn"),
+        F.round("mx", 2).alias("mx"),
+    ).orderBy("d", "event_type")
+
+
+_TIERS = [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 500.0)]
+_TIER_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@query(
+    "q44_range_join",
+    oracle=f"""
+    SELECT e.event_id, t.tier
+    FROM events e JOIN (VALUES {_TIER_VALUES}) AS t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    ORDER BY e.event_id
+    """,
+    doc="Range join (value-in-interval) via bucket discretization "
+    "(operators/rangejoin.py): intervals explode into fixed-width buckets "
+    "and the match is an equi-join + residual filter — hash-partitionable "
+    "where the naive theta join is a nested loop.",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.rangejoin import range_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    out = range_join(events, tiers, value_col="value", step=50.0)
+    return out.select("event_id", "tier").orderBy("event_id")

@@ -1,0 +1,63 @@
+"""Unit tests for the two-level rollup and the bucketized range join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sum_spark.operators.rangejoin import range_join
+from sum_spark.operators.rollup_ts import hourly_rollup, rollup_to
+from sum_spark.sources.tables import load_table
+
+
+def test_rollup_serves_month_from_hourly(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    hourly = hourly_rollup(events)
+    monthly = rollup_to(hourly, "month")
+    direct = (
+        events.groupBy(F.date_trunc("month", "ts").alias("g"), "event_type")
+        .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    a = {(r["g"], r["event_type"]): (r["c"], round(r["s"], 2)) for r in monthly.collect()}
+    b = {(r["g"], r["event_type"]): (r["c"], r["s"]) for r in direct.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k][0] == b[k][0]
+        assert abs(a[k][1] - b[k][1]) < 0.02  # partial-sum rounding tolerance
+
+
+def test_rollup_avg_derived_not_averaged(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    daily = rollup_to(hourly_rollup(events), "day")
+    direct = (
+        events.groupBy(F.date_trunc("day", "ts").alias("g"), "event_type")
+        .agg(F.avg("value").alias("avg_v"))
+    )
+    a = {(r["g"], r["event_type"]): r["avg_v"] for r in daily.collect()}
+    b = {(r["g"], r["event_type"]): r["avg_v"] for r in direct.collect()}
+    for k in b:
+        assert abs(a[k] - b[k]) < 1e-9  # sum/count at serve time == true avg
+
+
+def test_range_join_matches_theta_join(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    bucketed = range_join(events, tiers, value_col="value", step=37.0)
+    theta = events.join(
+        tiers, (events.value >= tiers.lo) & (events.value < tiers.hi)
+    )
+    assert bucketed.count() == theta.count() > 0
+    a = sorted((r["event_id"], r["tier"]) for r in bucketed.collect())
+    b = sorted((r["event_id"], r["tier"]) for r in theta.collect())
+    assert a == b
+
+
+def test_range_join_boundary_values(spark):
+    facts = spark.createDataFrame(
+        [(1, 0.0), (2, 49.999), (3, 50.0), (4, 100.0)], "id long, v double"
+    )
+    iv = spark.createDataFrame([("a", 0.0, 50.0), ("b", 50.0, 100.0)], "t string, lo double, hi double")
+    got = {r["id"]: r["t"] for r in range_join(facts, iv, "v", step=10.0).collect()}
+    assert got == {1: "a", 2: "a", 3: "b"}  # hi is exclusive; 100.0 matches nothing
