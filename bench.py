@@ -32,10 +32,14 @@ HEADLINE = [
     "q25_find_similar",
     "q27_tumbling_window",
     "q29_session_window",
+    "q39_asof_join",
+    "q43_two_level_rollup",
+    "q44_range_join",
     "knn_bruteforce",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_lang_id",
     "text_token_count",
 ]

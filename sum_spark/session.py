@@ -42,6 +42,15 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         # on the shuffle-heavy operators (measured 5-50s swings on the
         # dedup joins at 8g; flat at 64g on the 128 GiB test box).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # Whole-stage codegen emits one class per stage; a long session
+        # running dozens of queries fills the JVM's default ~240 MB code
+        # cache, after which the JIT stops compiling and the interpreted
+        # fallback slows expression-heavy operators 10-50x. Size it for a
+        # query-server lifetime.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in _BASE_CONF.items():
