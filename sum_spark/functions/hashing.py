@@ -85,6 +85,41 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     )
 
 
+def minhash_signature_pandas(shingle_hashes: Column) -> Column:
+    """Arrow-vectorized twin of :func:`minhash_signature` — identical
+    integers (same (a, b) params, same modulus), computed as one NumPy
+    broadcast per document instead of an interpreted Catalyst fold.
+
+    The fold form never enters whole-stage codegen (higher-order functions
+    are interpreted), so at 64 permutations it dominates the MinHash
+    pipeline; the Arrow batch path is ~5-10x faster and keeps the
+    signature oracle-checkable value-for-value. No overflow: a < 2^31 and
+    h < 2^32, so a*h + b < 2^63 stays inside int64 in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a_np = np.array([a for a, _ in MINHASH_PARAMS], dtype=np.int64)
+    b_np = np.array([b for _, b in MINHASH_PARAMS], dtype=np.int64)
+
+    def _sig(shash):
+        out = []
+        for h in shash:
+            hv = np.asarray(h, dtype=np.int64)
+            if hv.size == 0:
+                out.append(np.full(NUM_PERM, MINHASH_P, dtype=np.int64))
+                continue
+            out.append(((hv[:, None] * a_np[None, :] + b_np[None, :]) % MINHASH_P).min(axis=0))
+        return pd.Series(out)
+
+    # Explicit (non-string) annotations: `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature introspection cannot resolve against local imports.
+    _sig.__annotations__ = {"shash": pd.Series, "return": pd.Series}
+    return pandas_udf(_sig, "array<long>")(shingle_hashes)
+
+
 def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:
     """DuckDB SQL producing (doc, perm_id, minhash) from a relation of
     (doc, shingle-hash32) rows — the oracle-side twin of

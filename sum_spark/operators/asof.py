@@ -37,22 +37,33 @@ def asof_join(
     (default: every right column except the key and timestamp).
     Output: all left columns + the carried columns (NULL when no right
     row precedes the left row — left-join semantics)."""
+    from pyspark.sql import types as T
+
     if values is None:
         values = {c: c for c in right.columns if c not in (on, ts_col)}
 
+    # Carry ONE struct per right row, not per-column lasts: with
+    # per-column last(ignorenulls), a genuinely-NULL carried value on the
+    # newest right row would be skipped and an OLDER row's value carried
+    # in its place — a mixed-row result. The struct is non-NULL for every
+    # right row (even when all its fields are NULL), so all carried
+    # columns come from the same right row and its NULLs propagate —
+    # matching DuckDB ASOF.
+    vs_type = T.StructType(
+        [T.StructField(out, right.schema[src].dataType) for out, src in values.items()]
+    )
     r = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(1).alias("__is_r"),
-        *[F.col(src).alias(f"__v_{out}") for out, src in values.items()],
+        F.struct(
+            *[F.col(src).alias(out) for out, src in values.items()]
+        ).alias("__vs"),
     )
     l = left.select(
         "*",
         F.lit(0).alias("__is_r"),
-        *[
-            F.lit(None).cast(right.schema[src].dataType).alias(f"__v_{out}")
-            for out, src in values.items()
-        ],
+        F.lit(None).cast(vs_type).alias("__vs"),
     )
     # Null-pad the left-only columns on the right side, then align.
     for c in left.columns:
@@ -66,11 +77,17 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__is_r").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    carried = [
-        F.last(f"__v_{out}", ignorenulls=True).over(w).alias(out) for out in values
-    ]
+    # Stage the windowed struct in its own projection so the per-field
+    # extraction doesn't re-evaluate the window per output column.
+    staged = u.select(
+        *left.columns,
+        F.col("__is_r"),
+        F.last("__vs", ignorenulls=True).over(w).alias("__carry"),
+    )
     return (
-        u.select(*left.columns, F.col("__is_r"), *carried)
-        .where(F.col("__is_r") == 0)
-        .drop("__is_r")
+        staged.where(F.col("__is_r") == 0)
+        .select(
+            *left.columns,
+            *[F.col("__carry").getField(out).alias(out) for out in values],
+        )
     )

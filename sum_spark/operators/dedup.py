@@ -16,6 +16,8 @@ these are the scale-path composition of those kernels:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,10 +27,32 @@ from sum_spark.functions.hashing import (
     SIMHASH_BITS,
     hash32,
     hash60,
-    minhash_signature,
+    minhash_signature_pandas,
 )
 from sum_spark.functions.text import SHINGLE_N, tokens, word_shingles
 from sum_spark.functions.vector import cosine
+
+
+def _unpersist_quietly(dfs: tuple[DataFrame, ...]) -> None:
+    for d in dfs:
+        try:
+            d.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of persisted intermediates to the returned plan.
+
+    The returned DataFrame's plan references the persisted signatures, so
+    they cannot be unpersisted before the caller's action runs. A long
+    query-server session, however, must not accumulate one cached table
+    per past query. The finalizer unpersists the intermediates when the
+    caller drops the result — after its action, exactly when the cache
+    stops being useful.
+    """
+    weakref.finalize(result, _unpersist_quietly, cached)
+    return result
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,20 +120,29 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact all-pairs shingle-Jaccard >= threshold via an inverted-index
-    self-join: explode distinct shingles, equi-join on the shingle, count
-    common shingles per pair, finish with |A|+|B|-common.
+    self-join with the PPJoin pruning family: prefix filter at candidate
+    generation, size and positional filters on the join, exact verify on
+    the survivors.
 
     This is the scalable exact form — the join key is a shingle, so only
-    docs *sharing* a shingle ever meet; no cross join. ``max_df`` is the
-    skew guard for corpus scale: shingles appearing in more than max_df
-    documents (stop-shingles — the hot keys that blow up the self-join)
-    are dropped from candidate generation. It changes the computed
-    intersection counts, so the oracle-checked default leaves it off.
+    docs *sharing* a prefix shingle ever meet; no cross join. ``max_df``
+    is the skew guard for corpus scale: shingles appearing in more than
+    max_df documents (stop-shingles — the hot keys that blow up the
+    self-join) are dropped from candidate generation. The default
+    ``"auto"`` enables it above a 10k-document corpus (threshold 1% of
+    docs, floor 256) — the 100 TB posture — while small, oracle-exact
+    runs are unaffected; pass ``None`` to pin it off (hot-shingle
+    dropping can change results on pathological corpora).
     Output: (doc_a, doc_b, jaccard) ordered.
     """
+    t = float(threshold)
+    if max_df == "auto":
+        # One cheap count against the scan decides the skew posture.
+        n_docs = df.count()
+        max_df = max(256, int(0.01 * n_docs)) if n_docs > 10_000 else None
     sets = shingle_sets(df, text_col, id_col)
     # Prefix filtering (the PPJoin family's core pruning rule): two sets
     # with Jaccard >= t MUST share an element among their first
@@ -124,20 +157,32 @@ def dedup_ngram_jaccard(
         "shingles",
         F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
     )
-    prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(float(threshold))) + 1).cast(
-        "int"
-    )
+    prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(t) ) + 1).cast("int")
     ex = hashed.select(
-        "doc_id", F.explode(F.slice("hh", 1, prefix_len)).alias("s")
+        "doc_id",
+        F.size("hh").alias("n"),
+        F.posexplode(F.slice("hh", 1, prefix_len)).alias("p", "s"),
     )
     if max_df is not None:
-        hot = ex.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        hot = (
+            ex.groupBy("s").agg(F.count("*").alias("df")).where(F.col("df") > max_df)
+        )
         ex = ex.join(F.broadcast(hot.select("s")), "s", "left_anti")
-    a = ex.select(F.col("doc_id").alias("doc_a"), "s")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "s")
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("p").alias("pa"), "s")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("p").alias("pb"), "s")
+    # Size filter: J >= t implies min(|A|,|B|) >= t * max(|A|,|B|).
+    size_ok = F.least("na", "nb") >= F.lit(t) * F.greatest("na", "nb")
+    # Positional filter (exact): for the pair's FIRST shared prefix
+    # element at sorted positions (pa, pb), overlap <= min(na-pa, nb-pb);
+    # J >= t needs overlap >= ceil(t/(1+t) * (na+nb)). Later shared
+    # elements may pass spuriously — that only keeps extra candidates
+    # (safe); the first-element row always passes for a true pair.
+    pos_ok = F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")) >= F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb"))
+    )
     cand = (
         a.join(b, "s")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where((F.col("doc_a") < F.col("doc_b")) & size_ok & pos_ok)
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -157,7 +202,8 @@ def dedup_minhash_lsh(
     """MinHash + banded LSH near-dup detection, exact-verified.
 
     Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
-      1. 64-perm MinHash signature per doc — one array expression, no shuffle;
+      1. 64-perm MinHash signature per doc — one Arrow-vectorized NumPy
+         broadcast (minhash_signature_pandas), map-only, no shuffle;
       2. 16 bands x 4 rows; band key = md5 of the 4 minhashes;
       3. candidate pairs = docs sharing any (band, key) bucket (equi-join);
       4. exact shingle-set Jaccard >= threshold on candidates only.
@@ -169,20 +215,21 @@ def dedup_minhash_lsh(
     """
     sets = shingle_sets(df, text_col, id_col)
     # Materialize the md5-based shingle hashes in their own projection:
-    # the permutation fold references this array many times, and inlining
-    # the md5 transform would hash every shingle per permutation.
+    # the signature consumes this array many times, and inlining the md5
+    # transform would hash every shingle per permutation.
     hashed = sets.select(
         "doc_id",
         F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
         F.transform("shingles", lambda s: hash32(s)).alias("shash"),
     )
-    # Persist the signatures: higher-order-function expressions are
-    # evaluated interpreted (outside whole-stage codegen), so letting the
-    # band self-join's two branches and the verify stage each recompute
-    # the 64-permutation fold costs seconds per branch at sf0.1 (and 64x
-    # that at scale). The persisted intermediate is tiny (ids + 64 longs +
-    # hash array per doc) and Spark evicts it LRU.
-    sig = hashed.select("doc_id", "hh", minhash_signature(F.col("shash")).alias("sig")).persist()
+    # Persist the signatures: the band self-join's two branches and the
+    # verify stage would otherwise each recompute the per-shingle md5
+    # transforms (interpreted HOFs) and the signature UDF. The persisted
+    # intermediate is tiny (ids + 64 longs + hash array per doc); its
+    # lifetime is scoped to the returned plan via _release_with.
+    sig = hashed.select(
+        "doc_id", "hh", minhash_signature_pandas(F.col("shash")).alias("sig")
+    ).persist()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -213,9 +260,10 @@ def dedup_minhash_lsh(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _exact_jaccard_pairs(
+    out = _exact_jaccard_pairs(
         cand, sig.select("doc_id", "hh"), threshold, feat_col="hh"
     )
+    return _release_with(out, sig)
 
 
 def simhash(hashes) -> F.Column:
@@ -292,7 +340,7 @@ def dedup_simhash(
     a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"), "chunk", "ck")
     b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"), "chunk", "ck")
     dist = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
-    return (
+    out = (
         a.join(b, ["chunk", "ck"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", dist.alias("dist"))
@@ -300,6 +348,7 @@ def dedup_simhash(
         .where(F.col("dist") <= max_dist)
         .orderBy("doc_a", "doc_b")
     )
+    return _release_with(out, sh)
 
 
 def dedup_embedding_cosine(
@@ -307,20 +356,28 @@ def dedup_embedding_cosine(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold (exact).
 
-    Executed as a blocked broadcast GEMM: the normalized matrix is
-    broadcast once (ids + float64 rows), and each partition computes
-    block x matrix^T with NumPy inside mapInPandas, emitting only
-    above-threshold upper-triangle pairs. This avoids ever materializing
-    the O(N²) pair join — a Catalyst cross join recomputes two norms and
-    a 64-dim dot per pair and is ~40x slower at 5k vectors.
+    Executed as a block-pair equi-join GEMM, fully distributed — nothing
+    ever funnels through the driver:
 
-    Scale posture: exact all-pairs is inherently bounded by the broadcast
-    side fitting in executor memory (~1.3 MB per 5k x 64 floats; fine to
-    low millions of rows). Beyond that, prune candidates first (knn_ivf
-    buckets / LSH) — the reason those operators exist.
+      1. each row hashes to one of K blocks; a groupBy packs each block
+         into a single (ids, vectors) row;
+      2. the K x (K+1)/2 block pairs (ba <= bb) meet in a tiny join
+         (K rows per side — the small side broadcasts);
+      3. mapInPandas normalizes both blocks and computes block_a @
+         block_b^T with NumPy, emitting only above-threshold
+         upper-triangle pairs.
+
+    This avoids both the O(N²) Catalyst pair join (~40x slower: two norms
+    + a 64-dim dot recomputed per pair) and the previous driver-side
+    broadcast build (a collect bounded by driver memory). Shuffle volume
+    is N*K rows (each block is shipped to its K partner pairs); compute
+    is the inherent O(N²) of exact all-pairs — for corpora where that is
+    too much, prune candidates first (knn_ivf buckets / LSH), the reason
+    those operators exist.
     Zero-magnitude rows follow the cosine->0.0 rule (the row is zeroed by
     normalization, so it never crosses a positive threshold).
     """
@@ -328,39 +385,52 @@ def dedup_embedding_cosine(
     import pandas as pd
 
     spark = df.sparkSession
-    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # Collect ids+vectors once on the driver for the broadcast side. This
-    # is the operator's explicit memory bound, not a hidden driver loop.
-    pdf = rows.toPandas()
-    ids = pdf["id"].to_numpy()
-    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    unit = mat / np.where(norms == 0.0, 1.0, norms)[:, None]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_unit = spark.sparkContext.broadcast(unit)
+    # K(K+1)/2 block pairs ~ 2x cores keeps every slot busy without
+    # degenerating into thousands of tiny tasks.
+    par = max(2, spark.sparkContext.defaultParallelism)
+    K = int(n_blocks) if n_blocks else max(2, min(32, int((4 * par) ** 0.5)))
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(K)).alias("b"),
+    )
+    packed = rows.groupBy("b").agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    left = packed.select(F.col("b").alias("ba"), F.col("rows").alias("ra"))
+    right = packed.select(F.col("b").alias("bb"), F.col("rows").alias("rb"))
+    pairs = left.join(F.broadcast(right), F.col("ba") <= F.col("bb")).repartition(
+        min(K * (K + 1) // 2, 2 * par), "ba", "bb"
+    )
+    thr = float(threshold)
 
-    def block_sims(it):
-        all_ids = b_ids.value
-        all_unit = b_unit.value
-        for block in it:
-            bmat = np.stack(block["v"].to_numpy()).astype(np.float64)
-            bnorm = np.linalg.norm(bmat, axis=1)
-            bunit = bmat / np.where(bnorm == 0.0, 1.0, bnorm)[:, None]
-            sims = bunit @ all_unit.T  # (block, N)
-            bid = block["id"].to_numpy()
-            # Upper triangle by id, threshold on the unrounded value.
-            mask = (sims >= threshold) & (bid[:, None] < all_ids[None, :])
-            li, rj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {
-                    "id_a": bid[li],
-                    "id_b": all_ids[rj],
-                    "sim": np.round(sims[li, rj], 4),
-                }
-            )
+    def gemm(it):
+        def unpack(cell):
+            ids = np.fromiter((r["id"] for r in cell), dtype=np.int64, count=len(cell))
+            mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cell])
+            nrm = np.linalg.norm(mat, axis=1)
+            mat /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            return ids, mat
+
+        for pdf in it:
+            for ba, ra, bb, rb in zip(pdf["ba"], pdf["ra"], pdf["bb"], pdf["rb"]):
+                ia, ma = unpack(ra)
+                ib, mb = (ia, ma) if ba == bb else unpack(rb)
+                sims = ma @ mb.T
+                if ba == bb:
+                    # Upper triangle by id within the block.
+                    mask = (sims >= thr) & (ia[:, None] < ib[None, :])
+                    li, rj = np.nonzero(mask)
+                    lo, hi = ia[li], ib[rj]
+                else:
+                    # Disjoint blocks: every hit is a distinct unordered
+                    # pair; orient it by id.
+                    li, rj = np.nonzero(sims >= thr)
+                    lo = np.minimum(ia[li], ib[rj])
+                    hi = np.maximum(ia[li], ib[rj])
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "sim": np.round(sims[li, rj], 4)}
+                )
 
     return (
-        rows.repartition(max(2, spark.sparkContext.defaultParallelism), "id")
-        .mapInPandas(block_sims, schema="id_a long, id_b long, sim double")
+        pairs.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
         .orderBy("id_a", "id_b")
     )

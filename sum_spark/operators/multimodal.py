@@ -5,11 +5,14 @@ mapInPandas.
 No reference analog (the reference is vectors-only); this is the
 LLM-pipeline extension for mixed-modality training data. The Spark-side
 plumbing — schema, partitioning, UDF signatures, batch iteration — is
-real and tested; the actual codec calls (PIL/ffmpeg/soundfile) are not in
-this environment, so decoding is gated: ``decoder='strict'`` raises
-NotImplementedError at the call site, ``decoder='fake'`` runs a
-deterministic stand-in (md5-seeded) that exercises the identical batch
-shapes end to end.
+real and tested; the actual codec libraries (PIL/av/soundfile) may be absent,
+so decoding is gated by a call-time try-import: ``decoder='strict'``
+uses the real codec when the library imports and raises
+NotImplementedError only when it doesn't; ``decoder='auto'`` falls back
+to the deterministic stand-in instead of raising; ``decoder='fake'``
+always runs the stand-in (md5-seeded) that exercises the identical
+batch shapes end to end. The same code lights up unchanged in a
+codec-equipped environment.
 
 Scale notes: binary payloads ride the same parquet scan as everything
 else (no side files); per-batch processing bounds memory by the Arrow
@@ -61,6 +64,46 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return rng.random(dim, dtype=np.float64).astype(np.float32)
 
 
+def _try_import(name: str):
+    """Call-time codec import — evaluated inside the executor task, so a
+    codec installed on the cluster lights up without code changes."""
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+def _real_feature(modality: str, payload: bytes, dim: int) -> np.ndarray | None:
+    """Decode + featurize with the real codec when importable; None when
+    the library is missing (caller decides strict-raise vs fake-fallback)."""
+    data = payload or b""
+    if modality == "image":
+        pil = _try_import("PIL.Image")
+        if pil is None:
+            return None
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data)).convert("L").resize((dim, dim))
+        arr = np.asarray(img, dtype=np.float32) / 255.0
+        return arr.mean(axis=0)  # column means -> dim-length signature
+    if modality == "audio":
+        sf = _try_import("soundfile")
+        if sf is None:
+            return None
+        import io
+
+        samples, _rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+        mono = samples.mean(axis=1)
+        if mono.size == 0:
+            return np.zeros(dim, dtype=np.float32)
+        bins = np.array_split(mono, dim)
+        return np.array([b.mean() if b.size else 0.0 for b in bins], dtype=np.float32)
+    # video and unknown modalities have no single-library decode here
+    return None
+
+
 def extract_features(
     assets: DataFrame, decoder: str = "strict", dim: int = FEATURE_DIM
 ) -> DataFrame:
@@ -70,17 +113,28 @@ def extract_features(
     The mapInPandas stage is map-only (no shuffle); a real deployment
     swaps ``_fake_decode`` for the codec and keeps every other line.
     """
-    if decoder not in ("strict", "fake"):
+    if decoder not in ("strict", "fake", "auto"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decoder == "strict":
-                raise NotImplementedError(
-                    "image/audio codecs are not available in this environment; "
-                    "use decoder='fake' for the deterministic stand-in"
+            feats = []
+            for modality, content in zip(pdf["modality"], pdf["content"]):
+                real = (
+                    _real_feature(modality, content, dim)
+                    if decoder in ("strict", "auto")
+                    else None
                 )
-            feats = [_fake_decode(c, dim) for c in pdf["content"]]
+                if real is not None:
+                    feats.append(real.astype(np.float32))
+                elif decoder == "strict":
+                    raise NotImplementedError(
+                        f"no codec importable for modality {modality!r}; "
+                        "use decoder='auto' or 'fake' for the deterministic "
+                        "stand-in"
+                    )
+                else:
+                    feats.append(_fake_decode(content, dim))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -108,15 +162,30 @@ def resize_images(
     payload is a deterministic function of (content, w, h) with the right
     plumbing: binary in -> binary out, map-only."""
 
+    def _resize_one(content: bytes) -> bytes:
+        if _try_import("PIL.Image") is not None:
+            import io
+
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(content or b"")).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        if decoder == "strict":
+            raise NotImplementedError("PIL not importable; use decoder='auto'/'fake'")
+        return hashlib.md5((content or b"") + f"{width}x{height}".encode()).digest()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if decoder == "strict":
-                raise NotImplementedError("PIL not available; use decoder='fake'")
             out = pdf.copy()
-            out["content"] = [
-                hashlib.md5((c or b"") + f"{width}x{height}".encode()).digest()
-                for c in pdf["content"]
-            ]
+            if decoder == "fake":
+                out["content"] = [
+                    hashlib.md5((c or b"") + f"{width}x{height}".encode()).digest()
+                    for c in pdf["content"]
+                ]
+            else:
+                out["content"] = [_resize_one(c) for c in pdf["content"]]
             out["meta"] = [
                 {**(m or {}), "w": str(width), "h": str(height)} for m in pdf["meta"]
             ]
@@ -142,17 +211,34 @@ def sample_frames(
         ]
     )
 
+    def _real_frames(aid, data: bytes):
+        import io
+
+        import av
+
+        with av.open(io.BytesIO(data)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                yield aid, i, frame.to_ndarray().tobytes()
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = decoder in ("strict", "auto") and _try_import("av") is not None
+        if decoder == "strict" and not use_real:
+            # Strict mode refuses rather than silently faking.
+            raise NotImplementedError("PyAV not importable; use decoder='auto'/'fake'")
         for pdf in it:
-            if decoder == "strict":
-                raise NotImplementedError("ffmpeg not available; use decoder='fake'")
             ids, nos, frames = [], [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 data = content or b""
-                for i in range(0, max(len(data), 1), every_n_bytes):
-                    ids.append(aid)
-                    nos.append(i // every_n_bytes)
-                    frames.append(bytes(data[i : i + every_n_bytes]))
+                if use_real:
+                    for a, n, fr in _real_frames(aid, data):
+                        ids.append(a)
+                        nos.append(n)
+                        frames.append(fr)
+                else:
+                    for i in range(0, max(len(data), 1), every_n_bytes):
+                        ids.append(aid)
+                        nos.append(i // every_n_bytes)
+                        frames.append(bytes(data[i : i + every_n_bytes]))
             yield pd.DataFrame({"asset_id": ids, "frame_no": nos, "frame": frames})
 
     return videos.where(F.col("modality") == "video").mapInPandas(batches, schema=schema)

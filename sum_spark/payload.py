@@ -35,7 +35,9 @@ def build_payload(result: Any) -> Payload:
     exceeds GZIP_THRESHOLD (exclusive, matching `len > threshold`)."""
     raw = json.dumps(result, separators=(",", ":"), default=_json_default).encode()
     if len(raw) > GZIP_THRESHOLD:
-        return Payload(compressed=True, data=gzip.compress(raw, GZIP_LEVEL))
+        # mtime=0 zeroes the gzip-header timestamp: output is deterministic
+        # across calls and byte-compatible with Go's gzip (zero ModTime).
+        return Payload(compressed=True, data=gzip.compress(raw, GZIP_LEVEL, mtime=0))
     return Payload(compressed=False, data=raw)
 
 
@@ -52,7 +54,9 @@ def _json_default(o: Any):
 
 def info(spark, records_df=None, registry=None) -> dict:
     """Server-info analog (/root/reference/node/service/info.go:15-44,
-    proto ServerInfo): engine + dataset statistics."""
+    proto ServerInfo): engine + dataset statistics, including the
+    reference's memory block (runtime.MemStats there; JVM heap + cached
+    storage here — the quantities a Spark operator actually watches)."""
     from sum_spark.functions.vector_pandas import current_backend
 
     sc = spark.sparkContext
@@ -64,4 +68,19 @@ def info(spark, records_df=None, registry=None) -> dict:
         "records": records_df.count() if records_df is not None else 0,
         "oracles": registry.list(per_page=10**9)[0] if registry is not None else 0,
     }
+    try:
+        rt = sc._jvm.java.lang.Runtime.getRuntime()
+        used = int(rt.totalMemory()) - int(rt.freeMemory())
+        cached_mem = cached_disk = 0
+        for rdd_info in sc._jsc.sc().getRDDStorageInfo():
+            cached_mem += int(rdd_info.memSize())
+            cached_disk += int(rdd_info.diskSize())
+        out["memory"] = {
+            "heap_used_bytes": used,
+            "heap_max_bytes": int(rt.maxMemory()),
+            "cached_memory_bytes": cached_mem,
+            "cached_disk_bytes": cached_disk,
+        }
+    except Exception:  # pragma: no cover - JVM introspection is best-effort
+        out["memory"] = None
     return out

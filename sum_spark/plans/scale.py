@@ -33,12 +33,31 @@ def salted_join(
 
     Use when one side has pathological key skew and the other is too big
     to broadcast. Output columns = left ∪ right minus the helper columns.
+
+    ``how`` is restricted to joins that preserve only the randomly-salted
+    side: the replicated side's unmatched rows would otherwise surface
+    once per salt replica. 'inner'/'left' salt left and replicate right;
+    'right' swaps the roles so the preserved side is the salted one;
+    'full'/semi/anti cannot be expressed with replication — use AQE
+    skew-join for those.
     """
-    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
-    r_salted = right.withColumn(
+    if how in ("inner", "left"):
+        rand_side, repl_side = left, right
+    elif how == "right":
+        rand_side, repl_side = right, left
+    else:
+        raise ValueError(
+            f"salted_join supports how='inner'|'left'|'right', got {how!r} "
+            "(replication would duplicate unmatched rows; use AQE skew-join)"
+        )
+    salted = rand_side.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    replicated = repl_side.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    out = l_salted.join(r_salted, [key, "__salt"], how)
+    if how == "right":
+        out = replicated.join(salted, [key, "__salt"], how)
+    else:
+        out = salted.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
 
 

@@ -148,16 +148,21 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33_array_agg",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS names
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS names
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
-    doc="Ordered array aggregation (sort_array(collect_list) ≡ list(ORDER BY)).",
+    doc="Ordered array aggregation (sort_array(collect_list) ≡ list(ORDER BY)). "
+    "The ordered list is emitted as a ','-joined scalar so the harness can "
+    "canonicalize the row (array<string> cells are unhashable in pandas).",
 )
 def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("names")
+        )
         .orderBy("n_regionkey")
     )
 
@@ -441,5 +446,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events").select("event_id", "value")
     tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
-    out = range_join(events, tiers, value_col="value", step=50.0)
+    out = range_join(
+        events, tiers, value_col="value", step=50.0, broadcast_intervals=True
+    )
     return out.select("event_id", "tier").orderBy("event_id")

@@ -73,7 +73,10 @@ _NGRAM_JACCARD_ORACLE = f"""
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_ngram_jaccard(docs, threshold=0.8)
+    # max_df pinned off: the oracle is exact all-pairs Jaccard, and hot-
+    # shingle dropping (the scale preset) may alter results on skewed
+    # corpora. Production-scale callers keep the "auto" default.
+    return dedup.dedup_ngram_jaccard(docs, threshold=0.8, max_df=None)
 
 
 @query(

@@ -38,10 +38,13 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         # local[N] = one JVM doing all executor work: the driver heap IS the
-        # cluster memory. An undersized heap shows up as growing GC pauses
-        # on the shuffle-heavy operators (measured 5-50s swings on the
-        # dedup joins at 8g; flat at 64g on the 128 GiB test box).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # cluster memory. A FIXED, pre-touched heap matters more than a big
+        # one on this virtualized host: with -Xmx-only sizing the JVM
+        # repeatedly commits/uncommits tens of GB and the kernel's page
+        # zeroing shows up as 30-80% system time — measured 5-50s swings on
+        # identical dedup runs at 64g growable, flat 5-9s at 16g pre-touched.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
+        # -Xms==-Xmx + AlwaysPreTouch pins the heap once at startup.
         # Whole-stage codegen emits one class per stage; a long session
         # running dozens of queries fills the JVM's default ~240 MB code
         # cache, after which the JIT stops compiling and the interpreted
@@ -49,6 +52,8 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         # query-server lifetime.
         .config(
             "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '20g')} "
+            "-XX:+AlwaysPreTouch "
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
@@ -58,15 +63,3 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
-
-
-def pin_utc(spark: SparkSession) -> None:
-    """Pin session timezone to UTC.
-
-    Called inside every time-sensitive query so results are correct even
-    when the caller supplies its own session: Spark timestamps are
-    session-TZ-relative while the DuckDB oracle's are UTC-naive, so window
-    alignment and date_trunc must be evaluated in UTC.
-    """
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -27,11 +27,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any scale factor the driver
-# uses; a real deployment would size this from catalog statistics.
-BROADCAST_SAFE = frozenset({"region", "nation"})
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — no caching layer, so
     Catalyst sees the raw file scan and can push filters/projections into it.

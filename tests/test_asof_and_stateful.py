@@ -83,3 +83,21 @@ def test_stateful_totals_survive_microbatches(spark, sf_smoke, tmp_path):
         for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
     }
     assert final == truth
+
+
+def test_asof_null_value_on_newest_right_row_propagates(spark):
+    """All carried columns must come from the SAME right row: a NULL on
+    the newest right row is carried as NULL, never backfilled from an
+    older row (the mixed-row bug DuckDB ASOF does not have)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10))], "event_id long, user_id long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), 100.0, "old"), (1, _ts(5), None, "new")],
+        "user_id long, ts timestamp_ntz, value double, tag string",
+    )
+    row = asof_join(
+        left, right, on="user_id", ts_col="ts", values={"v": "value", "t": "tag"}
+    ).collect()[0]
+    assert row["t"] == "new"
+    assert row["v"] is None  # NOT 100.0 from the older row

@@ -55,3 +55,75 @@ def test_simhash_identical_docs_distance_zero(corpus):
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
     assert not any(4 in p for p in pairs)
+
+
+def test_minhash_pandas_matches_catalyst_fold(corpus):
+    """The Arrow-vectorized signature must be value-identical to the
+    Catalyst fold (same params, same modulus) — this is what keeps the
+    DuckDB oracle checkable after the fast path swap."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.hashing import (
+        hash32,
+        minhash_signature,
+        minhash_signature_pandas,
+    )
+    from sum_spark.operators.dedup import shingle_sets
+
+    hashed = shingle_sets(corpus).select(
+        "doc_id", F.transform("shingles", lambda s: hash32(s)).alias("shash")
+    )
+    fold = {
+        r["doc_id"]: r["sig"]
+        for r in hashed.select(
+            "doc_id", minhash_signature(F.col("shash")).alias("sig")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["sig"]
+        for r in hashed.select(
+            "doc_id", minhash_signature_pandas(F.col("shash")).alias("sig")
+        ).collect()
+    }
+    assert fold == arrow
+
+
+def test_dedup_caches_released_after_result_dropped(spark, corpus):
+    """Persisted signature intermediates must not accumulate across a
+    query-server session: dropping the result DataFrame (post-action)
+    releases them (weakref finalizer in dedup._release_with)."""
+    import gc
+
+    for _ in range(3):
+        out = dedup.dedup_minhash_lsh(corpus, threshold=0.5)
+        out.count()
+        del out
+        out = dedup.dedup_simhash(corpus, max_dist=3)
+        out.count()
+        del out
+        gc.collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_embedding_cosine_no_driver_collect(spark):
+    """Block-pair GEMM form: exact all-pairs result with no toPandas or
+    driver broadcast on the data path, and invariant to block count."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.random(8)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base + 0.001]),  # near-dup of 1
+        (3, [float(x) for x in rng.random(8)]),
+        (4, [0.0] * 8),  # zero vector: cosine -> 0.0, never crosses
+        (5, [float(x) for x in -base]),  # anti-parallel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for k in (1, 2, 3):
+        got = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in dedup.dedup_embedding_cosine(df, threshold=0.9, n_blocks=k).collect()
+        }
+        assert (1, 2) in got and got[(1, 2)] > 0.999
+        assert all(4 not in p and 5 not in p for p in got)

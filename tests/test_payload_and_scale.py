@@ -79,3 +79,38 @@ def test_bucketized_join_has_no_shuffle(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_salted_right_join_preserves_unmatched_right_rows(spark):
+    left = spark.createDataFrame([(1, "l1")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string")
+    out = salted_join(left, right, "k", salt=4, how="right").collect()
+    # r2 is unmatched: exactly ONE null-padded row, not one per salt replica
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == [
+        (1, "l1", "r1"),
+        (2, None, "r2"),
+    ]
+
+
+def test_salted_join_rejects_full(spark):
+    import pytest
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(df, df, "k", how="full")
+
+
+def test_gzip_payload_deterministic_and_zero_mtime():
+    big = {str(i): i * 0.5 for i in range(1000)}
+    a, b = build_payload(big), build_payload(big)
+    assert a.compressed and a.data == b.data  # mtime=0 -> byte-stable
+    assert a.data[4:8] == b"\x00\x00\x00\x00"  # gzip header MTIME field
+
+
+def test_info_memory_stats(spark):
+    out = info(spark)
+    mem = out["memory"]
+    assert mem is not None
+    assert mem["heap_used_bytes"] > 0
+    assert mem["heap_max_bytes"] >= mem["heap_used_bytes"]
+    assert mem["cached_memory_bytes"] >= 0 and mem["cached_disk_bytes"] >= 0

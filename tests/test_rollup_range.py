@@ -61,3 +61,29 @@ def test_range_join_boundary_values(spark):
     iv = spark.createDataFrame([("a", 0.0, 50.0), ("b", 50.0, 100.0)], "t string, lo double, hi double")
     got = {r["id"]: r["t"] for r in range_join(facts, iv, "v", step=10.0).collect()}
     assert got == {1: "a", 2: "a", 3: "b"}  # hi is exclusive; 100.0 matches nothing
+
+
+def test_range_join_left_keeps_unmatched_facts(spark):
+    facts = spark.createDataFrame([(1, 25.0), (2, 999.0)], "id long, v double")
+    iv = spark.createDataFrame([("a", 0.0, 50.0)], "t string, lo double, hi double")
+    got = {r["id"]: r["t"] for r in range_join(facts, iv, "v", step=10.0, how="left").collect()}
+    assert got == {1: "a", 2: None}  # honest left-outer, not silent inner
+
+
+def test_range_join_empty_interval_matches_nothing(spark):
+    facts = spark.createDataFrame([(1, 25.0)], "id long, v double")
+    iv = spark.createDataFrame(
+        [("empty", 30.0, 30.0), ("backwards", 50.0, 10.0), ("ok", 20.0, 30.0)],
+        "t string, lo double, hi double",
+    )
+    rows = range_join(facts, iv, "v", step=10.0).collect()
+    assert [(r["id"], r["t"]) for r in rows] == [(1, "ok")]
+
+
+def test_range_join_rejects_interval_preserving_how(spark):
+    facts = spark.createDataFrame([(1, 25.0)], "id long, v double")
+    iv = spark.createDataFrame([("a", 0.0, 50.0)], "t string, lo double, hi double")
+    import pytest
+
+    with pytest.raises(ValueError, match="facts-preserving"):
+        range_join(facts, iv, "v", step=10.0, how="full")
