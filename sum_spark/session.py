@@ -38,13 +38,14 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
         # local[N] = one JVM doing all executor work: the driver heap IS the
-        # cluster memory. A FIXED, pre-touched heap matters more than a big
-        # one on this virtualized host: with -Xmx-only sizing the JVM
-        # repeatedly commits/uncommits tens of GB and the kernel's page
-        # zeroing shows up as 30-80% system time — measured 5-50s swings on
-        # identical dedup runs at 64g growable, flat 5-9s at 16g pre-touched.
+        # cluster memory. A FIXED-size heap matters more than a big one on
+        # this virtualized host: with -Xmx-only sizing the JVM repeatedly
+        # commits/uncommits tens of GB and the kernel's page zeroing shows
+        # up as 30-80% system time — measured 5-50s swings on identical
+        # dedup runs at 64g growable, flat ~2s at 20g fixed. -Xms==-Xmx
+        # means pages commit lazily ONCE and never uncommit (AlwaysPreTouch
+        # would also work but costs ~150s of upfront zeroing in this VM).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"))
-        # -Xms==-Xmx + AlwaysPreTouch pins the heap once at startup.
         # Whole-stage codegen emits one class per stage; a long session
         # running dozens of queries fills the JVM's default ~240 MB code
         # cache, after which the JIT stops compiling and the interpreted
@@ -53,7 +54,6 @@ def get_spark(app_name: str = "sum_spark", cpus: int | None = None) -> SparkSess
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '20g')} "
-            "-XX:+AlwaysPreTouch "
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")

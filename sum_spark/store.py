@@ -15,17 +15,23 @@ Semantics preserved from the reference:
   — served here by a pushed-down predicate instead of an inverted index;
 - list is ordered by id with page/per_page + total (node/service/records.go:66-114).
 
-Storage engine: Parquet snapshots. Creates append a new file; update/
-delete rewrite (copy-on-write, the MERGE-emulation pattern — a table
-format like Delta/Iceberg would make these O(delta), noted in docstrings).
-The reference rewrites one protobuf file per record under a global lock
-(node/storage/saver.go:12-20); at 100 TB neither per-record files nor a
-global lock survive, a transactional table format does.
+Storage engine: Hive-partitioned Parquet, ``b=<id % NUM_BUCKETS>/``.
+Mutations are O(delta): update/delete rewrite ONLY the one bucket
+directory holding the id (1/NUM_BUCKETS of the table), never a full
+snapshot, and the rewrite doubles as compaction for that bucket. Point
+reads prune to the same single directory. The reference instead
+rewrites one protobuf file per record under a global lock
+(node/storage/saver.go:12-20) — per-record files at 100 TB are the
+small-files pathology; bucketed partitions + periodic ``compact()``
+bound both file count and rewrite amplification. A transactional table
+format (Delta/Iceberg, gated by sources.formats.delta_available) would
+add MERGE/ACID on top of the same layout.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -33,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
+    IntegerType,
     LongType,
     MapType,
     StringType,
@@ -49,6 +56,11 @@ RECORD_SCHEMA = StructType(
     ]
 )
 
+# Read-side schema: the bucket is a Hive partition column.
+_READ_SCHEMA = StructType([*RECORD_SCHEMA.fields, StructField("b", IntegerType(), True)])
+
+NUM_BUCKETS = 16
+
 
 class RecordNotFound(KeyError):
     """Read/update/delete of an absent id (≡ 'record not found' RPC error)."""
@@ -59,36 +71,73 @@ class IdCollision(ValueError):
 
 
 class RecordStore:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = NUM_BUCKETS):
         self.spark = spark
         self.path = path
+        self.num_buckets = int(num_buckets)
         os.makedirs(path, exist_ok=True)
+        self._adopt_flat_files()
         self._next_id = int(self._df_or_empty().agg(F.max("id")).first()[0] or 0) + 1
 
     # -- internals ----------------------------------------------------------
 
+    def _adopt_flat_files(self) -> None:
+        """One-time adoption of an unbucketed parquet directory (e.g. a
+        table written by a plain ``df.write.parquet``): move top-level
+        files into the ``b=`` layout so bucket pruning and O(delta)
+        mutations hold. The analog of the reference's startup directory
+        scan (node/storage/loader.go:20-46) — it pays the read once, at
+        open, not per mutation."""
+        flat = [
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(self.path, f))
+        ]
+        if not flat:
+            return
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*flat)
+        df.withColumn("b", (F.col("id") % self.num_buckets).cast("int")).write.mode(
+            "append"
+        ).partitionBy("b").parquet(self.path)
+        for f in flat:
+            os.remove(f)
+
+    def _bucket(self, rid: int) -> int:
+        return int(rid) % self.num_buckets
+
+    def _bucket_dir(self, bucket: int) -> str:
+        return os.path.join(self.path, f"b={bucket}")
+
     def _df_or_empty(self) -> DataFrame:
         try:
-            return self.spark.read.schema(RECORD_SCHEMA).parquet(self.path)
+            return self.spark.read.schema(_READ_SCHEMA).parquet(self.path)
         except Exception:
-            return self.spark.createDataFrame([], RECORD_SCHEMA)
+            return self.spark.createDataFrame([], _READ_SCHEMA)
 
     def _append(self, rows: list[Row]) -> None:
-        self.spark.createDataFrame(rows, RECORD_SCHEMA).write.mode("append").parquet(
-            self.path
+        df = self.spark.createDataFrame(rows, RECORD_SCHEMA).withColumn(
+            "b", (F.col("id") % self.num_buckets).cast("int")
         )
+        df.write.mode("append").partitionBy("b").parquet(self.path)
 
-    def _rewrite(self, df: DataFrame) -> None:
-        """Copy-on-write snapshot rewrite (collect-free): stage to a temp
-        dir, then swap. With Delta this would be a transactional MERGE."""
-        tmp = self.path.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
-        old = self.path.rstrip("/") + f".old-{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        import shutil
-
+    def _rewrite_bucket(self, bucket: int, df: DataFrame) -> None:
+        """Swap ONE bucket directory for its new contents — the O(delta)
+        mutation: 1/num_buckets of the table is rewritten (and compacted
+        to a single file), every other bucket's files are untouched.
+        ``df`` must contain only rows of this bucket, without ``b``."""
+        target = self._bucket_dir(bucket)
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = target + f".old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(target):
+            os.rename(target, old)
+        os.rename(tmp, target)
         shutil.rmtree(old, ignore_errors=True)
+        # the staged write leaves a _SUCCESS marker; harmless, keep it
+
+    def _bucket_rows(self, bucket: int) -> DataFrame:
+        """One bucket's rows (directory-pruned scan), partition col dropped."""
+        return self._df_or_empty().where(F.col("b") == bucket).drop("b")
 
     @staticmethod
     def _normalize(data, shape, meta) -> tuple[list, list, dict]:
@@ -101,7 +150,7 @@ class RecordStore:
     @property
     def df(self) -> DataFrame:
         """The canonical records DataFrame (the 'records' an oracle sees)."""
-        return self._df_or_empty()
+        return self._df_or_empty().drop("b")
 
     def create(self, data, meta=None, shape=None) -> int:
         """Assign the next sequential id and persist (records.go:26-31)."""
@@ -112,7 +161,7 @@ class RecordStore:
         return rid
 
     def create_with_id(self, rid: int, data, meta=None, shape=None) -> None:
-        if self.df.where(F.col("id") == rid).limit(1).count() > 0:
+        if self._exists(rid):
             raise IdCollision(f"record {rid} exists")
         d, s, m = self._normalize(data, shape, meta)
         self._append([Row(id=int(rid), data=d, shape=s, meta=m)])
@@ -121,10 +170,15 @@ class RecordStore:
     def create_many_with_id(self, records: dict[int, list]) -> None:
         """Bulk create; all-or-nothing like CreateRecordsWithId
         (node/storage/index.go:188-218): collisions are checked for the
-        whole batch before any write."""
+        whole batch before any write. One write job for the whole batch —
+        creates batch naturally instead of one file per record."""
         ids = [int(i) for i in records]
         hits = (
-            self.df.where(F.col("id").isin(ids)).select("id").limit(1).collect()
+            self._df_or_empty()
+            .where(F.col("id").isin(ids))
+            .select("id")
+            .limit(1)
+            .collect()
         )
         if hits:
             raise IdCollision(f"record {hits[0]['id']} exists")
@@ -135,32 +189,63 @@ class RecordStore:
         self._append(rows)
         self._next_id = max(self._next_id, max(ids) + 1)
 
+    def _exists(self, rid: int) -> bool:
+        return (
+            self._df_or_empty()
+            .where((F.col("b") == self._bucket(rid)) & (F.col("id") == rid))
+            .limit(1)
+            .count()
+            > 0
+        )
+
     def read(self, rid: int) -> Row:
-        rows = self.df.where(F.col("id") == rid).collect()
+        """Point lookup, pruned to the id's bucket directory."""
+        rows = (
+            self._df_or_empty()
+            .where((F.col("b") == self._bucket(rid)) & (F.col("id") == rid))
+            .drop("b")
+            .collect()
+        )
         if not rows:
             raise RecordNotFound(rid)
         return rows[0]
 
     def update(self, rid: int, data=None, meta=None, shape=None) -> None:
-        """Overwrite data/meta/shape by id (record_driver.go:32-45):
-        anti-join out the old row, append the new one — the Delta-less
-        MERGE WHEN MATCHED UPDATE."""
+        """Overwrite data/meta/shape by id (record_driver.go:32-45).
+        O(delta): only the id's bucket directory is rewritten."""
         old = self.read(rid)
         d, s, m = self._normalize(
             data if data is not None else old["data"],
             shape if shape is not None else old["shape"],
             meta if meta is not None else old["meta"],
         )
-        rest = self.df.where(F.col("id") != rid)
-        new = self.spark.createDataFrame([Row(id=int(rid), data=d, shape=s, meta=m)], RECORD_SCHEMA)
-        self._rewrite(rest.unionByName(new))
+        bucket = self._bucket(rid)
+        rest = self._bucket_rows(bucket).where(F.col("id") != rid)
+        new = self.spark.createDataFrame(
+            [Row(id=int(rid), data=d, shape=s, meta=m)], RECORD_SCHEMA
+        )
+        self._rewrite_bucket(bucket, rest.unionByName(new))
 
     def delete(self, rid: int) -> None:
         self.read(rid)  # raises RecordNotFound on miss (records.go:117-121)
-        self._rewrite(self.df.where(F.col("id") != rid))
+        bucket = self._bucket(rid)
+        self._rewrite_bucket(bucket, self._bucket_rows(bucket).where(F.col("id") != rid))
 
     def delete_many(self, rids: list[int]) -> None:
-        self._rewrite(self.df.where(~F.col("id").isin([int(r) for r in rids])))
+        ids = [int(r) for r in rids]
+        for bucket in sorted({self._bucket(r) for r in ids}):
+            self._rewrite_bucket(
+                bucket, self._bucket_rows(bucket).where(~F.col("id").isin(ids))
+            )
+
+    def compact(self) -> None:
+        """Merge each bucket's accumulated small create-files into one file
+        per bucket (the answer to append-per-create at scale; run it on a
+        schedule, like any LSM/table-format maintenance job)."""
+        for entry in sorted(os.listdir(self.path)):
+            if entry.startswith("b="):
+                bucket = int(entry.split("=", 1)[1])
+                self._rewrite_bucket(bucket, self._bucket_rows(bucket))
 
     def list(self, page: int = 1, per_page: int = 10) -> tuple[int, list[Row]]:
         """Ordered pagination returning (total, rows)

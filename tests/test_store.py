@@ -87,3 +87,73 @@ def test_reopen_preserves_next_id(spark, tmp_path):
     s1.create([2.0])
     s2 = RecordStore(spark, path)  # startup scan (loader.go:20-46)
     assert s2.create([3.0]) == 3
+
+
+def test_update_rewrites_only_the_ids_bucket(spark, tmp_path):
+    """O(delta) contract: mutating one id must leave every other bucket's
+    files byte-identical (same paths, same mtimes) — no full-table
+    snapshot rewrite."""
+    import os
+
+    path = str(tmp_path / "records")
+    store = RecordStore(spark, path)
+    for i in range(18):
+        store.create([float(i)])
+
+    def files_outside(bucket: int) -> dict[str, float]:
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            if f"b={bucket}" in root.split(os.sep)[-1]:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    target = 7
+    bucket = target % store.num_buckets
+    before = files_outside(bucket)
+    store.update(target, data=[99.0])
+    assert files_outside(bucket) == before  # untouched buckets: untouched
+    assert store.read(target)["data"] == [99.0]
+    assert store.count() == 18
+
+    before = files_outside(bucket)
+    store.delete(target)
+    assert files_outside(bucket) == before
+    assert store.count() == 17
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "records")
+    store = RecordStore(spark, path, num_buckets=2)
+    for i in range(10):
+        store.create([float(i)])  # 10 one-row files across 2 buckets
+    n_before = len(glob.glob(f"{path}/b=*/part-*.parquet"))
+    assert n_before >= 10
+    store.compact()
+    n_after = len(glob.glob(f"{path}/b=*/part-*.parquet"))
+    assert n_after == 2  # one file per bucket
+    assert store.count() == 10
+    assert [r["id"] for r in store.list(per_page=3)[1]] == [1, 2, 3]
+
+
+def test_point_read_prunes_to_one_bucket(spark, tmp_path):
+    """The physical scan for read(rid) must touch only the id's bucket
+    directory (partition pruning on the Hive partition column)."""
+    from pyspark.sql import functions as F
+
+    store = RecordStore(spark, str(tmp_path / "records"))
+    for i in range(4):
+        store.create([float(i)])
+    rid = 3
+    plan = (
+        store._df_or_empty()
+        .where((F.col("b") == store._bucket(rid)) & (F.col("id") == rid))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
