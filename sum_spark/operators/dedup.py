@@ -152,12 +152,17 @@ def dedup_ngram_jaccard(
     # zero loss of exactness; candidates are then verified on the full
     # shingle sets. (60-bit hash collision risk 2^-60 per shingle pair —
     # far below any observable effect.)
+    # Persist the hashed sets: FOUR plan branches consume hh (the a/b
+    # candidate sides and the sa/sb verify sides), and Catalyst would
+    # otherwise re-inline the md5 transform + sort into each — e.g. the
+    # `n = size(hh)` projection alone doubles the hash work per branch.
+    # The table is tiny (id + ~hundreds of longs per doc); lifetime is
+    # scoped to the returned plan via _release_with.
     hashed = sets.select(
         "doc_id",
-        "shingles",
         F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
-    )
-    prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(t) ) + 1).cast("int")
+    ).persist()
+    prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(t)) + 1).cast("int")
     ex = hashed.select(
         "doc_id",
         F.size("hh").alias("n"),
@@ -188,9 +193,10 @@ def dedup_ngram_jaccard(
     )
     # Verify on the sorted hash arrays: long-array intersects are ~an order
     # of magnitude cheaper than intersecting ~20-char shingle strings.
-    return _exact_jaccard_pairs(
+    out = _exact_jaccard_pairs(
         cand, hashed.select("doc_id", "hh"), threshold, feat_col="hh"
     )
+    return _release_with(out, hashed)
 
 
 def dedup_minhash_lsh(
