@@ -454,3 +454,81 @@ def dedup_embedding_cosine(
         pairs.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate *clusters* from near-dup pairs: connected components via
+    hash-min label propagation. Pair lists alone don't dedup a corpus —
+    near-duplication is transitive in practice (A~B, B~C => keep one of
+    {A,B,C}) — so the pipeline step after any pairwise dedup operator is
+    grouping pairs into components and electing one keeper per component.
+
+    Algorithm: every node starts labeled with its own id; each round every
+    node takes the min label over itself and its neighbors; converged when
+    no label changes. Rounds = component diameter — near-dup clusters are
+    shallow (2-4 rounds). Each round is ONE equi-join + ONE groupBy (both
+    hash-partitioned on node id), the textbook Spark iteration; lineage is
+    truncated per round with localCheckpoint so the plan stays flat (on a
+    cluster, swap for checkpoint() to an HDFS dir; for web-scale graphs
+    with deep components, the large-star/small-star variant halves round
+    count). Convergence is detected by the sum of labels: min-propagation
+    is monotone, so an unchanged sum means a fixpoint — one cheap scalar
+    action per round, no driver-side data.
+
+    Output: (doc_id, cluster_id, cluster_size) for every node appearing
+    in a pair; cluster_id = min doc_id of the component (the keeper).
+    """
+    spark = pairs.sparkSession
+    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    # Size the per-round shuffles from the graph, not the session default:
+    # the dup-pair graph is orders of magnitude smaller than the corpus
+    # (only docs with a near-dup appear), and an iteration at e.g. 200
+    # partitions for a few thousand edges is all task overhead. ~100k
+    # edges per partition keeps rounds cheap at any scale; the count is
+    # free (it materializes the persist we need anyway).
+    n_edges = edges.count()
+    p = int(max(8, min(n_edges // 100_000 + 1, 4096)))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    labels = edges.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    prev = None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        for _ in range(max_iter):
+            nbr = edges.join(labels, edges["b"] == labels["node"]).select(
+                F.col("a").alias("node"), "label"
+            )
+            labels = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            s = labels.agg(F.sum("label").alias("s")).first()["s"]
+            if s == prev:
+                break
+            prev = s
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )

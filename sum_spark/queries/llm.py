@@ -167,6 +167,37 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_embedding_cosine(emb, threshold=0.45)
 
 
+@query(
+    "dedup_clusters",
+    # Ground truth: transitive closure of the exact ngram-Jaccard pair set
+    # (recursive CTE), component label = min reachable doc_id.
+    oracle=f"""
+    WITH RECURSIVE p0 AS ({_NGRAM_JACCARD_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM p0
+      UNION ALL
+      SELECT doc_b, doc_a FROM p0
+    ),
+    reach(node, m) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    lab AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM lab l JOIN sz s USING (cluster_id) ORDER BY doc_id
+    """,
+    doc="Duplicate clusters: connected components (hash-min label "
+    "propagation) over the exact Jaccard>=0.8 pair graph; cluster_id = "
+    "min doc_id = the keeper.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.dedup_ngram_jaccard(docs, threshold=0.8, max_df=None)
+    return dedup.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (ANN)
 # ---------------------------------------------------------------------------

@@ -127,3 +127,24 @@ def test_embedding_cosine_no_driver_collect(spark):
         }
         assert (1, 2) in got and got[(1, 2)] > 0.999
         assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_dedup_clusters_transitive(spark):
+    # Chain A-B, B-C, C-D (one 4-node component, diameter 3 — forces
+    # multiple propagation rounds) plus an isolated pair E-F.
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in dedup.dedup_clusters(pairs).collect()}
+    assert {out[n] for n in (10, 20, 30, 40)} == {(10, 4)}
+    assert out[50] == (50, 2) and out[60] == (50, 2)
+    assert len(out) == 6
+
+
+def test_dedup_clusters_restores_shuffle_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    dedup.dedup_clusters(pairs).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
