@@ -14,7 +14,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sum_spark.functions.hashing import hash60
-from sum_spark.functions.text import LANG_STOPWORDS, stopword_hits, tokens
+from sum_spark.functions.text import (
+    LANG_STOPWORDS,
+    SHINGLE_N,
+    stopword_hits,
+    tokens,
+    word_shingles,
+)
 
 
 def _lang_hit_cols(toks: Column) -> list[Column]:
@@ -82,4 +88,125 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col).alias("doc_id"),
         F.md5(norm).alias("fp"),
         hash60(norm).alias("fp60"),
+    ).orderBy("doc_id")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-length prep step of
+    a training pipeline (split each document into chunk_size-token windows
+    every stride tokens; the final window may be shorter).
+
+    Map-side only: sequence + posexplode + slice, no shuffle — row
+    amplification is ~n_tokens/stride per document, streamed through the
+    scan. Output: (doc_id, chunk_id, chunk_text, n_tokens) ordered.
+    DuckDB twin: generate_series(1, len(w), stride) + list_slice.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
+    starts = words.select(
+        "doc_id",
+        "__words",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("__words"), F.lit(stride))
+        ).alias("chunk_id", "__st"),
+    )
+    # Stage the sliced chunk before deriving text+count from it, so the
+    # slice is evaluated once per chunk row (Catalyst would re-inline it
+    # into each consumer).
+    chunks = starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.slice("__words", F.col("__st"), F.lit(chunk_size)).alias("__chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("__chunk", " ").alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document:
+
+    - dup_word_frac: fraction of tokens that are repeats (1 - distinct/n)
+    - top_word_frac: frequency of the most common token / n
+    - dup_3gram_frac: fraction of word 3-grams that are repeats
+
+    Array-side where possible (distinct counts — shuffle-free); the top
+    token count is the word-count shape (explode + two-level groupBy),
+    the honest distributed form at corpus scale. All ratios are SINGLE
+    integer divisions — bit-identical across engines, no rounding needed.
+    Output: (doc_id, n_tokens, dup_word_frac, top_word_frac,
+    dup_3gram_frac) ordered.
+    """
+    words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
+    base = words.select(
+        "doc_id",
+        F.size("__words").alias("__n"),
+        F.size(F.array_distinct("__words")).alias("__d"),
+        # 3-gram count is n - 2 arithmetically (no second shingle pass);
+        # the shingle array itself is consumed exactly once (distinct).
+        F.size(F.array_distinct(word_shingles(F.col("__words")))).alias("__d3"),
+    )
+    top = (
+        words.select("doc_id", F.explode("__words").alias("__w"))
+        .groupBy("doc_id", "__w")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__mx"))
+    )
+    n = F.col("__n").cast("double")
+    n3 = F.greatest(F.col("__n") - (SHINGLE_N - 1), F.lit(0))
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            F.col("__n").cast("long").alias("n_tokens"),
+            ((F.col("__n") - F.col("__d")).cast("double") / n).alias("dup_word_frac"),
+            (F.col("__mx").cast("double") / n).alias("top_word_frac"),
+            F.when(
+                n3 > 0, (n3 - F.col("__d3")).cast("double") / n3.cast("double")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_3gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Conservative patterns shared with the DuckDB twin — RE2/Java-common
+# syntax only (no lookaround/backrefs).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_URL_RE = r"https?://[^ ]+"
+
+
+def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + scrubbing: counts of emails / IPv4s / URLs and the
+    md5 of the scrubbed text (URLs replaced first — they may embed the
+    other patterns — then emails, then IPs). Single-pass column work.
+    Output: (doc_id, n_emails, n_ips, n_urls, scrubbed_md5) ordered.
+    """
+    t = F.col(text_col)
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_URL_RE, "<URL>"), PII_EMAIL_RE, "<EMAIL>"
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
+        F.md5(scrub).alias("scrubbed_md5"),
     ).orderBy("doc_id")

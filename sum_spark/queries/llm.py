@@ -346,6 +346,111 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 48)) AS st FROM t),
+    c AS (
+      SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_id,
+             list_slice(w, st, st + 63) AS ch
+      FROM s
+    )
+    SELECT doc_id, chunk_id, array_to_string(ch, ' ') AS chunk_text,
+           CAST(len(ch) AS BIGINT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+    doc="Overlapping token-window chunking (64-token windows every 48): "
+    "the context-length prep step; map-side sequence+posexplode+slice.",
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.chunk_documents(docs, chunk_size=64, stride=48)
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    b AS (
+      SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS d,
+             greatest(len(w) - {SHINGLE_N - 1}, 0) AS n3,
+             len(list_distinct({duck_word_shingles('w')})) AS d3
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(w) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY 1)
+    SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - d AS DOUBLE) / n AS dup_word_frac,
+           CAST(mx AS DOUBLE) / n AS top_word_frac,
+           CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
+    FROM b JOIN mx USING (doc_id) ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition signals: duplicate-word fraction, top-"
+    "word fraction, duplicate-3-gram fraction (single-division ratios, "
+    "bit-identical across engines).",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textops.repetition_stats(docs)
+
+
+# The synthetic corpus contains no PII by construction, so the registered
+# query injects deterministic markers (same expression on both engines) to
+# make the regex parity check non-trivial; the operator itself is plain
+# pii_scan over any text column.
+_PII_AUG_DUCK = """
+      SELECT doc_id, text ||
+        CASE WHEN doc_id % 3 = 0
+             THEN ' contact user' || doc_id || '@example.com via https://ex.org/d' || doc_id
+             ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0 THEN ' ip 10.1.' || (doc_id % 256) || '.7' ELSE '' END
+        AS text
+      FROM documents
+"""
+
+
+@query(
+    "text_pii",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_DUCK})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{textops.PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{textops.PII_URL_RE}')) AS BIGINT) AS n_urls,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{textops.PII_URL_RE}', '<URL>', 'g'),
+               '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{textops.PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM aug ORDER BY doc_id
+    """,
+    doc="PII detect + scrub (emails / IPv4 / URLs) over deterministically "
+    "augmented text; counts plus md5 of the scrubbed form.",
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com via https://ex.org/d"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ip 10.1."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+    )
+    return textops.pii_scan(docs.select("doc_id", aug.alias("text")))
+
+
+@query(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id, md5(lower(trim(text))) AS fp,

@@ -1,0 +1,62 @@
+"""Unit tests for the text-pipeline operators on planted fixtures (the
+driver corpus has no PII / known repetition; these docs do)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sum_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),  # 10 distinct tokens
+        (2, "x x x x y"),  # heavy repetition
+        (3, "one two"),  # fewer than 3 words -> no 3-grams
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windows(spark, docs):
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in textops.chunk_documents(docs, chunk_size=4, stride=3).collect()
+    }
+    # doc 1: 10 tokens -> starts 1,4,7,10 -> windows of 4,4,4,1
+    assert out[(1, 0)] == ("a b c d", 4)
+    assert out[(1, 1)] == ("d e f g", 4)
+    assert out[(1, 2)] == ("g h i j", 4)
+    assert out[(1, 3)] == ("j", 1)
+    # doc 3: 2 tokens -> one short chunk
+    assert out[(3, 0)] == ("one two", 2)
+    assert len([k for k in out if k[0] == 2]) == 2  # 5 tokens, starts 1,4
+
+
+def test_repetition_stats_values(docs):
+    out = {r["doc_id"]: r for r in textops.repetition_stats(docs).collect()}
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert r1["dup_word_frac"] == 0.0 and r1["top_word_frac"] == 0.1
+    # doc 2: 5 tokens, 2 distinct -> dup 3/5; top 'x' 4/5; 3-grams:
+    # (x x x) x2 + (x x y) -> 3 grams, 2 distinct -> dup 1/3
+    assert r2["dup_word_frac"] == 0.6 and r2["top_word_frac"] == 0.8
+    assert abs(r2["dup_3gram_frac"] - 1.0 / 3.0) < 1e-15
+    assert r3["dup_3gram_frac"] == 0.0  # no 3-grams at all
+
+
+def test_pii_scan_detects_and_scrubs(spark):
+    rows = [
+        (1, "mail me at bob.smith+x@example.co.uk or visit https://a.b/c?d=1 now"),
+        (2, "server at 192.168.1.254 and 10.0.0.1 no mail"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.pii_scan(df).collect()}
+    assert (out[1]["n_emails"], out[1]["n_urls"], out[1]["n_ips"]) == (1, 1, 0)
+    assert (out[2]["n_emails"], out[2]["n_urls"], out[2]["n_ips"]) == (0, 0, 2)
+    assert (out[3]["n_emails"], out[3]["n_urls"], out[3]["n_ips"]) == (0, 0, 0)
+    # Scrub changes the hash only where something was found.
+    import hashlib
+
+    assert out[3]["scrubbed_md5"] == hashlib.md5(b"clean text only").hexdigest()
+    assert out[2]["scrubbed_md5"] == hashlib.md5(b"server at <IP> and <IP> no mail").hexdigest()
