@@ -21,7 +21,8 @@ from sum_spark.functions.text import (
     duck_stopword_hits,
     duck_word_shingles,
 )
-from sum_spark.operators import dedup, textops
+from sum_spark.operators import dedup, embeddings, textops
+from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
@@ -270,6 +271,51 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") <= 3)
     return knn_ivf(emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4)
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+@query(
+    "bm25_search",
+    oracle=duck_bm25_sql(_BM25_TERMS, k=10),
+    doc="BM25(k1=1.2, b=0.75) top-10 keyword retrieval: one broadcast "
+    "stats row + per-row column scoring + TakeOrderedAndProject.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, _BM25_TERMS, k=10)
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, vv, list_max(list_transform(vv, x -> abs(x))) AS amax FROM v
+    ),
+    q AS (
+      SELECT vec_id, vv, amax,
+             CASE WHEN amax > 0
+                  THEN list_transform(vv, x -> CAST(floor(x * 127 / amax + CAST(0.5 AS DOUBLE)) AS INT))
+                  ELSE list_transform(vv, x -> 0) END AS qq
+      FROM a
+    )
+    SELECT vec_id, amax / 127 AS scale,
+           array_to_string(qq, ',') AS q_str,
+           list_max(list_transform(range(1, len(vv) + 1),
+                    i -> abs(vv[i] - qq[i] * (amax / 127)))) AS max_abs_err
+    FROM q ORDER BY vec_id
+    """,
+    doc="Symmetric int8 scalar quantization of embeddings (floor(x+0.5) "
+    "midpoint rule — portable across engines), with dequant error bound.",
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embeddings.quantize_int8(emb)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Unit tests for BM25 retrieval and int8 embedding quantization."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sum_spark.operators.embeddings import quantize_int8
+from sum_spark.operators.search import BM25_B, BM25_K1, bm25_search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark runs fast and spark scales"),
+        (2, "the cat sat on the mat"),
+        (3, "spark spark spark spark"),
+        (4, "window functions in spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _bm25_ref(corpus_rows, terms, k1=BM25_K1, b=BM25_B):
+    docs = {i: t.split(" ") for i, t in corpus_rows}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    out = {}
+    for i, w in docs.items():
+        s = 0.0
+        for t in terms:
+            dft = sum(1 for ww in docs.values() if t in ww)
+            idf = math.log(1 + (n - dft + 0.5) / (dft + 0.5))
+            tf = float(w.count(t))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        out[i] = s
+    return out
+
+
+def test_bm25_matches_reference_formula(corpus):
+    rows = [(r["doc_id"], r["score"], r["rank"]) for r in
+            bm25_search(corpus, ["spark", "cat"], k=10).collect()]
+    raw = [(1, "spark runs fast and spark scales"), (2, "the cat sat on the mat"),
+           (3, "spark spark spark spark"), (4, "window functions in spark")]
+    ref = _bm25_ref(raw, ["spark", "cat"])
+    expect = sorted(
+        [(i, s) for i, s in ref.items() if s > 0], key=lambda p: (-p[1], p[0])
+    )
+    assert [(d, round(s, 4)) for d, s, _ in rows] == [
+        (d, round(s, 4)) for d, s in expect
+    ]
+    assert [r for _, _, r in rows] == list(range(1, len(expect) + 1))
+
+
+def test_bm25_zero_hits_excluded(corpus):
+    assert bm25_search(corpus, ["zzz"], k=10).count() == 0
+
+
+def test_quantize_int8_roundtrip(spark):
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        (3, [-0.001, 0.001, 0.0005, -0.0005]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = out[1]
+    qs = [int(x) for x in r1["q_str"].split(",")]
+    assert qs[3] == 127 and qs[1] == -2  # amax element hits +/-127 exactly
+    assert max(abs(q) for q in qs) <= 127
+    assert r1["max_abs_err"] <= r1["scale"] / 2 + 1e-12
+    r2 = out[2]
+    assert r2["scale"] == 0.0 and set(r2["q_str"].split(",")) == {"0"}
+    assert r2["max_abs_err"] == 0.0
+    r3 = out[3]
+    assert abs(r3["scale"] - 0.001 / 127) < 1e-12
