@@ -74,3 +74,21 @@ def test_no_reinlined_expensive_expressions(spark, sf_smoke, name, expensive, ma
         f"{expensive!r} appears {count}x in the {name} plan — an expensive "
         f"expression got re-inlined into a multi-reference subtree"
     )
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "bm25_search")
+    # The one-row stats side must broadcast (never shuffle the corpus
+    # against it) and top-k must compile to TakeOrderedAndProject.
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_chunking_is_shuffle_free(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "text_chunk")
+    # Map-side generate+explode+slice: the only Exchange allowed is the
+    # final presentation sort's range partitioning.
+    body = p.split("rangepartitioning", 1)[0]
+    assert "Exchange hashpartitioning" not in body
