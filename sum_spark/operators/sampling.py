@@ -1,0 +1,110 @@
+"""Deterministic sampling / data-mixture operators — the composition
+step of a training pipeline (up/down-weight sources into a mix).
+
+Sampling is hash-based Bernoulli per stratum: a row is kept iff
+hash(stratum:id) mod M < rate*M. Fully deterministic and reproducible
+(re-running, or running on a different cluster layout, selects the same
+rows — unlike rand()-based sampling), partition-local (no shuffle, no
+driver state), and exactly the shape used to mix corpora at 100 TB. The
+hash is the portable md5-based family (functions/hashing.py) so the
+DuckDB oracle selects the identical sample.
+
+No reference analog (the reference has no sampling surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sum_spark.functions.hashing import hash60
+
+SAMPLE_MOD = 10_000  # rate resolution 1/10000 — integer thresholds, no float compare
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row of stratum s with probability rates[s] (default_rate
+    for unlisted strata), decided by a deterministic hash of
+    '<stratum>:<id>'. Rates are quantized to 1/10000 so the keep test is
+    an integer comparison (exact on both engines).
+
+    Output: the sampled (doc_id, stratum, bucket) rows, ordered.
+    """
+    thresholds = {s: int(round(r * SAMPLE_MOD)) for s, r in rates.items()}
+    default_thr = int(round(default_rate * SAMPLE_MOD))
+    thr = F.lit(default_thr)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strat_col) == s, F.lit(t)).otherwise(thr)
+    bucket = F.pmod(
+        hash60(F.concat(F.col(strat_col), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(SAMPLE_MOD),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strat_col).alias("stratum"),
+            bucket.alias("bucket"),
+            thr.alias("__thr"),
+        )
+        .where(F.col("bucket") < F.col("__thr"))
+        .select("doc_id", "stratum", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def duck_sample_stratified_sql(
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of sample_stratified, generated from the same rates."""
+    from sum_spark.functions.hashing import duck_hash60
+
+    default_thr = int(round(default_rate * SAMPLE_MOD))
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
+        for s, r in sorted(rates.items())
+    )
+    h = duck_hash60(f"{strat_col} || ':' || {id_col}")
+    return f"""
+    WITH s AS (
+      SELECT {id_col} AS doc_id, {strat_col} AS stratum,
+             {h} % {SAMPLE_MOD} AS bucket,
+             CASE {strat_col} {cases} ELSE {default_thr} END AS thr
+      FROM {table}
+    )
+    SELECT doc_id, stratum, bucket FROM s WHERE bucket < thr ORDER BY doc_id
+    """
+
+
+def corpus_mixture(
+    df: DataFrame, strat_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Mixture bookkeeping per stratum: document and token counts plus
+    each stratum's share of corpus tokens (single division — portable).
+    One partial-aggregated groupBy; the total re-joins via a broadcast of
+    the one-row grand total. Output: (stratum, n_docs, n_tokens,
+    token_share) ordered."""
+    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("__tot")).alias("token_share"),
+        )
+        .orderBy("stratum")
+    )

@@ -21,7 +21,7 @@ from sum_spark.functions.text import (
     duck_stopword_hits,
     duck_word_shingles,
 )
-from sum_spark.operators import dedup, embeddings, textops
+from sum_spark.operators import dedup, embeddings, sampling, textops
 from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
 from sum_spark.queries.base import query
@@ -271,6 +271,41 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") <= 3)
     return knn_ivf(emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4)
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@query(
+    "sample_stratified",
+    oracle=sampling.duck_sample_stratified_sql(_MIX_RATES, default_rate=0.05),
+    doc="Deterministic hash-Bernoulli stratified sampling (data-mixture "
+    "step): keep iff md5-hash(stratum:id) mod 10k < rate*10k — "
+    "reproducible, shuffle-free, oracle-identical selection.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_stratified(docs, _MIX_RATES, default_rate=0.05)
+
+
+@query(
+    "corpus_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source AS stratum, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT stratum, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / t AS token_share
+    FROM per CROSS JOIN tot ORDER BY stratum
+    """,
+    doc="Per-source mixture bookkeeping: docs, tokens, token share.",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.corpus_mixture(docs)
 
 
 _BM25_TERMS = ["spark", "window", "merge"]

@@ -74,3 +74,28 @@ def test_quantize_int8_roundtrip(spark):
     assert r2["max_abs_err"] == 0.0
     r3 = out[3]
     assert abs(r3["scale"] - 0.001 / 127) < 1e-12
+
+
+def test_sample_stratified_deterministic_and_rate(spark):
+    from sum_spark.operators.sampling import sample_stratified
+
+    rows = [(i, "src%d" % (i % 2), "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out1 = sample_stratified(df, {"src0": 0.5, "src1": 0.0}).collect()
+    out2 = sample_stratified(df, {"src0": 0.5, "src1": 0.0}).collect()
+    assert out1 == out2  # reproducible
+    assert all(r["stratum"] == "src0" for r in out1)  # rate-0 stratum empty
+    # ~50% of the 1000 src0 docs, with generous tolerance
+    assert 400 <= len(out1) <= 600
+    full = sample_stratified(df, {}, default_rate=1.0).count()
+    assert full == 2000
+
+
+def test_corpus_mixture_shares_sum_to_one(spark):
+    from sum_spark.operators.sampling import corpus_mixture
+
+    rows = [(1, "a", "x y z"), (2, "a", "x y"), (3, "b", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["stratum"]: r for r in corpus_mixture(df).collect()}
+    assert out["a"]["n_tokens"] == 5 and out["b"]["n_tokens"] == 1
+    assert abs(out["a"]["token_share"] + out["b"]["token_share"] - 1.0) < 1e-12
