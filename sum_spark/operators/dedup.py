@@ -199,40 +199,25 @@ def dedup_ngram_jaccard(
     return _release_with(out, hashed)
 
 
-def dedup_minhash_lsh(
-    df: DataFrame,
-    threshold: float = 0.8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """MinHash + banded LSH near-dup detection, exact-verified.
+def _minhash_sig_bands(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(sig, bands) for MinHash+LSH: sig = persisted (doc_id, hh sorted
+    60-bit shingle hashes, sig 64-perm minhash); bands = (doc_id, band,
+    key) with key = md5 of each band's LSH_ROWS minhashes.
 
-    Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
-      1. 64-perm MinHash signature per doc — one Arrow-vectorized NumPy
-         broadcast (minhash_signature_pandas), map-only, no shuffle;
-      2. 16 bands x 4 rows; band key = md5 of the 4 minhashes;
-      3. candidate pairs = docs sharing any (band, key) bucket (equi-join);
-      4. exact shingle-set Jaccard >= threshold on candidates only.
-
-    P(candidate | s=0.8) ≈ 0.9998, and the corpus's planted near-dups sit
-    at s≈0.98 where recall is 1 - 1e-18 — so the verified output equals
-    the exact all-pairs result, which is what the oracle checks.
-    At 100 TB only steps 3-4 shuffle, and only on O(#near-dup) rows.
+    The shingle hashes are materialized in their own projection (the
+    signature consumes the array many times; inlining the md5 transform
+    would hash every shingle per permutation), and sig is persisted
+    because the band join's branches and the verify stage all read it.
+    Callers own release via _release_with.
     """
     sets = shingle_sets(df, text_col, id_col)
-    # Materialize the md5-based shingle hashes in their own projection:
-    # the signature consumes this array many times, and inlining the md5
-    # transform would hash every shingle per permutation.
     hashed = sets.select(
         "doc_id",
         F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
         F.transform("shingles", lambda s: hash32(s)).alias("shash"),
     )
-    # Persist the signatures: the band self-join's two branches and the
-    # verify stage would otherwise each recompute the per-shingle md5
-    # transforms (interpreted HOFs) and the signature UDF. The persisted
-    # intermediate is tiny (ids + 64 longs + hash array per doc); its
-    # lifetime is scoped to the returned plan via _release_with.
     sig = hashed.select(
         "doc_id", "hh", minhash_signature_pandas(F.col("shash")).alias("sig")
     ).persist()
@@ -258,6 +243,76 @@ def dedup_minhash_lsh(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+    return sig, bands
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """O(delta) ingestion dedup: near-dups of the NEW batch against the
+    EXISTING corpus (new-vs-corpus pairs only; compose with
+    dedup_minhash_lsh(new_df) for within-batch pairs).
+
+    Same MinHash+LSH+exact-verify machinery as dedup_minhash_lsh, but the
+    band join is new-batch × corpus instead of a self-join, so per-batch
+    cost is O(|delta| + matching buckets) — at 100 TB the corpus band
+    table (doc_id, band, key) and hash arrays are computed ONCE at ingest
+    and stored; only the delta hashes per batch, and the join prunes to
+    buckets the delta actually touches.
+
+    Output: (new_id, corpus_id, jaccard) ordered.
+    """
+    t = float(threshold)
+    sig_n, bands_n = _minhash_sig_bands(new_df, text_col, id_col)
+    sig_c, bands_c = _minhash_sig_bands(corpus_df, text_col, id_col)
+    cand = (
+        bands_n.select(F.col("doc_id").alias("new_id"), "band", "key")
+        .join(bands_c.select(F.col("doc_id").alias("corpus_id"), "band", "key"), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sig_n.select(F.col("doc_id").alias("new_id"), F.col("hh").alias("__sa"))
+    sb = sig_c.select(F.col("doc_id").alias("corpus_id"), F.col("hh").alias("__sb"))
+    j = (
+        F.size(F.array_intersect("__sa", "__sb")).cast("double")
+        / F.size(F.array_union("__sa", "__sb")).cast("double")
+    )
+    out = (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .select("new_id", "corpus_id", j.alias("__j"))
+        .where(F.col("__j") >= t)
+        .select("new_id", "corpus_id", F.round("__j", 4).alias("jaccard"))
+        .orderBy("new_id", "corpus_id")
+    )
+    return _release_with(out, sig_n, sig_c)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup detection, exact-verified.
+
+    Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
+      1. 64-perm MinHash signature per doc — one Arrow-vectorized NumPy
+         broadcast (minhash_signature_pandas), map-only, no shuffle;
+      2. 16 bands x 4 rows; band key = md5 of the 4 minhashes;
+      3. candidate pairs = docs sharing any (band, key) bucket (equi-join);
+      4. exact shingle-set Jaccard >= threshold on candidates only.
+
+    P(candidate | s=0.8) ≈ 0.9998, and the corpus's planted near-dups sit
+    at s≈0.98 where recall is 1 - 1e-18 — so the verified output equals
+    the exact all-pairs result, which is what the oracle checks.
+    At 100 TB only steps 3-4 shuffle, and only on O(#near-dup) rows.
+    """
+    sig, bands = _minhash_sig_bands(df, text_col, id_col)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (

@@ -108,3 +108,40 @@ def corpus_mixture(
         )
         .orderBy("stratum")
     )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "sample_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign contiguous 1..N ids in global (order_cols) order WITHOUT a
+    single-partition sort — the scale-correct form of
+    row_number() OVER (ORDER BY ...), which Spark executes on one task.
+
+    Two-pass: range-repartition on the order key (each partition holds a
+    contiguous key range), number rows locally per partition, then add
+    each partition's cumulative row-count offset (a tiny broadcast — one
+    row per partition). order_cols must be a unique key for the ids to be
+    deterministic (range boundaries are sample-based).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(n, *cols).withColumn("__pid", F.spark_partition_id())
+    local = Window.partitionBy("__pid").orderBy(*cols)
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__c"))
+    # One row per partition: the running offset window is tiny by
+    # construction (single-partition over n rows, not over the data).
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_name, (F.col("__off") + F.row_number().over(local)).cast("long"))
+        .drop("__pid", "__off")
+    )

@@ -308,6 +308,56 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.corpus_mixture(docs)
 
 
+@query(
+    "dedup_incremental",
+    # Ground truth: exact all-pairs Jaccard restricted to new-vs-corpus
+    # (new batch = doc_id % 10 = 0); recall argument as dedup_minhash_lsh.
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM d
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id, ROUND(i / (na.n + nb.n - i), 4) AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = new_id
+    JOIN sizes nb ON nb.doc_id = corpus_id
+    WHERE i / (na.n + nb.n - i) >= 0.8
+    ORDER BY new_id, corpus_id
+    """,
+    doc="O(delta) ingestion dedup: MinHash band join of a NEW batch "
+    "(doc_id%10=0) against the existing corpus only, exact-verified.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dedup.dedup_incremental(new, corpus, threshold=0.8)
+
+
+@query(
+    "assign_ids",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS sample_id
+    FROM documents ORDER BY sample_id
+    """,
+    doc="Contiguous global ids in (n_chars, doc_id) order via range-"
+    "partition + per-partition offsets — no single-task global sort.",
+)
+def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sampling.assign_contiguous_ids(docs, ["n_chars", "doc_id"]).orderBy(
+        "sample_id"
+    )
+
+
 _BM25_TERMS = ["spark", "window", "merge"]
 
 

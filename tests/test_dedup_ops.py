@@ -148,3 +148,24 @@ def test_dedup_clusters_restores_shuffle_conf(spark):
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     dedup.dedup_clusters(pairs).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_dedup_incremental_new_vs_corpus_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally unrelated corpus document with other words"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1,3
+            (11, "brand new unique content nothing like the rest here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+           for r in dedup.dedup_incremental(new, corpus, threshold=0.8).collect()}
+    assert out == {(10, 1): 1.0, (10, 3): 1.0}  # corpus-corpus pair (1,3) excluded

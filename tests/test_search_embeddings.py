@@ -99,3 +99,16 @@ def test_corpus_mixture_shares_sum_to_one(spark):
     out = {r["stratum"]: r for r in corpus_mixture(df).collect()}
     assert out["a"]["n_tokens"] == 5 and out["b"]["n_tokens"] == 1
     assert abs(out["a"]["token_share"] + out["b"]["token_share"] - 1.0) < 1e-12
+
+
+def test_assign_contiguous_ids_matches_global_row_number(spark):
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    # Skewed, shuffled input across many partitions.
+    rows = [(i, (i * 37) % 100) for i in range(5000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+    out = assign_contiguous_ids(df, ["v", "k"], num_partitions=8).collect()
+    got = sorted((r["sample_id"], r["k"]) for r in out)
+    expect = [(i + 1, k) for i, (v, k) in enumerate(sorted((v, k) for k, v in rows))]
+    assert [k for _, k in got] == [k for _, k in expect]
+    assert [s for s, _ in got] == list(range(1, 5001))  # contiguous, no gaps
