@@ -30,6 +30,7 @@ from sum_spark.functions.hashing import (
     minhash_signature_pandas,
 )
 from sum_spark.functions.text import SHINGLE_N, tokens, word_shingles
+from sum_spark.plans.scale import spread_for_compute
 from sum_spark.functions.vector import cosine
 
 
@@ -76,13 +77,11 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     the full text per row — quadratic in document length); materializing
     the words array first makes shingle construction linear.
     """
-    spark = df.sparkSession
     # A single-file input arrives as ONE partition (a parquet row group is
     # not splittable), which would serialize all downstream hashing on one
-    # core. Redistribute the raw rows first — a tiny shuffle that unlocks
-    # full parallelism for the expensive per-document expressions. At real
-    # scale the scan has many files and this is a no-op-sized safety net.
-    df = df.repartition(spark.sparkContext.defaultParallelism, F.col(id_col))
+    # core; spread_for_compute redistributes only under-partitioned scans
+    # (a wide 100 TB scan passes through untouched).
+    df = spread_for_compute(df, partitioning_col=id_col)
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
     # Filter on the words count (equivalent to size(shingles) > 0 for
     # SHINGLE_N-shingles): filtering on the shingle array would push the

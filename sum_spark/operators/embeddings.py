@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sum_spark.plans.scale import spread_for_compute
+
 
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
@@ -30,6 +32,7 @@ def quantize_int8(
     canonicalize it) and max_abs_err the dequantization error bound
     max(|v_i - q_i * scale|) <= scale/2.
     """
+    df = spread_for_compute(df)
     staged = df.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("__v"),

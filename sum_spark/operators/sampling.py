@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sum_spark.functions.hashing import hash60
+from sum_spark.plans.scale import spread_for_compute
 
 SAMPLE_MOD = 10_000  # rate resolution 1/10000 — integer thresholds, no float compare
 

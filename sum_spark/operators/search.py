@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sum_spark.functions.text import tokens
+from sum_spark.plans.scale import spread_for_compute
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -49,6 +50,7 @@ def bm25_search(
     """
     if not terms:
         raise ValueError("terms must be non-empty")
+    df = spread_for_compute(df)
     words = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
     ).select("doc_id", "__w", F.size("__w").alias("__dl"))

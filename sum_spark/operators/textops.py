@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sum_spark.functions.hashing import hash60
+from sum_spark.plans.scale import spread_for_compute
 from sum_spark.functions.text import (
     LANG_STOPWORDS,
     SHINGLE_N,
@@ -32,6 +33,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     hits, ties broken by table order (en first). Output:
     (doc_id, pred_lang, hits).
     """
+    df = spread_for_compute(df)
     toks = tokens(text_col)
     hits = _lang_hit_cols(toks)
     best = F.greatest(*hits)
@@ -50,6 +52,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     score = 0.5 * min(1, n_words/100) + 0.5 * (en_stopword_hits / n_words),
     rounded to 4. Output: (doc_id, n_words, stop_ratio, score).
     """
+    df = spread_for_compute(df)
     toks = tokens(text_col)
     n_words = F.size(toks).cast("long")
     en_hits = stopword_hits(toks, LANG_STOPWORDS[0][1]).cast("double")
@@ -70,6 +73,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token statistics: whitespace tokens, distinct tokens, characters.
     Output: (doc_id, n_tokens, n_distinct, n_chars)."""
+    df = spread_for_compute(df)
     toks = tokens(text_col)
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -83,6 +87,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Deterministic document fingerprint: md5 hex of the normalized text
     plus its 60-bit integer form (the portable hash used across the
     dedup family). Output: (doc_id, fp, fp60)."""
+    df = spread_for_compute(df)
     norm = F.lower(F.trim(F.col(text_col)))
     return df.select(
         F.col(id_col).alias("doc_id"),
@@ -107,6 +112,7 @@ def chunk_documents(
     scan. Output: (doc_id, chunk_id, chunk_text, n_tokens) ordered.
     DuckDB twin: generate_series(1, len(w), stride) + list_slice.
     """
+    df = spread_for_compute(df)
     if chunk_size < 1 or stride < 1:
         raise ValueError("chunk_size and stride must be >= 1")
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
@@ -147,6 +153,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Output: (doc_id, n_tokens, dup_word_frac, top_word_frac,
     dup_3gram_frac) ordered.
     """
+    df = spread_for_compute(df)
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
     base = words.select(
         "doc_id",
@@ -195,6 +202,7 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     other patterns — then emails, then IPs). Single-pass column work.
     Output: (doc_id, n_emails, n_ips, n_urls, scrubbed_md5) ordered.
     """
+    df = spread_for_compute(df)
     t = F.col(text_col)
     scrub = F.regexp_replace(
         F.regexp_replace(

@@ -79,3 +79,23 @@ def bucketize_table(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+
+
+def spread_for_compute(df: DataFrame, partitioning_col: str | None = None) -> DataFrame:
+    """Redistribute an under-partitioned input before expensive per-row
+    compute (HOFs, regex, shingling) — and ONLY then.
+
+    A single parquet file arrives as one split, serializing all map-side
+    work on one core regardless of cluster size; a 100 TB scan already
+    has thousands of splits and must NOT be repartitioned here (that
+    would shuffle the whole corpus for nothing). The guard compares the
+    scan's split count against the session's parallelism, so this is a
+    no-op exactly when the input is already wide enough.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 > par:
+        return df
+    if partitioning_col is not None:
+        return df.repartition(par, F.col(partitioning_col))
+    return df.repartition(par)
