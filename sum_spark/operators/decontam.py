@@ -1,0 +1,87 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set (the GPT-3/PaLM-style
+"n-gram overlap" contamination check every pretraining pipeline runs
+before training).
+
+Scale shape: the benchmark side is tiny by construction (eval sets are
+megabytes against a 100 TB corpus), so its distinct shingle hashes are
+BROADCAST and the corpus side never shuffles — the explode + hash is
+map-side, the broadcast hash join is map-side, and the only exchange is
+the groupBy over *matching* shingles (a vanishingly small subset). The
+60-bit portable hash (functions/hashing.py) keeps the oracle exact.
+
+No reference analog (the reference has no corpus-hygiene surface); this
+extends the dedup family per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sum_spark.functions.hashing import duck_hash60, hash60
+from sum_spark.functions.text import SHINGLE_N, duck_word_shingles, tokens, word_shingles
+from sum_spark.plans.scale import spread_for_compute
+
+
+def _shingle_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str | None
+) -> DataFrame:
+    """(doc_id?, __h) rows: one per DISTINCT word n-shingle per document.
+
+    Staged projections (words, then shingles, then hashes) on purpose:
+    inlining tokens() into word_shingles' element_at lambdas re-evaluates
+    split(text) per shingle element — quadratic in document length (the
+    Catalyst re-inlining pitfall shingle_sets documents)."""
+    ids = [F.col(id_col).alias("doc_id")] if id_col else []
+    words = spread_for_compute(df).select(*ids, tokens(text_col).alias("__w"))
+    words = words.where(F.size("__w") >= n)
+    id_names = ["doc_id"] if id_col else []
+    ex = words.select(
+        *id_names, F.explode(F.array_distinct(word_shingles(F.col("__w"), n))).alias("__s")
+    )
+    return ex.select(*id_names, hash60(F.col("__s")).alias("__h"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination report: corpus documents sharing at least one word
+    n-gram with any benchmark document, with the count of distinct
+    overlapping n-grams. Downstream removal is an anti-join of the
+    corpus against these doc_ids.
+
+    Output: (doc_id, n_hits) ordered by doc_id.
+    """
+    bench = _shingle_hashes(benchmark, n, text_col, None).distinct()
+    corp = _shingle_hashes(corpus, n, text_col, id_col)
+    return (
+        corp.join(F.broadcast(bench), "__h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def duck_decontaminate_sql(
+    bench_pred: str,
+    n: int = SHINGLE_N,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: benchmark = rows WHERE bench_pred, corpus = the rest."""
+    sh = duck_word_shingles("w", n)
+    h = duck_hash60("s")
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    sh AS (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM d),
+    hh AS (SELECT doc_id, {h} AS h FROM sh),
+    bench AS (SELECT DISTINCT h FROM hh WHERE {bench_pred}),
+    corp AS (SELECT * FROM hh WHERE NOT ({bench_pred}))
+    SELECT corp.doc_id, COUNT(*) AS n_hits
+    FROM corp JOIN bench USING (h)
+    GROUP BY corp.doc_id ORDER BY doc_id
+    """

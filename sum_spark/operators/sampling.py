@@ -146,3 +146,72 @@ def assign_contiguous_ids(
         .withColumn(id_name, (F.col("__off") + F.row_number().over(local)).cast("long"))
         .drop("__pid", "__off")
     )
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: lay documents (in id order) into fixed
+    token-budget packs — the step that turns a filtered corpus into
+    training examples. A document's pack is floor(tokens-before / budget),
+    i.e. contiguous documents share a pack until the budget rolls over
+    (the standard streaming-concat packing approximation; documents are
+    not split).
+
+    Scale shape: the global running token sum is computed the same
+    two-pass way as assign_contiguous_ids — range-partition on the order
+    key, partition-local cumulative sums, plus a broadcast of one
+    token-total row per partition. No single-task window, one shuffle.
+
+    Output: (doc_id, n_tokens, pack_id) ordered by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        )
+        .repartitionByRange(n, F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sums = d.groupBy("__pid").agg(F.sum("n_tokens").alias("__c"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+    )
+    cum_before = F.col("__off") + F.sum("n_tokens").over(local) - F.col("n_tokens")
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before.cast("double") / F.lit(budget)).cast("long").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def global_shuffle(df: DataFrame, seed: str = "shuffle-0", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pseudorandom global ordering — the corpus shuffle
+    before training-example serialization. Position = rank of
+    hash60(seed || ':' || id) with the id as tie-break, so the order is
+    reproducible across runs/clusters and re-seedable by changing `seed`.
+    Reuses the two-pass contiguous-id assignment (no single-task sort).
+
+    Output: (doc_id, shuffle_pos) ordered by shuffle_pos.
+    """
+    h = hash60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col).alias("doc_id")).withColumn("__h", h)
+    out = assign_contiguous_ids(d, ["__h", "doc_id"], id_name="shuffle_pos")
+    return out.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")

@@ -593,3 +593,77 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.fingerprint(docs)
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene / training-example assembly
+# ---------------------------------------------------------------------------
+
+from sum_spark.functions.hashing import duck_hash60 as _dh60  # noqa: E402
+from sum_spark.operators.decontam import decontaminate, duck_decontaminate_sql  # noqa: E402
+
+
+@query(
+    "decontaminate",
+    oracle=duck_decontaminate_sql("doc_id % 97 = 0"),
+    doc="Benchmark decontamination: corpus docs sharing a word n-gram "
+    "with the eval set (doc_id%97=0), via broadcast of the benchmark's "
+    "distinct shingle hashes — corpus side never shuffles.",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench)
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+             AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+    doc=f"Sequence packing into {_PACK_BUDGET}-token training examples: "
+    "two-pass global running token sum (range partition + broadcast "
+    "offsets), no single-task window.",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, _PACK_BUDGET)
+
+
+@query(
+    "global_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_dh60("'epoch-0:' || CAST(doc_id AS VARCHAR)")} AS hh
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS BIGINT) AS shuffle_pos
+    FROM h ORDER BY shuffle_pos
+    """,
+    doc="Deterministic global corpus shuffle: rank of the seeded portable "
+    "hash, assigned via the two-pass contiguous-id path (no global sort "
+    "on one task); reshuffle per epoch by changing the seed.",
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.global_shuffle(docs, seed="epoch-0")

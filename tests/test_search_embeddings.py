@@ -112,3 +112,85 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     expect = [(i + 1, k) for i, (v, k) in enumerate(sorted((v, k) for k, v in rows))]
     assert [k for _, k in got] == [k for _, k in expect]
     assert [s for s, _ in got] == list(range(1, 5001))  # contiguous, no gaps
+
+
+def test_decontaminate_planted_overlap(spark):
+    from sum_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the 3-gram "beta gamma delta" (and more) with bench
+            (1, "xx beta gamma delta epsilon yy"),
+            # no 3-gram overlap
+            (2, "one two three four five six"),
+            # shares exactly one distinct 3-gram
+            (3, "alpha beta gamma nothing else here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench, n=3).collect()}
+    # doc1 distinct contaminated 3-grams: "beta gamma delta", "gamma delta epsilon"
+    assert got == {1: 2, 3: 1}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    import contextlib
+    import io
+
+    from sum_spark.operators.decontam import decontaminate
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decontaminate(corpus, bench).explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_matches_naive_cumsum(spark):
+    from sum_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (7 + 13 * i % 29))) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pack_id"])
+        for r in pack_sequences(df, budget=50).collect()
+    }
+    cum = 0
+    for i, t in rows:
+        n = len(t.split(" "))
+        assert got[i] == (n, cum // 50), f"doc {i}"
+        cum += n
+
+
+def test_pack_sequences_pack_ids_nondecreasing(spark):
+    from sum_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join(["t"] * ((i * 31) % 17 + 1))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, budget=64).orderBy("doc_id").collect()
+    packs = [r["pack_id"] for r in out]
+    assert packs == sorted(packs)
+    assert packs[0] == 0
+
+
+def test_global_shuffle_permutation_and_seed(spark):
+    from sum_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "doc_id long")
+    a = global_shuffle(df, seed="s1").collect()
+    assert sorted(r["shuffle_pos"] for r in a) == list(range(1, 101))
+    # deterministic: same seed -> same order
+    a2 = global_shuffle(df, seed="s1").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in a2]
+    # different seed -> (overwhelmingly) different order
+    b = global_shuffle(df, seed="s2").collect()
+    assert [r["doc_id"] for r in a] != [r["doc_id"] for r in b]
+    # and not the identity order
+    assert [r["doc_id"] for r in a] != list(range(1, 101))
