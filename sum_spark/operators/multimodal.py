@@ -242,3 +242,54 @@ def sample_frames(
             yield pd.DataFrame({"asset_id": ids, "frame_no": nos, "frame": frames})
 
     return videos.where(F.col("modality") == "video").mapInPandas(batches, schema=schema)
+
+
+def make_assets(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic documents -> assets mapping (for tests and the
+    driver-checked query): the utf-8 bytes of the text act as the opaque
+    payload, modality cycles by id. Real deployments read actual encoded
+    media into the same (asset_id, modality, content, mime, meta) shape."""
+    modality = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col(id_col).alias("asset_id"),
+        modality.alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )
+
+
+def asset_stats(assets: DataFrame) -> DataFrame:
+    """Binary-payload statistics via the same Arrow-batched mapInPandas
+    path the codecs use: byte length and md5 of each opaque payload —
+    values an external engine can verify exactly, unlike decoded
+    features. Map-only; no shuffle.
+
+    Output: (asset_id, modality, n_bytes, content_md5).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [b or b"" for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pd.Series([len(b) for b in payloads], dtype="int64"),
+                    "content_md5": [hashlib.md5(b).hexdigest() for b in payloads],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("n_bytes", LongType()),
+            StructField("content_md5", StringType()),
+        ]
+    )
+    return assets.mapInPandas(batches, schema=schema)

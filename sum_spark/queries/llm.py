@@ -667,3 +667,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sampling.global_shuffle(docs, seed="epoch-0")
+
+
+from sum_spark.operators.multimodal import asset_stats, make_assets  # noqa: E402
+
+
+@query(
+    "multimodal_stats",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents ORDER BY asset_id
+    """,
+    doc="Binary multimodal payloads through the Arrow mapInPandas path: "
+    "byte length + md5 per opaque asset — the codec plumbing's "
+    "externally-verifiable twin (decoded features are codec-specific).",
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return asset_stats(make_assets(docs)).orderBy("asset_id")

@@ -60,3 +60,18 @@ def test_sample_frames_fanout(assets):
     # 200-byte 'video' -> 4 slices of 64/64/64/8
     assert [r["frame_no"] for r in rows] == [0, 1, 2, 3]
     assert len(rows[0]["frame"]) == 64 and len(rows[3]["frame"]) == 8
+
+
+def test_asset_stats_md5_and_bytes(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, ""), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["asset_id"]: r for r in M.asset_stats(M.make_assets(docs)).collect()}
+    assert out[0]["modality"] == "image"
+    assert out[1]["modality"] == "audio"
+    assert out[2]["modality"] == "video"
+    for i, t in [(0, "hello world"), (1, ""), (2, "a b c")]:
+        assert out[i]["n_bytes"] == len(t.encode())
+        assert out[i]["content_md5"] == hashlib.md5(t.encode()).hexdigest()
