@@ -444,11 +444,25 @@ def dedup_embedding_cosine(
     import numpy as np
     import pandas as pd
 
-    spark = df.sparkSession
-    # K(K+1)/2 block pairs ~ 2x cores keeps every slot busy without
-    # degenerating into thousands of tiny tasks.
-    par = max(2, spark.sparkContext.defaultParallelism)
-    K = int(n_blocks) if n_blocks else max(2, min(32, int((4 * par) ** 0.5)))
+    # Auto-K is memory-bound, not core-bound: each block must decode to a
+    # bounded float64 matrix (~64 MB), so K grows linearly with the input
+    # size estimate and a tiny corpus gets few blocks (stage/task overhead
+    # dominates sub-second GEMMs — measured 2x slower at K=11 vs K=4 on
+    # 5k x 64). At 100 TB the memory bound alone forces K >> cores, so
+    # utilization follows; the cap keeps the N*K shuffle amplification
+    # sane (beyond it, prune with knn_ivf instead of exact all-pairs).
+    par = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    if n_blocks:
+        K = int(n_blocks)
+    else:
+        try:
+            est = float(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = float(64 << 20)
+        k_mem = int(2.0 * est / (64 << 20)) + 1  # parquet floats -> ~2x as f64
+        K = min(256, max(4, k_mem))
     rows = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
