@@ -138,10 +138,6 @@ def dedup_ngram_jaccard(
     Output: (doc_a, doc_b, jaccard) ordered.
     """
     t = float(threshold)
-    if max_df == "auto":
-        # One cheap count against the scan decides the skew posture.
-        n_docs = df.count()
-        max_df = max(256, int(0.01 * n_docs)) if n_docs > 10_000 else None
     sets = shingle_sets(df, text_col, id_col)
     # Prefix filtering (the PPJoin family's core pruning rule): two sets
     # with Jaccard >= t MUST share an element among their first
@@ -161,6 +157,13 @@ def dedup_ngram_jaccard(
         "doc_id",
         F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
     ).persist()
+    if max_df == "auto":
+        # The skew posture is decided from the persisted shingle table, not
+        # a separate scan of the raw corpus: this count materializes the
+        # cache every downstream branch reads anyway, so candidate
+        # generation is preceded by exactly ONE pass over the corpus.
+        n_docs = hashed.count()
+        max_df = max(256, int(0.01 * n_docs)) if n_docs > 10_000 else None
     prefix_len = (F.size("hh") - F.ceil(F.size("hh") * F.lit(t)) + 1).cast("int")
     ex = hashed.select(
         "doc_id",

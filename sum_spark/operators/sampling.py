@@ -90,23 +90,27 @@ def corpus_mixture(
     df: DataFrame, strat_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """Mixture bookkeeping per stratum: document and token counts plus
-    each stratum's share of corpus tokens (single division — portable).
+    each stratum's share of corpus tokens, rounded half-up to 6 decimals.
     One partial-aggregated groupBy; the total re-joins via a broadcast of
     the one-row grand total. Output: (stratum, n_docs, n_tokens,
-    token_share) ordered."""
+    token_share) ordered.
+
+    The rounding is floor((n*2e6 + t) / (2t)) / 1e6 computed entirely in
+    IEEE doubles: both Spark and DuckDB produce bit-identical doubles from
+    the same integer inputs, so the share hash-matches cross-engine even on
+    repr-half midpoints (where ROUND(x, 6) disagrees between engines), and
+    there is no bigint overflow however large the corpus."""
     per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").alias("__tot"))
+    n = F.col("n_tokens").cast("double")
+    t = F.col("__tot").cast("double")
+    share = F.floor((n * F.lit(2000000.0) + t) / (t * F.lit(2.0))) / F.lit(1000000.0)
     return (
         per.join(F.broadcast(total))
-        .select(
-            "stratum",
-            "n_docs",
-            "n_tokens",
-            (F.col("n_tokens").cast("double") / F.col("__tot")).alias("token_share"),
-        )
+        .select("stratum", "n_docs", "n_tokens", share.alias("token_share"))
         .orderBy("stratum")
     )
 

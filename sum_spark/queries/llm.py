@@ -298,7 +298,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT SUM(n_tokens) AS t FROM per)
     SELECT stratum, n_docs, n_tokens,
-           CAST(n_tokens AS DOUBLE) / t AS token_share
+           FLOOR((CAST(n_tokens AS DOUBLE) * 2000000 + CAST(t AS DOUBLE))
+                 / (2 * CAST(t AS DOUBLE))) / 1000000 AS token_share
     FROM per CROSS JOIN tot ORDER BY stratum
     """,
     doc="Per-source mixture bookkeeping: docs, tokens, token share.",

@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -31,24 +32,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Plain ``spark.read.parquet`` — no caching layer, so
     Catalyst sees the raw file scan and can push filters/projections into it.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; it is read via nanosAsLong and truncated to a microsecond
-    TIMESTAMP_NTZ (integer div — matching DuckDB's ns->us truncation).
-    The NTZ value is built with timestampadd from the NTZ epoch — pure
-    integer arithmetic, never routed through the session timezone (an LTZ
-    intermediate would silently localize under a non-UTC caller session).
+    ``events.ts`` has shipped in two physical shapes: parquet
+    TIMESTAMP(NANOS) (which Spark reads only via nanosAsLong) and plain
+    timestamp[us].  The conversion is branched on the type the reader
+    actually produced, so either shape — and any future flip between them —
+    yields the same microsecond TIMESTAMP_NTZ column:
+
+    - BIGINT (nanosAsLong): integer-div to micros, timestampadd from the
+      NTZ epoch.  Pure integer arithmetic, never routed through the session
+      timezone (an LTZ intermediate would silently localize under a non-UTC
+      caller session).
+    - TIMESTAMP_NTZ: already the target type, no arithmetic.
+    - TIMESTAMP (LTZ, isAdjustedToUTC data): rebuilt from unix_micros —
+      a timezone-independent extraction, unlike a bare cast to NTZ which
+      localizes through the session zone.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        if isinstance(ts_type, TimestampNTZType):
+            return df
+        if isinstance(ts_type, TimestampType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        raise TypeError(f"events.ts read as unsupported type {ts_type}")
     return spark.read.parquet(path)
 
 

@@ -257,11 +257,27 @@ class RecordStore:
         )
         return total, rows
 
-    def find_by_meta(self, key: str, value: str) -> list[Row]:
-        """Exact meta equality (records.go:103-123). The reference keeps an
-        inverted index; here the predicate pushes into the parquet scan
-        (partition-prunable if the table is partitioned by hot meta keys)."""
-        return self.df.where(F.col("meta")[key] == value).orderBy("id").collect()
+    def find_by_meta_df(self, key: str, value: str) -> DataFrame:
+        """Exact meta equality (records.go:103-123) as a lazy DataFrame —
+        the scale-safe surface: nothing materializes on the driver. The
+        reference keeps an inverted index; here the predicate pushes into
+        the parquet scan (partition-prunable if the table is partitioned
+        by hot meta keys)."""
+        return self.df.where(F.col("meta")[key] == value)
+
+    def find_by_meta(
+        self, key: str, value: str, page: int = 1, per_page: int = 1000
+    ) -> list[Row]:
+        """Paginated materialization of :meth:`find_by_meta_df`. A hot meta
+        value at 100 TB can match millions of rows; the collect is bounded
+        to one page (default 1000) like :meth:`list` — never unbounded."""
+        return (
+            self.find_by_meta_df(key, value)
+            .orderBy("id")
+            .offset(max(0, (page - 1) * per_page))
+            .limit(per_page)
+            .collect()
+        )
 
     def count(self) -> int:
         return self.df.count()

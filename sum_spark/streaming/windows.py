@@ -27,20 +27,27 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS) -> read as long (nanosAsLong)
-# and truncate to a microsecond timestamp, same rule as the batch reader.
-EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# events.parquet has shipped ts as TIMESTAMP(NANOS) -> long (nanosAsLong)
+# and as timestamp[us]; the stream reader sniffs the file like the batch
+# reader (sources/tables.py) and applies the matching conversion.
+EVENTS_NANOS_SCHEMA = _events_schema(LongType())
 
 WATERMARK = "10 minutes"
 
@@ -51,14 +58,33 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming state operators require TIMESTAMP (instant) event time, so
     unlike the batch reader this produces LTZ; tests pin UTC for parity.
+    File streams need an explicit schema, so the physical ts shape is
+    sniffed with one footer-only batch read, then converted to the instant
+    whose UTC wall clock equals the batch reader's NTZ value — via integer
+    epoch arithmetic in every branch, never the session timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip(os.sep))
+    sf_dir = sf_dir.rstrip(os.sep)
+    ts_read = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = (
+        spark.readStream.schema(_events_schema(ts_read))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(ts_read, LongType):  # nanos-as-long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_read, TimestampNTZType):
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ),
+        )
+    if isinstance(ts_read, TimestampType):  # already an instant
+        return raw
+    raise TypeError(f"events.ts read as unsupported type {ts_read}")
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:

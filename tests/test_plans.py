@@ -92,3 +92,25 @@ def test_chunking_is_shuffle_free(spark, sf_smoke):
     # final presentation sort's range partitioning.
     body = p.split("rangepartitioning", 1)[0]
     assert "Exchange hashpartitioning" not in body
+
+
+def test_ngram_auto_skew_needs_no_extra_corpus_scan(spark):
+    """max_df="auto" resolves from the persisted shingle table, not a
+    separate count of the raw corpus (VERDICT r2 #7): one pass over the
+    input precedes candidate generation."""
+    from sum_spark.operators.dedup import dedup_ngram_jaccard
+
+    rows = [(i, "the quick brown fox %d jumps over dog %d" % (i, i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    class NoCountDF:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "count":
+                raise AssertionError("dedup_ngram_jaccard counted the raw corpus")
+            return getattr(self._inner, name)
+
+    out = dedup_ngram_jaccard(NoCountDF(df), threshold=0.8, max_df="auto")
+    assert out.count() >= 0  # plan executes end-to-end

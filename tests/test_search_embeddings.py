@@ -101,6 +101,30 @@ def test_corpus_mixture_shares_sum_to_one(spark):
     assert abs(out["a"]["token_share"] + out["b"]["token_share"] - 1.0) < 1e-12
 
 
+def test_corpus_mixture_midpoint_matches_duckdb(spark):
+    """token_share rounding on a repr-half double midpoint: 1/128 =
+    0.0078125 is exactly representable, and ROUND(…, 6) disagrees between
+    Spark and DuckDB on such values (CLAUDE.md).  The floor-based half-up
+    rounding must give 0.007813 on BOTH engines (ADVICE r2 #2)."""
+    import duckdb
+    import pandas as pd
+
+    import sum_spark.queries.llm  # noqa: F401 — populates REGISTRY
+    from sum_spark.operators.sampling import corpus_mixture
+    from sum_spark.queries.base import REGISTRY
+
+    rows = [(1, "a", "w")] + [(2, "b", " ".join(["w"] * 127))]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["stratum"]: r["token_share"] for r in corpus_mixture(df).collect()}
+    assert got["a"] == 0.007813
+
+    oracle = REGISTRY["corpus_mixture"].oracle
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+    duck = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
+    assert duck == got
+
+
 def test_assign_contiguous_ids_matches_global_row_number(spark):
     from sum_spark.operators.sampling import assign_contiguous_ids
 

@@ -58,3 +58,56 @@ def test_embeddings_as_records(spark, sf_smoke, tmp_path):
     label = store.read(1)["meta"]["label"]
     hits = store.find_by_meta("label", label)
     assert any(r["id"] == 1 for r in hits)
+
+
+def _write_events_variant(tmp_path, name, ts_array):
+    """Write a minimal events.parquet with the given pyarrow ts column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"), version="2.6")
+    return str(d)
+
+
+def test_events_loader_both_parquet_shapes(spark, tmp_path):
+    """Data drift guard: events.ts has shipped as TIMESTAMP(NANOS) and as
+    timestamp[us]; both (and UTC-adjusted LTZ) must load to the identical
+    microsecond TIMESTAMP_NTZ column (VERDICT r2 #1)."""
+    import pyarrow as pa
+
+    micros = [1704067200_000000 + 123456, 1704067200_000000 + 1, 1704153599_999999]
+    nanos = pa.array([m * 1000 + 789 for m in micros], pa.timestamp("ns"))
+    us_ntz = pa.array(micros, pa.timestamp("us"))
+    us_ltz = pa.array(micros, pa.timestamp("us", tz="UTC"))
+
+    dirs = {
+        "nanos": _write_events_variant(tmp_path, "nanos", nanos),
+        "us_ntz": _write_events_variant(tmp_path, "us_ntz", us_ntz),
+        "us_ltz": _write_events_variant(tmp_path, "us_ltz", us_ltz),
+    }
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # a non-UTC caller session must not shift any of the three paths
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        results = {}
+        for key, d in dirs.items():
+            df = load_table(spark, d, "events")
+            assert df.schema["ts"].dataType.typeName() == "timestamp_ntz", key
+            results[key] = [r["ts"] for r in df.orderBy("event_id").collect()]
+        assert results["nanos"] == results["us_ntz"] == results["us_ltz"]
+        assert results["us_ntz"][2].microsecond == 999999
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

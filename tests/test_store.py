@@ -80,6 +80,20 @@ def test_find_by_meta(store):
     assert [r["id"] for r in hits] == [1, 3]
 
 
+def test_find_by_meta_bounded_and_lazy(store):
+    """The meta path never does an unbounded collect (VERDICT r2 #5):
+    the DataFrame surface stays lazy and the Row surface paginates."""
+    from pyspark.sql import DataFrame
+
+    for i in range(25):
+        store.create([float(i)], meta={"label": "hot"})
+    assert isinstance(store.find_by_meta_df("label", "hot"), DataFrame)
+    page1 = store.find_by_meta("label", "hot", page=1, per_page=10)
+    page2 = store.find_by_meta("label", "hot", page=2, per_page=10)
+    assert len(page1) == 10 and len(page2) == 10
+    assert [r["id"] for r in page1] + [r["id"] for r in page2] == list(range(1, 21))
+
+
 def test_reopen_preserves_next_id(spark, tmp_path):
     path = str(tmp_path / "records")
     s1 = RecordStore(spark, path)
