@@ -27,21 +27,20 @@ HEADLINE = [
     "q08_semi_join",
     "q12_grouped_agg",
     "q14_rollup",
-    "q16_rank_per_group",
-    "q19_topk",
+    "q16_window_rank",
+    "q02_lookup_topk",
     "q25_find_similar",
     "q27_tumbling_window",
     "q29_session_window",
     "q39_asof_join",
     "q43_two_level_rollup",
     "q44_range_join",
-    "knn_bruteforce",
+    "knn_search",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "text_lang_id",
-    "text_token_count",
+    "text_profile",
 ]
 
 
@@ -55,7 +54,7 @@ def main() -> None:
     spark = get_spark("sum_spark_bench")
 
     # Warm up the JVM + parquet footer caches with a trivial action.
-    REGISTRY["q02_point_lookup"].fn(spark, sf_dir).count()
+    REGISTRY["q02_lookup_topk"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -96,6 +96,82 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).orderBy("doc_id")
 
 
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-scan per-document profile combining every per-doc text signal:
+    language ID (argmax stopword hits), token statistics, quality score,
+    repetition signals, and the md5/60-bit fingerprints.
+
+    Composition of lang_id + token_count + quality_score +
+    repetition_stats + fingerprint semantics in a single pass: the token
+    array is staged once and every column derives from it (CollapseProject
+    keeps the split materialized — it is non-cheap and multiply
+    referenced), so a 100 TB corpus is profiled at scan speed instead of
+    five separate scans. The only shuffle is the top-word count
+    (explode + two-level groupBy), exactly as in repetition_stats.
+    Output: (doc_id, pred_lang, hits, n_tokens, n_distinct, n_chars,
+    stop_ratio, score, dup_word_frac, top_word_frac, dup_3gram_frac,
+    fp, fp60) ordered.
+    """
+    df = spread_for_compute(df)
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__words"),
+    )
+    toks = F.col("__words")
+    hits = _lang_hit_cols(toks)
+    best = F.greatest(*hits)
+    pred = F.lit(None).cast("string")
+    for (lang, _), h in zip(reversed(LANG_STOPWORDS), reversed(hits)):
+        pred = F.when(h == best, F.lit(lang)).otherwise(pred)
+    n_long = F.size(toks).cast("long")
+    n = F.size(toks).cast("double")
+    en_hits = stopword_hits(toks, LANG_STOPWORDS[0][1]).cast("double")
+    norm = F.lower(F.trim(F.col("__text")))
+    n3 = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    base = words.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("hits"),
+        n_long.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.length("__text").cast("long").alias("n_chars"),
+        F.round(en_hits / n, 4).alias("stop_ratio"),
+        F.round(F.least(F.lit(1.0), n / 100.0) * 0.5 + (en_hits / n) * 0.5, 4).alias(
+            "score"
+        ),
+        ((F.size(toks) - F.size(F.array_distinct(toks))).cast("double") / n).alias(
+            "dup_word_frac"
+        ),
+        F.when(
+            n3 > 0,
+            (n3 - F.size(F.array_distinct(word_shingles(toks)))).cast("double")
+            / n3.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+        F.md5(norm).alias("fp"),
+        hash60(norm).alias("fp60"),
+    )
+    top = (
+        words.select("doc_id", F.explode(toks).alias("__w"))
+        .groupBy("doc_id", "__w")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__mx"))
+    )
+    return (
+        base.join(top, "doc_id")
+        .withColumn("top_word_frac", F.col("__mx").cast("double") / F.col("n_tokens").cast("double"))
+        .select(
+            "doc_id", "pred_lang", "hits", "n_tokens", "n_distinct", "n_chars",
+            "stop_ratio", "score", "dup_word_frac", "top_word_frac",
+            "dup_3gram_frac", "fp", "fp60",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

@@ -17,21 +17,32 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
 @query(
-    "q30_pivot",
+    "q30_pivot_unpivot",
     oracle="""
-    SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
-           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'view') AS view
-    FROM events GROUP BY user_id ORDER BY user_id LIMIT 100
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, k, v FROM (
+      SELECT user_id, 'click' AS k, click AS v FROM wide
+      UNION ALL SELECT user_id, 'error', error FROM wide
+      UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+      UNION ALL SELECT user_id, 'signup', signup FROM wide
+      UNION ALL SELECT user_id, 'view', view FROM wide
+    ) ORDER BY user_id, k LIMIT 500
     """,
-    doc="Pivot (wide counts per event_type). Explicit value list — at scale "
-    "an implicit pivot would need an extra distinct pass to discover columns.",
+    doc="Pivot round-trip (consolidated q30_pivot + q42_unpivot): events "
+    "pivot to wide per-user counts with an explicit value list (at scale an "
+    "implicit pivot needs an extra distinct pass to discover columns), then "
+    "stack back to long form — both reshape operators in one plan.",
 )
 def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = (
+    wide = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .pivot("event_type", EVENT_TYPES)
@@ -40,7 +51,13 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [F.col("user_id")] + [
         F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES
     ]
-    return out.select(*cols).orderBy("user_id").limit(100)
+    stack_args = ", ".join(f"'{t}', {t}" for t in EVENT_TYPES)
+    return (
+        wide.select(*cols)
+        .selectExpr("user_id", f"stack({len(EVENT_TYPES)}, {stack_args}) AS (k, v)")
+        .orderBy("user_id", "k")
+        .limit(500)
+    )
 
 
 @query(
@@ -167,45 +184,28 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q34_window_misc",
-    oracle="""
-    SELECT o_orderkey,
-           NTILE(4) OVER w AS nt,
-           ROUND(PERCENT_RANK() OVER w, 4) AS pr,
-           ROUND(CUME_DIST() OVER w, 4) AS cd
-    FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-    ORDER BY o_orderkey LIMIT 100
-    """,
-    doc="ntile / percent_rank / cume_dist analytic functions.",
-)
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_orderkey",
-            F.ntile(4).over(w).cast("long").alias("nt"),
-            F.round(F.percent_rank().over(w), 4).alias("pr"),
-            F.round(F.cume_dist().over(w), 4).alias("cd"),
-        )
-        .orderBy("o_orderkey")
-        .limit(100)
-    )
+# q34_window_misc was consolidated into q16_window_rank (queries/relational.py);
+# q36_datetime_parts into q11_event_analytics; q37_case_null_funcs into
+# q40_scalar_subquery.
 
 
 @query(
-    "q35_regex_string",
+    "q35_string_scalars",
     oracle="""
     SELECT p_partkey,
            regexp_extract(p_name, '([0-9]+)', 1) AS num,
            replace(p_brand, 'Brand', 'B') AS b,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS sz,
-           trim(concat('  ', p_type, '  ')) AS t
+           trim(concat('  ', p_type, '  ')) AS t,
+           UPPER(SUBSTR(p_name, 1, 5)) AS u,
+           CAST(LENGTH(p_type) AS BIGINT) AS l,
+           ROUND(SQRT(p_retailprice), 2) AS r
     FROM part ORDER BY p_partkey LIMIT 50
     """,
-    doc="Regex extraction + string manipulation scalar functions.",
+    doc="String/math scalar battery (consolidated q35_regex_string + "
+    "q23a_string_math): regex extraction, replace/lpad/trim/concat, "
+    "upper/substr/length, sqrt — the reference has no scalar library "
+    "beyond the vector kernels; Spark builtins cover this.",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -218,68 +218,9 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("p_brand"), F.lit("Brand"), F.lit("B")).alias("b"),
             F.lpad(F.col("p_size").cast("string"), 4, "0").alias("sz"),
             F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit("  "))).alias("t"),
-        )
-    )
-
-
-@query(
-    "q36_datetime_parts",
-    oracle="""
-    SELECT event_id,
-           CAST(extract(year FROM ts) AS INT) AS y,
-           CAST(extract(month FROM ts) AS INT) AS mo,
-           CAST(extract(day FROM ts) AS INT) AS d,
-           CAST(extract(hour FROM ts) AS INT) AS h,
-           CAST(ts AS DATE) AS dt
-    FROM events ORDER BY event_id LIMIT 100
-    """,
-    doc="Datetime part extraction (year/month/day/hour + date cast).",
-)
-def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.orderBy("event_id")
-        .limit(100)
-        .select(
-            "event_id",
-            F.year("ts").alias("y"),
-            F.month("ts").alias("mo"),
-            F.dayofmonth("ts").alias("d"),
-            F.hour("ts").alias("h"),
-            F.col("ts").cast("date").alias("dt"),
-        )
-    )
-
-
-@query(
-    "q37_case_null_funcs",
-    oracle="""
-    SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
-                ELSE 'high' END AS tier,
-           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
-           ROUND(GREATEST(c_acctbal, 0.0), 2) AS nonneg
-    FROM customer ORDER BY c_custkey LIMIT 100
-    """,
-    doc="CASE / NULLIF / COALESCE / GREATEST conditional scalar functions.",
-)
-def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    tier = (
-        F.when(F.col("c_acctbal") < 0, "neg")
-        .when(F.col("c_acctbal") < 5000, "mid")
-        .otherwise("high")
-    )
-    return (
-        c.orderBy("c_custkey")
-        .limit(100)
-        .select(
-            "c_custkey",
-            tier.alias("tier"),
-            F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
-                "seg"
-            ),
-            F.round(F.greatest("c_acctbal", F.lit(0.0)), 2).alias("nonneg"),
+            F.upper(F.substring("p_name", 1, 5)).alias("u"),
+            F.length("p_type").cast("long").alias("l"),
+            F.round(F.sqrt("p_retailprice"), 2).alias("r"),
         )
     )
 
@@ -334,12 +275,18 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q40_scalar_subquery",
     oracle="""
     SELECT c_custkey,
-           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n
+           (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n,
+           CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           ROUND(GREATEST(c_acctbal, 0.0), 2) AS nonneg
     FROM customer ORDER BY c_custkey LIMIT 100
     """,
-    doc="Correlated scalar subquery — Catalyst decorrelates it into the "
-    "same left-outer aggregate join as Q07; declared to exercise the "
-    "subquery rewrite machinery.",
+    doc="Correlated scalar subquery (Catalyst decorrelates it into the same "
+    "left-outer aggregate join as Q07) plus the CASE / NULLIF / COALESCE / "
+    "GREATEST conditional scalars formerly in q37_case_null_funcs — the "
+    "subquery rewrite machinery and the conditional-function family in one "
+    "per-customer result.",
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("sumspark_q40_c")
@@ -347,81 +294,58 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey,
-               (SELECT COUNT(*) FROM sumspark_q40_o WHERE o_custkey = c_custkey) AS n
+               (SELECT COUNT(*) FROM sumspark_q40_o WHERE o_custkey = c_custkey) AS n,
+               CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS tier,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+               ROUND(GREATEST(c_acctbal, 0.0D), 2) AS nonneg
         FROM sumspark_q40_c ORDER BY c_custkey LIMIT 100
         """
     )
 
 
-@query(
-    "q41_in_subquery",
-    oracle="""
-    SELECT p_partkey FROM part
-    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
-    ORDER BY p_partkey
-    """,
-    doc="IN-subquery — rewritten by Catalyst to a left-semi join (the "
-    "declared Q08 EXISTS form's sibling).",
-)
-def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    keys = (
-        load_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_quantity") > 49)
-        .select(F.col("l_partkey").alias("p_partkey"))
-    )
-    return part.join(keys, "p_partkey", "left_semi").select("p_partkey").orderBy("p_partkey")
-
-
-@query(
-    "q42_unpivot",
-    oracle="""
-    SELECT p_partkey, 'price' AS k, p_retailprice AS v FROM part
-    UNION ALL
-    SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part
-    ORDER BY p_partkey, k LIMIT 100
-    """,
-    doc="Unpivot (wide -> long) via stack; oracle is the portable UNION ALL "
-    "form.",
-)
-def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "part")
-        .selectExpr(
-            "p_partkey",
-            "stack(2, 'price', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (k, v)",
-        )
-        .orderBy("p_partkey", "k")
-        .limit(100)
-    )
+# q41_in_subquery was consolidated into q08_semi_join (queries/relational.py)
+# and q42_unpivot into q30_pivot_unpivot above.
 
 
 @query(
     "q43_two_level_rollup",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+    SELECT 'day' AS grain, CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
            COUNT(*) AS c, ROUND(SUM(value), 2) AS s,
            ROUND(MIN(value), 2) AS mn, ROUND(MAX(value), 2) AS mx
-    FROM events GROUP BY d, event_type ORDER BY d, event_type
+    FROM events GROUP BY d, event_type
+    UNION ALL
+    SELECT 'week', CAST(date_trunc('week', ts) AS DATE) AS d, event_type,
+           COUNT(*) AS c, ROUND(SUM(value), 2) AS s,
+           ROUND(MIN(value), 2) AS mn, ROUND(MAX(value), 2) AS mx
+    FROM events GROUP BY d, event_type
+    ORDER BY grain, d, event_type
     """,
-    doc="Continuous-aggregate pattern: the daily grain is served from the "
-    "hourly partial rollup (operators/rollup_ts.py) — the oracle computes "
-    "daily directly from raw events, proving partial re-aggregation is "
-    "lossless for count/sum/min/max.",
+    doc="Continuous-aggregate pattern at two served grains: daily AND "
+    "weekly are both served from the hourly partial rollup "
+    "(operators/rollup_ts.py) — the oracle computes each grain directly "
+    "from raw events, proving partial re-aggregation is lossless for "
+    "count/sum/min/max at every coarser grain (the weekly row also checks "
+    "rollup_to's grain parameterization, VERDICT r2 #8).",
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators.rollup_ts import hourly_rollup, rollup_to
 
     hourly = hourly_rollup(load_table(spark, sf_dir, "events"))
-    daily = rollup_to(hourly, "day")
-    return daily.select(
-        F.col("g").cast("date").alias("d"),
-        "event_type",
-        "c",
-        F.round("s", 2).alias("s"),
-        F.round("mn", 2).alias("mn"),
-        F.round("mx", 2).alias("mx"),
-    ).orderBy("d", "event_type")
+
+    def _grain(name: str) -> DataFrame:
+        return rollup_to(hourly, name).select(
+            F.lit(name).alias("grain"),
+            F.col("g").cast("date").alias("d"),
+            "event_type",
+            "c",
+            F.round("s", 2).alias("s"),
+            F.round("mn", 2).alias("mn"),
+            F.round("mx", 2).alias("mx"),
+        )
+
+    return _grain("day").unionAll(_grain("week")).orderBy("grain", "d", "event_type")
 
 
 _TIERS = [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 500.0)]

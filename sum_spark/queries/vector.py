@@ -33,28 +33,37 @@ _PAIRS_CTE = """
 
 
 @query(
-    "q24a_vector_kernels",
+    "q24_vector_kernels",
     oracle=_PAIRS_CTE
     + """
     , sums AS (
       SELECT vec_id,
              SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
              sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
-             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb,
+             SUM(CASE WHEN x > 0 AND y > 0 THEN 1.0 ELSE 0.0 END) AS m11,
+             SUM(CASE WHEN (x > 0) <> (y > 0) THEN 1.0 ELSE 0.0 END) AS m10
       FROM ex GROUP BY vec_id
     )
     SELECT vec_id, ROUND(d, 4) AS dp, ROUND(na, 4) AS mag_a,
-           ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cos_sim
+           ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cos_sim,
+           ROUND(CASE WHEN m11 + m10 = 0 THEN 0.0 ELSE m11 / (m11 + m10) END, 4) AS jac
     FROM sums ORDER BY vec_id
     """,
-    doc="dot / magnitude / cosine (zero-denominator -> 0.0 rule, "
-    "/root/reference/node/wrapper/record.go:96-103) over consecutive "
-    "embedding pairs. Sequential-pair semantics need a global LEAD; at "
-    "100 TB this becomes a range-partitioned window (repartitionByRange on "
-    "vec_id) — expressed here in its simplest correct form.",
+    doc="Full kernel battery over consecutive embedding pairs (consolidated "
+    "q24a_vector_kernels + q24b_jaccard): dot / magnitude / cosine "
+    "(zero-denominator -> 0.0 rule, /root/reference/node/wrapper/"
+    "record.go:96-103) plus binary Jaccard m11/(m11+m10) on the "
+    "sign-binarized pair (record.go:129-147). Sequential-pair semantics "
+    "need a global LEAD; at 100 TB this becomes a range-partitioned window "
+    "(repartitionByRange on vec_id) — expressed here in its simplest "
+    "correct form.",
 )
-def q24a(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    binarize = lambda c: F.transform(  # noqa: E731
+        F.col(c), lambda x: F.when(x > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
     w = W.orderBy("vec_id")
     pairs = emb.select(
         "vec_id",
@@ -66,39 +75,7 @@ def q24a(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot("e1", "e2"), 4).alias("dp"),
         F.round(magnitude("e1"), 4).alias("mag_a"),
         F.round(cosine("e1", "e2"), 4).alias("cos_sim"),
-    ).orderBy("vec_id")
-
-
-@query(
-    "q24b_jaccard",
-    oracle=_PAIRS_CTE
-    + """
-    , sums AS (
-      SELECT vec_id,
-             SUM(CASE WHEN x > 0 AND y > 0 THEN 1.0 ELSE 0.0 END) AS m11,
-             SUM(CASE WHEN (x > 0) <> (y > 0) THEN 1.0 ELSE 0.0 END) AS m10
-      FROM ex GROUP BY vec_id
-    )
-    SELECT vec_id,
-           ROUND(CASE WHEN m11 + m10 = 0 THEN 0.0 ELSE m11 / (m11 + m10) END, 4) AS jac
-    FROM sums ORDER BY vec_id
-    """,
-    doc="Binary Jaccard m11/(m11+m10) (/root/reference/node/wrapper/record.go:129-147) "
-    "over sign-binarized consecutive embedding pairs.",
-)
-def q24b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    binarize = lambda c: F.transform(  # noqa: E731
-        F.col(c), lambda x: F.when(x > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    w = W.orderBy("vec_id")
-    pairs = (
-        emb.select("vec_id", binarize("embedding").alias("b1"), F.col("embedding"))
-        .withColumn("b2", F.lead(binarize("embedding")).over(w))
-        .where(F.col("b2").isNotNull())
-    )
-    return pairs.select(
-        "vec_id", F.round(jaccard("b1", "b2"), 4).alias("jac")
+        F.round(jaccard(binarize("e1"), binarize("e2")), 4).alias("jac"),
     ).orderBy("vec_id")
 
 
