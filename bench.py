@@ -36,11 +36,26 @@ HEADLINE = [
     "q43_two_level_rollup",
     "q44_range_join",
     "knn_search",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_clusters",
+    "bm25_search",
+    "decontaminate",
+    "corpus_mixture",
+    "sample_stratified",
+    "assign_ids",
+    "pack_sequences",
+    "global_shuffle",
+    "embed_quantize",
+    "multimodal_stats",
     "text_profile",
+    "text_chunk",
+    "text_pii",
+    "q32_percentile",
 ]
 
 

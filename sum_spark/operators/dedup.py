@@ -527,11 +527,32 @@ def dedup_embedding_cosine(
     )
 
 
+def _cc_union_find(edge_rows) -> dict[int, int]:
+    """Driver-side connected components: union-find with path compression,
+    root = component minimum (so the label IS the keeper id)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate *clusters* from near-dup pairs: connected components via
     hash-min label propagation. Pair lists alone don't dedup a corpus —
@@ -551,11 +572,23 @@ def dedup_clusters(
     is monotone, so an unchanged sum means a fixpoint — one cheap scalar
     action per round, no driver-side data.
 
+    Size-adaptive execution (the broadcast-join principle applied to
+    iteration): the dup-pair graph is orders of magnitude smaller than the
+    corpus — even a 100 TB corpus with 1% near-dup rate yields a graph
+    that fits in driver memory. Up to ``driver_max_edges`` (default 2M ≈
+    32 MB) the components are solved with one bounded collect + union-find
+    (micro-seconds, zero iteration jobs); above it, the distributed
+    hash-min label propagation below runs unchanged. Pass
+    ``driver_max_edges=0`` to force the distributed path.
+
     Output: (doc_id, cluster_id, cluster_size) for every node appearing
     in a pair; cluster_id = min doc_id of the component (the keeper).
     """
     spark = pairs.sparkSession
-    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # Persist the directed pair list BEFORE mirroring it: the union's two
+    # branches otherwise both evaluate the (expensive — candidate join +
+    # verify) upstream pair plan in the same job.
+    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -568,6 +601,21 @@ def dedup_clusters(
     # edges per partition keeps rounds cheap at any scale; the count is
     # free (it materializes the persist we need anyway).
     n_edges = edges.count()
+    e.unpersist()
+    if n_edges <= driver_max_edges:
+        # Bounded collect (the threshold caps driver memory like a
+        # broadcast-join threshold caps the build side).
+        labels_map = _cc_union_find((r[0], r[1]) for r in edges.toLocalIterator())
+        edges.unpersist()
+        sizes: dict[int, int] = {}
+        for lab in labels_map.values():
+            sizes[lab] = sizes.get(lab, 0) + 1
+        rows = sorted(
+            (node, lab, sizes[lab]) for node, lab in labels_map.items()
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, cluster_id long, cluster_size long"
+        )
     p = int(max(8, min(n_edges // 100_000 + 1, 4096)))
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     labels = edges.select(F.col("a").alias("node")).distinct().select(

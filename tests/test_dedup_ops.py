@@ -146,8 +146,25 @@ def test_dedup_clusters_transitive(spark):
 def test_dedup_clusters_restores_shuffle_conf(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
-    dedup.dedup_clusters(pairs).collect()
+    # driver_max_edges=0 forces the distributed path (the one that tunes
+    # and must restore the shuffle conf).
+    dedup.dedup_clusters(pairs, driver_max_edges=0).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    # Random-ish graph with chains, a star, and isolated pairs.
+    edges = [(i, i + 1) for i in range(0, 20, 2)]          # 10 isolated pairs
+    edges += [(100, 100 + i) for i in range(1, 6)]         # star
+    edges += [(200, 201), (201, 202), (202, 203), (203, 204)]  # chain, diam 4
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    key = lambda r: r["doc_id"]  # noqa: E731
+    local = sorted(dedup.dedup_clusters(pairs).collect(), key=key)
+    dist = sorted(
+        dedup.dedup_clusters(pairs, driver_max_edges=0).collect(), key=key
+    )
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    assert len(local) == 20 + 6 + 5
 
 
 def test_dedup_incremental_new_vs_corpus_only(spark):
