@@ -547,6 +547,109 @@ def _cc_union_find(edge_rows) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+def srp_planes(n_bits: int, dims: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 signed-random-projection hyperplanes from md5 —
+    plain Python ints so the SAME literals can be embedded in both the
+    Spark plan and a DuckDB oracle (no cross-engine RNG to reconcile)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dims)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def dedup_embedding_lsh(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    seed: str = "srp",
+) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH — the O(N·K)
+    prune path where :func:`dedup_embedding_cosine` is the O(N²) exact
+    ground truth.
+
+    Each vector gets an ``n_bits``-bit SRP signature (bit j = sign of the
+    dot with a fixed ±1 hyperplane); the bits split into ``n_bands``
+    bands, candidate pairs share at least one band bucket (an equi-join
+    on (band, key) — never all-pairs), and survivors are verified with
+    the exact Catalyst cosine kernel, so every emitted pair is a true
+    >= threshold pair (the output is a subset of the exact operator's).
+
+    Recall is the standard SRP curve: P(bit match) = 1 - acos(sim)/π, a
+    band of r bits matches with p^r, any-of-b bands with 1-(1-p^r)^b —
+    near-identical vectors (sim >= 0.95, the production near-dup regime)
+    are found with ~1 at the defaults, while low-sim pairs are cheaply
+    pruned. The hyperplanes are deterministic md5 literals (srp_planes),
+    so results are reproducible and oracle-checkable cross-engine.
+    Output: (id_a, id_b, sim) ordered.
+    """
+    if n_bits % n_bands:
+        raise ValueError("n_bits must be a multiple of n_bands")
+    r = n_bits // n_bands
+    if dims is None:
+        dims = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = srp_planes(n_bits, dims, seed)
+    v = F.col(vec_col).cast("array<double>")
+
+    def proj(row: list[int]):
+        # Factory closure: the literal hyperplane is captured per call
+        # (PySpark higher-order lambdas introspect arity — no default args).
+        lit = F.array(*[F.lit(float(c)) for c in row])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    bits = [F.when(proj(row) > 0, F.lit(1)).otherwise(F.lit(0)) for row in planes]
+    keys = []
+    for b in range(n_bands):
+        k = F.lit(0)
+        for i in range(r):
+            k = k + bits[b * r + i] * F.lit(1 << i)
+        keys.append(k.cast("int"))
+    bands = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
+    eb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
+    s = cosine(F.col("__va"), F.col("__vb"))
+    out = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", s.alias("__s"))
+        .where(F.col("__s") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("__s", 4).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+    return _release_with(out, bands)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     src_col: str = "doc_a",

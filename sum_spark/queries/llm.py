@@ -149,23 +149,91 @@ _EMB_PAIR_SUMS = """
 """
 
 
+def _duck_srp_cte(n_bits: int = 16, n_bands: int = 4, dims: int = 64) -> str:
+    """CTEs computing the same SRP band buckets as dedup_embedding_lsh
+    (identical ±1 hyperplane literals from srp_planes) and the candidate
+    pair set (any shared band bucket)."""
+    planes = dedup.srp_planes(n_bits, dims)
+    r = n_bits // n_bands
+    hs = ",\n             ".join(
+        f"unnest([{', '.join(str(c) for c in row)}]) AS h{j}"
+        for j, row in enumerate(planes)
+    )
+    ps = ",\n             ".join(
+        f"SUM(CAST(x AS DOUBLE) * h{j}) AS p{j}" for j in range(n_bits)
+    )
+    ks = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN p{b * r + i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(r)
+        )
+        + f") AS k{b}"
+        for b in range(n_bands)
+    )
+    same_band = " OR ".join(f"sa.k{b} = sb.k{b}" for b in range(n_bands))
+    return f"""
+    srp_ex AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             {hs}
+      FROM embeddings
+    ),
+    srp_proj AS (
+      SELECT vec_id,
+             {ps}
+      FROM srp_ex GROUP BY vec_id
+    ),
+    srp_sig AS (
+      SELECT vec_id,
+           {ks}
+      FROM srp_proj
+    ),
+    srp_cand AS (
+      SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+      FROM srp_sig sa JOIN srp_sig sb
+        ON sa.vec_id < sb.vec_id AND ({same_band})
+    )
+    """
+
+
 @query(
     "dedup_embedding_cosine",
+    # The 'lsh' leg is the exact pair set restricted to SRP-band-bucket
+    # candidates — by construction exactly what the Spark LSH operator
+    # emits (equi-join candidates + exact verify).
     oracle="WITH "
     + _EMB_PAIR_SUMS
+    + ", exact_pairs AS ("
     + """
     SELECT id_a, id_b,
            ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS sim
     FROM sums
     WHERE CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END >= 0.45
-    ORDER BY id_a, id_b
+    ),
+    """
+    + _duck_srp_cte()
+    + """
+    SELECT 'exact' AS mode, id_a, id_b, sim FROM exact_pairs
+    UNION ALL
+    SELECT 'lsh', e.id_a, e.id_b, e.sim
+    FROM exact_pairs e JOIN srp_cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    ORDER BY mode, id_a, id_b
     """,
-    doc="Embedding near-dup pairs, cosine >= 0.45 (exact all-pairs ground "
-    "truth; scale path = IVF bucket join / LSH).",
+    doc="Embedding near-dup, tagged pair: the exact all-pairs ground truth "
+    "(blocked GEMM, cosine >= 0.45) and the SRP-LSH prune path "
+    "(dedup_embedding_lsh: band equi-join + exact verify — the O(N·K) "
+    "form whose output is a recall-curve subset of exact). Both legs "
+    "hash-checked; the LSH bucketing is reproduced in the oracle from "
+    "the same deterministic hyperplane literals.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.dedup_embedding_cosine(emb, threshold=0.45)
+    exact = dedup.dedup_embedding_cosine(emb, threshold=0.45).select(
+        F.lit("exact").alias("mode"), "id_a", "id_b", "sim"
+    )
+    lsh = dedup.dedup_embedding_lsh(emb, threshold=0.45, dims=64).select(
+        F.lit("lsh").alias("mode"), "id_a", "id_b", "sim"
+    )
+    return exact.unionAll(lsh).orderBy("mode", "id_a", "id_b")
 
 
 @query(

@@ -186,3 +186,38 @@ def test_dedup_incremental_new_vs_corpus_only(spark):
     out = {(r["new_id"], r["corpus_id"]): r["jaccard"]
            for r in dedup.dedup_incremental(new, corpus, threshold=0.8).collect()}
     assert out == {(10, 1): 1.0, (10, 3): 1.0}  # corpus-corpus pair (1,3) excluded
+
+
+def test_dedup_embedding_lsh_prunes_and_finds_near_identicals(spark):
+    """SRP-LSH: near-identical vectors (the production near-dup regime)
+    are all found, every emitted pair is a true >= threshold pair (subset
+    of exact), and candidate generation is a band equi-join (no cross
+    join in the plan)."""
+    import io
+    import contextlib
+    import random
+
+    rng = random.Random(7)
+    dims = 32
+    base = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v))
+        # near-identical twin: tiny perturbation -> cosine ~0.999
+        rows.append((i * 2 + 1, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    lsh = dedup.dedup_embedding_lsh(df, threshold=0.95, dims=dims)
+    exact = dedup.dedup_embedding_cosine(df, threshold=0.95)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    twins = {(i * 2, i * 2 + 1) for i in range(40)}
+    assert twins <= exact_pairs          # the planted dups are real dups
+    assert lsh_pairs <= exact_pairs      # verify step: no false positives
+    assert twins <= lsh_pairs            # ~1 recall at sim ~0.999
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lsh.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

@@ -116,3 +116,21 @@ def test_ngram_auto_skew_needs_no_extra_corpus_scan(spark):
 
     out = dedup_ngram_jaccard(NoCountDF(df), threshold=0.8, max_df="auto")
     assert out.count() >= 0  # plan executes end-to-end
+
+
+def test_event_analytics_single_window_pass(spark, sf_smoke):
+    """The consolidated q11 battery (lag+lead+running sum+json+datetime)
+    must stay ONE scan -> ONE exchange -> ONE Window node: all three window
+    functions share a spec, scalars ride the same projection."""
+    p = plan_of(spark, sf_smoke, "q11_event_analytics")
+    body = p.split("\n\n", 1)[0]  # the plan tree, not the node details
+    assert body.count("Scan parquet") == 1
+    assert body.count("Exchange") == 1
+    assert body.count("Window") == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_set_ops_no_cartesian(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "q20_set_ops")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
