@@ -589,8 +589,18 @@ def dedup_embedding_lsh(
     are found with ~1 at the defaults, while low-sim pairs are cheaply
     pruned. The hyperplanes are deterministic md5 literals (srp_planes),
     so results are reproducible and oracle-checkable cross-engine.
+
+    Verification never materializes candidate pairs as rows: each (band,
+    bucket) group packs into one (ids, flat-vectors) row and a NumPy GEMM
+    scores the bucket's pairs in a single BLAS call (the bucket-local form
+    of dedup_embedding_cosine's block GEMM) — shuffle volume is N×bands
+    vector rows, not O(candidate pairs). A pair found by several bands
+    produces identical (deterministic GEMM) rows, collapsed by distinct.
     Output: (id_a, id_b, sim) ordered.
     """
+    import numpy as np
+    import pandas as pd
+
     if n_bits % n_bands:
         raise ValueError("n_bits must be a multiple of n_bands")
     r = n_bits // n_bands
@@ -614,40 +624,55 @@ def dedup_embedding_lsh(
         for i in range(r):
             k = k + bits[b * r + i] * F.lit(1 << i)
         keys.append(k.cast("int"))
-    bands = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
-                        for b in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
+    bands = df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Pack each bucket like dedup_embedding_cosine packs blocks: flat
+    # double array (zero-copy through Arrow) + parallel id list.
+    packed = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .select(
+            F.transform("rows", lambda x: x["id"]).alias("ids"),
+            F.flatten(F.transform("rows", lambda x: x["v"])).alias("flat"),
         )
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .persist()
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "key"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    thr = float(threshold)
+
+    def bucket_gemm(it):
+        for pdf in it:
+            for ids_cell, flat_cell in zip(pdf["ids"], pdf["flat"]):
+                ids = np.asarray(ids_cell, dtype=np.int64)
+                if len(ids) < 2:
+                    continue
+                mat = np.asarray(flat_cell, dtype=np.float64).reshape(len(ids), -1)
+                nrm = np.linalg.norm(mat, axis=1)
+                mat = mat / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+                sims = mat @ mat.T
+                mask = (sims >= thr) & (ids[:, None] < ids[None, :])
+                li, rj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {
+                        "id_a": ids[li],
+                        "id_b": ids[rj],
+                        "sim": np.round(sims[li, rj], 4),
+                    }
+                )
+
+    return (
+        packed.mapInPandas(bucket_gemm, schema="id_a long, id_b long, sim double")
         .distinct()
-    )
-    ea = df.select(F.col(id_col).alias("id_a"), v.alias("__va"))
-    eb = df.select(F.col(id_col).alias("id_b"), v.alias("__vb"))
-    s = cosine(F.col("__va"), F.col("__vb"))
-    out = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", s.alias("__s"))
-        .where(F.col("__s") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", F.round("__s", 4).alias("sim"))
         .orderBy("id_a", "id_b")
     )
-    return _release_with(out, bands)
 
 
 def dedup_clusters(
