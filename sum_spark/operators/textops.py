@@ -70,9 +70,18 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     ).orderBy("doc_id")
 
 
+# BPE-style pre-tokenizer: letter runs, single digits, single punctuation
+# marks — the split GPT-2-family tokenizers apply before merges. RE2/Java
+# common syntax so Spark regexp_count and DuckDB regexp_extract_all agree.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Token statistics: whitespace tokens, distinct tokens, characters.
-    Output: (doc_id, n_tokens, n_distinct, n_chars)."""
+    """Token statistics: whitespace tokens, distinct tokens, characters,
+    and a BPE-pre-tokenizer count (letter runs / digits / punctuation —
+    the length a GPT-2-family tokenizer sees before merges, a cheap upper
+    bound on subword count). Output: (doc_id, n_tokens, n_distinct,
+    n_chars, n_bpe)."""
     df = spread_for_compute(df)
     toks = tokens(text_col)
     return df.select(
@@ -80,6 +89,7 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.length(text_col).cast("long").alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe"),
     ).orderBy("doc_id")
 
 
@@ -109,8 +119,8 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     five separate scans. The only shuffle is the top-word count
     (explode + two-level groupBy), exactly as in repetition_stats.
     Output: (doc_id, pred_lang, hits, n_tokens, n_distinct, n_chars,
-    stop_ratio, score, dup_word_frac, top_word_frac, dup_3gram_frac,
-    fp, fp60) ordered.
+    n_bpe, stop_ratio, score, dup_word_frac, top_word_frac,
+    dup_3gram_frac, fp, fp60) ordered.
     """
     df = spread_for_compute(df)
     words = df.select(
@@ -136,6 +146,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         n_long.alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         F.length("__text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("__text"), F.lit(BPE_TOKEN_RE)).cast("long").alias("n_bpe"),
         F.round(en_hits / n, 4).alias("stop_ratio"),
         F.round(F.least(F.lit(1.0), n / 100.0) * 0.5 + (en_hits / n) * 0.5, 4).alias(
             "score"
@@ -165,7 +176,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         .withColumn("top_word_frac", F.col("__mx").cast("double") / F.col("n_tokens").cast("double"))
         .select(
             "doc_id", "pred_lang", "hits", "n_tokens", "n_distinct", "n_chars",
-            "stop_ratio", "score", "dup_word_frac", "top_word_frac",
+            "n_bpe", "stop_ratio", "score", "dup_word_frac", "top_word_frac",
             "dup_3gram_frac", "fp", "fp60",
         )
         .orderBy("doc_id")

@@ -512,6 +512,7 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
            CAST(n AS BIGINT) AS n_tokens,
            CAST(d AS BIGINT) AS n_distinct,
            CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{textops.BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe,
            ROUND(eh / n, 4) AS stop_ratio,
            ROUND(least(1.0, n / 100.0) * 0.5 + (eh / n) * 0.5, 4) AS score,
            CAST(n - d AS DOUBLE) / n AS dup_word_frac,
