@@ -81,6 +81,72 @@ def bucketize_table(
     writer.saveAsTable(table)
 
 
+def range_partitioned_lead(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``LEAD(col) OVER (ORDER BY order_col)`` without the single-task
+    global window (an empty-partitionBy window funnels ALL rows through
+    one Exchange SinglePartition — the classic 100 TB non-starter).
+
+    Two-pass form, same machinery as ``assign_contiguous_ids``:
+
+      1. ``repartitionByRange(order_col)`` gives globally ordered,
+         parallel partitions; LEAD runs within each (hash-local window);
+      2. each partition's FIRST row (one tiny row per partition, bounded
+         by the partition count like a broadcast-offsets pass) stitches
+         the boundary: the last row of partition p takes the first row of
+         the next non-empty partition as its lead.
+
+    ``order_col`` must be unique (it is the total order). Adds one
+    ``__lead_<c>`` column per requested value column; the final row's
+    leads are NULL, as with LEAD.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n = num_partitions or max(2, spark.sparkContext.defaultParallelism)
+    rp = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = W.partitionBy("__pid").orderBy(order_col)
+    led = rp.select(
+        "*",
+        *[F.lead(c).over(w).alias(f"__lead_{c}") for c in value_cols],
+        F.row_number().over(W.partitionBy("__pid").orderBy(F.col(order_col).desc())).alias(
+            "__rev_rn"
+        ),
+    )
+    # Pass 2: one row per non-empty partition — bounded by the partition
+    # count, the same driver budget as a broadcast-offsets pass.
+    firsts = (
+        rp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__pid", order_col, *value_cols)
+        .collect()
+    )
+    firsts.sort(key=lambda r: r[order_col])
+    boundary_rows = []
+    for cur, nxt in zip(firsts, firsts[1:]):
+        boundary_rows.append(tuple([cur["__pid"]] + [nxt[c] for c in value_cols]))
+    if boundary_rows:
+        schema = ", ".join(
+            ["__pid int"] + [f"__next_{c} {df.schema[c].dataType.simpleString()}" for c in value_cols]
+        )
+        boundary = spark.createDataFrame(boundary_rows, schema)
+        led = led.join(F.broadcast(boundary), "__pid", "left")
+        for c in value_cols:
+            led = led.withColumn(
+                f"__lead_{c}",
+                F.when(
+                    F.col("__rev_rn") == 1, F.col(f"__next_{c}")
+                ).otherwise(F.col(f"__lead_{c}")),
+            ).drop(f"__next_{c}")
+    return led.drop("__pid", "__rev_rn")
+
+
 def spread_for_compute(df: DataFrame, partitioning_col: str | None = None) -> DataFrame:
     """Redistribute an under-partitioned input before expensive per-row
     compute (HOFs, regex, shingling) — and ONLY then.

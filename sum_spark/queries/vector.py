@@ -10,7 +10,6 @@ rounding.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sum_spark.functions.vector import cosine, dot, jaccard, magnitude
@@ -55,21 +54,26 @@ _PAIRS_CTE = """
     "(zero-denominator -> 0.0 rule, /root/reference/node/wrapper/"
     "record.go:96-103) plus binary Jaccard m11/(m11+m10) on the "
     "sign-binarized pair (record.go:129-147). Sequential-pair semantics "
-    "need a global LEAD; at 100 TB this becomes a range-partitioned window "
-    "(repartitionByRange on vec_id) — expressed here in its simplest "
-    "correct form.",
+    "run through plans.scale.range_partitioned_lead — LEAD over a "
+    "range-partitioned order with boundary stitching, never the "
+    "single-task empty-partitionBy window (plan guarded against "
+    "Exchange SinglePartition in tests/test_plans.py).",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.plans.scale import range_partitioned_lead
+
     emb = load_table(spark, sf_dir, "embeddings")
     binarize = lambda c: F.transform(  # noqa: E731
         F.col(c), lambda x: F.when(x > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
     )
-    w = W.orderBy("vec_id")
-    pairs = emb.select(
+    led = range_partitioned_lead(
+        emb.select("vec_id", "embedding"), "vec_id", ["embedding"]
+    )
+    pairs = led.where(F.col("__lead_embedding").isNotNull()).select(
         "vec_id",
         F.col("embedding").alias("e1"),
-        F.lead("embedding").over(w).alias("e2"),
-    ).where(F.col("e2").isNotNull())
+        F.col("__lead_embedding").alias("e2"),
+    )
     return pairs.select(
         "vec_id",
         F.round(dot("e1", "e2"), 4).alias("dp"),

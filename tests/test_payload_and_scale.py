@@ -114,3 +114,38 @@ def test_info_memory_stats(spark):
     assert mem["heap_used_bytes"] > 0
     assert mem["heap_max_bytes"] >= mem["heap_used_bytes"]
     assert mem["cached_memory_bytes"] >= 0 and mem["cached_disk_bytes"] >= 0
+
+
+def test_range_partitioned_lead_matches_global_window(spark):
+    """Distributed LEAD (range partition + boundary stitch) must equal the
+    single-task global-window LEAD on data with gaps and shuffled input."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sum_spark.plans.scale import range_partitioned_lead
+
+    # Non-contiguous keys (gaps!), multiple value columns, shuffled.
+    rows = [(k * 7 % 1009, [float(k), float(k) + 0.5], "s%d" % k) for k in range(600)]
+    df = spark.createDataFrame(rows, "k long, v array<double>, s string").repartition(16)
+
+    expect = {
+        r["k"]: (r["lv"], r["ls"])
+        for r in df.select(
+            "k",
+            F.lead("v").over(W.orderBy("k")).alias("lv"),
+            F.lead("s").over(W.orderBy("k")).alias("ls"),
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["__lead_v"], r["__lead_s"])
+        for r in range_partitioned_lead(df, "k", ["v", "s"], num_partitions=7).collect()
+    }
+    assert got == expect
+    # The whole point: no Exchange SinglePartition in the plan.
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_partitioned_lead(df, "k", ["v"], num_partitions=7).explain("formatted")
+    assert "SinglePartition" not in buf.getvalue()

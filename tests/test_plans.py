@@ -134,3 +134,11 @@ def test_set_ops_no_cartesian(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "q20_set_ops")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vector_kernels_no_single_partition_window(spark, sf_smoke):
+    """q24's consecutive-pair LEAD must use the range-partitioned two-pass
+    form, never the empty-partitionBy global window (which funnels every
+    row through one Exchange SinglePartition)."""
+    p = plan_of(spark, sf_smoke, "q24_vector_kernels")
+    assert "SinglePartition" not in p
