@@ -16,8 +16,6 @@ these are the scale-path composition of those kernels:
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -30,30 +28,12 @@ from sum_spark.functions.hashing import (
     minhash_signature_pandas,
 )
 from sum_spark.functions.text import SHINGLE_N, tokens, word_shingles
-from sum_spark.plans.scale import spread_for_compute
+from sum_spark.plans.scale import release_with, spread_for_compute
 from sum_spark.functions.vector import cosine
 
-
-def _unpersist_quietly(dfs: tuple[DataFrame, ...]) -> None:
-    for d in dfs:
-        try:
-            d.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-
-
-def _release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Tie the lifetime of persisted intermediates to the returned plan.
-
-    The returned DataFrame's plan references the persisted signatures, so
-    they cannot be unpersisted before the caller's action runs. A long
-    query-server session, however, must not accumulate one cached table
-    per past query. The finalizer unpersists the intermediates when the
-    caller drops the result — after its action, exactly when the cache
-    stops being useful.
-    """
-    weakref.finalize(result, _unpersist_quietly, cached)
-    return result
+# Persisted-intermediate lifetime management now lives in plans.scale;
+# the private alias keeps this module's call sites unchanged.
+_release_with = release_with
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

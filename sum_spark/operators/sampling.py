@@ -130,13 +130,30 @@ def assign_contiguous_ids(
     each partition's cumulative row-count offset (a tiny broadcast — one
     row per partition). order_cols must be a unique key for the ids to be
     deterministic (range boundaries are sample-based).
+
+    The range-partitioned frame is MATERIALIZED (localCheckpoint) before
+    the two branches (counts and data) read it: ``spark_partition_id()``
+    is otherwise re-evaluated per branch, and AQE may coalesce the shared
+    exchange differently in each (observed once exchange reuse breaks,
+    e.g. under an extra downstream window) — the offsets would then
+    disagree with the data's pids and silently corrupt the ids. A lazy
+    persist is NOT enough: composed queries drop the intermediate Python
+    reference before executing, and any recompute re-rolls the dice.
+    localCheckpoint pins the partitioning as stored blocks whose lifetime
+    Spark's ContextCleaner ties to the derived plans (on a cluster, swap
+    for checkpoint() to reliable storage — executor loss recomputes a
+    localCheckpoint non-deterministically).
     """
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    d = df.repartitionByRange(n, *cols).withColumn("__pid", F.spark_partition_id())
+    d = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     local = Window.partitionBy("__pid").orderBy(*cols)
     counts = d.groupBy("__pid").agg(F.count("*").alias("__c"))
     # One row per partition: the running offset window is tiny by
@@ -176,6 +193,8 @@ def pack_sequences(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Materialized for the same reason as assign_contiguous_ids: __pid
+    # must be evaluated once, not per branch (AQE coalescing can differ).
     d = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -183,6 +202,7 @@ def pack_sequences(
         )
         .repartitionByRange(n, F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = (
         Window.partitionBy("__pid")

@@ -15,8 +15,27 @@ to encode the *pattern* (and test it) rather than invent machinery:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _unpersist_quietly(dfs: tuple[DataFrame, ...]) -> None:
+    for d in dfs:
+        try:
+            d.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of persisted intermediates to the returned plan:
+    a weakref finalizer unpersists them when the caller drops the result
+    (after its action — exactly when the cache stops being useful), so a
+    long query-server session never accumulates stale cached tables."""
+    weakref.finalize(result, _unpersist_quietly, cached)
+    return result
 
 
 def salted_join(
@@ -108,8 +127,15 @@ def range_partitioned_lead(
 
     spark = df.sparkSession
     n = num_partitions or max(2, spark.sparkContext.defaultParallelism)
-    rp = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # Materialized so __pid is evaluated exactly once: the firsts pass
+    # below is a separate action, and AQE could otherwise coalesce the
+    # range exchange differently per evaluation, desynchronizing the
+    # stitch (see assign_contiguous_ids for why a lazy persist is not
+    # enough).
+    rp = (
+        df.repartitionByRange(n, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = W.partitionBy("__pid").orderBy(order_col)
     led = rp.select(

@@ -384,20 +384,49 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Analytic-function battery (consolidated q16_rank_per_group + "
     "q34_window_misc): top-K per group via a partitioned ROW_NUMBER plus "
     "ntile / percent_rank / cume_dist over the global ordering, all "
-    "computed before the rank filter.",
+    "computed before the rank filter. The global-ordering functions are "
+    "DERIVED from a distributed global row number (two-pass range "
+    "partition + broadcast offsets, sampling.assign_contiguous_ids) "
+    "instead of an empty-partitionBy window: the ordering is unique, so "
+    "percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile follows the "
+    "big-buckets-first rule arithmetically — no Exchange SinglePartition "
+    "over the table (guarded in tests/test_plans.py).",
 )
 def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    g = W.orderBy("o_totalprice", "o_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    g = assign_contiguous_ids(orders, ["o_totalprice", "o_orderkey"], id_name="__g")
+    total = g.agg(F.count("*").alias("__n"))
+    rn = F.col("__g")
+    n = F.col("__n")
+    tiles = F.lit(4)
+    # NTILE(4) big-buckets-first: the first n%4 buckets hold n//4+1 rows.
+    big = n % tiles  # number of large buckets
+    size_big = (n / tiles).cast("long") + 1
+    size_small = (n / tiles).cast("long")
+    in_big = rn <= big * size_big
+    nt = F.when(in_big, F.ceil(rn / size_big)).otherwise(
+        big + F.ceil((rn - big * size_big) / size_small)
+    )
     return (
-        _t(spark, sf_dir, "orders")
+        g.join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            nt.cast("long").alias("nt"),
+            F.round((rn - 1).cast("double") / (n - 1).cast("double"), 4).alias("pr"),
+            F.round(rn.cast("double") / n.cast("double"), 4).alias("cd"),
+        )
         .select(
             "o_custkey",
             "o_orderkey",
             F.row_number().over(w).cast("long").alias("rn"),
-            F.ntile(4).over(g).cast("long").alias("nt"),
-            F.round(F.percent_rank().over(g), 4).alias("pr"),
-            F.round(F.cume_dist().over(g), 4).alias("cd"),
+            "nt",
+            "pr",
+            "cd",
         )
         .where(F.col("rn") <= 2)
         .orderBy("o_custkey", "rn")

@@ -149,3 +149,38 @@ def test_range_partitioned_lead_matches_global_window(spark):
     with contextlib.redirect_stdout(buf):
         range_partitioned_lead(df, "k", ["v"], num_partitions=7).explain("formatted")
     assert "SinglePartition" not in buf.getvalue()
+
+
+def test_contiguous_ids_stable_under_downstream_window(spark):
+    """Regression (round 3): spark_partition_id-based ids were evaluated
+    per plan-branch; when a downstream window broke AQE exchange reuse,
+    the offsets branch and the data branch could coalesce differently and
+    silently corrupt the ids. The range-partitioned frame is now
+    materialized (localCheckpoint), so composing with further windows
+    must be deterministic and correct."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    rows = [((i * 131) % 3001, i % 50, float(i)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, grp long, v double").repartition(16)
+
+    def run():
+        g = assign_contiguous_ids(df, ["v", "k"], id_name="gid")
+        w = W.partitionBy("grp").orderBy(F.col("v").desc(), "k")
+        return {
+            r["k"]: (r["gid"], r["rn"])
+            for r in g.select("k", "gid", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 3)
+            .collect()
+        }
+
+    a, b = run(), run()
+    assert a == b  # deterministic across evaluations
+    # and the ids are the true global ranks
+    expect_gid = {
+        k: i + 1
+        for i, (v, k) in enumerate(sorted((v, k) for k, _, v in rows))
+    }
+    assert all(gid == expect_gid[k] for k, (gid, _) in a.items())
