@@ -157,3 +157,60 @@ def knn_ivf(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def write_ivf_index(
+    records: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "data",
+    n_bits: int = 8,
+) -> None:
+    """Persist records as a parquet table PARTITIONED BY the IVF bucket —
+    the write-time half of the IVF contract: once the 100 TB embedding
+    table is laid out by bucket, a probe's search touches only its
+    bucket's files via partition pruning (no scan, no shuffle of the
+    other 2^n_bits - 1 buckets). The bucket is the same deterministic
+    sign-bit function knn_ivf computes on the fly (ivf_bucket), so the
+    two paths return identical neighbors."""
+    records.withColumn("bucket", ivf_bucket(vec_col, n_bits)).write.partitionBy(
+        "bucket"
+    ).parquet(path, mode="overwrite")
+
+
+def knn_ivf_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int,
+    id_col: str = "id",
+    vec_col: str = "data",
+    n_bits: int = 8,
+    round_to: int | None = None,
+) -> DataFrame:
+    """k-NN against a write-time IVF index (write_ivf_index): the probes'
+    buckets are collected (bounded — probes are small by contract, as in
+    knn_bruteforce's broadcast) into a LITERAL isin filter on the
+    partition column, so the parquet scan reads ONLY the probed buckets
+    (PartitionFilters in the plan — asserted in tests). Matching within
+    a bucket is the same broadcast equi-join + per-probe top-k as
+    knn_ivf. Output: (probe_id, id, sim, rank)."""
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pv"),
+        ivf_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    probe_buckets = [r["bucket"] for r in p.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(path).where(F.col("bucket").isin(probe_buckets))
+    sim = cosine(F.col(vec_col), F.col("__pv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        idx.join(F.broadcast(p), "bucket")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

@@ -74,3 +74,38 @@ def test_ngram_max_df_prunes_hot_shingles(spark):
     uncapped = dedup.dedup_ngram_jaccard(df, threshold=0.1).count()
     capped = dedup.dedup_ngram_jaccard(df, threshold=0.1, max_df=3).count()
     assert capped <= uncapped
+
+
+def test_ivf_index_prunes_partitions_and_matches_inflight(spark, sf_smoke, tmp_path):
+    """The write-time IVF layout must (a) return exactly what the
+    on-the-fly knn_ivf returns and (b) actually prune: the parquet scan's
+    PartitionFilters restricts to the probed buckets."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.similarity import knn_ivf, knn_ivf_from_index, write_ivf_index
+    from sum_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 3)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, id_col="vec_id", vec_col="embedding")
+
+    from_index = knn_ivf_from_index(
+        spark, path, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+    inflight = knn_ivf(emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_index.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [" in p
+    # the filter is non-empty: bucket isin(...) reached the scan
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and pf.strip() != ""
