@@ -31,6 +31,7 @@ HEADLINE = [
     "q02_lookup_topk",
     "q25_find_similar",
     "q27_tumbling_window",
+    "q28_sliding_window",
     "q29_session_window",
     "q39_asof_join",
     "q43_two_level_rollup",
