@@ -1,0 +1,99 @@
+"""End-to-end training-data preparation: the composition of the
+engine's LLM-pipeline operators into the standard corpus -> training
+examples flow. Each stage is an existing, oracle-checked operator; this
+module only wires them so a corpus goes through one declarative plan
+chain (no driver-side loops, no collect on the data path):
+
+    1. exact dedup        keep one doc per identical text
+    2. near-dup dedup     MinHash+LSH pairs -> connected components ->
+                          keep each cluster's keeper (min doc_id)
+    3. decontamination    drop docs sharing an n-gram with the eval set
+    4. quality filter     drop docs under a quality-score floor
+    5. stratified sample  per-source hash-Bernoulli rates (reproducible)
+    6. sequence packing   fixed token-budget packs in doc_id order
+    7. global shuffle     deterministic seeded order for serialization
+
+Every stage is individually deterministic, so the whole pipeline is
+reproducible run-to-run and across clusters — the property a training
+run needs for restartable data loading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sum_spark.operators import dedup, sampling, textops
+from sum_spark.operators.decontam import decontaminate
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.8,
+    min_quality: float = 0.0,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    pack_budget: int = 2048,
+    shuffle_seed: str = "epoch-0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Run the full preparation flow; returns one row per surviving
+    document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
+    ordered by shuffle_pos (the serialization order).
+
+    ``benchmark`` is the eval corpus to decontaminate against (None
+    skips the stage). ``rates`` are per-stratum sampling rates as in
+    sample_stratified. Packing runs in doc_id order (stable across
+    reruns); the output order is the seeded global shuffle.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col(strat_col).alias("source"),
+    )
+
+    # 1. exact dedup: keep each identical-text group's min doc_id.
+    keepers = dedup.dedup_exact(base).select(F.col("keep_id").alias("doc_id"))
+    survivors = base.join(keepers, "doc_id", "left_semi")
+
+    # 2. near-dup dedup: LSH pairs over the exact-deduped corpus, cluster,
+    #    drop every member that is not its cluster's keeper.
+    pairs = dedup.dedup_minhash_lsh(survivors, threshold=near_dup_threshold)
+    clusters = dedup.dedup_clusters(pairs)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    survivors = survivors.join(losers, "doc_id", "left_anti")
+
+    # 3. decontamination against the benchmark's shingles.
+    if benchmark is not None:
+        contaminated = decontaminate(survivors, benchmark).select("doc_id")
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
+
+    # 4. quality floor.
+    if min_quality > 0.0:
+        quality = textops.quality_score(survivors).where(
+            F.col("score") >= F.lit(float(min_quality))
+        )
+        survivors = survivors.join(quality.select("doc_id"), "doc_id", "left_semi")
+
+    # 5. reproducible stratified sampling.
+    if rates is not None or default_rate < 1.0:
+        picked = sampling.sample_stratified(
+            survivors, rates or {}, default_rate=default_rate
+        ).select("doc_id")
+        survivors = survivors.join(picked, "doc_id", "left_semi")
+
+    # 6. pack into token budgets (doc_id order — stable across reruns).
+    packed = sampling.pack_sequences(survivors, pack_budget)
+
+    # 7. deterministic global shuffle for serialization order.
+    shuffled = sampling.global_shuffle(survivors, seed=shuffle_seed)
+
+    return (
+        survivors.join(packed.select("doc_id", "n_tokens", "pack_id"), "doc_id")
+        .join(shuffled, "doc_id")
+        .select("doc_id", "text", "source", "n_tokens", "pack_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )

@@ -1,0 +1,79 @@
+"""End-to-end tests for the composed training-data preparation flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sum_spark.operators import dedup
+from sum_spark.operators.pipeline import prepare_training_data
+from sum_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def prepared(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    out = prepare_training_data(
+        corpus,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+    ).persist()
+    yield corpus, bench, out
+    out.unpersist()
+
+
+def test_pipeline_deduplicates(spark, prepared):
+    corpus, _, out = prepared
+    # No surviving near-dup pair at the threshold: re-running the dedup
+    # operator over the output must find nothing.
+    survivors = out.select("doc_id", "text")
+    assert dedup.dedup_minhash_lsh(survivors, threshold=0.8).count() == 0
+    assert dedup.dedup_exact(survivors).where(F.col("n_dups") > 1).count() == 0
+    assert 0 < out.count() < corpus.count()
+
+
+def test_pipeline_decontaminates(spark, prepared):
+    _, bench, out = prepared
+    from sum_spark.operators.decontam import decontaminate
+
+    assert decontaminate(out.select("doc_id", "text"), bench).count() == 0
+
+
+def test_pipeline_packs_and_shuffles(prepared):
+    _, _, out = prepared
+    rows = out.select("doc_id", "n_tokens", "pack_id", "shuffle_pos").collect()
+    n = len(rows)
+    # shuffle_pos is a permutation of 1..N and not the identity order.
+    assert sorted(r["shuffle_pos"] for r in rows) == list(range(1, n + 1))
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["shuffle_pos"])]
+    assert by_pos != sorted(by_pos)
+    # packs are contiguous in doc_id order and respect the budget rule:
+    # pack_id = floor(tokens-before / budget) is non-decreasing in doc_id.
+    by_id = sorted(rows, key=lambda r: r["doc_id"])
+    packs = [r["pack_id"] for r in by_id]
+    assert packs == sorted(packs)
+    assert packs[0] == 0
+
+
+def test_pipeline_reproducible(spark, sf_smoke, prepared):
+    corpus, bench, out = prepared
+    again = prepare_training_data(
+        corpus, benchmark=bench, near_dup_threshold=0.8,
+        pack_budget=512, shuffle_seed="epoch-0",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a different epoch seed reorders but keeps the same document set
+    other = prepare_training_data(
+        corpus, benchmark=bench, near_dup_threshold=0.8,
+        pack_budget=512, shuffle_seed="epoch-1",
+    )
+    keep = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())  # noqa: E731
+    assert keep(out) == keep(other)
+    order = lambda df: [  # noqa: E731
+        r["doc_id"] for r in df.select("doc_id", "shuffle_pos").orderBy("shuffle_pos").collect()
+    ]
+    assert order(out) != order(other)
