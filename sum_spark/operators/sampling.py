@@ -90,27 +90,31 @@ def corpus_mixture(
     df: DataFrame, strat_col: str = "source", text_col: str = "text"
 ) -> DataFrame:
     """Mixture bookkeeping per stratum: document and token counts plus
-    each stratum's share of corpus tokens, rounded half-up to 6 decimals.
-    One partial-aggregated groupBy; the total re-joins via a broadcast of
-    the one-row grand total. Output: (stratum, n_docs, n_tokens,
-    token_share) ordered.
+    each stratum's share of corpus tokens in parts-per-million, rounded
+    half-up. One partial-aggregated groupBy; the total re-joins via a
+    broadcast of the one-row grand total. Output: (stratum, n_docs,
+    n_tokens, token_share_ppm) ordered.
 
-    The rounding is floor((n*2e6 + t) / (2t)) / 1e6 computed entirely in
-    IEEE doubles: both Spark and DuckDB produce bit-identical doubles from
-    the same integer inputs, so the share hash-matches cross-engine even on
-    repr-half midpoints (where ROUND(x, 6) disagrees between engines), and
-    there is no bigint overflow however large the corpus."""
+    token_share_ppm is a BIGINT — (n*2e6 + t) div (2t), i.e. half-up
+    rounding of n/t to 6 decimals WITHOUT the final float division.
+    Earlier float-emitting variants (ROUND, then double floor/1e6)
+    diverged from DuckDB in the last mantissa bit (the engines contract
+    a*b+c differently); an integer cannot. The arithmetic runs in
+    DECIMAL(38,0) (HUGEINT on the oracle side) so n*2e6 cannot overflow
+    at any corpus size."""
     per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
     )
     total = per.agg(F.sum("n_tokens").alias("__tot"))
-    n = F.col("n_tokens").cast("double")
-    t = F.col("__tot").cast("double")
-    share = F.floor((n * F.lit(2000000.0) + t) / (t * F.lit(2.0))) / F.lit(1000000.0)
+    ppm = F.expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 2000000"
+        " + CAST(__tot AS DECIMAL(38,0)))"
+        " div (2 * CAST(__tot AS DECIMAL(38,0))) AS BIGINT)"
+    )
     return (
         per.join(F.broadcast(total))
-        .select("stratum", "n_docs", "n_tokens", share.alias("token_share"))
+        .select("stratum", "n_docs", "n_tokens", ppm.alias("token_share_ppm"))
         .orderBy("stratum")
     )
 

@@ -172,10 +172,12 @@ def write_ivf_index(
     bucket's files via partition pruning (no scan, no shuffle of the
     other 2^n_bits - 1 buckets). The bucket is the same deterministic
     sign-bit function knn_ivf computes on the fly (ivf_bucket), so the
-    two paths return identical neighbors."""
-    records.withColumn("bucket", ivf_bucket(vec_col, n_bits)).write.partitionBy(
-        "bucket"
-    ).parquet(path, mode="overwrite")
+    two paths return identical neighbors. Only (id, vector, bucket) are
+    written — the index is a search structure, not a copy of the record
+    table (join back on id for payload columns)."""
+    records.select(id_col, vec_col).withColumn(
+        "bucket", ivf_bucket(vec_col, n_bits)
+    ).write.partitionBy("bucket").parquet(path, mode="overwrite")
 
 
 def knn_ivf_from_index(

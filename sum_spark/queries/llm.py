@@ -363,12 +363,12 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY 1
     ),
     tot AS (SELECT SUM(n_tokens) AS t FROM per)
-    SELECT stratum, n_docs, n_tokens,
-           FLOOR((CAST(n_tokens AS DOUBLE) * 2000000 + CAST(t AS DOUBLE))
-                 / (2 * CAST(t AS DOUBLE))) / 1000000 AS token_share
+    SELECT stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((CAST(n_tokens AS HUGEINT) * 2000000 + CAST(t AS HUGEINT))
+                // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS token_share_ppm
     FROM per CROSS JOIN tot ORDER BY stratum
     """,
-    doc="Per-source mixture bookkeeping: docs, tokens, token share.",
+    doc="Per-source mixture bookkeeping: docs, tokens, token share (ppm).",
 )
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -407,8 +407,14 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_big = (n / tiles).cast("long") + 1
     size_small = (n / tiles).cast("long")
     in_big = rn <= big * size_big
+    # n < tiles => size_small = 0: every row lands in a big bucket, so
+    # in_big is always true, but guard the otherwise-branch division
+    # anyway (NULL via /0 would poison nt on tiny inputs — ADVICE r3).
     nt = F.when(in_big, F.ceil(rn / size_big)).otherwise(
-        big + F.ceil((rn - big * size_big) / size_small)
+        big
+        + F.ceil(
+            (rn - big * size_big) / F.when(size_small > 0, size_small)
+        )
     )
     return (
         g.join(F.broadcast(total))
@@ -417,7 +423,11 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_totalprice",
             nt.cast("long").alias("nt"),
-            F.round((rn - 1).cast("double") / (n - 1).cast("double"), 4).alias("pr"),
+            # PERCENT_RANK of a 1-row partition is 0, not NULL from 0/0.
+            F.coalesce(
+                F.round((rn - 1).cast("double") / (n - 1).cast("double"), 4),
+                F.lit(0.0),
+            ).alias("pr"),
             F.round(rn.cast("double") / n.cast("double"), 4).alias("cd"),
         )
         .select(

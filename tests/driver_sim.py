@@ -52,7 +52,8 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             if name in oracles:
                 ddf = con.execute(oracles[name]).df()
-                errs = compare(sdf, ddf, name)
+                # strict: exact float equality, the driver's hash standard
+                errs = compare(sdf, ddf, name, strict=True)
             else:
                 n = sdf.count()
                 errs = [] if n >= 0 else [f"{name}: negative count?"]

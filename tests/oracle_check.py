@@ -52,8 +52,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(spark_df, duck_df: pd.DataFrame, name: str = "query") -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+def compare(
+    spark_df, duck_df: pd.DataFrame, name: str = "query", strict: bool = False
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match).
+
+    strict=True compares floats by EXACT bit equality — the same standard
+    as the external driver's canonicalized value hash. The default
+    tolerance mode (abs_tol=1e-9) exists only for exploratory diffing; it
+    hid the corpus_mixture last-bit divergence in round 3 (VERDICT r3 #3),
+    so everything that gates on "matches the driver" must pass strict.
+    """
     errs: list[str] = []
     sp = _normalize(spark_df.toPandas())
     du = _normalize(duck_df)
@@ -74,7 +83,11 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str = "query") -> list[str]:
                     or (
                         not pd.isna(x)
                         and not pd.isna(y)
-                        and math.isclose(x, y, rel_tol=0, abs_tol=1e-9)
+                        and (
+                            x == y
+                            if strict
+                            else math.isclose(x, y, rel_tol=0, abs_tol=1e-9)
+                        )
                     )
                 )
             ]

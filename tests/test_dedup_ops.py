@@ -188,6 +188,50 @@ def test_dedup_incremental_new_vs_corpus_only(spark):
     assert out == {(10, 1): 1.0, (10, 3): 1.0}  # corpus-corpus pair (1,3) excluded
 
 
+def test_dedup_incremental_stored_sig_no_corpus_text_scan(spark, tmp_path):
+    """The O(delta) ingest path (VERDICT r3 #4): with corpus_sig read from
+    a stored signature table, the per-batch plan scans ONLY the delta's
+    text plus the signature parquet — corpus text is never re-shingled.
+    Also: results identical to the recompute-from-text path."""
+    import contextlib
+    import io
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "totally unrelated corpus document with other words"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, "brand new unique content nothing like the rest here"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_path = str(tmp_path / "corpus_sig.parquet")
+    dedup.minhash_signatures(corpus).write.parquet(sig_path)
+    corpus_sig = spark.read.parquet(sig_path)
+
+    out_df = dedup.dedup_incremental(new, corpus_sig=corpus_sig, threshold=0.8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out_df.explain("formatted")
+    plan = buf.getvalue()
+    # Every parquet scan in the delta-path plan is the signature table.
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert scans, "expected the stored signature table to be scanned"
+    locations = [ln for ln in plan.splitlines() if "Location:" in ln]
+    assert locations and all("corpus_sig.parquet" in ln for ln in locations), plan
+
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in out_df.collect()}
+    want = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+            for r in dedup.dedup_incremental(new, corpus, threshold=0.8).collect()}
+    assert got == want == {(10, 1): 1.0, (10, 3): 1.0}
+
+
 def test_dedup_embedding_lsh_prunes_and_finds_near_identicals(spark):
     """SRP-LSH: near-identical vectors (the production near-dup regime)
     are all found, every emitted pair is a true >= threshold pair (subset

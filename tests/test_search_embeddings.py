@@ -98,14 +98,17 @@ def test_corpus_mixture_shares_sum_to_one(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = {r["stratum"]: r for r in corpus_mixture(df).collect()}
     assert out["a"]["n_tokens"] == 5 and out["b"]["n_tokens"] == 1
-    assert abs(out["a"]["token_share"] + out["b"]["token_share"] - 1.0) < 1e-12
+    # ppm shares of an exact partition sum to 1e6 ± 1 (half-up rounding)
+    s = out["a"]["token_share_ppm"] + out["b"]["token_share_ppm"]
+    assert abs(s - 1_000_000) <= 1
+    assert isinstance(out["a"]["token_share_ppm"], int)
 
 
 def test_corpus_mixture_midpoint_matches_duckdb(spark):
-    """token_share rounding on a repr-half double midpoint: 1/128 =
-    0.0078125 is exactly representable, and ROUND(…, 6) disagrees between
-    Spark and DuckDB on such values (CLAUDE.md).  The floor-based half-up
-    rounding must give 0.007813 on BOTH engines (ADVICE r2 #2)."""
+    """token_share_ppm on a repr-half midpoint: 1/128 = 0.0078125 exactly;
+    half-up to 6 decimals must give 7813 ppm on BOTH engines. The integer
+    emission (VERDICT r3 #1) makes bit-level double divergence impossible —
+    this test pins the half-up semantics and the cross-engine equality."""
     import duckdb
     import pandas as pd
 
@@ -115,8 +118,8 @@ def test_corpus_mixture_midpoint_matches_duckdb(spark):
 
     rows = [(1, "a", "w")] + [(2, "b", " ".join(["w"] * 127))]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    got = {r["stratum"]: r["token_share"] for r in corpus_mixture(df).collect()}
-    assert got["a"] == 0.007813
+    got = {r["stratum"]: r["token_share_ppm"] for r in corpus_mixture(df).collect()}
+    assert got["a"] == 7813
 
     oracle = REGISTRY["corpus_mixture"].oracle
     con = duckdb.connect()
