@@ -83,8 +83,12 @@ def main() -> None:
         # exactly where host contention tails are widest.
         # count() executes the full plan; the driver-side result transfer
         # (tiny) is excluded so we measure engine work, not IPC.
+        # SPARK_GRAFT_BENCH_RUNS=1 switches to one timed run per query
+        # (cold, no retry) so the best-of-N flattening is auditable —
+        # BASELINE.md's round notes record both numbers.
+        max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         best = float("inf")
-        for attempt in range(3):
+        for attempt in range(max_runs):
             if attempt == 2 and best <= 2.0:
                 break
             t0 = time.perf_counter()

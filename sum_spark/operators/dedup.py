@@ -749,8 +749,13 @@ def dedup_clusters(
     e.unpersist()
     if n_edges <= driver_max_edges:
         # Bounded collect (the threshold caps driver memory like a
-        # broadcast-join threshold caps the build side).
-        labels_map = _cc_union_find((r[0], r[1]) for r in edges.toLocalIterator())
+        # broadcast-join threshold caps the build side). toLocalIterator
+        # runs one job PER PARTITION, and the distinct above left the
+        # session's shuffle partition count — hundreds of scheduler
+        # round-trips for a tiny cached edge list. Compact to a handful
+        # of partitions first (reads the cache, no recompute).
+        compact = edges.coalesce(max(1, n_edges // 250_000 + 1))
+        labels_map = _cc_union_find((r[0], r[1]) for r in compact.toLocalIterator())
         edges.unpersist()
         sizes: dict[int, int] = {}
         for lab in labels_map.values():

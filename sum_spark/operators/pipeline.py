@@ -22,9 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sum_spark.operators import dedup, sampling, textops
 from sum_spark.operators.decontam import decontaminate
+from sum_spark.plans.scale import release_with
 
 
 def prepare_training_data(
@@ -85,15 +87,25 @@ def prepare_training_data(
         ).select("doc_id")
         survivors = survivors.join(picked, "doc_id", "left_semi")
 
+    # The survivor set's lineage now contains the whole dedup (LSH +
+    # connected components) and decontamination; stages 6, 7, and the
+    # final assembly join each scan it. Persist once so those scans hit
+    # a materialized table instead of re-running the dedup per branch —
+    # on a cluster this is where a pipeline would checkpoint to storage.
+    # Lifetime is tied to the returned plan (release_with): dropped after
+    # the caller's action.
+    survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+
     # 6. pack into token budgets (doc_id order — stable across reruns).
     packed = sampling.pack_sequences(survivors, pack_budget)
 
     # 7. deterministic global shuffle for serialization order.
     shuffled = sampling.global_shuffle(survivors, seed=shuffle_seed)
 
-    return (
+    result = (
         survivors.join(packed.select("doc_id", "n_tokens", "pack_id"), "doc_id")
         .join(shuffled, "doc_id")
         .select("doc_id", "text", "source", "n_tokens", "pack_id", "shuffle_pos")
         .orderBy("shuffle_pos")
     )
+    return release_with(result, survivors)

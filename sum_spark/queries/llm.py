@@ -635,10 +635,117 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 2048
 
 
+def _duck_pipeline_leg() -> str:
+    """DuckDB twin of prepare_training_data (operators/pipeline.py) over
+    corpus = documents with doc_id%97!=0, benchmark = the rest — every
+    stage is the same oracle fragment its standalone entry uses:
+    exact dedup (md5 groups), near-dup (exact shingle-Jaccard >= 0.8 +
+    recursive-CTE connected components; the LSH path's exact-verified
+    output equals it), decontamination (shared shingle hash), stratified
+    hash-Bernoulli sampling, pack cumsum, seeded shuffle rank."""
+    from sum_spark.operators.sampling import SAMPLE_MOD
+
+    thr_cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SAMPLE_MOD))}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return f"""
+    corpus AS (
+      SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    s1 AS (SELECT corpus.* FROM corpus JOIN keepers USING (doc_id)),
+    pd AS (SELECT doc_id, string_split(text, ' ') AS w FROM s1),
+    psh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM pd
+    ),
+    psizes AS (SELECT doc_id, COUNT(*) AS n FROM psh GROUP BY doc_id),
+    pcommon AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pp0 AS (
+      SELECT doc_a, doc_b FROM pcommon
+      JOIN psizes na ON na.doc_id = doc_a
+      JOIN psizes nb ON nb.doc_id = doc_b
+      WHERE i / (na.n + nb.n - i) >= 0.8
+    ),
+    pedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pp0
+      UNION ALL SELECT doc_b, doc_a FROM pp0
+    ),
+    preach(node, m) AS (
+      SELECT DISTINCT src, src FROM pedges
+      UNION
+      SELECT e.dst, r.m FROM preach r JOIN pedges e ON e.src = r.node
+    ),
+    plosers AS (
+      SELECT node AS doc_id FROM preach GROUP BY node
+      HAVING node <> MIN(m)
+    ),
+    s2 AS (
+      SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM plosers)
+    ),
+    bw AS (
+      SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0
+    ),
+    bh AS (
+      SELECT DISTINCT {_dh60("s")} AS h FROM (
+        SELECT unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM bw
+      )
+    ),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM s2),
+    ch AS (
+      SELECT doc_id, {_dh60("s")} AS h FROM (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM cw
+      )
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM ch JOIN bh USING (h)),
+    s3 AS (
+      SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    s4 AS (
+      SELECT * FROM (
+        SELECT s3.*,
+               {_dh60("source || ':' || doc_id")} % {SAMPLE_MOD} AS bucket,
+               CASE source {thr_cases} ELSE {SAMPLE_MOD} END AS thr
+        FROM s3
+      ) WHERE bucket < thr
+    ),
+    ptok AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM s4
+    ),
+    pcum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cb
+      FROM ptok
+    ),
+    ppack AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(CAST(cb AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+               AS pack_id
+      FROM pcum
+    ),
+    pshuf AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY {_dh60("'epoch-0:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS BIGINT) AS shuffle_pos
+      FROM s4
+    )
+    SELECT 'pipeline' AS mode, doc_id, n_tokens, pack_id, shuffle_pos
+    FROM ppack JOIN pshuf USING (doc_id)
+    """
+
+
 @query(
     "pack_sequences",
     oracle=f"""
-    WITH t AS (
+    WITH RECURSIVE t AS (
       SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ),
@@ -648,19 +755,50 @@ _PACK_BUDGET = 2048
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
                AS cum_before
       FROM t
-    )
-    SELECT doc_id, n_tokens,
+    ),
+    {_duck_pipeline_leg()}
+    UNION ALL
+    SELECT 'pack' AS mode, doc_id, n_tokens,
            CAST(floor(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
-             AS pack_id
-    FROM c ORDER BY doc_id
+             AS pack_id,
+           CAST(NULL AS BIGINT) AS shuffle_pos
+    FROM c ORDER BY mode, doc_id
     """,
-    doc=f"Sequence packing into {_PACK_BUDGET}-token training examples: "
-    "two-pass global running token sum (range partition + broadcast "
-    "offsets), no single-task window.",
+    doc=f"Tagged pair: 'pack' = sequence packing into {_PACK_BUDGET}-token "
+    "training examples (two-pass global running token sum — range "
+    "partition + broadcast offsets, no single-task window); 'pipeline' = "
+    "the full prepare_training_data composition (exact dedup -> "
+    "MinHash-LSH near-dup clusters -> decontamination -> stratified "
+    "sampling -> packing -> seeded global shuffle) hash-checked "
+    "end-to-end against the composed oracle.",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.pipeline import prepare_training_data
+
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.pack_sequences(docs, _PACK_BUDGET)
+    pack = sampling.pack_sequences(docs, _PACK_BUDGET).select(
+        F.lit("pack").alias("mode"),
+        "doc_id",
+        "n_tokens",
+        "pack_id",
+        F.lit(None).cast("long").alias("shuffle_pos"),
+    )
+    pipe = prepare_training_data(
+        docs.where(F.col("doc_id") % 97 != 0),
+        benchmark=docs.where(F.col("doc_id") % 97 == 0),
+        near_dup_threshold=0.8,
+        rates=_MIX_RATES,
+        default_rate=1.0,
+        pack_budget=_PACK_BUDGET,
+        shuffle_seed="epoch-0",
+    ).select(
+        F.lit("pipeline").alias("mode"),
+        "doc_id",
+        "n_tokens",
+        "pack_id",
+        "shuffle_pos",
+    )
+    return pack.unionAll(pipe).orderBy("mode", "doc_id")
 
 
 @query(

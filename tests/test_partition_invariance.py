@@ -1,0 +1,117 @@
+"""Partition-layout invariance: the property that makes an operator safe
+on a 1000-executor cluster. Every operator whose algorithm touches
+physical partitioning (the two-pass range-partition machinery, hash-based
+sampling, LSH band joins, union-find fast paths) must produce IDENTICAL
+results regardless of how the input happens to be partitioned — layout is
+an executor-count artifact, never a semantic input.
+
+These tests run each operator under two adversarially different layouts
+(a skewed low-partition shape vs a scattered high-partition shape) and
+assert row-for-row equality. A failure here means results would change
+when a cluster scales up — the worst kind of silent corruption.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sum_spark.operators import dedup, sampling
+from sum_spark.operators.pipeline import prepare_training_data
+from sum_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "source"
+    )
+
+
+def _layouts(df):
+    """Two hostile physical layouts of the same data: everything crammed
+    into 1 partition vs scattered across 17 by an unrelated hash key."""
+    return df.coalesce(1), df.repartition(17, F.col("text"))
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _assert_layout_invariant(fn, df, order_cols):
+    a, b = _layouts(df)
+    ra = _rows(fn(a).orderBy(*order_cols))
+    rb = _rows(fn(b).orderBy(*order_cols))
+    assert ra == rb
+    assert len(ra) > 0
+
+
+def test_pack_sequences_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: sampling.pack_sequences(d, 256),
+        _docs(spark, sf_smoke),
+        ["doc_id"],
+    )
+
+
+def test_assign_contiguous_ids_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: sampling.assign_contiguous_ids(d.select("doc_id"), ["doc_id"]),
+        _docs(spark, sf_smoke),
+        ["doc_id"],
+    )
+
+
+def test_global_shuffle_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: sampling.global_shuffle(d, seed="inv-test"),
+        _docs(spark, sf_smoke),
+        ["shuffle_pos"],
+    )
+
+
+def test_sample_stratified_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: sampling.sample_stratified(
+            d, {"src0": 1.0, "src1": 0.5}, default_rate=0.3
+        ),
+        _docs(spark, sf_smoke),
+        ["doc_id"],
+    )
+
+
+def test_dedup_exact_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: dedup.dedup_exact(d),
+        _docs(spark, sf_smoke),
+        ["keep_id"],
+    )
+
+
+def test_dedup_minhash_lsh_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: dedup.dedup_minhash_lsh(d, threshold=0.8),
+        _docs(spark, sf_smoke),
+        ["doc_a", "doc_b"],
+    )
+
+
+def test_dedup_clusters_invariant(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+
+    def run(d):
+        pairs = dedup.dedup_ngram_jaccard(d, threshold=0.8, max_df=None)
+        return dedup.dedup_clusters(pairs)
+
+    _assert_layout_invariant(run, docs, ["doc_id"])
+
+
+def test_prepare_training_data_invariant(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+
+    def run(d):
+        return prepare_training_data(
+            d, benchmark=bench, rates={"src0": 1.0}, default_rate=0.8
+        )
+
+    _assert_layout_invariant(run, corpus, ["doc_id"])
