@@ -86,6 +86,62 @@ def duplicate_ngrams(
     )
 
 
+def duplicated_span_stats(
+    df: DataFrame,
+    dup_grams: DataFrame | None = None,
+    n: int = SHINGLE_N,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span coverage: for each document, the
+    number of its distinct word n-grams and how many of those appear in
+    at least ``min_df`` documents corpus-wide. This is the doc-level
+    signal substring dedup acts on — docs with high n_dup_grams/n_grams
+    are mostly corpus-duplicated boilerplate even when no single whole
+    document matches them (so document-level dedup never fires).
+
+    Pass ``dup_grams`` (a ``duplicate_ngrams`` result, e.g. the stored
+    ingest artifact) to reuse a precomputed duplicated-gram table;
+    otherwise it is derived here from the same shingle scan that
+    computes the per-doc counts (persisted once, released with the
+    result).
+
+    Output: (doc_id, n_grams, n_dup_grams) for every doc with at least
+    one n-gram, ordered by doc_id. Both counts are integers so the
+    result is exactly comparable across engines.
+    """
+    from sum_spark.operators.decontam import _shingle_hashes
+
+    sh = _shingle_hashes(df, n, text_col, id_col)
+    own: tuple[DataFrame, ...] = ()
+    if dup_grams is None:
+        sh = sh.persist()
+        own = (sh,)
+        dup_grams = (
+            sh.groupBy("__h")
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") >= min_df)
+            .select("__h")
+        )
+    else:
+        dup_grams = dup_grams.select(F.col("gram_h").alias("__h"))
+    hits = sh.join(dup_grams, "__h", "left_semi").groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams")
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    out = (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        )
+        .orderBy("doc_id")
+    )
+    return _release_with(out, *own)
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles: array<string> distinct) word-3-shingle sets.
 
@@ -97,8 +153,11 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # A single-file input arrives as ONE partition (a parquet row group is
     # not splittable), which would serialize all downstream hashing on one
     # core; spread_for_compute redistributes only under-partitioned scans
-    # (a wide 100 TB scan passes through untouched).
-    df = spread_for_compute(df, partitioning_col=id_col)
+    # (a wide 100 TB scan passes through untouched). Streaming inputs skip
+    # the guard (no RDD to inspect; micro-batch parallelism comes from the
+    # source) — everything below is a pure projection, streaming-safe.
+    if not df.isStreaming:
+        df = spread_for_compute(df, partitioning_col=id_col)
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
     # Filter on the words count (equivalent to size(shingles) > 0 for
     # SHINGLE_N-shingles): filtering on the shingle array would push the
@@ -255,24 +314,31 @@ def _bands_from_sig(sig: DataFrame) -> DataFrame:
     CPU; no oracle sees band keys (they check the verified pair set)."""
     return sig.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.lit(i),
-                            *[
-                                F.element_at("sig", i * LSH_ROWS + r + 1)
-                                for r in range(LSH_ROWS)
-                            ],
-                        ).alias("key"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(band_struct_array()).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
+
+
+def band_struct_array(sig_col: str = "sig") -> F.Column:
+    """array<struct<band,key>> of LSH band keys over a minhash signature
+    column — the expression _bands_from_sig explodes, exposed so callers
+    that must carry extra columns through the explode (e.g. the streaming
+    ingest path, where a join back to the signature would be
+    stream-stream) can build their own projection."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.xxhash64(
+                    F.lit(i),
+                    *[
+                        F.element_at(sig_col, i * LSH_ROWS + r + 1)
+                        for r in range(LSH_ROWS)
+                    ],
+                ).alias("key"),
+            )
+            for i in range(LSH_BANDS)
+        ]
+    )
 
 
 def _minhash_sig_bands(

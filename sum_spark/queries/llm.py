@@ -537,7 +537,17 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     ),
     e AS (SELECT doc_id, unnest(w) AS word FROM t),
     wc AS (SELECT doc_id, word, COUNT(*) AS c FROM e GROUP BY 1, 2),
-    mx AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY 1)
+    mx AS (SELECT doc_id, MAX(c) AS mx FROM wc GROUP BY 1),
+    gh AS (
+      SELECT doc_id, {duck_hash60("s")} AS h FROM (
+        SELECT doc_id, unnest(list_distinct({duck_word_shingles('w')})) AS s FROM t
+      )
+    ),
+    dupg AS (SELECT h FROM gh GROUP BY h HAVING COUNT(*) >= 2),
+    dn AS (
+      SELECT gh.doc_id, COUNT(*) AS n_dup FROM gh JOIN dupg USING (h)
+      GROUP BY gh.doc_id
+    )
     SELECT b.doc_id, {_LANG_CASE} AS pred_lang, g.g AS hits,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(d AS BIGINT) AS n_distinct,
@@ -550,18 +560,33 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
            CASE WHEN n3 > 0 THEN CAST(n3 - d3 AS DOUBLE) / n3
                 ELSE CAST(0.0 AS DOUBLE) END AS dup_3gram_frac,
            md5(lower(trim(text))) AS fp,
-           {duck_hash60('lower(trim(text))')} AS fp60
-    FROM b JOIN g USING (doc_id) JOIN mx USING (doc_id) ORDER BY b.doc_id
+           {duck_hash60('lower(trim(text))')} AS fp60,
+           CAST(d3 AS BIGINT) AS n_grams,
+           CAST(COALESCE(dn.n_dup, 0) AS BIGINT) AS n_dup_grams
+    FROM b JOIN g USING (doc_id) JOIN mx USING (doc_id)
+    LEFT JOIN dn ON dn.doc_id = b.doc_id
+    ORDER BY b.doc_id
     """,
     doc="Per-document profile (consolidated text_lang_id + text_quality + "
     "text_token_count + text_repetition + text_fingerprint): stopword-"
     "argmax language ID, token statistics, length/stopword quality score, "
-    "Gopher-style repetition signals, and the md5/60-bit fingerprints — "
-    "one scan instead of five (operators/textops.py:text_profile).",
+    "Gopher-style repetition signals, the md5/60-bit fingerprints — one "
+    "scan instead of five (operators/textops.py:text_profile) — plus the "
+    "corpus-wide duplicated-span coverage counts (n_grams, n_dup_grams; "
+    "operators/dedup.duplicated_span_stats, the substring-dedup signal).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return textops.text_profile(docs)
+    prof = textops.text_profile(docs)
+    spans = dedup.duplicated_span_stats(docs)
+    return (
+        prof.join(spans, "doc_id", "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_dup_grams", F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -288,3 +288,21 @@ def test_duplicate_ngrams_counts_and_first_doc(spark):
     # "a b c" is unique to doc 1 -> absent
     solo = spark.range(1).select(hash60(F.lit("a b c")).alias("h")).first()["h"]
     assert solo not in by_hash
+
+
+def test_duplicated_span_stats_counts(spark):
+    rows = [
+        (1, "a b c x y z"),      # grams: "a b c","b c x","c x y","x y z" -> 1 dup
+        (2, "p q r x y z"),      # 4 grams -> 1 dup ("x y z")
+        (3, "x y z m n o"),      # 4 grams -> 1 dup
+        (4, "nothing shared here at all"),  # 3 grams -> 0 dups
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in dedup.duplicated_span_stats(df, n=3).collect()}
+    assert out == {1: (4, 1), 2: (4, 1), 3: (4, 1), 4: (3, 0)}
+    # precomputed dup-gram table path gives the same answer
+    dup = dedup.duplicate_ngrams(df, n=3)
+    out2 = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in dedup.duplicated_span_stats(df, dup_grams=dup, n=3).collect()}
+    assert out2 == out
