@@ -43,23 +43,61 @@ _PAIRS_CTE = """
              SUM(CASE WHEN x > 0 AND y > 0 THEN 1.0 ELSE 0.0 END) AS m11,
              SUM(CASE WHEN (x > 0) <> (y > 0) THEN 1.0 ELSE 0.0 END) AS m10
       FROM ex GROUP BY vec_id
+    ),
+    exr AS (
+      SELECT vec_id, unnest(list_slice(e1, 9, 24)) AS x,
+             unnest(list_slice(e2, 9, 24)) AS y
+      FROM pairs WHERE e2 IS NOT NULL
+    ),
+    sums_r AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             SUM(CASE WHEN x > 0 AND y > 0 THEN 1.0 ELSE 0.0 END) AS m11,
+             SUM(CASE WHEN (x > 0) <> (y > 0) THEN 1.0 ELSE 0.0 END) AS m10
+      FROM exr GROUP BY vec_id
+    ),
+    exs AS (
+      SELECT vec_id, unnest(list_slice(e1, 1, 16)) AS x,
+             unnest(list_slice(e2, 1, 16)) AS y
+      FROM pairs WHERE e2 IS NOT NULL
+    ),
+    sums_s AS (
+      SELECT vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM exs GROUP BY vec_id
     )
-    SELECT vec_id, ROUND(d, 4) AS dp, ROUND(na, 4) AS mag_a,
-           ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS cos_sim,
-           ROUND(CASE WHEN m11 + m10 = 0 THEN 0.0 ELSE m11 / (m11 + m10) END, 4) AS jac
-    FROM sums ORDER BY vec_id
+    SELECT s.vec_id, ROUND(s.d, 4) AS dp, ROUND(s.na, 4) AS mag_a,
+           ROUND(CASE WHEN s.na * s.nb = 0 THEN 0.0
+                 ELSE s.d / (s.na * s.nb) END, 4) AS cos_sim,
+           ROUND(CASE WHEN s.m11 + s.m10 = 0 THEN 0.0
+                 ELSE s.m11 / (s.m11 + s.m10) END, 4) AS jac,
+           ROUND(r.d, 4) AS dp_r,
+           ROUND(CASE WHEN ss.na * ss.nb = 0 THEN 0.0
+                 ELSE ss.d / (ss.na * ss.nb) END, 4) AS cos_sub,
+           ROUND(CASE WHEN r.m11 + r.m10 = 0 THEN 0.0
+                 ELSE r.m11 / (r.m11 + r.m10) END, 4) AS jac_r
+    FROM sums s JOIN sums_r r ON r.vec_id = s.vec_id
+    JOIN sums_s ss ON ss.vec_id = s.vec_id
+    ORDER BY s.vec_id
     """,
     doc="Full kernel battery over consecutive embedding pairs (consolidated "
     "q24a_vector_kernels + q24b_jaccard): dot / magnitude / cosine "
     "(zero-denominator -> 0.0 rule, /root/reference/node/wrapper/"
     "record.go:96-103) plus binary Jaccard m11/(m11+m10) on the "
-    "sign-binarized pair (record.go:129-147). Sequential-pair semantics "
-    "run through plans.scale.range_partitioned_lead — LEAD over a "
-    "range-partitioned order with boundary stitching, never the "
-    "single-task empty-partitionBy window (plan guarded against "
-    "Exchange SinglePartition in tests/test_plans.py).",
+    "sign-binarized pair (record.go:129-147), plus the windowed kernels — "
+    "DotRange over [8,24) (record.go:78-84), CosineSub over the first 16 "
+    "elements (record.go:105-115), JaccardRange over [8,24) "
+    "(record.go:149-168) — so every §2.A kernel variant is driver-checked. "
+    "Sequential-pair semantics run through "
+    "plans.scale.range_partitioned_lead — LEAD over a range-partitioned "
+    "order with boundary stitching, never the single-task "
+    "empty-partitionBy window (plan guarded against Exchange "
+    "SinglePartition in tests/test_plans.py).",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.functions.vector import cosine_sub, dot_range, jaccard_range
     from sum_spark.plans.scale import range_partitioned_lead
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -80,6 +118,11 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(magnitude("e1"), 4).alias("mag_a"),
         F.round(cosine("e1", "e2"), 4).alias("cos_sim"),
         F.round(jaccard(binarize("e1"), binarize("e2")), 4).alias("jac"),
+        F.round(dot_range("e1", "e2", 8, 24), 4).alias("dp_r"),
+        F.round(cosine_sub("e1", "e2", 16), 4).alias("cos_sub"),
+        F.round(
+            jaccard_range(binarize("e1"), binarize("e2"), 8, 24), 4
+        ).alias("jac_r"),
     ).orderBy("vec_id")
 
 

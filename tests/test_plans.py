@@ -142,3 +142,48 @@ def test_vector_kernels_no_single_partition_window(spark, sf_smoke):
     row through one Exchange SinglePartition)."""
     p = plan_of(spark, sf_smoke, "q24_vector_kernels")
     assert "SinglePartition" not in p
+
+
+def test_duplicate_ngrams_single_hash_pass_no_cartesian(spark, sf_smoke):
+    """The gram inventory is one explode + one hash-partitioned groupBy:
+    the portable 60-bit hash (md5-based) must be computed once per
+    shingle, and no join in the plan may degenerate to a cartesian."""
+    from sum_spark.operators import dedup
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = dedup.duplicate_ngrams(docs)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # one md5 per shingle: the hash must appear in a bounded number of
+    # projections (scan-side + possibly a partial-agg re-reference), not
+    # once per downstream consumer.
+    assert p.lower().count("md5(") <= 4
+
+
+def test_pipeline_no_cartesian_and_broadcasts(spark, sf_smoke):
+    """prepare_training_data composes six operators into one plan chain:
+    nothing in the composition may introduce a cartesian product, and the
+    small sides (keeper sets, contamination lists, sampled ids) must come
+    in as broadcast joins, not shuffles of the corpus."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.pipeline import prepare_training_data
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = prepare_training_data(
+        docs.where(F.col("doc_id") % 97 != 0),
+        benchmark=docs.where(F.col("doc_id") % 97 == 0),
+        rates={"src0": 1.0},
+        default_rate=0.9,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
