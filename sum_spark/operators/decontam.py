@@ -44,21 +44,34 @@ def _shingle_hashes(
 
 
 def decontaminate(
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     benchmark: DataFrame,
     n: int = SHINGLE_N,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Contamination report: corpus documents sharing at least one word
     n-gram with any benchmark document, with the count of distinct
     overlapping n-grams. Downstream removal is an anti-join of the
     corpus against these doc_ids.
 
+    Pass ``corpus_hashes`` — (doc_id, __h) rows of per-doc DISTINCT
+    shingle hashes, e.g. ``minhash_signatures``'s ``hh`` column exploded
+    — to reuse hashes already computed for dedup instead of re-scanning
+    corpus text (``corpus`` may then be None). The benchmark side is
+    tiny and is always hashed here.
+
     Output: (doc_id, n_hits) ordered by doc_id.
     """
+    if corpus is None and corpus_hashes is None:
+        raise ValueError("decontaminate needs corpus or corpus_hashes")
     bench = _shingle_hashes(benchmark, n, text_col, None).distinct()
-    corp = _shingle_hashes(corpus, n, text_col, id_col)
+    corp = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else _shingle_hashes(corpus, n, text_col, id_col)
+    )
     return (
         corp.join(F.broadcast(bench), "__h")
         .groupBy("doc_id")

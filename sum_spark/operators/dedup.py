@@ -433,7 +433,19 @@ def dedup_minhash_lsh(
     the exact all-pairs result, which is what the oracle checks.
     At 100 TB only steps 3-4 shuffle, and only on O(#near-dup) rows.
     """
-    sig, bands = _minhash_sig_bands(df, text_col, id_col)
+    sig = minhash_signatures(df, text_col, id_col).persist()
+    out = minhash_lsh_from_sig(sig, threshold)
+    return _release_with(out, sig)
+
+
+def minhash_lsh_from_sig(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The band-join + exact-verify tail of dedup_minhash_lsh over an
+    existing ``minhash_signatures`` table (caller-persisted: the band
+    join's two branches and the verify stage all read it). Lets a caller
+    that already holds signatures — the stored ingest artifact, or a
+    pipeline stage that needs the shingle hashes for other work too —
+    run near-dup detection without re-scanning text."""
+    bands = _bands_from_sig(sig)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
     cand = (
@@ -442,10 +454,9 @@ def dedup_minhash_lsh(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    out = _exact_jaccard_pairs(
+    return _exact_jaccard_pairs(
         cand, sig.select("doc_id", "hh"), threshold, feat_col="hh"
     )
-    return _release_with(out, sig)
 
 
 def simhash(hashes) -> F.Column:

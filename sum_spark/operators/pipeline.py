@@ -61,16 +61,30 @@ def prepare_training_data(
     keepers = dedup.dedup_exact(base).select(F.col("keep_id").alias("doc_id"))
     survivors = base.join(keepers, "doc_id", "left_semi")
 
+    # ONE text-processing pass for stages 2 and 3: the MinHash signature
+    # table's hh column is each doc's distinct shingle hash60s — exactly
+    # what decontamination needs — so the corpus is shingled and hashed
+    # once, not once per stage (at 100 TB the text scan is the cost that
+    # matters; everything downstream reads the persisted signatures).
+    sig = dedup.minhash_signatures(survivors, "text", "doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
     # 2. near-dup dedup: LSH pairs over the exact-deduped corpus, cluster,
     #    drop every member that is not its cluster's keeper.
-    pairs = dedup.dedup_minhash_lsh(survivors, threshold=near_dup_threshold)
+    pairs = dedup.minhash_lsh_from_sig(sig, threshold=near_dup_threshold)
     clusters = dedup.dedup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     survivors = survivors.join(losers, "doc_id", "left_anti")
 
-    # 3. decontamination against the benchmark's shingles.
+    # 3. decontamination against the benchmark's shingles. The corpus
+    #    side reuses the signature hashes; contaminated near-dup losers
+    #    in the report are harmless (already removed above).
     if benchmark is not None:
-        contaminated = decontaminate(survivors, benchmark).select("doc_id")
+        corpus_hashes = sig.select("doc_id", F.explode("hh").alias("__h"))
+        contaminated = decontaminate(
+            None, benchmark, corpus_hashes=corpus_hashes
+        ).select("doc_id")
         survivors = survivors.join(contaminated, "doc_id", "left_anti")
 
     # 4. quality floor.
@@ -108,4 +122,4 @@ def prepare_training_data(
         .select("doc_id", "text", "source", "n_tokens", "pack_id", "shuffle_pos")
         .orderBy("shuffle_pos")
     )
-    return release_with(result, survivors)
+    return release_with(result, survivors, sig)
