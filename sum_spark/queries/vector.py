@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sum_spark.functions.vector import cosine, dot, jaccard, magnitude
+from sum_spark.functions.vector import cosine, dot, jaccard, magnitude, vec_equal, vec_get
 from sum_spark.operators.similarity import find_similar
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
@@ -77,9 +77,12 @@ _PAIRS_CTE = """
            ROUND(CASE WHEN ss.na * ss.nb = 0 THEN 0.0
                  ELSE ss.d / (ss.na * ss.nb) END, 4) AS cos_sub,
            ROUND(CASE WHEN r.m11 + r.m10 = 0 THEN 0.0
-                 ELSE r.m11 / (r.m11 + r.m10) END, 4) AS jac_r
+                 ELSE r.m11 / (r.m11 + r.m10) END, 4) AS jac_r,
+           p.e1 = p.e2 AS eq,
+           ROUND(CAST(p.e1[9] AS DOUBLE), 4) AS g8
     FROM sums s JOIN sums_r r ON r.vec_id = s.vec_id
     JOIN sums_s ss ON ss.vec_id = s.vec_id
+    JOIN pairs p ON p.vec_id = s.vec_id
     ORDER BY s.vec_id
     """,
     doc="Full kernel battery over consecutive embedding pairs (consolidated "
@@ -89,7 +92,9 @@ _PAIRS_CTE = """
     "sign-binarized pair (record.go:129-147), plus the windowed kernels — "
     "DotRange over [8,24) (record.go:78-84), CosineSub over the first 16 "
     "elements (record.go:105-115), JaccardRange over [8,24) "
-    "(record.go:149-168) — so every §2.A kernel variant is driver-checked. "
+    "(record.go:149-168), Equal (record.go:68-71), and Get "
+    "(record.go:57-60, NULL instead of panic out-of-range) — so every "
+    "pair-applicable §2.A kernel is driver-checked. "
     "Sequential-pair semantics run through "
     "plans.scale.range_partitioned_lead — LEAD over a range-partitioned "
     "order with boundary stitching, never the single-task "
@@ -123,6 +128,8 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             jaccard_range(binarize("e1"), binarize("e2"), 8, 24), 4
         ).alias("jac_r"),
+        vec_equal("e1", "e2").alias("eq"),
+        F.round(vec_get("e1", 8).cast("double"), 4).alias("g8"),
     ).orderBy("vec_id")
 
 
