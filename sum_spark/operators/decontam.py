@@ -60,7 +60,10 @@ def decontaminate(
     shingle hashes, e.g. ``minhash_signatures``'s ``hh`` column exploded
     — to reuse hashes already computed for dedup instead of re-scanning
     corpus text (``corpus`` may then be None). The benchmark side is
-    tiny and is always hashed here.
+    tiny and is always hashed here. HARD PRECONDITION: the supplied
+    hashes must have been built at the SAME shingle width as ``n`` —
+    widths are not validated, and a mismatch silently produces a
+    near-empty contamination report (the equi-join finds no overlaps).
 
     Output: (doc_id, n_hits) ordered by doc_id.
     """

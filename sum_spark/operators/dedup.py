@@ -105,7 +105,9 @@ def duplicated_span_stats(
     ingest artifact) to reuse a precomputed duplicated-gram table;
     otherwise it is derived here from the same shingle scan that
     computes the per-doc counts (persisted once, released with the
-    result).
+    result). HARD PRECONDITION: a supplied table must have been built
+    with the SAME ``n`` (and the intended ``min_df``) — widths are not
+    validated, and a mismatch silently reports zero duplicated grams.
 
     Output: (doc_id, n_grams, n_dup_grams) for every doc with at least
     one n-gram, ordered by doc_id. Both counts are integers so the
@@ -113,11 +115,12 @@ def duplicated_span_stats(
     """
     from sum_spark.operators.decontam import _shingle_hashes
 
-    sh = _shingle_hashes(df, n, text_col, id_col)
-    own: tuple[DataFrame, ...] = ()
+    # Persisted in BOTH paths: the hits and totals branches below each
+    # read the shingle scan, and with a caller-supplied dup_grams the
+    # derive branch disappears but the two consumers remain.
+    sh = _shingle_hashes(df, n, text_col, id_col).persist()
+    own: tuple[DataFrame, ...] = (sh,)
     if dup_grams is None:
-        sh = sh.persist()
-        own = (sh,)
         dup_grams = (
             sh.groupBy("__h")
             .agg(F.count("*").alias("n_docs"))

@@ -33,9 +33,24 @@ def release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie the lifetime of persisted intermediates to the returned plan:
     a weakref finalizer unpersists them when the caller drops the result
     (after its action — exactly when the cache stops being useful), so a
-    long query-server session never accumulates stale cached tables."""
+    long query-server session never accumulates stale cached tables.
+
+    The finalizer lives on THIS object: a caller that derives a new frame
+    (``.select()``, a join) and drops the original releases the caches
+    before the derived plan ever runs — use ``carry_caches`` to move the
+    lifetime onto the derived frame."""
     weakref.finalize(result, _unpersist_quietly, cached)
     return result
+
+
+def carry_caches(derived: DataFrame, source: DataFrame) -> DataFrame:
+    """Keep ``source`` (and therefore any release_with finalizer attached
+    to it) alive for as long as the derived frame is: a query function
+    that returns ``op(...).select(...)`` would otherwise drop the only
+    reference to the finalized object at return, unpersisting the very
+    intermediates the derived plan still reads."""
+    derived._sum_spark_cache_keepalive = source  # strong ref, GC'd together
+    return derived
 
 
 def salted_join(

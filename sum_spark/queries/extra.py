@@ -233,9 +233,12 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="approx_count_distinct (HLL++) — the declared perf variant of Q13. "
     "The sketch value itself is engine-specific, so the CHECKED claim is "
-    "its accuracy: acd_ok asserts the HLL estimate is within 2% of the "
+    "its accuracy: acd_ok asserts the HLL estimate is within 5% of the "
     "exact COUNT(DISTINCT), which the oracle emits as ground truth "
-    "(VERDICT r3 #2).",
+    "(VERDICT r3 #2). The sketch targets rsd=0.01, but rsd is a standard "
+    "deviation, not a bound — 5% (5 sigma) keeps the gate meaningful "
+    "without failing the suite on an unlucky-but-in-spec sketch after a "
+    "Spark HLL++ implementation change or at a different scale factor.",
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
@@ -247,7 +250,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ok = (
-        F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.02)
+        F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.05)
     ).alias("acd_ok")
     return agg.select("o_orderpriority", "cd", ok).orderBy("o_orderpriority")
 

@@ -22,6 +22,7 @@ from sum_spark.functions.text import (
     duck_word_shingles,
 )
 from sum_spark.operators import dedup, embeddings, sampling, textops
+from sum_spark.plans.scale import carry_caches
 from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
 from sum_spark.queries.base import query
@@ -579,7 +580,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     prof = textops.text_profile(docs)
     spans = dedup.duplicated_span_stats(docs)
-    return (
+    out = (
         prof.join(spans, "doc_id", "left")
         .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
         .withColumn(
@@ -587,6 +588,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    # spans carries the persisted shingle table's release finalizer; the
+    # joined frame must keep it alive until execution.
+    return carry_caches(out, spans)
 
 
 @query(
@@ -838,7 +842,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_id",
         F.lit(None).cast("long").alias("shuffle_pos"),
     )
-    pipe = prepare_training_data(
+    pipe_full = prepare_training_data(
         docs.where(F.col("doc_id") % 97 != 0),
         benchmark=docs.where(F.col("doc_id") % 97 == 0),
         near_dup_threshold=0.8,
@@ -846,14 +850,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=1.0,
         pack_budget=_PACK_BUDGET,
         shuffle_seed="epoch-0",
-    ).select(
+    )
+    pipe = pipe_full.select(
         F.lit("pipeline").alias("mode"),
         "doc_id",
         "n_tokens",
         "pack_id",
         "shuffle_pos",
     )
-    return pack.unionAll(pipe).orderBy("mode", "doc_id")
+    # The derived union must keep pipe_full (and its release_with
+    # finalizer) alive until the harness executes it, or the pipeline's
+    # persisted signature/survivor caches unpersist before first use.
+    return carry_caches(
+        pack.unionAll(pipe).orderBy("mode", "doc_id"), pipe_full
+    )
 
 
 @query(

@@ -75,16 +75,15 @@ def streaming_near_dups(
         F.col("hh").alias("__sa"),
         F.explode(band_struct_array()).alias("bk"),
     ).select("new_id", "__sa", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    bands_c = (
-        _bands_from_sig(corpus_sig)
-        .join(corpus_sig.select("doc_id", "hh"), "doc_id")
-        .select(
-            F.col("doc_id").alias("corpus_id"),
-            F.col("hh").alias("__sb"),
-            "band",
-            "key",
-        )
-    )
+    # Same single-projection shape on the static side: the stream-static
+    # join re-evaluates the static subplan per micro-batch, so a
+    # bands-join-signatures self-join would scan the signature table
+    # twice per batch.
+    bands_c = corpus_sig.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("hh").alias("__sb"),
+        F.explode(band_struct_array()).alias("bk"),
+    ).select("corpus_id", "__sb", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     j = (
         F.size(F.array_intersect("__sa", "__sb")).cast("double")
         / F.size(F.array_union("__sa", "__sb")).cast("double")
