@@ -62,3 +62,89 @@ def quantize_int8(
         F.array_join(F.transform("__q", lambda x: x.cast("string")), ",").alias("q_str"),
         err.alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+def l2_normalize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Unit-norm embeddings (the preprocessing step before cosine-based
+    ANN: normalized once, every downstream similarity is a plain dot).
+    Zero vectors normalize to zeros, norm 0 — same convention as the
+    cosine kernel's zero rule.
+
+    Map-side column work only. The norm is staged in its own projection;
+    it is referenced inside the per-element lambda, and (as with
+    quantize_int8's amax) re-evaluating an O(d) aggregate per element is
+    acceptable at d=64 while the projection boundary keeps the
+    expressions shallow.
+
+    Output: (vec_id, norm, unit: array<double>) ordered.
+    """
+    staged = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    n = F.sqrt(
+        F.aggregate(
+            F.transform("__v", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    a = staged.select("vec_id", "__v", n.alias("__n"))
+    unit = F.when(
+        F.col("__n") > 0, F.transform("__v", lambda x: x / F.col("__n"))
+    ).otherwise(F.transform("__v", lambda x: F.lit(0.0)))
+    return a.select(
+        "vec_id", F.col("__n").alias("norm"), unit.alias("unit")
+    ).orderBy("vec_id")
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    fixed_point: int | None = None,
+) -> DataFrame:
+    """Group-wise mean embedding — chunk->document or document->class
+    pooling. Distributed shape: posexplode to (group, pos, val), ONE
+    hash-partitioned aggregate on (group, pos), then per-group sorted
+    re-assembly; no fixed-dimension literals, no single-task operator.
+
+    Float caveat, and why ``fixed_point`` exists: summing doubles ACROSS
+    rows happens in partition order, which is not deterministic — the
+    same corpus on a different executor layout can differ in the last
+    mantissa bit. ``fixed_point=k`` first quantizes every value to
+    integer units of 10^-k (floor(x*10^k + 0.5) — the portable midpoint
+    rule) and sums exactly: bit-reproducible on any cluster layout and
+    across engines, which is what a training pipeline should store.
+
+    Output: (group, n_vecs, pooled array<double>) — or with fixed_point,
+    (group, n_vecs, pooled_fp array<bigint>) carrying the integer SUMS
+    in 10^-k units (divide by n_vecs downstream; the division is left to
+    the consumer so the stored artifact stays integer-exact).
+    """
+    ex = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+    )
+    if fixed_point is not None:
+        unit = 10**fixed_point
+        v = F.floor(F.col("val") * unit + F.lit(0.5)).cast("long")
+        per = ex.groupBy("group", "pos").agg(
+            F.sum(v).alias("m"), F.count("*").alias("c")
+        )
+    else:
+        per = ex.groupBy("group", "pos").agg(
+            F.avg("val").alias("m"), F.count("*").alias("c")
+        )
+    out_col = "pooled_fp" if fixed_point is not None else "pooled"
+    return (
+        per.groupBy("group")
+        .agg(
+            F.max("c").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias(out_col),
+        )
+        .orderBy("group")
+    )

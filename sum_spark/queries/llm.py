@@ -474,7 +474,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_quantize",
     oracle="""
     WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
       FROM embeddings
     ),
     a AS (
@@ -486,19 +486,89 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN list_transform(vv, x -> CAST(floor(x * 127 / amax + CAST(0.5 AS DOUBLE)) AS INT))
                   ELSE list_transform(vv, x -> 0) END AS qq
       FROM a
+    ),
+    nrm AS (
+      SELECT vec_id, vv,
+             sqrt(list_sum(list_transform(vv, x -> x * x))) AS n
+      FROM v
+    ),
+    pex AS (
+      SELECT label, unnest(vv) AS val,
+             unnest(range(1, len(vv) + 1)) AS pos
+      FROM v
+    ),
+    pagg AS (
+      SELECT label, pos,
+             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
+             COUNT(*) AS c
+      FROM pex GROUP BY label, pos
     )
-    SELECT vec_id, amax / 127 AS scale,
+    SELECT 'quant' AS mode, vec_id, amax / 127 AS scale,
            array_to_string(qq, ',') AS q_str,
            list_max(list_transform(range(1, len(vv) + 1),
-                    i -> abs(vv[i] - qq[i] * (amax / 127)))) AS max_abs_err
-    FROM q ORDER BY vec_id
+                    i -> abs(vv[i] - qq[i] * (amax / 127)))) AS max_abs_err,
+           CAST(NULL AS BIGINT) AS n_vecs
+    FROM q
+    UNION ALL
+    SELECT 'norm', vec_id, ROUND(n, 4),
+           array_to_string(list_transform(vv, x -> CAST(floor(
+             (CASE WHEN n > 0 THEN x / n ELSE 0.0 END) * 10000
+             + CAST(0.5 AS DOUBLE)) AS BIGINT)), ','),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM nrm
+    UNION ALL
+    SELECT 'pool', CAST(label AS BIGINT), CAST(NULL AS DOUBLE),
+           array_to_string(list(m ORDER BY pos), ','),
+           CAST(NULL AS DOUBLE), MAX(c)
+    FROM pagg GROUP BY label
+    ORDER BY mode, vec_id
     """,
-    doc="Symmetric int8 scalar quantization of embeddings (floor(x+0.5) "
-    "midpoint rule — portable across engines), with dequant error bound.",
+    doc="Embedding-preparation battery, tagged: 'quant' = symmetric int8 "
+    "scalar quantization (floor(x+0.5) midpoint rule — portable across "
+    "engines) with dequant error bound; 'norm' = L2 normalization (norm + "
+    "unit vector in exact 1e-4 fixed point; zero vector -> zeros); "
+    "'pool' = per-label mean pooling in deterministic 1e-6 fixed-point "
+    "integer sums (cross-row double summation is partition-order-"
+    "dependent — the integer form is bit-reproducible on any cluster "
+    "layout, which is what a training pipeline stores).",
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embeddings.quantize_int8(emb)
+    quant = embeddings.quantize_int8(emb).select(
+        F.lit("quant").alias("mode"),
+        "vec_id",
+        "scale",
+        "q_str",
+        "max_abs_err",
+        F.lit(None).cast("long").alias("n_vecs"),
+    )
+    norm = embeddings.l2_normalize(emb).select(
+        F.lit("norm").alias("mode"),
+        "vec_id",
+        F.round("norm", 4).alias("scale"),
+        F.array_join(
+            F.transform(
+                "unit",
+                lambda u: F.floor(u * 10000 + F.lit(0.5)).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("q_str"),
+        F.lit(None).cast("double").alias("max_abs_err"),
+        F.lit(None).cast("long").alias("n_vecs"),
+    )
+    pool = embeddings.mean_pool(emb, "label", "embedding", fixed_point=6).select(
+        F.lit("pool").alias("mode"),
+        F.col("group").cast("long").alias("vec_id"),
+        F.lit(None).cast("double").alias("scale"),
+        F.array_join(
+            F.transform("pooled_fp", lambda m: m.cast("string")), ","
+        ).alias("q_str"),
+        F.lit(None).cast("double").alias("max_abs_err"),
+        "n_vecs",
+    )
+    return (
+        quant.unionByName(norm).unionByName(pool).orderBy("mode", "vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------

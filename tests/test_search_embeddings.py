@@ -221,3 +221,47 @@ def test_global_shuffle_permutation_and_seed(spark):
     assert [r["doc_id"] for r in a] != [r["doc_id"] for r in b]
     # and not the identity order
     assert [r["doc_id"] for r in a] != list(range(1, 101))
+
+
+def test_l2_normalize_unit_norm_and_zero_rule(spark):
+    from sum_spark.operators.embeddings import l2_normalize
+
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in l2_normalize(df).collect()}
+    assert abs(out[1]["norm"] - 5.0) < 1e-12
+    assert [round(x, 6) for x in out[1]["unit"]] == [0.6, 0.8]
+    assert out[2]["norm"] == 0.0 and out[2]["unit"] == [0.0, 0.0]
+    assert out[3]["unit"] == [1.0, 0.0]
+
+
+def test_mean_pool_values_and_fixed_point_layout_invariance(spark):
+    from sum_spark.operators.embeddings import mean_pool
+
+    rows = [
+        (1, 0, [1.0, 2.0]),
+        (2, 0, [3.0, 6.0]),
+        (3, 1, [10.0, 20.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    pooled = {r["group"]: r for r in mean_pool(df).collect()}
+    assert pooled[0]["n_vecs"] == 2 and pooled[0]["pooled"] == [2.0, 4.0]
+    assert pooled[1]["pooled"] == [10.0, 20.0]
+
+    # fixed-point mode: integer micro-unit SUMS, identical under
+    # adversarially different partition layouts (the double path cannot
+    # guarantee this across layouts; the integer path must).
+    fp_a = [
+        tuple(r)
+        for r in mean_pool(df.coalesce(1), fixed_point=6).orderBy("group").collect()
+    ]
+    fp_b = [
+        tuple(r)
+        for r in mean_pool(df.repartition(7, "vec_id"), fixed_point=6)
+        .orderBy("group")
+        .collect()
+    ]
+    assert fp_a == fp_b
+    assert fp_a[0][2] == [4_000_000, 8_000_000]  # sums of 1e-6 units
