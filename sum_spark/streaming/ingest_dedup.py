@@ -56,6 +56,7 @@ def streaming_near_dups(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Near-dups of a streaming document batch against a STATIC corpus
     signature table (``minhash_signatures`` output, typically read back
@@ -64,6 +65,13 @@ def streaming_near_dups(
     Returns a streaming DataFrame of (new_id, corpus_id, jaccard) —
     exactly ``dedup_incremental``'s surface, so the batch and streaming
     paths are interchangeable downstream.
+
+    ``state_ttl`` (e.g. ``"1 hour"``) bounds the pair-dedup state with a
+    processing-time watermark (dropDuplicatesWithinWatermark): a pair
+    re-emitted only after the TTL can appear twice, which an idempotent
+    sink absorbs — the standard trade for bounded state on an unbounded
+    stream. With None (default) the state is the exact emitted-pair set
+    (proportional to detected near-dups, not stream volume).
     """
     t = float(threshold)
     sig_n = minhash_signatures(doc_stream, text_col, id_col)
@@ -88,10 +96,17 @@ def streaming_near_dups(
         F.size(F.array_intersect("__sa", "__sb")).cast("double")
         / F.size(F.array_union("__sa", "__sb")).cast("double")
     )
-    return (
+    pairs = (
         bands_n.join(bands_c, ["band", "key"])
         .select("new_id", "corpus_id", j.alias("__j"))
         .where(F.col("__j") >= t)
         .select("new_id", "corpus_id", F.round("__j", 4).alias("jaccard"))
-        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if state_ttl is None:
+        return pairs.dropDuplicates(["new_id", "corpus_id"])
+    return (
+        pairs.withColumn("__seen", F.current_timestamp())
+        .withWatermark("__seen", state_ttl)
+        .dropDuplicatesWithinWatermark(["new_id", "corpus_id"])
+        .drop("__seen")
     )

@@ -80,3 +80,31 @@ def test_streaming_uses_stored_signature_table(spark, corpus, tmp_path):
     )
     pairs = {(r["new_id"], r["corpus_id"]) for r in out.collect()}
     assert (201, 1) in pairs
+
+
+def test_streaming_state_ttl_same_single_batch_result(spark, corpus, tmp_path):
+    """Within one micro-batch the TTL-bounded variant must emit exactly
+    the unbounded variant's pairs (the trade-off only appears on pair
+    re-emission after the watermark)."""
+    new_df = spark.createDataFrame(
+        [(301, BASE), (302, "unrelated fresh words " * 5)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "drops3")
+    new_df.coalesce(1).write.parquet(path)
+    sig = dedup.minhash_signatures(corpus)
+
+    exact = run_to_memory(
+        streaming_near_dups(read_document_stream(spark, path), sig),
+        "ingest_ttl_a",
+        output_mode="append",
+    )
+    ttl = run_to_memory(
+        streaming_near_dups(
+            read_document_stream(spark, path), sig, state_ttl="1 hour"
+        ),
+        "ingest_ttl_b",
+        output_mode="append",
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ttl.collect()))
+    assert exact.count() > 0
