@@ -202,7 +202,13 @@ def pack_sequences(
     d = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+            # NULL text packs as 0 tokens: packing must assign EVERY input
+            # row a pack (a NULL pack_id would silently drop the doc from
+            # pack-grouped training assembly); a no-token doc rides along
+            # in whatever pack the budget is currently filling.
+            F.coalesce(
+                F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
+            ).alias("n_tokens"),
         )
         .repartitionByRange(n, F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())

@@ -111,6 +111,11 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     language ID (argmax stopword hits), token statistics, quality score,
     repetition signals, and the md5/60-bit fingerprints.
 
+    Contract: documents with NULL text are EXCLUDED from the profile
+    (they carry no text signal and every ratio would be NULL); callers
+    joining the profile back to the corpus should left-join, or filter
+    NULL text upstream as a hygiene stage.
+
     Composition of lang_id + token_count + quality_score +
     repetition_stats + fingerprint semantics in a single pass: the token
     array is staged once and every column derives from it (CollapseProject
