@@ -74,15 +74,23 @@ def duplicate_ngrams(
     """
     from sum_spark.operators.decontam import _shingle_hashes
 
-    # _shingle_hashes emits each document's DISTINCT shingles, so a plain
-    # count(*) below is already a distinct-document count.
     sh = _shingle_hashes(df, n, text_col, id_col)
+    return (
+        _dup_grams_from_hashes(sh, min_df)
+        .select(F.col("__h").alias("gram_h"), "first_doc", "n_docs")
+        .orderBy("gram_h")
+    )
+
+
+def _dup_grams_from_hashes(sh: DataFrame, min_df: int) -> DataFrame:
+    """(__h, first_doc, n_docs) of grams in >= min_df docs, from a
+    (doc_id, __h) per-doc-distinct shingle-hash table. _shingle_hashes
+    emits each document's DISTINCT shingles, so the plain count(*) is
+    already a distinct-document count."""
     return (
         sh.groupBy("__h")
         .agg(F.min("doc_id").alias("first_doc"), F.count("*").alias("n_docs"))
         .where(F.col("n_docs") >= min_df)
-        .select(F.col("__h").alias("gram_h"), "first_doc", "n_docs")
-        .orderBy("gram_h")
     )
 
 
@@ -115,34 +123,26 @@ def duplicated_span_stats(
     """
     from sum_spark.operators.decontam import _shingle_hashes
 
-    # Persisted in BOTH paths: the hits and totals branches below each
-    # read the shingle scan, and with a caller-supplied dup_grams the
-    # derive branch disappears but the two consumers remain.
+    # Persisted in BOTH paths: the gram derivation (when needed) and the
+    # counting aggregate below each read the shingle scan.
     sh = _shingle_hashes(df, n, text_col, id_col).persist()
-    own: tuple[DataFrame, ...] = (sh,)
     if dup_grams is None:
-        dup_grams = (
-            sh.groupBy("__h")
-            .agg(F.count("*").alias("n_docs"))
-            .where(F.col("n_docs") >= min_df)
-            .select("__h")
-        )
+        dup_grams = _dup_grams_from_hashes(sh, min_df).select("__h")
     else:
         dup_grams = dup_grams.select(F.col("gram_h").alias("__h"))
-    hits = sh.join(dup_grams, "__h", "left_semi").groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_grams")
-    )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # ONE aggregation pass: left-join the (small) duplicated-gram set as
+    # a marker and count rows vs marked rows per doc — no second agg, no
+    # per-doc re-join.
+    marked = sh.join(dup_grams.withColumn("__dup", F.lit(1)), "__h", "left")
     out = (
-        totals.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("__dup").alias("n_dup_grams"),
         )
         .orderBy("doc_id")
     )
-    return _release_with(out, *own)
+    return _release_with(out, sh)
 
 
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -156,11 +156,9 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     # A single-file input arrives as ONE partition (a parquet row group is
     # not splittable), which would serialize all downstream hashing on one
     # core; spread_for_compute redistributes only under-partitioned scans
-    # (a wide 100 TB scan passes through untouched). Streaming inputs skip
-    # the guard (no RDD to inspect; micro-batch parallelism comes from the
-    # source) — everything below is a pure projection, streaming-safe.
-    if not df.isStreaming:
-        df = spread_for_compute(df, partitioning_col=id_col)
+    # (a wide 100 TB scan passes through untouched; streaming inputs pass
+    # through — everything below is a pure projection, streaming-safe).
+    df = spread_for_compute(df, partitioning_col=id_col)
     words = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__words"))
     # Filter on the words count (equivalent to size(shingles) > 0 for
     # SHINGLE_N-shingles): filtering on the shingle array would push the

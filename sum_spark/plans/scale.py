@@ -198,7 +198,13 @@ def spread_for_compute(df: DataFrame, partitioning_col: str | None = None) -> Da
     would shuffle the whole corpus for nothing). The guard compares the
     scan's split count against the session's parallelism, so this is a
     no-op exactly when the input is already wide enough.
+
+    Streaming inputs pass through untouched (there is no RDD to inspect;
+    micro-batch parallelism comes from the source), which makes every
+    caller streaming-safe without its own guard.
     """
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 > par:
