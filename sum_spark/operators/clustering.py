@@ -1,0 +1,324 @@
+"""Distributed k-means over embedding columns + SemDeDup-style semantic
+dedup (cluster first, near-dup search only WITHIN clusters).
+
+No reference analog (the reference compares vectors pairwise on demand,
+node/wrapper/record.go:75-147); this is the corpus-curation extension:
+at 100 TB you cannot afford even LSH-pruned near-dup passes over the
+whole corpus at once, so the standard play (SemDeDup, Abbas et al. 2023)
+is k-means into semantically coherent clusters, then exact cosine
+near-dup only inside each cluster — candidate generation becomes an
+equi-join on the cluster id, never all-pairs.
+
+Spark shape of one Lloyd iteration:
+  - assignment is MAP-SIDE (centroids are a k x d driver-held constant,
+    broadcast into the task closure — the same bounded-small-side rule as
+    knn_bruteforce's probes);
+  - the update is ONE hash-partitioned aggregate of element-wise sums
+    (posexplode -> groupBy (cluster, pos)), i.e. mean_pool — partial
+    aggregation map-side, k*d rows out.
+  Nothing ever funnels through a single task; the only driver traffic is
+  the k x d centroid table per iteration.
+
+Reproducibility: centroid sums are FIXED-POINT INTEGERS (mean_pool
+fixed_point — summing doubles across rows follows partition order and is
+not layout-stable); the derived centroid doubles are the same
+m / (n * 10^fp) division in Spark, Python and DuckDB, which is what makes
+a full Lloyd step oracle-checkable cross-engine (embed_quantize 'kmeans'
+and 'kcent' legs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sum_spark.functions.hashing import hash60
+from sum_spark.operators.embeddings import mean_pool
+
+
+def hash_init_assign(
+    df: DataFrame, k: int, id_col: str = "vec_id", cluster_col: str = "cluster"
+) -> DataFrame:
+    """Deterministic initial partition: cluster = hash60(id) % k.
+
+    Portable (md5-based hash60 has a DuckDB twin) and seed-free: the
+    init is a pure function of the ids, so a re-run on any cluster
+    layout — or another engine — starts from the identical state. A
+    hash-random partition's per-cluster means concentrate near the
+    global mean; one Lloyd step already separates them (k-means|| style
+    sampling would converge faster but costs extra passes and a
+    cross-engine RNG story).
+    """
+    return df.withColumn(
+        cluster_col, hash60(F.col(id_col).cast("string")) % F.lit(int(k))
+    )
+
+
+def centroid_sums(
+    df: DataFrame,
+    cluster_col: str = "cluster",
+    vec_col: str = "embedding",
+    fixed_point: int = 6,
+) -> DataFrame:
+    """The update half of a Lloyd step as a stored artifact:
+    (group, n_vecs, pooled_fp) — element-wise integer sums in 10^-fp
+    units per cluster. Integer, hence bit-reproducible on any layout and
+    engine; divide by n_vecs * 10^fp to materialize the centroid.
+    """
+    return mean_pool(df, cluster_col, vec_col, fixed_point=fixed_point)
+
+
+def _centroids_from_sums(rows, fixed_point: int) -> dict[int, list[float]]:
+    unit = 10**fixed_point
+    return {
+        int(r["group"]): [m / (int(r["n_vecs"]) * unit) for m in r["pooled_fp"]]
+        for r in rows
+    }
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    backend: str = "numpy",
+) -> DataFrame:
+    """Map-side nearest-centroid assignment (squared L2, ties to the
+    lowest cluster id). ``centroids`` is the driver-held k x d table —
+    bounded by contract, shipped in the task closure; the stage has no
+    shuffle and streams through the scan.
+
+    backend='numpy' (default): one Arrow-batched GEMM-style distance per
+    batch — the throughput path for the fit loop. backend='catalyst':
+    a per-row fold in the JVM whose additions are strictly
+    left-to-right, bit-matching DuckDB's list_sum — the oracle-checkable
+    path (numpy's pairwise summation can differ in final bits, which
+    never matters for argmin on real data but is not provable).
+    """
+    items = sorted(centroids.items())
+    if not items:
+        raise ValueError("assign_clusters needs at least one centroid")
+    if backend == "catalyst":
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                    F.lit(int(j)).cast("long").alias("j"),
+                )
+                for j, c in items
+            ]
+        )
+        v = F.col(vec_col).cast("array<double>")
+        # array_min over (dist, j) structs = lexicographic argmin with the
+        # tie broken by the lower cluster id, all inside one expression.
+        best = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(v, s["c"], lambda x, c: (x - c) * (x - c)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    s["j"].alias("j"),
+                ),
+            )
+        )
+        return df.withColumn(cluster_col, best["j"])
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    keys = np.array([j for j, _ in items], dtype=np.int64)
+    cmat = np.array([c for _, c in items], dtype=np.float64)  # k x d
+
+    def _assign(vec):
+        out = np.empty(len(vec), dtype=np.int64)
+        for i, cell in enumerate(vec):
+            vv = np.asarray(cell, dtype=np.float64)
+            d = ((cmat - vv[None, :]) ** 2).sum(axis=1)
+            out[i] = keys[int(np.argmin(d))]  # argmin -> first = lowest id
+        return pd.Series(out)
+
+    _assign.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        cluster_col, pandas_udf(_assign, "long")(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_point: int = 6,
+    backend: str = "numpy",
+) -> dict[int, list[float]]:
+    """Lloyd's algorithm: hash-init partition, then ``iters`` rounds of
+    map-side assignment + one-aggregate update. Returns the centroid
+    table (cluster id -> list of doubles). ``k`` is an upper bound: a
+    hash bucket that receives no ids at init has no centroid (possible
+    only when the input has fewer ids than buckets); after init the
+    cluster count never shrinks — a cluster that loses all members in
+    an iteration keeps its previous centroid.
+
+    Per-iteration cost is one scan + one (cluster, pos) aggregate; the
+    driver holds only k x d doubles. 100 TB posture: identical — the
+    corpus never moves, only k*d*10^fp-unit integers do.
+    """
+    assigned = hash_init_assign(df, k, id_col)
+    cents = _centroids_from_sums(
+        centroid_sums(assigned, "cluster", vec_col, fixed_point).collect(),
+        fixed_point,
+    )
+    for _ in range(int(iters)):
+        assigned = assign_clusters(
+            df, cents, id_col, vec_col, backend=backend
+        )
+        new = _centroids_from_sums(
+            centroid_sums(assigned, "cluster", vec_col, fixed_point).collect(),
+            fixed_point,
+        )
+        cents = {j: new.get(j, c) for j, c in cents.items()}
+    return cents
+
+
+def inertia(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str = "embedding",
+    backend: str = "numpy",
+) -> float:
+    """Sum of squared distances to each row's nearest centroid — the
+    quantity Lloyd iterations are non-increasing in (up to the
+    fixed-point centroid quantization); used by tests to verify
+    convergence, not part of any checked output (cross-row double sums
+    are layout-dependent)."""
+    items = sorted(centroids.items())
+    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items])
+    v = F.col(vec_col).cast("array<double>")
+    d = F.array_min(
+        F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(v, c, lambda x, cc: (x - cc) * (x - cc)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    row = df.select(F.sum(d).alias("s")).collect()[0]
+    return float(row["s"] or 0.0)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: dict[int, list[float]] | None = None,
+    n_subblocks: int | None = None,
+) -> DataFrame:
+    """SemDeDup: cluster, then exact cosine near-dup pairs WITHIN each
+    cluster only. Output: (id_a, id_b, sim, cluster) with id_a < id_b,
+    sim rounded to 4 places, ordered.
+
+    Scale shape — the reason this beats whole-corpus near-dup at 100 TB:
+    after assignment, each cluster splits into S hash sub-blocks sized to
+    a bounded float64 matrix (same memory-bound auto-K rule as
+    dedup_embedding_cosine, dedup.py:585-600); candidate block pairs meet
+    in an equi-join ON THE CLUSTER ID (S*(S+1)/2 pairs per cluster — a
+    k-fold reduction of the global block-pair count), and a NumPy GEMM
+    per block pair emits only above-threshold pairs. Cross-cluster
+    near-dups are out of scope by construction — that recall trade *is*
+    the SemDeDup method; use dedup_embedding_lsh when global recall
+    matters.
+
+    Pass ``centroids`` (e.g. from a previous :func:`kmeans_fit` on a
+    sample) to skip the fit — the production pattern: fit on 0.1%, assign
+    + dedup the full corpus in one pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col)
+
+    par = max(2, df.sparkSession.sparkContext.defaultParallelism)
+    if n_subblocks:
+        S = int(n_subblocks)
+    else:
+        try:
+            est = float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = float(64 << 20)
+        # Per-cluster share of the corpus, blocked to ~64 MB f64 matrices.
+        S = min(64, max(1, int(2.0 * est / max(1, len(centroids)) / (64 << 20)) + 1))
+
+    rows = assigned.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col("cluster").alias("cl"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(S)).alias("b"),
+    )
+    packed = (
+        rows.groupBy("cl", "b")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .select(
+            "cl",
+            "b",
+            F.transform("rows", lambda r: r["id"]).alias("ids"),
+            F.flatten(F.transform("rows", lambda r: r["v"])).alias("flat"),
+        )
+    )
+    left = packed.select("cl", F.col("b").alias("ba"), F.col("ids").alias("ia"), F.col("flat").alias("fa"))
+    right = packed.select("cl", F.col("b").alias("bb"), F.col("ids").alias("ib"), F.col("flat").alias("fb"))
+    pairs = (
+        left.join(F.broadcast(right), ["cl"])
+        .where(F.col("ba") <= F.col("bb"))
+        .repartition(min(len(centroids) * S * (S + 1) // 2, 2 * par), "cl", "ba", "bb")
+    )
+    thr = float(threshold)
+
+    def gemm(it):
+        def unpack(ids_cell, flat_cell):
+            ids = np.asarray(ids_cell, dtype=np.int64)
+            mat = np.asarray(flat_cell, dtype=np.float64).reshape(len(ids), -1)
+            nrm = np.linalg.norm(mat, axis=1)
+            mat = mat / np.where(nrm == 0.0, 1.0, nrm)[:, None]
+            return ids, mat
+
+        for pdf in it:
+            for cl, ba, ia_c, fa_c, bb, ib_c, fb_c in zip(
+                pdf["cl"], pdf["ba"], pdf["ia"], pdf["fa"], pdf["bb"], pdf["ib"], pdf["fb"]
+            ):
+                ia, ma = unpack(ia_c, fa_c)
+                ib, mb = (ia, ma) if ba == bb else unpack(ib_c, fb_c)
+                sims = ma @ mb.T
+                if ba == bb:
+                    mask = (sims >= thr) & (ia[:, None] < ib[None, :])
+                    li, rj = np.nonzero(mask)
+                    lo, hi = ia[li], ib[rj]
+                else:
+                    li, rj = np.nonzero(sims >= thr)
+                    lo = np.minimum(ia[li], ib[rj])
+                    hi = np.maximum(ia[li], ib[rj])
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo,
+                        "id_b": hi,
+                        "sim": np.round(sims[li, rj], 4),
+                        "cluster": np.full(len(lo), cl, dtype=np.int64),
+                    }
+                )
+
+    return (
+        pairs.mapInPandas(gemm, schema="id_a long, id_b long, sim double, cluster long")
+        .orderBy("id_a", "id_b")
+    )

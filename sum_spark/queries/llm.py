@@ -21,7 +21,7 @@ from sum_spark.functions.text import (
     duck_stopword_hits,
     duck_word_shingles,
 )
-from sum_spark.operators import dedup, embeddings, sampling, textops
+from sum_spark.operators import clustering, dedup, embeddings, sampling, textops
 from sum_spark.plans.scale import carry_caches
 from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
@@ -502,6 +502,43 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
              COUNT(*) AS c
       FROM pex GROUP BY label, pos
+    ),
+    ki AS (
+      SELECT vec_id, vv,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS c0
+      FROM v
+    ),
+    kex AS (
+      SELECT c0, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos FROM ki
+    ),
+    ksum AS (
+      SELECT c0, pos,
+             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
+             COUNT(*) AS c
+      FROM kex GROUP BY c0, pos
+    ),
+    kc AS (
+      SELECT c0, list(CAST(m AS DOUBLE) / CAST(c * 1000000 AS DOUBLE) ORDER BY pos) AS cc
+      FROM ksum GROUP BY c0
+    ),
+    kd AS (
+      SELECT ki.vec_id, ki.vv, kc.c0 AS cand,
+             list_sum(list_transform(range(1, len(ki.vv) + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS dist
+      FROM ki CROSS JOIN kc
+    ),
+    ka AS (
+      SELECT vec_id, vv, cand AS cluster FROM kd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) = 1
+    ),
+    kaex AS (
+      SELECT cluster, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos FROM ka
+    ),
+    kagg AS (
+      SELECT cluster, pos,
+             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
+             COUNT(*) AS c
+      FROM kaex GROUP BY cluster, pos
     )
     SELECT 'quant' AS mode, vec_id, amax / 127 AS scale,
            array_to_string(qq, ',') AS q_str,
@@ -521,6 +558,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list(m ORDER BY pos), ','),
            CAST(NULL AS DOUBLE), MAX(c)
     FROM pagg GROUP BY label
+    UNION ALL
+    SELECT 'kmeans', vec_id, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), cluster
+    FROM ka
+    UNION ALL
+    SELECT 'kcent', cluster, CAST(NULL AS DOUBLE),
+           array_to_string(list(m ORDER BY pos), ','),
+           CAST(NULL AS DOUBLE), MAX(c)
+    FROM kagg GROUP BY cluster
     ORDER BY mode, vec_id
     """,
     doc="Embedding-preparation battery, tagged: 'quant' = symmetric int8 "
@@ -530,7 +576,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'pool' = per-label mean pooling in deterministic 1e-6 fixed-point "
     "integer sums (cross-row double summation is partition-order-"
     "dependent — the integer form is bit-reproducible on any cluster "
-    "layout, which is what a training pipeline stores).",
+    "layout, which is what a training pipeline stores); 'kmeans'/'kcent' "
+    "= one full distributed Lloyd step (hash60-init partition -> fixed-"
+    "point centroid means -> map-side nearest-centroid re-assignment -> "
+    "updated integer centroid sums), the building block of SemDeDup-"
+    "style semantic clustering — assignment uses the strictly left-to-"
+    "right Catalyst fold so distances bit-match DuckDB's list_sum.",
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -566,8 +617,39 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_abs_err"),
         "n_vecs",
     )
+    k = 8
+    init = clustering.hash_init_assign(emb, k)
+    cents0 = clustering._centroids_from_sums(
+        clustering.centroid_sums(init, "cluster", "embedding", fixed_point=6).collect(),
+        6,
+    )
+    assigned = clustering.assign_clusters(emb, cents0, backend="catalyst")
+    kmeans = assigned.select(
+        F.lit("kmeans").alias("mode"),
+        "vec_id",
+        F.lit(None).cast("double").alias("scale"),
+        F.lit(None).cast("string").alias("q_str"),
+        F.lit(None).cast("double").alias("max_abs_err"),
+        F.col("cluster").alias("n_vecs"),
+    )
+    kcent = clustering.centroid_sums(
+        assigned, "cluster", "embedding", fixed_point=6
+    ).select(
+        F.lit("kcent").alias("mode"),
+        F.col("group").alias("vec_id"),
+        F.lit(None).cast("double").alias("scale"),
+        F.array_join(F.transform("pooled_fp", lambda m: m.cast("string")), ",").alias(
+            "q_str"
+        ),
+        F.lit(None).cast("double").alias("max_abs_err"),
+        "n_vecs",
+    )
     return (
-        quant.unionByName(norm).unionByName(pool).orderBy("mode", "vec_id")
+        quant.unionByName(norm)
+        .unionByName(pool)
+        .unionByName(kmeans)
+        .unionByName(kcent)
+        .orderBy("mode", "vec_id")
     )
 
 

@@ -1,0 +1,123 @@
+"""Distributed k-means + SemDeDup semantic dedup (operators/clustering).
+
+The oracle-checked surface is the embed_quantize 'kmeans'/'kcent' legs
+(one full Lloyd step vs DuckDB); these tests cover what the oracle
+can't: the iterative fit (convergence), backend parity, empty-cluster
+survival, and the within-cluster-only contract of semantic_dedup.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sum_spark.operators import clustering, dedup
+from sum_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    df = load_table(spark, sf_smoke, "embeddings")
+    df.persist().count()
+    yield df
+    df.unpersist()
+
+
+def test_hash_init_is_deterministic_and_in_range(emb):
+    a = clustering.hash_init_assign(emb, 8).select("vec_id", "cluster")
+    b = clustering.hash_init_assign(emb, 8).select("vec_id", "cluster")
+    ra = {r["vec_id"]: r["cluster"] for r in a.collect()}
+    rb = {r["vec_id"]: r["cluster"] for r in b.collect()}
+    assert ra == rb
+    assert set(ra.values()) <= set(range(8))
+
+
+def test_lloyd_iterations_do_not_increase_inertia(emb):
+    # Inertia after each fit depth; non-increasing up to the 1e-6
+    # fixed-point centroid quantization (allow that much slack per dim).
+    vals = []
+    for iters in (1, 2, 4):
+        c = clustering.kmeans_fit(emb, k=8, iters=iters)
+        vals.append(clustering.inertia(emb, c))
+    assert vals[1] <= vals[0] * (1 + 1e-6)
+    assert vals[2] <= vals[1] * (1 + 1e-6)
+
+
+def test_assign_backends_agree(emb):
+    cents = clustering.kmeans_fit(emb, k=8, iters=2)
+    a = clustering.assign_clusters(emb, cents, backend="catalyst")
+    b = clustering.assign_clusters(emb, cents, backend="numpy")
+    ra = {r["vec_id"]: r["cluster"] for r in a.select("vec_id", "cluster").collect()}
+    rb = {r["vec_id"]: r["cluster"] for r in b.select("vec_id", "cluster").collect()}
+    assert ra == rb
+
+
+def test_assignment_is_map_side(emb):
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    plan = (
+        clustering.assign_clusters(emb, cents, backend="catalyst")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # centroids ride the closure; no shuffle
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # Two distinct points among 6 ids, k=8: after the first re-assignment
+    # at most 2 clusters keep members, yet no cluster may vanish — the
+    # emptied ones must carry their previous centroid forward.
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    init_keys = set(
+        clustering._centroids_from_sums(
+            clustering.centroid_sums(
+                clustering.hash_init_assign(df, 8), "cluster", "embedding", 6
+            ).collect(),
+            6,
+        )
+    )
+    cents = clustering.kmeans_fit(df, k=8, iters=3, fixed_point=6)
+    assert set(cents) == init_keys  # no loss after init
+    assert all(len(c) == 2 for c in cents.values())
+
+
+def test_semantic_dedup_pairs_are_within_cluster_subset_of_exact(emb):
+    # Every emitted pair must be a true >= threshold cosine pair (subset
+    # of the exact all-pairs operator) and lie in one cluster.
+    thr = 0.5
+    sem = clustering.semantic_dedup(emb, threshold=thr, k=4, iters=2)
+    got = {(r["id_a"], r["id_b"]): r["sim"] for r in sem.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in dedup.dedup_embedding_cosine(emb, threshold=thr).collect()
+    }
+    assert set(got) <= set(exact)
+    assert all(abs(got[p] - exact[p]) < 1e-9 for p in got)
+    # Same-cluster planted duplicates are always found: duplicate a row.
+    one = emb.limit(1).select(F.lit(99990001).alias("vec_id"), "embedding", "label")
+    two = emb.limit(1).select(F.lit(99990002).alias("vec_id"), "embedding", "label")
+    aug = emb.unionByName(one).unionByName(two)
+    pairs = clustering.semantic_dedup(aug, threshold=0.999, k=4, iters=2).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (99990001, 99990002) in found
+
+
+def test_semantic_dedup_partition_invariance(emb):
+    cents = clustering.kmeans_fit(emb, k=4, iters=1)
+    a = clustering.semantic_dedup(emb, threshold=0.5, centroids=cents)
+    b = clustering.semantic_dedup(
+        emb.repartition(13), threshold=0.5, centroids=cents, n_subblocks=3
+    )
+    pa = sorted((r["id_a"], r["id_b"], r["sim"], r["cluster"]) for r in a.collect())
+    pb = sorted((r["id_a"], r["id_b"], r["sim"], r["cluster"]) for r in b.collect())
+    assert pa == pb
+
+
+def test_precomputed_centroids_skip_fit(emb):
+    # The production pattern: fit on a sample, assign the full corpus.
+    sample = emb.where(F.col("vec_id") % 5 == 0)
+    cents = clustering.kmeans_fit(sample, k=4, iters=2)
+    out = clustering.semantic_dedup(emb, threshold=0.5, centroids=cents)
+    assert out.count() >= 0  # executes without touching kmeans_fit
