@@ -7,11 +7,18 @@ chain (no driver-side loops, no collect on the data path):
     1. exact dedup        keep one doc per identical text
     2. near-dup dedup     MinHash+LSH pairs -> connected components ->
                           keep each cluster's keeper (min doc_id)
+    2b. semantic dedup    (opt-in: pass embeddings + semantic_threshold)
+                          SemDeDup — k-means clusters, within-cluster
+                          embedding near-dups, keep each keeper
     3. decontamination    drop docs sharing an n-gram with the eval set
     4. quality filter     drop docs under a quality-score floor
     5. stratified sample  per-source hash-Bernoulli rates (reproducible)
     6. sequence packing   fixed token-budget packs in doc_id order
     7. global shuffle     deterministic seeded order for serialization
+
+The serialized output feeds sources/shards.write_training_shards
+(order_col='shuffle_pos') for the manifest-checked shard export a
+trainer consumes.
 
 Every stage is individually deterministic, so the whole pipeline is
 reproducible run-to-run and across clusters — the property a training
@@ -24,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from sum_spark.operators import dedup, sampling, textops
+from sum_spark.operators import clustering, dedup, sampling, textops
 from sum_spark.operators.decontam import decontaminate
 from sum_spark.plans.scale import release_with
 
@@ -41,6 +48,10 @@ def prepare_training_data(
     text_col: str = "text",
     id_col: str = "doc_id",
     strat_col: str = "source",
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    semantic_k: int = 8,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Run the full preparation flow; returns one row per surviving
     document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
@@ -50,6 +61,13 @@ def prepare_training_data(
     skips the stage). ``rates`` are per-stratum sampling rates as in
     sample_stratified. Packing runs in doc_id order (stable across
     reruns); the output order is the seeded global shuffle.
+
+    ``embeddings`` (a (doc_id, vec_col) table) together with
+    ``semantic_threshold`` enables the SemDeDup stage: text near-dup
+    misses paraphrases and translations that embed close together;
+    clustering + within-cluster cosine catches them without any global
+    pair search. Both default off — the stage needs an embedding table
+    the text corpus alone doesn't have.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -76,6 +94,25 @@ def prepare_training_data(
     clusters = dedup.dedup_clusters(pairs)
     losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     survivors = survivors.join(losers, "doc_id", "left_anti")
+
+    # 2b. optional SemDeDup: embedding-space near-dups among the text
+    #     survivors (clusters -> within-cluster pairs -> keep keepers).
+    if embeddings is not None and semantic_threshold is not None:
+        emb_live = embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__emb")
+        ).join(survivors.select("doc_id"), "doc_id", "left_semi")
+        spairs = clustering.semantic_dedup(
+            emb_live,
+            threshold=semantic_threshold,
+            k=semantic_k,
+            id_col="doc_id",
+            vec_col="__emb",
+        )
+        sclusters = dedup.dedup_clusters(spairs, src_col="id_a", dst_col="id_b")
+        slosers = sclusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        survivors = survivors.join(slosers, "doc_id", "left_anti")
 
     # 3. decontamination against the benchmark's shingles. The corpus
     #    side reuses the signature hashes; contaminated near-dup losers

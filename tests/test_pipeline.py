@@ -77,3 +77,43 @@ def test_pipeline_reproducible(spark, sf_smoke, prepared):
         r["doc_id"] for r in df.select("doc_id", "shuffle_pos").orderBy("shuffle_pos").collect()
     ]
     assert order(out) != order(other)
+
+
+def test_pipeline_semantic_stage(spark, sf_smoke, prepared):
+    corpus, bench, base_out = prepared
+    base_ids = {r["doc_id"] for r in base_out.select("doc_id").collect()}
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    # Plant an embedding-space duplicate between two surviving docs with
+    # different text: copy doc a's embedding onto doc b.
+    a, b = sorted(base_ids)[0], sorted(base_ids)[1]
+    va = emb.where(F.col("doc_id") == a).select("embedding")
+    planted = emb.where(F.col("doc_id") != b).unionByName(
+        va.select(F.lit(b).cast("long").alias("doc_id"), "embedding")
+    )
+    out = prepare_training_data(
+        corpus,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+        embeddings=planted,
+        semantic_threshold=0.9999,
+        semantic_k=4,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert a in got and b not in got  # the planted duplicate lost to its keeper
+    # Everything else identical near threshold 1: no collateral removals
+    # beyond genuine >=0.9999 embedding duplicates.
+    removed = base_ids - got
+    from sum_spark.operators import clustering
+
+    pairs = clustering.semantic_dedup(
+        planted.join(base_out.select("doc_id"), "doc_id", "left_semi"),
+        threshold=0.9999,
+        k=4,
+        id_col="doc_id",
+    )
+    dup_members = {r["id_b"] for r in pairs.collect()}
+    assert removed <= dup_members | {b}
