@@ -197,6 +197,7 @@ def dedup_ngram_jaccard(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | str | None = "auto",
+    prefix_order: str = "hash",
 ) -> DataFrame:
     """Exact all-pairs shingle-Jaccard >= threshold via an inverted-index
     self-join with the PPJoin pruning family: prefix filter at candidate
@@ -216,8 +217,23 @@ def dedup_ngram_jaccard(
     persisted shingle table to avoid a second corpus scan), not raw rows;
     near the boundary with many sub-shingle-length docs, pin max_df
     explicitly rather than relying on "auto".
+
+    ``prefix_order='df'`` is the EXACT skew guard: instead of dropping
+    hot shingles (which can miss a true pair whose only shared prefix
+    elements were hot — test_skew_stress pins one such corpus), the
+    global shingle order becomes (document-frequency, hash) ascending,
+    the canonical PPJoin ordering. Prefixes then hold each doc's RAREST
+    shingles, so boilerplate never lands in a prefix unless a document
+    consists of nothing else — zero recall loss at any skew, for the
+    price of one posting-list aggregate + re-pack (two extra linear
+    shuffles) before candidate generation. The default stays 'hash'
+    (one map-side sort, no extra shuffle): at sub-boilerplate skew the
+    df pass buys nothing. Combinable with max_df (drop is applied on
+    top) but usually the point is max_df=None + prefix_order='df'.
     Output: (doc_a, doc_b, jaccard) ordered.
     """
+    if prefix_order not in ("hash", "df"):
+        raise ValueError(f"prefix_order must be 'hash' or 'df', got {prefix_order!r}")
     t = float(threshold)
     sets = shingle_sets(df, text_col, id_col)
     # Prefix filtering (the PPJoin family's core pruning rule): two sets
@@ -234,10 +250,32 @@ def dedup_ngram_jaccard(
     # `n = size(hh)` projection alone doubles the hash work per branch.
     # The table is tiny (id + ~hundreds of longs per doc); lifetime is
     # scoped to the returned plan via _release_with.
-    hashed = sets.select(
-        "doc_id",
-        F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
-    ).persist()
+    if prefix_order == "df":
+        # PPJoin document-frequency ordering: one posting-list aggregate
+        # (shingle -> df) + a re-pack of each doc's hashes sorted by
+        # (df, hash). Both shuffles are linear in the posting list; the
+        # verify intersect is order-agnostic so only the prefix changes.
+        raw = sets.select(
+            "doc_id",
+            F.explode(F.transform("shingles", lambda s: hash60(s))).alias("s"),
+        )
+        df_tab = raw.groupBy("s").agg(F.count("*").alias("__df"))
+        hashed = (
+            raw.join(df_tab, "s")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__df", "s"))),
+                    lambda x: x["s"],
+                ).alias("hh")
+            )
+            .persist()
+        )
+    else:
+        hashed = sets.select(
+            "doc_id",
+            F.sort_array(F.transform("shingles", lambda s: hash60(s))).alias("hh"),
+        ).persist()
     if max_df == "auto":
         # The skew posture is decided from the persisted shingle table, not
         # a separate scan of the raw corpus: this count materializes the
