@@ -223,6 +223,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids: dict[int, list[float]] | None = None,
     n_subblocks: int | None = None,
+    assign_backend: str = "numpy",
 ) -> DataFrame:
     """SemDeDup: cluster, then exact cosine near-dup pairs WITHIN each
     cluster only. Output: (id_a, id_b, sim, cluster) with id_a < id_b,
@@ -248,7 +249,7 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = assign_clusters(df, centroids, id_col, vec_col)
+    assigned = assign_clusters(df, centroids, id_col, vec_col, backend=assign_backend)
 
     par = max(2, df.sparkSession.sparkContext.defaultParallelism)
     if n_subblocks:

@@ -35,6 +35,44 @@ from sum_spark.sources.tables import load_table
 
 _SHINGLES_DUCK = duck_word_shingles("w", SHINGLE_N)
 
+# One full Lloyd step in DuckDB SQL, shared by the embed_quantize
+# 'kmeans'/'kcent' legs and the dedup_embedding_cosine 'sem' leg.
+# Assumes a prior CTE v(vec_id, vv double[]); yields ka(vec_id, vv,
+# cluster): hash60-mod-8 init partition, 1e-6 fixed-point integer
+# centroid means (the only cross-row sums — exact), then nearest-
+# centroid re-assignment via a per-row list_sum fold that bit-matches
+# the Spark side's left-to-right Catalyst fold.
+_DUCK_LLOYD_CTES = """
+    ki AS (
+      SELECT vec_id, vv,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS c0
+      FROM v
+    ),
+    kex AS (
+      SELECT c0, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos FROM ki
+    ),
+    ksum AS (
+      SELECT c0, pos,
+             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
+             COUNT(*) AS c
+      FROM kex GROUP BY c0, pos
+    ),
+    kc AS (
+      SELECT c0, list(CAST(m AS DOUBLE) / CAST(c * 1000000 AS DOUBLE) ORDER BY pos) AS cc
+      FROM ksum GROUP BY c0
+    ),
+    kd AS (
+      SELECT ki.vec_id, ki.vv, kc.c0 AS cand,
+             list_sum(list_transform(range(1, len(ki.vv) + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS dist
+      FROM ki CROSS JOIN kc
+    ),
+    ka AS (
+      SELECT vec_id, vv, cand AS cluster FROM kd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) = 1
+    )
+"""
+
 
 @query(
     "dedup_exact",
@@ -242,19 +280,34 @@ def _duck_srp_cte(n_bits: int = 16, n_bands: int = 4, dims: int = 64) -> str:
     ),
     """
     + _duck_srp_cte()
+    + """,
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    """
+    + _DUCK_LLOYD_CTES
     + """
     SELECT 'exact' AS mode, id_a, id_b, sim FROM exact_pairs
     UNION ALL
     SELECT 'lsh', e.id_a, e.id_b, e.sim
     FROM exact_pairs e JOIN srp_cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    UNION ALL
+    SELECT 'sem', e.id_a, e.id_b, e.sim
+    FROM exact_pairs e
+    JOIN ka a ON a.vec_id = e.id_a
+    JOIN ka b ON b.vec_id = e.id_b AND b.cluster = a.cluster
     ORDER BY mode, id_a, id_b
     """,
-    doc="Embedding near-dup, tagged pair: the exact all-pairs ground truth "
-    "(blocked GEMM, cosine >= 0.45) and the SRP-LSH prune path "
+    doc="Embedding near-dup, tagged triple: the exact all-pairs ground "
+    "truth (blocked GEMM, cosine >= 0.45); the SRP-LSH prune path "
     "(dedup_embedding_lsh: band equi-join + exact verify — the O(N·K) "
-    "form whose output is a recall-curve subset of exact). Both legs "
-    "hash-checked; the LSH bucketing is reproduced in the oracle from "
-    "the same deterministic hyperplane literals.",
+    "form whose output is a recall-curve subset of exact); and the "
+    "SemDeDup path (clustering.semantic_dedup: one oracle-reproduced "
+    "Lloyd step's clusters, then within-cluster sub-blocked GEMM — the "
+    "exact pair set restricted to same-cluster pairs). All legs "
+    "hash-checked; LSH buckets and k-means clusters are reproduced in "
+    "the oracle from the same deterministic literals/hash chain.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -264,7 +317,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = dedup.dedup_embedding_lsh(emb, threshold=0.45, dims=64).select(
         F.lit("lsh").alias("mode"), "id_a", "id_b", "sim"
     )
-    return exact.unionAll(lsh).orderBy("mode", "id_a", "id_b")
+    cents0 = clustering._centroids_from_sums(
+        clustering.centroid_sums(
+            clustering.hash_init_assign(emb, 8), "cluster", "embedding", fixed_point=6
+        ).collect(),
+        6,
+    )
+    sem = clustering.semantic_dedup(
+        emb, threshold=0.45, centroids=cents0, assign_backend="catalyst"
+    ).select(F.lit("sem").alias("mode"), "id_a", "id_b", "sim")
+    return exact.unionAll(lsh).unionAll(sem).orderBy("mode", "id_a", "id_b")
 
 
 @query(
@@ -503,34 +565,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS c
       FROM pex GROUP BY label, pos
     ),
-    ki AS (
-      SELECT vec_id, vv,
-             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS c0
-      FROM v
-    ),
-    kex AS (
-      SELECT c0, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos FROM ki
-    ),
-    ksum AS (
-      SELECT c0, pos,
-             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
-             COUNT(*) AS c
-      FROM kex GROUP BY c0, pos
-    ),
-    kc AS (
-      SELECT c0, list(CAST(m AS DOUBLE) / CAST(c * 1000000 AS DOUBLE) ORDER BY pos) AS cc
-      FROM ksum GROUP BY c0
-    ),
-    kd AS (
-      SELECT ki.vec_id, ki.vv, kc.c0 AS cand,
-             list_sum(list_transform(range(1, len(ki.vv) + 1),
-                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS dist
-      FROM ki CROSS JOIN kc
-    ),
-    ka AS (
-      SELECT vec_id, vv, cand AS cluster FROM kd
-      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) = 1
-    ),
+    """
+    + _DUCK_LLOYD_CTES
+    + """,
     kaex AS (
       SELECT cluster, unnest(vv) AS val, unnest(range(1, len(vv) + 1)) AS pos FROM ka
     ),
