@@ -21,7 +21,7 @@ from sum_spark.functions.text import (
     duck_stopword_hits,
     duck_word_shingles,
 )
-from sum_spark.operators import clustering, dedup, embeddings, sampling, textops
+from sum_spark.operators import clustering, dedup, embeddings, lm, sampling, textops
 from sum_spark.plans.scale import carry_caches
 from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
@@ -737,6 +737,26 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     dn AS (
       SELECT gh.doc_id, COUNT(*) AS n_dup FROM gh JOIN dupg USING (h)
       GROUP BY gh.doc_id
+    ),
+    lmbg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t)
+    ),
+    lmc12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM lmbg GROUP BY 1, 2),
+    lmc1 AS (SELECT w1, SUM(c12) AS c1 FROM lmc12 GROUP BY 1),
+    lmvv AS (SELECT COUNT(DISTINCT word) AS v FROM (SELECT unnest(w) AS word FROM t)),
+    lmnll AS (
+      SELECT p.doc_id,
+             CAST(floor(-ln(CAST(COALESCE(c.c12, 0) + 1 AS DOUBLE)
+                            / CAST(COALESCE(u.c1, 0) + lmvv.v AS DOUBLE))
+                        * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS nl
+      FROM lmbg p
+      LEFT JOIN lmc12 c ON c.w1 = p.w1 AND c.w2 = p.w2
+      LEFT JOIN lmc1 u ON u.w1 = p.w1
+      CROSS JOIN lmvv
+    ),
+    lmper AS (
+      SELECT doc_id, COUNT(*) AS nb, SUM(nl) AS s FROM lmnll GROUP BY doc_id
     )
     SELECT b.doc_id, {_LANG_CASE} AS pred_lang, g.g AS hits,
            CAST(n AS BIGINT) AS n_tokens,
@@ -752,9 +772,12 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
            md5(lower(trim(text))) AS fp,
            {duck_hash60('lower(trim(text))')} AS fp60,
            CAST(d3 AS BIGINT) AS n_grams,
-           CAST(COALESCE(dn.n_dup, 0) AS BIGINT) AS n_dup_grams
+           CAST(COALESCE(dn.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(lmper.nb, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(lmper.s, 0) AS BIGINT) AS nll_micro
     FROM b JOIN g USING (doc_id) JOIN mx USING (doc_id)
     LEFT JOIN dn ON dn.doc_id = b.doc_id
+    LEFT JOIN lmper ON lmper.doc_id = b.doc_id
     ORDER BY b.doc_id
     """,
     doc="Per-document profile (consolidated text_lang_id + text_quality + "
@@ -763,18 +786,23 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     "Gopher-style repetition signals, the md5/60-bit fingerprints — one "
     "scan instead of five (operators/textops.py:text_profile) — plus the "
     "corpus-wide duplicated-span coverage counts (n_grams, n_dup_grams; "
-    "operators/dedup.duplicated_span_stats, the substring-dedup signal).",
+    "operators/dedup.duplicated_span_stats, the substring-dedup signal) "
+    "and the CCNet-style bigram-LM quality signal (n_bigrams, nll_micro "
+    "integer micro-nat NLL under add-one smoothing, self-trained; "
+    "operators/lm.py).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     prof = textops.text_profile(docs)
     spans = dedup.duplicated_span_stats(docs)
+    lmsc = lm.score_self(docs)
     out = (
         prof.join(spans, "doc_id", "left")
         .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
         .withColumn(
             "n_dup_grams", F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
         )
+        .join(lmsc, "doc_id", "left")
         .orderBy("doc_id")
     )
     # spans carries the persisted shingle table's release finalizer; the
