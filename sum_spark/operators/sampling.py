@@ -119,6 +119,71 @@ def corpus_mixture(
     )
 
 
+def plan_mixture(
+    df: DataFrame,
+    weights: dict[str, int],
+    strat_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture REBALANCING plan: given integer target weights per
+    stratum, compute the per-stratum downsampling rates that make the
+    sampled corpus's token mixture match the target, maximizing total
+    tokens (no upsampling: the binding stratum — smallest t_s/w_s —
+    keeps rate 1, everything else downsamples proportionally).
+
+    All arithmetic is integer (DECIMAL(38,0)/HUGEINT div, the
+    corpus_mixture pattern) so the plan is bit-identical on any engine
+    and layout: capacity T = min over weighted strata of t_s * W / w_s
+    (W = sum of weights), rate_ppm_s = T * w_s * 1e6 div (W * t_s),
+    planned_tokens_s = t_s * rate_ppm_s div 1e6. Strata without a
+    (positive) weight plan to rate 0. Feed rate_ppm/1e6 into
+    sample_stratified to execute the plan reproducibly.
+
+    One groupBy + a broadcast one-row capacity join — same shape and
+    scale posture as corpus_mixture. Output: (stratum, n_docs, n_tokens,
+    weight, rate_ppm, planned_tokens) ordered.
+    """
+    if not weights or any(int(w) < 0 for w in weights.values()):
+        raise ValueError("plan_mixture needs non-negative integer weights")
+    W = int(sum(int(w) for w in weights.values()))
+    if W <= 0:
+        raise ValueError("plan_mixture needs at least one positive weight")
+    per = df.groupBy(F.col(strat_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"),
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], int(kv[1]))]
+    )
+    j = per.withColumn("weight", F.coalesce(wmap[F.col("stratum")], F.lit(0)).cast("long"))
+    cap = j.where((F.col("weight") > 0) & (F.col("n_tokens") > 0)).agg(
+        F.min(
+            F.expr(
+                f"CAST(n_tokens AS DECIMAL(38,0)) * {W} div CAST(weight AS DECIMAL(38,0))"
+            )
+        ).alias("__cap")
+    )
+    rate = F.when(
+        (F.col("weight") > 0) & (F.col("n_tokens") > 0),
+        F.expr(
+            f"CAST(__cap AS DECIMAL(38,0)) * weight * 1000000"
+            f" div ({W} * CAST(n_tokens AS DECIMAL(38,0)))"
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        j.join(F.broadcast(cap))
+        .select("stratum", "n_docs", "n_tokens", "weight", rate.alias("rate_ppm"))
+        .withColumn(
+            "planned_tokens",
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * CAST(rate_ppm AS DECIMAL(38,0))"
+                " div 1000000 AS BIGINT)"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_cols: list[str],

@@ -447,25 +447,80 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_stratified(docs, _MIX_RATES, default_rate=0.05)
 
 
+# Rebalancing targets for the 'plan' leg — integer weights per source,
+# embedded identically in the operator call and the generated oracle.
+_MIX_WEIGHTS = {f"src{i}": 1 + (i % 3) for i in range(20)}
+_MIX_W = sum(_MIX_WEIGHTS.values())
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+
+
 @query(
     "corpus_mixture",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT source AS stratum, COUNT(*) AS n_docs,
              SUM(len(string_split(text, ' '))) AS n_tokens
       FROM documents GROUP BY 1
     ),
-    tot AS (SELECT SUM(n_tokens) AS t FROM per)
-    SELECT stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+    tot AS (SELECT SUM(n_tokens) AS t FROM per),
+    wt(stratum, w) AS (VALUES {_MIX_VALUES}),
+    j AS (
+      SELECT per.stratum, per.n_docs, per.n_tokens, COALESCE(wt.w, 0) AS w
+      FROM per LEFT JOIN wt USING (stratum)
+    ),
+    cap AS (
+      SELECT MIN(CAST(n_tokens AS HUGEINT) * {_MIX_W} // CAST(w AS HUGEINT)) AS c
+      FROM j WHERE w > 0 AND n_tokens > 0
+    ),
+    jr AS (
+      SELECT j.stratum, j.n_docs, j.n_tokens, j.w,
+             CASE WHEN j.w > 0 AND j.n_tokens > 0
+                  THEN CAST(cap.c * j.w * 1000000
+                            // ({_MIX_W} * CAST(j.n_tokens AS HUGEINT)) AS BIGINT)
+                  ELSE 0 END AS rate_ppm
+      FROM j CROSS JOIN cap
+    )
+    SELECT 'mix' AS mode, stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST((CAST(n_tokens AS HUGEINT) * 2000000 + CAST(t AS HUGEINT))
-                // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS token_share_ppm
-    FROM per CROSS JOIN tot ORDER BY stratum
+                // (2 * CAST(t AS HUGEINT)) AS BIGINT) AS ppm,
+           CAST(NULL AS BIGINT) AS weight, CAST(NULL AS BIGINT) AS planned_tokens
+    FROM per CROSS JOIN tot
+    UNION ALL
+    SELECT 'plan', stratum, n_docs, CAST(n_tokens AS BIGINT), rate_ppm,
+           CAST(w AS BIGINT),
+           CAST(CAST(n_tokens AS HUGEINT) * CAST(rate_ppm AS HUGEINT)
+                // 1000000 AS BIGINT)
+    FROM jr
+    ORDER BY mode, stratum
     """,
-    doc="Per-source mixture bookkeeping: docs, tokens, token share (ppm).",
+    doc="Per-source mixture, tagged pair: 'mix' = bookkeeping (docs, "
+    "tokens, token share ppm); 'plan' = the rebalancing plan for integer "
+    "target weights — per-stratum downsampling rate_ppm maximizing total "
+    "tokens under the target mixture (binding stratum at rate 1), all in "
+    "exact DECIMAL/HUGEINT integer arithmetic (sampling.plan_mixture); "
+    "feed rate_ppm/1e6 to sample_stratified to execute.",
 )
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.corpus_mixture(docs)
+    mix = sampling.corpus_mixture(docs).select(
+        F.lit("mix").alias("mode"),
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.col("token_share_ppm").alias("ppm"),
+        F.lit(None).cast("long").alias("weight"),
+        F.lit(None).cast("long").alias("planned_tokens"),
+    )
+    plan = sampling.plan_mixture(docs, _MIX_WEIGHTS).select(
+        F.lit("plan").alias("mode"),
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.col("rate_ppm").alias("ppm"),
+        "weight",
+        "planned_tokens",
+    )
+    return mix.unionByName(plan).orderBy("mode", "stratum")
 
 
 @query(

@@ -5,7 +5,9 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
+from sum_spark.operators import sampling
 from sum_spark.operators.embeddings import quantize_int8
 from sum_spark.operators.search import BM25_B, BM25_K1, bm25_search
 
@@ -121,10 +123,12 @@ def test_corpus_mixture_midpoint_matches_duckdb(spark):
     got = {r["stratum"]: r["token_share_ppm"] for r in corpus_mixture(df).collect()}
     assert got["a"] == 7813
 
+    # The registry oracle is now tagged (mode, stratum, n_docs, n_tokens,
+    # ppm, weight, planned_tokens); the 'mix' leg's ppm is token_share_ppm.
     oracle = REGISTRY["corpus_mixture"].oracle
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
-    duck = {r[0]: r[3] for r in con.execute(oracle).fetchall()}
+    duck = {r[1]: r[4] for r in con.execute(oracle).fetchall() if r[0] == "mix"}
     assert duck == got
 
 
@@ -265,3 +269,52 @@ def test_mean_pool_values_and_fixed_point_layout_invariance(spark):
     ]
     assert fp_a == fp_b
     assert fp_a[0][2] == [4_000_000, 8_000_000]  # sums of 1e-6 units
+
+
+def test_plan_mixture_hits_target_and_caps_binding_stratum(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    weights = {f"src{i}": 1 + (i % 3) for i in range(20)}
+    weights["src5"] = 0  # explicit zero: plan must exclude it
+    plan = {r["stratum"]: r for r in sampling.plan_mixture(docs, weights).collect()}
+    assert plan["src5"]["rate_ppm"] == 0 and plan["src5"]["planned_tokens"] == 0
+    rates = [r["rate_ppm"] for r in plan.values()]
+    assert max(rates) >= 999_990 and all(rp <= 1_000_000 for rp in rates)
+    # Achieved mixture matches the target within integer-floor slack.
+    W = sum(weights.values())
+    tot = sum(r["planned_tokens"] for r in plan.values())
+    for s, r in plan.items():
+        target = weights.get(s, 0) / W
+        achieved = r["planned_tokens"] / tot
+        assert abs(achieved - target) < 5e-3, (s, target, achieved)
+
+
+def test_plan_mixture_rejects_bad_weights(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sampling.plan_mixture(docs, {})
+    with _pytest.raises(ValueError):
+        sampling.plan_mixture(docs, {"src0": -1})
+    with _pytest.raises(ValueError):
+        sampling.plan_mixture(docs, {"src0": 0})
+
+
+def test_plan_mixture_executes_via_stratified_sampling(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    weights = {"src0": 3, "src1": 1}
+    plan = {r["stratum"]: r for r in sampling.plan_mixture(docs, weights).collect()}
+    rates = {s: r["rate_ppm"] / 1e6 for s, r in plan.items()}
+    picked = sampling.sample_stratified(docs, rates, default_rate=0.0)
+    got = {
+        r["stratum"]: r["n"]
+        for r in picked.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) <= {"src0", "src1"}  # rate-0 strata are gone
+    assert got.get("src0", 0) > 0
