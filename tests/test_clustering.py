@@ -121,3 +121,20 @@ def test_precomputed_centroids_skip_fit(emb):
     cents = clustering.kmeans_fit(sample, k=4, iters=2)
     out = clustering.semantic_dedup(emb, threshold=0.5, centroids=cents)
     assert out.count() >= 0  # executes without touching kmeans_fit
+
+
+def test_fit_quality_comparable_to_mllib_kmeans(spark, emb):
+    # Not a value check (init differs by design: MLlib uses k-means||,
+    # we use the oracle-reproducible hash partition) — a quality bound:
+    # after a few Lloyd rounds our inertia lands within 1.5x of MLlib's
+    # trainingCost at the same k, on the same data.
+    from pyspark.ml.clustering import KMeans
+
+    from sum_spark.functions.mllib import to_mllib_vectors
+
+    ours = clustering.kmeans_fit(emb, k=8, iters=6)
+    our_cost = clustering.inertia(emb, ours)
+    m = KMeans(k=8, seed=1, maxIter=6, featuresCol="embedding").fit(
+        to_mllib_vectors(emb.select("vec_id", F.col("embedding").cast("array<double>")))
+    )
+    assert our_cost <= m.summary.trainingCost * 1.5
