@@ -91,6 +91,12 @@ def lm_score(
     Docs with < 2 tokens (or NULL text) score (0, 0).
     """
     bg = _doc_bigrams(df, text_col, id_col)
+    return _score_bigrams(df, bg, counts, int(vocab_size), id_col)
+
+
+def _score_bigrams(
+    df: DataFrame, bg: DataFrame, counts: DataFrame, vocab_size: int, id_col: str
+) -> DataFrame:
     # TWO left joins, not one: an unseen bigram whose first word IS
     # attested must still smooth against that word's continuation total
     # (p = 1/(c1 + V)), so c1 resolves at the w1 level independently of
@@ -143,6 +149,22 @@ def score_self(
 ) -> DataFrame:
     """Convenience: train on ``df`` and score ``df`` (the registry's
     checked configuration). Production pipelines train on a clean
-    reference corpus instead — call bigram_lm + lm_score directly."""
-    counts, v = bigram_lm(df, text_col, id_col)
-    return lm_score(df, counts, v, text_col, id_col)
+    reference corpus instead — call bigram_lm + lm_score directly.
+
+    The bigram table is tokenized ONCE and persisted: counts and scoring
+    both read it (calling bigram_lm + lm_score separately re-tokenizes
+    the corpus — at 100 TB the text scan is the cost that matters). The
+    cache's lifetime is tied to the returned plan (release_with)."""
+    from sum_spark.plans.scale import release_with
+
+    bg = _doc_bigrams(df, text_col, id_col).persist()
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    counts = c12.join(c1, "w1").select("w1", "w2", "c12", "c1")
+    v = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    out = _score_bigrams(df, bg, counts, int(v), id_col)
+    return release_with(out, bg)
