@@ -12,6 +12,10 @@ chain (no driver-side loops, no collect on the data path):
                           embedding near-dups, keep each keeper
     3. decontamination    drop docs sharing an n-gram with the eval set
     4. quality filter     drop docs under a quality-score floor
+    4b. perplexity filter (opt-in: max_mean_nll, nats) drop docs whose
+                          mean bigram-LM NLL is too high — CCNet-style;
+                          scored against lm_counts/lm_vocab or
+                          self-trained on the survivors
     5. stratified sample  per-source hash-Bernoulli rates (reproducible)
     6. sequence packing   fixed token-budget packs in doc_id order
     7. global shuffle     deterministic seeded order for serialization
@@ -31,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from sum_spark.operators import clustering, dedup, sampling, textops
+from sum_spark.operators import clustering, dedup, lm, sampling, textops
 from sum_spark.operators.decontam import decontaminate
 from sum_spark.plans.scale import release_with
 
@@ -52,6 +56,9 @@ def prepare_training_data(
     semantic_threshold: float | None = None,
     semantic_k: int = 8,
     vec_col: str = "embedding",
+    max_mean_nll: float | None = None,
+    lm_counts: DataFrame | None = None,
+    lm_vocab: int | None = None,
 ) -> DataFrame:
     """Run the full preparation flow; returns one row per surviving
     document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
@@ -130,6 +137,27 @@ def prepare_training_data(
             F.col("score") >= F.lit(float(min_quality))
         )
         survivors = survivors.join(quality.select("doc_id"), "doc_id", "left_semi")
+
+    # 4b. optional CCNet-style perplexity ceiling: drop docs whose mean
+    #     bigram NLL (nats) exceeds max_mean_nll. Scored against the
+    #     provided LM (lm_counts + lm_vocab — the clean-reference-corpus
+    #     pattern) or self-trained on the survivors when none is given.
+    #     Docs with no bigram (0 or 1 token) carry no LM signal and pass.
+    if max_mean_nll is not None:
+        if lm_counts is not None:
+            if lm_vocab is None:
+                raise ValueError("lm_counts needs lm_vocab (the trained V)")
+            scored = lm.lm_score(survivors, lm_counts, lm_vocab)
+        else:
+            scored = lm.score_self(survivors)
+        keep = scored.where(
+            (F.col("n_bigrams") == 0)
+            | (
+                F.col("nll_micro")
+                <= F.lit(float(max_mean_nll)) * 1_000_000 * F.col("n_bigrams")
+            )
+        )
+        survivors = survivors.join(keep.select("doc_id"), "doc_id", "left_semi")
 
     # 5. reproducible stratified sampling.
     if rates is not None or default_rate < 1.0:

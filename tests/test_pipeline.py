@@ -117,3 +117,32 @@ def test_pipeline_semantic_stage(spark, sf_smoke, prepared):
     )
     dup_members = {r["id_b"] for r in pairs.collect()}
     assert removed <= dup_members | {b}
+
+
+def test_pipeline_perplexity_filter(spark, sf_smoke, prepared):
+    corpus, bench, base_out = prepared
+    base_ids = {r["doc_id"] for r in base_out.select("doc_id").collect()}
+    # Plant detectable gibberish: attested high-frequency words in
+    # never-seen transitions ('the' -> novel token), so p degrades to
+    # 1/(c1+V) with a LARGE c1. (All-novel-word soup is NOT detectable
+    # on this corpus by construction: the synthetic text is uniform over
+    # a tiny vocabulary, so every conditional ≈ 1/V ≈ the unseen-w1
+    # smoothing floor — mean NLL measured 3.3-3.6 for corpus docs vs
+    # ~4.9 for these.)
+    gib_text = " ".join(f"the qz{j}x" for j in range(8))
+    gib = spark.createDataFrame(
+        [(9900001 + i, gib_text.replace("qz", f"q{i}z"), "web") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    aug = corpus.select("doc_id", "text", "source").unionByName(gib)
+    out = prepare_training_data(
+        aug,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+        max_mean_nll=4.2,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(d >= 9900001 for d in got)  # gibberish filtered
+    assert len(got & base_ids) > 0.5 * len(base_ids)  # corpus largely kept
