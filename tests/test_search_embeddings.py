@@ -318,3 +318,21 @@ def test_plan_mixture_executes_via_stratified_sampling(spark, sf_smoke):
     }
     assert set(got) <= {"src0", "src1"}  # rate-0 strata are gone
     assert got.get("src0", 0) > 0
+
+
+def test_plan_mixture_exact_integer_cases(spark):
+    # Hand-checkable arithmetic. Two strata, equal weights, 100x token
+    # skew: capacity binds on the small stratum (rate 1), the large one
+    # downsamples to exactly its tokens' worth of the 50/50 target.
+    df = spark.createDataFrame(
+        [(1, "a", " ".join(["w"] * 100)), (2, "b", " ".join(["w"] * 10000))],
+        "doc_id long, source string, text string",
+    )
+    plan = {r["stratum"]: r for r in sampling.plan_mixture(df, {"a": 1, "b": 1}).collect()}
+    assert plan["a"]["rate_ppm"] == 1_000_000 and plan["a"]["planned_tokens"] == 100
+    assert plan["b"]["rate_ppm"] == 10_000 and plan["b"]["planned_tokens"] == 100
+    # Single weighted stratum: rate exactly 1, planned = all its tokens;
+    # the unweighted stratum plans to zero.
+    plan2 = {r["stratum"]: r for r in sampling.plan_mixture(df, {"b": 5}).collect()}
+    assert plan2["b"]["rate_ppm"] == 1_000_000 and plan2["b"]["planned_tokens"] == 10000
+    assert plan2["a"]["rate_ppm"] == 0 and plan2["a"]["weight"] == 0
