@@ -1,0 +1,69 @@
+"""Table profiling — the data-quality pass a pipeline runs before
+trusting an ingested table (deequ/dbt-style): per-column null counts,
+distinct cardinality, and min/max, computed in ONE aggregate pass over
+the table (never one job per column — at 100 TB, k scans for k columns
+is the classic profiling mistake).
+
+No reference analog (the reference validates per-record at write time,
+node/service/service.go); this is table-level. min/max are emitted as
+strings only for integer and string columns — double and timestamp
+rendering differs across engines, so those profile to NULL min/max
+rather than unportable values (their null/distinct counts still check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MINMAX_TYPES = ("tinyint", "smallint", "int", "bigint", "string", "date", "boolean")
+
+
+def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, n_distinct,
+    min_str, max_str), ordered by column name.
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT) — with several columns
+    Spark plans an Expand (k-way row multiplication before the partial
+    aggregates), exact but k-costly; pass False for
+    approx_count_distinct, the single-pass HLL form a 100 TB profile
+    wants (cardinalities become estimates; everything else is exact).
+    NULLs never count as a distinct value in either engine.
+    """
+    aggs = []
+    cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    for name, dtype in cols:
+        c = F.col(name)
+        aggs.append(F.count(F.lit(1)).alias(f"__rows_{name}"))
+        aggs.append(F.count(c).alias(f"__nn_{name}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(c).alias(f"__nd_{name}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{name}"))
+        if dtype in _MINMAX_TYPES:
+            aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
+            aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"__mn_{name}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__mx_{name}"))
+    one = df.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("column"),
+                    F.col(f"__rows_{name}").alias("n_rows"),
+                    (F.col(f"__rows_{name}") - F.col(f"__nn_{name}")).alias("n_nulls"),
+                    F.col(f"__nd_{name}").cast("long").alias("n_distinct"),
+                    F.col(f"__mn_{name}").alias("min_str"),
+                    F.col(f"__mx_{name}").alias("max_str"),
+                )
+                for name, _ in cols
+            ]
+        )
+    )
+    return (
+        one.select(rows.alias("p"))
+        .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+        .orderBy("column")
+    )

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sum_spark.operators.profile import profile_table
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
 
@@ -62,18 +63,83 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q31_distinct_projection",
+    # Profile leg columns: min/max check only for integer/string types;
+    # double/timestamp render differently across engines and profile to
+    # NULL min/max (their null/distinct counts still check exactly).
     oracle="""
-    SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+    WITH prof(col, mm) AS (VALUES
+      ('event_id', true), ('event_type', true), ('props', true),
+      ('ts', false), ('user_id', true), ('value', false)
+    )
+    SELECT 'distinct' AS mode, CAST(user_id AS VARCHAR) AS col_a,
+           event_type AS col_b, CAST(NULL AS BIGINT) AS n_rows,
+           CAST(NULL AS BIGINT) AS n_nulls, CAST(NULL AS BIGINT) AS n_distinct,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    UNION ALL
+    SELECT 'profile', p.col, NULL, s.n_rows, s.n_nulls, s.n_distinct,
+           CASE WHEN p.mm THEN s.min_str END, CASE WHEN p.mm THEN s.max_str END
+    FROM prof p JOIN (
+      SELECT 'event_id' AS col, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(event_id) AS n_nulls,
+             COUNT(DISTINCT event_id) AS n_distinct,
+             CAST(MIN(event_id) AS VARCHAR) AS min_str,
+             CAST(MAX(event_id) AS VARCHAR) AS max_str FROM events
+      UNION ALL
+      SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+             COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type) FROM events
+      UNION ALL
+      SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+             COUNT(DISTINCT props), MIN(props), MAX(props) FROM events
+      UNION ALL
+      SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+             COUNT(DISTINCT ts), NULL, NULL FROM events
+      UNION ALL
+      SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+             COUNT(DISTINCT user_id), CAST(MIN(user_id) AS VARCHAR),
+             CAST(MAX(user_id) AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+             COUNT(DISTINCT value), NULL, NULL FROM events
+    ) s ON s.col = p.col
+    ORDER BY mode, col_a, col_b
     """,
-    doc="DISTINCT on a projection (the deterministic form of dropDuplicates).",
+    doc="Tagged pair: 'distinct' = DISTINCT on a projection (the "
+    "deterministic form of dropDuplicates); 'profile' = the one-pass "
+    "table profiler (operators/profile.py) over the events table — "
+    "per-column nulls, exact distinct cardinality, and portable min/max "
+    "(integer/string columns only), the data-quality pass a pipeline "
+    "runs before trusting an ingested table.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type")
+    ev = load_table(spark, sf_dir, "events")
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    distinct = (
+        ev.select("user_id", "event_type")
         .distinct()
-        .orderBy("user_id", "event_type")
+        .select(
+            F.lit("distinct").alias("mode"),
+            F.col("user_id").cast("string").alias("col_a"),
+            F.col("event_type").alias("col_b"),
+            nl.alias("n_rows"),
+            nl.alias("n_nulls"),
+            nl.alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
     )
+    prof = profile_table(ev).select(
+        F.lit("profile").alias("mode"),
+        F.col("column").alias("col_a"),
+        ns.alias("col_b"),
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_str",
+        "max_str",
+    )
+    return distinct.unionByName(prof).orderBy("mode", "col_a", "col_b")
 
 
 def _duck_quantile_cols(ps: dict[str, float]) -> tuple[str, str]:

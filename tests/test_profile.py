@@ -1,0 +1,64 @@
+"""Table profiler (operators/profile): null/distinct/min-max semantics,
+portable-type gating, the single-scan plan shape, and the approx path."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from sum_spark.operators.profile import profile_table
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.5, None),
+            (2, "b", None, None),
+            (2, None, 2.5, None),
+            (None, "a", 2.5, None),
+        ],
+        "k long, s string, v double, z string",
+    )
+
+
+def test_profile_values(spark):
+    got = {r["column"]: r for r in profile_table(_df(spark)).collect()}
+    assert set(got) == {"k", "s", "v", "z"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    k = got["k"]
+    assert (k["n_nulls"], k["n_distinct"], k["min_str"], k["max_str"]) == (1, 2, "1", "2")
+    s = got["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "a", "b")
+    v = got["v"]  # double: counts exact, min/max not portable -> NULL
+    assert (v["n_nulls"], v["n_distinct"], v["min_str"], v["max_str"]) == (1, 2, None, None)
+    z = got["z"]  # all-NULL column
+    assert (z["n_nulls"], z["n_distinct"], z["min_str"], z["max_str"]) == (4, 0, None, None)
+
+
+def test_profile_is_one_scan(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    # The plan TREE (not the formatted node-detail echo) holds each
+    # operator once: all columns' stats ride a single parquet scan.
+    plan = profile_table(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
+def test_profile_approx_mode(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    exact = {r["column"]: r["n_distinct"] for r in profile_table(ev).collect()}
+    approx = {r["column"]: r["n_distinct"] for r in
+              profile_table(ev, exact_distinct=False).collect()}
+    for c in exact:
+        if exact[c]:
+            assert abs(approx[c] - exact[c]) / exact[c] < 0.1
+    # The approx plan must avoid the Expand the exact multi-distinct needs.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_table(ev, exact_distinct=False).explain("formatted")
+    assert "Expand" not in buf.getvalue()
