@@ -98,6 +98,55 @@ def l2_normalize(
     ).orderBy("vec_id")
 
 
+def random_project(
+    df: DataFrame,
+    out_dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss reduction with deterministic ±1/sqrt(k)
+    planes (the md5-derived sign scheme of dedup.srp_planes, so the SAME
+    projection reproduces on any run, cluster, or engine — no RNG state
+    to ship). Output: (vec_id, proj: array<double> of out_dims) ordered.
+
+    Map-side only: the planes are literals folded per row (out_dims
+    independent dot products), so the reduction streams through the scan
+    — the cheap preprocessing before ANN when the raw dimension makes
+    IVF/LSH signatures or GEMM blocks memory-heavy. Distances are
+    preserved to the JL epsilon for the chosen out_dims; downstream
+    exact verification (the dedup operators' verify stage) should use
+    the ORIGINAL vectors.
+    """
+    from sum_spark.operators.dedup import srp_planes
+
+    staged = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dims = int(staged.select(F.size("__v")).limit(1).collect()[0][0])
+    planes = srp_planes(int(out_dims), dims, seed=seed)
+    scale = 1.0 / float(out_dims) ** 0.5
+    proj = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "__v",
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+            )
+            for p in planes
+        ]
+    )
+    return staged.select("vec_id", proj.alias("proj")).orderBy("vec_id")
+
+
 def mean_pool(
     df: DataFrame,
     group_col: str = "label",

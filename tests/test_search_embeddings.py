@@ -336,3 +336,37 @@ def test_plan_mixture_exact_integer_cases(spark):
     plan2 = {r["stratum"]: r for r in sampling.plan_mixture(df, {"b": 5}).collect()}
     assert plan2["b"]["rate_ppm"] == 1_000_000 and plan2["b"]["planned_tokens"] == 10000
     assert plan2["a"]["rate_ppm"] == 0 and plan2["a"]["weight"] == 0
+
+
+def test_random_project_deterministic_and_jl(spark, sf_smoke):
+    import numpy as np
+
+    from sum_spark.operators.embeddings import random_project
+    from sum_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(100)
+    a = {r["vec_id"]: r["proj"] for r in random_project(emb, 16).collect()}
+    b = {r["vec_id"]: r["proj"] for r in random_project(emb.repartition(7), 16).collect()}
+    assert a == b  # deterministic planes, layout-proof
+    assert all(len(v) == 16 for v in a.values())
+    # JL sanity: squared distances preserved in aggregate (not per-pair).
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in emb.collect()}
+    ids = sorted(orig)[:40]
+    do, dp = [], []
+    for i in range(0, len(ids) - 1, 2):
+        x, y = ids[i], ids[i + 1]
+        do.append(float(((orig[x] - orig[y]) ** 2).sum()))
+        dp.append(float(((np.array(a[x]) - np.array(a[y])) ** 2).sum()))
+    ratio = sum(dp) / sum(do)
+    assert 0.5 < ratio < 2.0  # k=16 of d=64: loose JL band, deterministic data
+
+
+def test_random_project_is_map_side(spark, sf_smoke):
+    from sum_spark.operators.embeddings import random_project
+    from sum_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    plan = random_project(emb, 8)._jdf.queryExecution().executedPlan().toString()
+    # The single Exchange is the final orderBy's range partitioning; no
+    # join/aggregate shuffle feeds the projection itself.
+    assert plan.count("Exchange") <= 1
