@@ -21,7 +21,7 @@ from sum_spark.functions.text import (
     duck_stopword_hits,
     duck_word_shingles,
 )
-from sum_spark.operators import clustering, dedup, embeddings, lm, sampling, textops
+from sum_spark.operators import classifier, clustering, dedup, embeddings, lm, sampling, textops
 from sum_spark.plans.scale import carry_caches
 from sum_spark.operators.search import bm25_search, duck_bm25_sql
 from sum_spark.operators.similarity import knn_bruteforce, knn_ivf
@@ -812,7 +812,8 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     ),
     lmper AS (
       SELECT doc_id, COUNT(*) AS nb, SUM(nl) AS s FROM lmnll GROUP BY doc_id
-    )
+    ),
+    clf AS ({classifier.duck_hash_weight_score('w')})
     SELECT b.doc_id, {_LANG_CASE} AS pred_lang, g.g AS hits,
            CAST(n AS BIGINT) AS n_tokens,
            CAST(d AS BIGINT) AS n_distinct,
@@ -829,10 +830,13 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
            CAST(d3 AS BIGINT) AS n_grams,
            CAST(COALESCE(dn.n_dup, 0) AS BIGINT) AS n_dup_grams,
            CAST(COALESCE(lmper.nb, 0) AS BIGINT) AS n_bigrams,
-           CAST(COALESCE(lmper.s, 0) AS BIGINT) AS nll_micro
+           CAST(COALESCE(lmper.s, 0) AS BIGINT) AS nll_micro,
+           CAST(COALESCE(clf.n_feats, 0) AS BIGINT) AS n_feats,
+           CAST(COALESCE(clf.clf_micro, 0) AS BIGINT) AS clf_micro
     FROM b JOIN g USING (doc_id) JOIN mx USING (doc_id)
     LEFT JOIN dn ON dn.doc_id = b.doc_id
     LEFT JOIN lmper ON lmper.doc_id = b.doc_id
+    LEFT JOIN clf ON clf.doc_id = b.doc_id
     ORDER BY b.doc_id
     """,
     doc="Per-document profile (consolidated text_lang_id + text_quality + "
@@ -844,13 +848,17 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     "operators/dedup.duplicated_span_stats, the substring-dedup signal) "
     "and the CCNet-style bigram-LM quality signal (n_bigrams, nll_micro "
     "integer micro-nat NLL under add-one smoothing, self-trained; "
-    "operators/lm.py).",
+    "operators/lm.py) and the fastText-style hashed-linear classifier "
+    "scoring path (n_feats, clf_micro integer micro-logits with "
+    "deterministic hash-derived weights; trained-weight scoring is the "
+    "same machinery, operators/classifier.py).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     prof = textops.text_profile(docs)
     spans = dedup.duplicated_span_stats(docs)
     lmsc = lm.score_self(docs)
+    clfsc = classifier.score_with_hash_weights(docs)
     out = (
         prof.join(spans, "doc_id", "left")
         .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
@@ -858,6 +866,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_grams", F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
         )
         .join(lmsc, "doc_id", "left")
+        .join(clfsc, "doc_id", "left")
+        .withColumn("n_feats", F.coalesce(F.col("n_feats"), F.lit(0)).cast("long"))
+        .withColumn("clf_micro", F.coalesce(F.col("clf_micro"), F.lit(0)).cast("long"))
         .orderBy("doc_id")
     )
     # spans carries the persisted shingle table's release finalizer; the
