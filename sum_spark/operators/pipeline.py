@@ -16,6 +16,10 @@ chain (no driver-side loops, no collect on the data path):
                           mean bigram-LM NLL is too high — CCNet-style;
                           scored against lm_counts/lm_vocab or
                           self-trained on the survivors
+    4c. classifier gate   (opt-in: clf_weights + min_clf_prob) drop docs
+                          the trained quality classifier scores below
+                          the probability floor — the fastText-style
+                          model gate (DCLM/FineWeb-Edu pattern)
     5. stratified sample  per-source hash-Bernoulli rates (reproducible)
     6. sequence packing   fixed token-budget packs in doc_id order
     7. global shuffle     deterministic seeded order for serialization
@@ -59,6 +63,9 @@ def prepare_training_data(
     max_mean_nll: float | None = None,
     lm_counts: DataFrame | None = None,
     lm_vocab: int | None = None,
+    clf_weights: DataFrame | None = None,
+    clf_intercept_micro: int = 0,
+    min_clf_prob: float | None = None,
 ) -> DataFrame:
     """Run the full preparation flow; returns one row per surviving
     document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
@@ -158,6 +165,26 @@ def prepare_training_data(
             )
         )
         survivors = survivors.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+    # 4c. optional model-based quality gate: the trained hashed-linear
+    #     classifier (operators/classifier.train_text_classifier). The
+    #     probability floor is applied as an integer micro-logit
+    #     threshold so the gate is exact on any layout; weights come
+    #     from a labeled sample the caller curated — the pipeline never
+    #     trains on the corpus it is filtering.
+    if clf_weights is not None and min_clf_prob is not None:
+        import math
+
+        from sum_spark.operators.classifier import score_text_classifier
+
+        p = float(min_clf_prob)
+        if not 0.0 < p < 1.0:
+            raise ValueError("min_clf_prob must be in (0, 1)")
+        min_logit_micro = int(math.ceil(math.log(p / (1.0 - p)) * 1_000_000))
+        scored = score_text_classifier(
+            survivors, clf_weights, clf_intercept_micro
+        ).where(F.col("logit_micro") >= F.lit(min_logit_micro))
+        survivors = survivors.join(scored.select("doc_id"), "doc_id", "left_semi")
 
     # 5. reproducible stratified sampling.
     if rates is not None or default_rate < 1.0:

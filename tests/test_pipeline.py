@@ -146,3 +146,46 @@ def test_pipeline_perplexity_filter(spark, sf_smoke, prepared):
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert not any(d >= 9900001 for d in got)  # gibberish filtered
     assert len(got & base_ids) > 0.5 * len(base_ids)  # corpus largely kept
+
+
+def test_pipeline_classifier_gate(spark, sf_smoke, prepared):
+    corpus, bench, base_out = prepared
+    base_ids = {r["doc_id"] for r in base_out.select("doc_id").collect()}
+    from sum_spark.operators.classifier import train_text_classifier
+
+    # Train on a held-out labeled sample: real docs (1) vs character-
+    # reversed docs (0) — disjoint hashed vocabularies.
+    sample = corpus.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    neg = sample.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.reverse("text").alias("text")
+    )
+    labeled = sample.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )
+    weights, b = train_text_classifier(labeled)
+
+    # Plant low-quality (reversed) docs into the corpus; the gate must
+    # drop them and keep the ordinary docs.
+    planted = (
+        corpus.where(F.col("doc_id") % 3 == 1)
+        .limit(5)
+        .select(
+            (F.col("doc_id") + 9_800_000).alias("doc_id"),
+            F.reverse("text").alias("text"),
+            F.col("source"),
+        )
+    )
+    aug = corpus.select("doc_id", "text", "source").unionByName(planted)
+    out = prepare_training_data(
+        aug,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+        clf_weights=weights,
+        clf_intercept_micro=b,
+        min_clf_prob=0.5,
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(d >= 9_800_000 for d in got)  # planted low-quality dropped
+    assert len(got & base_ids) > 0.8 * len(base_ids)  # corpus largely kept
