@@ -145,6 +145,63 @@ def duplicated_span_stats(
     return _release_with(out, sh)
 
 
+def dedup_lines(
+    df: DataFrame,
+    min_df: int = 2,
+    line_sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style line/paragraph dedup: remove every line that occurs in
+    at least ``min_df`` distinct documents (headers, footers, cookie
+    banners, "subscribe" boilerplate — the dominant noise in web corpora
+    that document-level dedup never touches), preserving the order of the
+    surviving lines.
+
+    Output: (doc_id, n_lines, n_dup_lines, clean_text) ordered by doc_id
+    — clean_text is the document with boilerplate lines removed ('' when
+    nothing survives). Docs with NULL text carry no lines and are
+    excluded (text_profile contract).
+
+    Spark shape: one line explode, a line-hash count aggregate, then the
+    DUPLICATED-line set — duplicated-boilerplate-sized, orders of
+    magnitude smaller than the corpus — broadcasts back as a marker; the
+    only corpus-sized shuffle is the per-doc reassembly groupBy. Line
+    identity is the portable hash60, so the whole operator (counts and
+    reassembled-text hash) is value-checkable against DuckDB (the
+    dedup_exact entry's 'line' leg). For a corpus whose duplicated-line
+    set outgrows broadcast, drop the hint — the join shape is unchanged.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+    )
+    lh = hash60(F.col("__line")).alias("__h")
+    hashed = lines.select("doc_id", "__pos", "__line", lh)
+    boiler = (
+        hashed.groupBy("__h")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .where(F.col("__nd") >= F.lit(int(min_df)))
+        .select("__h", F.lit(1).alias("__dup"))
+    )
+    marked = hashed.join(F.broadcast(boiler), "__h", "left")
+    kept = F.when(F.col("__dup").isNull(), F.struct("__pos", "__line"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("__dup").alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["__line"]
+                ),
+                line_sep,
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles: array<string> distinct) word-3-shingle sets.
 

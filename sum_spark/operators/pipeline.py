@@ -4,6 +4,10 @@ examples flow. Each stage is an existing, oracle-checked operator; this
 module only wires them so a corpus goes through one declarative plan
 chain (no driver-side loops, no collect on the data path):
 
+    0. line dedup         (opt-in: line_dedup_min_df) remove lines
+                          occurring in >= min_df docs (CCNet paragraph
+                          dedup — headers/footers/boilerplate); docs
+                          with no surviving line drop out
     1. exact dedup        keep one doc per identical text
     2. near-dup dedup     MinHash+LSH pairs -> connected components ->
                           keep each cluster's keeper (min doc_id)
@@ -66,6 +70,8 @@ def prepare_training_data(
     clf_weights: DataFrame | None = None,
     clf_intercept_micro: int = 0,
     min_clf_prob: float | None = None,
+    line_dedup_min_df: int | None = None,
+    line_sep: str = "\n",
 ) -> DataFrame:
     """Run the full preparation flow; returns one row per surviving
     document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
@@ -88,6 +94,26 @@ def prepare_training_data(
         F.col(text_col).alias("text"),
         F.col(strat_col).alias("source"),
     )
+
+    # 0. optional CCNet-style line dedup: scrub cross-document
+    #    boilerplate lines BEFORE any document-level signal is computed
+    #    (a shared footer otherwise drags unrelated docs toward each
+    #    other in every downstream similarity). Docs left with no line
+    #    drop out here.
+    if line_dedup_min_df is not None:
+        cleaned = dedup.dedup_lines(
+            base, min_df=line_dedup_min_df, line_sep=line_sep
+        )
+        base = (
+            base.drop("text")
+            .join(
+                cleaned.where(F.col("clean_text") != "").select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "text", "source")
+        )
 
     # 1. exact dedup: keep each identical-text group's min doc_id.
     keepers = dedup.dedup_exact(base).select(F.col("keep_id").alias("doc_id"))

@@ -14,12 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sum_spark.functions.hashing import SIMHASH_BITS, duck_hash60
+from sum_spark.functions.hashing import SIMHASH_BITS, duck_hash60, hash60
 from sum_spark.functions.text import (
     LANG_STOPWORDS,
     SHINGLE_N,
     duck_stopword_hits,
     duck_word_shingles,
+    tokens,
 )
 from sum_spark.operators import classifier, clustering, dedup, embeddings, lm, sampling, textops
 from sum_spark.plans.scale import carry_caches
@@ -86,18 +87,51 @@ _DUCK_LLOYD_CTES = """
     dup AS (
       SELECT h, MIN(doc_id) AS first_doc, COUNT(*) AS n_docs
       FROM g GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    augl AS (
+      SELECT doc_id,
+             array_to_string(list_transform(generate_series(1, len(w), 8),
+                st -> array_to_string(list_slice(w, st, st + 7), ' ')), chr(10))
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'subscribe to daily updates' ELSE '' END AS t
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    ll AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM augl),
+    le AS (
+      SELECT doc_id, i, l[i] AS line
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM ll)
+    ),
+    lb AS (
+      SELECT {duck_hash60("line")} AS h FROM le
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    lf AS (
+      SELECT le.doc_id, le.i, le.line,
+             CASE WHEN lb.h IS NOT NULL THEN 1 END AS dup
+      FROM le LEFT JOIN lb ON lb.h = {duck_hash60("le.line")}
+    ),
+    lp AS (
+      SELECT doc_id, COUNT(dup) AS ndup,
+             {duck_hash60("COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE dup IS NULL), '')")} AS ch
+      FROM lf GROUP BY doc_id
     )
     SELECT 'doc' AS mode, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
            CAST(NULL AS BIGINT) AS gram_h
     FROM documents GROUP BY md5(text)
     UNION ALL
     SELECT 'gram', first_doc, n_docs, h FROM dup
+    UNION ALL
+    SELECT 'line', doc_id, ndup, ch FROM lp
     ORDER BY mode, keep_id, gram_h
     """,
-    doc="Tagged pair: 'doc' = exact document dedup (hash-groupBy on "
+    doc="Tagged triple: 'doc' = exact document dedup (hash-groupBy on "
     "md5(text), keeper = min doc_id); 'gram' = cross-document duplicated "
     "word n-grams (the substring-level dedup candidate set: gram hash, "
-    "first containing doc, containing-doc count), both hash-checked.",
+    "first containing doc, containing-doc count); 'line' = CCNet-style "
+    "line/paragraph dedup (operators/dedup.dedup_lines) over "
+    "deterministically line-broken text with planted boilerplate — "
+    "n_dups = removed-line count, gram_h = hash60 of the reassembled "
+    "clean text. All hash-checked.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -113,7 +147,37 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_dups"),
         "gram_h",
     )
-    return doc_leg.unionAll(gram_leg).orderBy("mode", "keep_id", "gram_h")
+    # 'line' leg: the corpus has no natural line breaks, so break it
+    # deterministically (8-word lines, identical expression in the
+    # oracle) and plant a boilerplate line in every 4th doc.
+    chunks = F.expr(
+        "transform(sequence(0, CAST(floor((size(__w) + 7) / 8) AS INT) - 1), "
+        "c -> array_join(slice(__w, c * 8 + 1, 8), ' '))"
+    )
+    aug = (
+        docs.select("doc_id", tokens("text").alias("__w"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.array_join(chunks, "\n"),
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit("\nsubscribe to daily updates"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+    line_leg = dedup.dedup_lines(aug).select(
+        F.lit("line").alias("mode"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_dup_lines").alias("n_dups"),
+        hash60(F.col("clean_text")).alias("gram_h"),
+    )
+    return (
+        doc_leg.unionAll(gram_leg)
+        .unionAll(line_leg)
+        .orderBy("mode", "keep_id", "gram_h")
+    )
 
 
 _NGRAM_JACCARD_ORACLE = f"""

@@ -306,3 +306,71 @@ def test_duplicated_span_stats_counts(spark):
     out2 = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
             for r in dedup.duplicated_span_stats(df, dup_grams=dup, n=3).collect()}
     assert out2 == out
+
+
+class TestDedupLines:
+    def test_removes_cross_doc_lines_keeps_within_doc_repeats(self, spark):
+        from sum_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\nboil\nb"),
+                (2, "boil\nc"),
+                (3, "x"),
+                (4, "y\ny"),  # repeated WITHIN one doc only: kept
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+        assert got[1]["clean_text"] == "a\nb" and got[1]["n_dup_lines"] == 1
+        assert got[2]["clean_text"] == "c"
+        assert got[3]["n_dup_lines"] == 0
+        assert got[4]["clean_text"] == "y\ny" and got[4]["n_dup_lines"] == 0
+        assert 5 not in got  # NULL text carries no lines
+
+    def test_all_lines_removed_yields_empty_text(self, spark):
+        from sum_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "boil"), (2, "boil")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+        assert got[1]["clean_text"] == "" and got[1]["n_dup_lines"] == 1
+        assert got[2]["clean_text"] == ""
+
+    def test_min_df_threshold(self, spark):
+        from sum_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "p\nq"), (2, "p\nr"), (3, "p\ns")], "doc_id long, text string"
+        )
+        # min_df=4: 'p' occurs in only 3 docs, nothing removed.
+        got = dedup_lines(df, min_df=4).collect()
+        assert all(r["n_dup_lines"] == 0 for r in got)
+        got2 = {r["doc_id"]: r for r in dedup_lines(df, min_df=3).collect()}
+        assert all(got2[d]["n_dup_lines"] == 1 for d in (1, 2, 3))
+
+    def test_layout_invariant_and_order_preserving(self, spark, sf_smoke):
+        from sum_spark.operators.dedup import dedup_lines
+        from sum_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, sf_smoke, "documents").limit(80)
+        # Break into 5-word lines so cross-doc repeats actually occur.
+        lined = docs.select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(0, CAST(floor((size(split(text, ' ')) + 4) / 5) AS INT) - 1), "
+                "c -> array_join(slice(split(text, ' '), c * 5 + 1, 5), ' ')), '\n')"
+            ).alias("text"),
+        )
+        a = sorted(map(tuple, dedup_lines(lined).collect()))
+        b = sorted(map(tuple, dedup_lines(lined.repartition(17)).collect()))
+        assert a == b
+        # Surviving lines keep their original relative order.
+        orig = {r["doc_id"]: r["text"].split("\n") for r in lined.collect()}
+        for doc_id, *_rest, clean in a:
+            kept = clean.split("\n") if clean else []
+            it = iter(orig[doc_id])
+            assert all(any(line == o for o in it) for line in kept)

@@ -189,3 +189,33 @@ def test_pipeline_classifier_gate(spark, sf_smoke, prepared):
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert not any(d >= 9_800_000 for d in got)  # planted low-quality dropped
     assert len(got & base_ids) > 0.8 * len(base_ids)  # corpus largely kept
+
+
+def test_pipeline_line_dedup_stage(spark, sf_smoke, prepared):
+    corpus, bench, _ = prepared
+    # Give every 2nd doc a shared boilerplate footer line; line-broken
+    # text so the stage has lines to work with.
+    lined = corpus.select(
+        "doc_id",
+        F.concat(
+            F.expr(
+                "array_join(transform(sequence(0, CAST(floor((size(split(text, ' ')) + 7) / 8) AS INT) - 1), "
+                "c -> array_join(slice(split(text, ' '), c * 8 + 1, 8), ' ')), '\n')"
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nall rights reserved contact us")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+        "source",
+    )
+    out = prepare_training_data(
+        lined,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+        line_dedup_min_df=2,
+    )
+    # The planted footer must not survive in any output text.
+    assert out.where(F.col("text").contains("all rights reserved")).count() == 0
+    assert out.count() > 0
