@@ -310,3 +310,65 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
         F.md5(scrub).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# --- HTML -> text extraction (web-corpus ingest) ----------------------------
+# Web pretraining corpora start as HTML; the extraction step (strip
+# script/style, drop tags, decode entities, collapse whitespace) is the
+# first stage of every CommonCrawl-style pipeline. Regexes are written
+# for the RE2/Java common subset (no backreferences; (?s) inline dotall)
+# so the transform is bit-identical in Spark and DuckDB — checked as
+# q35_string_scalars' html column.
+HTML_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+HTML_TAG_RE = r"<[^>]*>"
+WS_RE = r"\s+"
+# &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;' and must not
+# double-decode into '<'.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Expression: plain text extracted from an HTML column — script and
+    style blocks removed (content and all), remaining tags replaced by a
+    space (block boundaries must not glue words), the common entities
+    decoded, whitespace collapsed, trimmed. Map-side; whole-stage
+    codegen (chained regexp_replace/replace, no Python)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Block removal and tag stripping both substitute a SPACE: removed
+    # boundaries must not glue adjacent words ('a<script>..</script>b'
+    # is 'a b', not 'ab'); the trailing collapse absorbs the extras.
+    c = F.regexp_replace(c, HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, WS_RE, " "))
+
+
+def duck_html_to_text(expr: str) -> str:
+    """DuckDB twin of html_to_text (regexp_replace needs the explicit
+    'g' flag there — it replaces only the first match by default)."""
+    c = f"regexp_replace({expr}, '{HTML_SCRIPT_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{HTML_STYLE_RE}', ' ', 'g')"
+    c = f"regexp_replace({c}, '{HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({c}, '{WS_RE}', ' ', 'g'))"
+
+
+def extract_html(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text): the extracted plain text of each HTML document —
+    the ingest front of the pipeline (feed the result to
+    prepare_training_data). One map-side projection."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), html_to_text(text_col).alias("text")
+    )

@@ -270,10 +270,27 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q36_datetime_parts into q11_event_analytics; q37_case_null_funcs into
 # q40_scalar_subquery.
 
+# Deterministic HTML wrapper for the q35 extraction check: script content
+# (with raw < > inside), a nested tag, the common entities.
+_Q35_HTML_TAIL = (
+    "</h1><script>if (x<1 && y>2) load();</script>"
+    "<p>&amp; tail&nbsp;&#39;q&#39; &amp;lt;esc&amp;gt;</p></body></html>"
+)
+
+
+def _q35_html_duck() -> str:
+    from sum_spark.operators.textops import duck_html_to_text
+
+    tail = _Q35_HTML_TAIL.replace("'", "''")
+    return duck_html_to_text(f"'<html><body><h1>' || p_name || '{tail}'")
+
+
+_Q35_HTML_DUCK = _q35_html_duck()
+
 
 @query(
     "q35_string_scalars",
-    oracle="""
+    oracle=f"""
     SELECT p_partkey,
            regexp_extract(p_name, '([0-9]+)', 1) AS num,
            replace(p_brand, 'Brand', 'B') AS b,
@@ -281,15 +298,26 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
            trim(concat('  ', p_type, '  ')) AS t,
            UPPER(SUBSTR(p_name, 1, 5)) AS u,
            CAST(LENGTH(p_type) AS BIGINT) AS l,
-           ROUND(SQRT(p_retailprice), 2) AS r
+           ROUND(SQRT(p_retailprice), 2) AS r,
+           {_Q35_HTML_DUCK} AS html
     FROM part ORDER BY p_partkey LIMIT 50
     """,
     doc="String/math scalar battery (consolidated q35_regex_string + "
     "q23a_string_math): regex extraction, replace/lpad/trim/concat, "
     "upper/substr/length, sqrt — the reference has no scalar library "
-    "beyond the vector kernels; Spark builtins cover this.",
+    "beyond the vector kernels; Spark builtins cover this. The html "
+    "column runs the web-ingest HTML->text extractor "
+    "(textops.html_to_text: script/style removal, tag stripping, entity "
+    "decode, whitespace collapse) over deterministically wrapped HTML.",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.textops import html_to_text
+
+    wrapped = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("p_name"),
+        F.lit(_Q35_HTML_TAIL),
+    )
     return (
         load_table(spark, sf_dir, "part")
         .orderBy("p_partkey")
@@ -303,6 +331,7 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.substring("p_name", 1, 5)).alias("u"),
             F.length("p_type").cast("long").alias("l"),
             F.round(F.sqrt("p_retailprice"), 2).alias("r"),
+            html_to_text(wrapped).alias("html"),
         )
     )
 

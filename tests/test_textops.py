@@ -60,3 +60,44 @@ def test_pii_scan_detects_and_scrubs(spark):
 
     assert out[3]["scrubbed_md5"] == hashlib.md5(b"clean text only").hexdigest()
     assert out[2]["scrubbed_md5"] == hashlib.md5(b"server at <IP> and <IP> no mail").hexdigest()
+
+
+class TestHtmlToText:
+    def test_extraction_semantics(self, spark):
+        from sum_spark.operators.textops import extract_html
+
+        cases = [
+            (1, "<p>Hello &amp; <b>world</b></p>", "Hello & world"),
+            # script/style content removed entirely, tags become spaces
+            (2, "a<script>var x = '<div>';</script>b", "a b"),
+            (3, "a<style>p { color: red }</style>b", "a b"),
+            # entities decode once — escaped-escape stays textual
+            (4, "&amp;lt;tag&amp;gt;", "&lt;tag&gt;"),
+            (5, "x&nbsp;&#39;y&#39;&quot;z&quot;", "x 'y'\"z\""),
+            # whitespace collapse + trim
+            (6, "  a  \n\t b  ", "a b"),
+            (7, "<div><br><hr/></div>", ""),
+            (8, None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, h, _ in cases], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["text"] for r in extract_html(df).collect()}
+        for i, _, want in cases:
+            assert got[i] == want, (i, got[i], want)
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from sum_spark.operators.textops import duck_html_to_text, extract_html
+
+        html = (
+            "<html><head><title>T</title><style>a{x}</style></head>"
+            "<body><h1>Head &amp; lines</h1><script>if (a<b && c>d) e();</script>"
+            "<p>para&nbsp;one</p>\n<p>para two</p></body></html>"
+        )
+        df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+        ours = extract_html(df).collect()[0]["text"]
+        lit = "'" + html.replace("'", "''") + "'"
+        duck = duckdb.sql(f"SELECT {duck_html_to_text(lit)} AS t").fetchone()[0]
+        assert ours == duck == "T Head & lines para one para two"
