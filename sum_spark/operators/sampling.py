@@ -14,6 +14,8 @@ No reference analog (the reference has no sampling surface).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -182,6 +184,44 @@ def plan_mixture(
         )
         .orderBy("stratum")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    temperature: float,
+    strat_col: str = "source",
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> dict[str, int]:
+    """Integer target weights for temperature-based mixture rebalancing
+    (w_s proportional to t_s^(1/T) — the multilingual-training standard:
+    T=1 keeps the natural mixture, T->inf flattens toward uniform).
+    Returns a dict to feed plan_mixture, so the PLAN itself stays
+    integer-exact; only this input derivation uses floating pow.
+
+    Driver-side on a stratum-count-sized aggregate (sources/languages,
+    not documents). The pow rounding is performed once here, identically
+    for every consumer of the returned dict — reproducible run-to-run on
+    a platform; a different libm could flip a last-ulp rounding, so ship
+    the DICT (not the temperature) to reproduce a plan elsewhere.
+    """
+    t = float(temperature)
+    if t <= 0:
+        raise ValueError("temperature must be positive")
+    rows = (
+        df.groupBy(F.col(strat_col).alias("stratum"))
+        .agg(F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens"))
+        .collect()
+    )
+    toks = {r["stratum"]: int(r["n_tokens"]) for r in rows if r["n_tokens"]}
+    if not toks:
+        raise ValueError("no stratum with tokens")
+    mx = max(toks.values())
+    inv = 1.0 / t
+    return {
+        s: max(1, int(math.floor((n / mx) ** inv * scale + 0.5)))
+        for s, n in toks.items()
+    }
 
 
 def assign_contiguous_ids(

@@ -288,11 +288,29 @@ PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_URL_RE = r"https?://[^ ]+"
 
 
+URL_DOMAIN_RE = r"https?://([^/ ]+)"
+
+
+def url_domain(col: Column | str) -> Column:
+    """Lower-cased host of the FIRST URL in a text column ('' when none)
+    — the key for domain-level corpus curation (per-domain stats,
+    blocklist filtering, domain mixture caps). Identical semantics in
+    DuckDB (duck twin below): both engines return '' on no match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, URL_DOMAIN_RE, 1))
+
+
+def duck_url_domain(expr: str) -> str:
+    return f"lower(regexp_extract({expr}, '{URL_DOMAIN_RE}', 1))"
+
+
 def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """PII detection + scrubbing: counts of emails / IPv4s / URLs and the
+    """PII detection + scrubbing: counts of emails / IPv4s / URLs, the
     md5 of the scrubbed text (URLs replaced first — they may embed the
-    other patterns — then emails, then IPs). Single-pass column work.
-    Output: (doc_id, n_emails, n_ips, n_urls, scrubbed_md5) ordered.
+    other patterns — then emails, then IPs), and the first URL's
+    lower-cased domain (the per-domain curation key). Single-pass column
+    work. Output: (doc_id, n_emails, n_ips, n_urls, scrubbed_md5,
+    domain) ordered.
     """
     df = spread_for_compute(df)
     t = F.col(text_col)
@@ -309,6 +327,7 @@ def pii_scan(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
         F.regexp_count(t, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
         F.md5(scrub).alias("scrubbed_md5"),
+        url_domain(t).alias("domain"),
     ).orderBy("doc_id")
 
 

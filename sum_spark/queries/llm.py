@@ -988,11 +988,13 @@ _PII_AUG_DUCK = """
            md5(regexp_replace(regexp_replace(regexp_replace(
                text, '{textops.PII_URL_RE}', '<URL>', 'g'),
                '{textops.PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{textops.PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+               '{textops.PII_IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5,
+           {textops.duck_url_domain('text')} AS domain
     FROM aug ORDER BY doc_id
     """,
     doc="PII detect + scrub (emails / IPv4 / URLs) over deterministically "
-    "augmented text; counts plus md5 of the scrubbed form.",
+    "augmented text; counts plus md5 of the scrubbed form plus the first "
+    "URL's lower-cased domain (the per-domain curation key).",
 )
 def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -370,3 +370,31 @@ def test_random_project_is_map_side(spark, sf_smoke):
     # The single Exchange is the final orderBy's range partitioning; no
     # join/aggregate shuffle feeds the projection itself.
     assert plan.count("Exchange") <= 1
+
+
+def test_temperature_weights_shape_and_limits(spark, sf_smoke):
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    # T=1: weights proportional to token counts -> plan keeps (almost)
+    # everything; integer weight rounding can shave a few ppm.
+    w1 = sampling.temperature_weights(docs, temperature=1.0)
+    plan1 = sampling.plan_mixture(docs, w1)
+    assert all(r["rate_ppm"] >= 999_900 for r in plan1.collect())
+    # Large T: flattens toward uniform -> every stratum plans ~the
+    # smallest stratum's token mass; the largest downsamples hardest.
+    w_flat = sampling.temperature_weights(docs, temperature=1e9)
+    assert len(set(w_flat.values())) == 1
+    plan_flat = {r["stratum"]: r for r in sampling.plan_mixture(docs, w_flat).collect()}
+    planned = [r["planned_tokens"] for r in plan_flat.values()]
+    assert max(planned) - min(planned) <= max(planned) * 0.01
+    big = max(plan_flat.values(), key=lambda r: r["n_tokens"])
+    assert big["rate_ppm"] < 1_000_000
+    # Intermediate T orders between the two: bigger strata keep larger
+    # weight than uniform, smaller than proportional.
+    w2 = sampling.temperature_weights(docs, temperature=2.0)
+    s_big = max(w1, key=w1.get)
+    s_small = min(w1, key=w1.get)
+    assert w_flat[s_big] / w_flat[s_small] <= w2[s_big] / w2[s_small] <= w1[s_big] / w1[s_small]
+    with pytest.raises(ValueError):
+        sampling.temperature_weights(docs, temperature=0.0)
