@@ -202,6 +202,90 @@ def dedup_lines(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    dup_grams: DataFrame | None = None,
+    n: int = SHINGLE_N,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal — the acting half of
+    suffix-array corpus dedup (Lee et al. 2022, ExactSubstr): every
+    token covered by any occurrence of an n-gram that appears in >=
+    ``min_df`` distinct documents is cut, and the surviving tokens are
+    reassembled in order. duplicate_ngrams/duplicated_span_stats DETECT
+    the spans; this removes them (the fixed-n shingle inventory again
+    standing in for the suffix array).
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) ordered by doc_id
+    ('' when nothing survives); NULL-text docs are excluded
+    (text_profile contract). Pass ``dup_grams`` (a duplicate_ngrams
+    result, SAME n/min_df) to reuse a stored duplicated-gram table.
+
+    Spark shape: gram occurrences (position-bearing, so ALL occurrences,
+    not per-doc distinct) join the duplicated-gram set, fan out n
+    covered offsets, and an ANTI join on (doc_id, pos) — which is
+    duplicate-tolerant, so the overlap-heavy covered set needs NO
+    distinct — drops covered tokens; one per-doc groupBy reassembles.
+    Shuffles carry (doc_id, pos) pairs and 8-byte hashes, never text.
+    """
+    words = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
+    )
+    words = words.where(F.col("__w").isNotNull())
+    toks_pos = words.select(
+        "doc_id", F.posexplode("__w").alias("__pos", "__tok")
+    )
+    occ = (
+        words.where(F.size("__w") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("__w"), n)).alias("__pos", "__s"),
+        )
+        .select("doc_id", "__pos", hash60(F.col("__s")).alias("__h"))
+    )
+    if dup_grams is None:
+        occ = occ.persist()
+        dup = (
+            occ.groupBy("__h")
+            .agg(F.countDistinct("doc_id").alias("__nd"))
+            .where(F.col("__nd") >= F.lit(int(min_df)))
+            .select("__h")
+        )
+    else:
+        dup = dup_grams.select(F.col("gram_h").alias("__h"))
+    cov = occ.join(dup, "__h").select(
+        "doc_id",
+        F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias("__pos"),
+    )
+    kept = toks_pos.join(cov, ["doc_id", "__pos"], "left_anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count("*").alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = words.select("doc_id", F.size("__w").cast("long").alias("n_tokens"))
+    out = (
+        totals.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__nk"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+    return _release_with(out, occ) if dup_grams is None else out
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, shingles: array<string> distinct) word-3-shingle sets.
 

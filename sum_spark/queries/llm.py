@@ -114,6 +114,40 @@ _DUCK_LLOYD_CTES = """
       SELECT doc_id, COUNT(dup) AS ndup,
              {duck_hash60("COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE dup IS NULL), '')")} AS ch
       FROM lf GROUP BY doc_id
+    ),
+    spw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spo AS (
+      SELECT doc_id, i, {duck_hash60("sh[i]")} AS h
+      FROM (
+        SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i
+        FROM (SELECT doc_id, {_SHINGLES_DUCK} AS sh FROM spw)
+      )
+    ),
+    spd AS (SELECT h FROM spo GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    spc AS (
+      SELECT doc_id, i + k AS j
+      FROM (SELECT doc_id, i, unnest(range(0, {SHINGLE_N})) AS k
+            FROM spo JOIN spd USING (h))
+    ),
+    spt AS (
+      SELECT doc_id, i, w[i] AS word
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM spw)
+    ),
+    spk AS (
+      SELECT t.doc_id, t.i, t.word FROM spt t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spc c WHERE c.doc_id = t.doc_id AND c.j = t.i
+      )
+    ),
+    spr AS (
+      SELECT doc_id, COUNT(*) AS nk,
+             string_agg(word, ' ' ORDER BY i) AS ct
+      FROM spk GROUP BY doc_id
+    ),
+    sps AS (
+      SELECT b.doc_id, len(b.w) - COALESCE(spr.nk, 0) AS nrem,
+             {duck_hash60("COALESCE(spr.ct, '')")} AS ch
+      FROM spw b LEFT JOIN spr ON spr.doc_id = b.doc_id
     )
     SELECT 'doc' AS mode, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups,
            CAST(NULL AS BIGINT) AS gram_h
@@ -122,16 +156,20 @@ _DUCK_LLOYD_CTES = """
     SELECT 'gram', first_doc, n_docs, h FROM dup
     UNION ALL
     SELECT 'line', doc_id, ndup, ch FROM lp
+    UNION ALL
+    SELECT 'span', doc_id, nrem, ch FROM sps
     ORDER BY mode, keep_id, gram_h
     """,
-    doc="Tagged triple: 'doc' = exact document dedup (hash-groupBy on "
+    doc="Tagged quad: 'doc' = exact document dedup (hash-groupBy on "
     "md5(text), keeper = min doc_id); 'gram' = cross-document duplicated "
     "word n-grams (the substring-level dedup candidate set: gram hash, "
     "first containing doc, containing-doc count); 'line' = CCNet-style "
     "line/paragraph dedup (operators/dedup.dedup_lines) over "
     "deterministically line-broken text with planted boilerplate — "
     "n_dups = removed-line count, gram_h = hash60 of the reassembled "
-    "clean text. All hash-checked.",
+    "clean text; 'span' = ExactSubstr-style duplicated-span removal "
+    "(operators/dedup.remove_duplicate_spans): n_dups = removed-token "
+    "count, gram_h = hash60 of the span-stripped text. All hash-checked.",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -173,9 +211,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_lines").alias("n_dups"),
         hash60(F.col("clean_text")).alias("gram_h"),
     )
+    span_leg = dedup.remove_duplicate_spans(docs).select(
+        F.lit("span").alias("mode"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_removed").alias("n_dups"),
+        hash60(F.col("clean_text")).alias("gram_h"),
+    )
     return (
         doc_leg.unionAll(gram_leg)
         .unionAll(line_leg)
+        .unionAll(span_leg)
         .orderBy("mode", "keep_id", "gram_h")
     )
 

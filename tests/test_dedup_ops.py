@@ -374,3 +374,49 @@ class TestDedupLines:
             kept = clean.split("\n") if clean else []
             it = iter(orig[doc_id])
             assert all(any(line == o for o in it) for line in kept)
+
+
+class TestRemoveDuplicateSpans:
+    def test_hand_case(self, spark):
+        from sum_spark.operators.dedup import remove_duplicate_spans
+
+        df = spark.createDataFrame(
+            [(1, "x a b c y"), (2, "a b c z"), (3, "p q r s"), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+        assert (got[1]["n_removed"], got[1]["clean_text"]) == (3, "x y")
+        assert (got[2]["n_removed"], got[2]["clean_text"]) == (3, "z")
+        assert got[3]["n_removed"] == 0 and got[3]["clean_text"] == "p q r s"
+        assert 4 not in got  # NULL text excluded
+
+    def test_overlapping_spans_and_full_coverage(self, spark):
+        from sum_spark.operators.dedup import remove_duplicate_spans
+
+        # "a b c d" shares overlapping 3-grams (a b c) and (b c d) with
+        # the two other docs: all 4 tokens covered, clean_text empty.
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c"), (3, "b c d")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(df).collect()}
+        assert got[1]["n_removed"] == 4 and got[1]["clean_text"] == ""
+
+    def test_precomputed_dup_grams_matches_derived(self, spark, sf_smoke):
+        from sum_spark.operators.dedup import duplicate_ngrams, remove_duplicate_spans
+        from sum_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_smoke, "documents").limit(120)
+        dg = duplicate_ngrams(docs)
+        a = sorted(map(tuple, remove_duplicate_spans(docs).collect()))
+        b = sorted(map(tuple, remove_duplicate_spans(docs, dup_grams=dg).collect()))
+        assert a == b
+
+    def test_layout_invariant(self, spark, sf_smoke):
+        from sum_spark.operators.dedup import remove_duplicate_spans
+        from sum_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_smoke, "documents").limit(80)
+        a = sorted(map(tuple, remove_duplicate_spans(docs).collect()))
+        b = sorted(map(tuple, remove_duplicate_spans(docs.repartition(17)).collect()))
+        assert a == b
