@@ -8,6 +8,9 @@ chain (no driver-side loops, no collect on the data path):
                           occurring in >= min_df docs (CCNet paragraph
                           dedup — headers/footers/boilerplate); docs
                           with no surviving line drop out
+    0b. span dedup        (opt-in: span_dedup_min_df) ExactSubstr-style
+                          removal of tokens covered by cross-document
+                          duplicated n-grams; empty survivors drop out
     1. exact dedup        keep one doc per identical text
     2. near-dup dedup     MinHash+LSH pairs -> connected components ->
                           keep each cluster's keeper (min doc_id)
@@ -72,6 +75,7 @@ def prepare_training_data(
     min_clf_prob: float | None = None,
     line_dedup_min_df: int | None = None,
     line_sep: str = "\n",
+    span_dedup_min_df: int | None = None,
 ) -> DataFrame:
     """Run the full preparation flow; returns one row per surviving
     document: (doc_id, text, source, n_tokens, pack_id, shuffle_pos),
@@ -108,6 +112,22 @@ def prepare_training_data(
             base.drop("text")
             .join(
                 cleaned.where(F.col("clean_text") != "").select(
+                    "doc_id", F.col("clean_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .select("doc_id", "text", "source")
+        )
+
+    # 0b. optional ExactSubstr-style span dedup: strip tokens covered by
+    #     cross-document duplicated n-grams (after line dedup, so
+    #     boilerplate lines don't inflate the duplicated-gram set).
+    if span_dedup_min_df is not None:
+        stripped = dedup.remove_duplicate_spans(base, min_df=span_dedup_min_df)
+        base = (
+            base.drop("text")
+            .join(
+                stripped.where(F.col("clean_text") != "").select(
                     "doc_id", F.col("clean_text").alias("text")
                 ),
                 "doc_id",

@@ -219,3 +219,31 @@ def test_pipeline_line_dedup_stage(spark, sf_smoke, prepared):
     # The planted footer must not survive in any output text.
     assert out.where(F.col("text").contains("all rights reserved")).count() == 0
     assert out.count() > 0
+
+
+def test_pipeline_span_dedup_stage(spark, sf_smoke, prepared):
+    corpus, bench, _ = prepared
+    out = prepare_training_data(
+        corpus,
+        benchmark=bench,
+        near_dup_threshold=0.8,
+        pack_budget=512,
+        shuffle_seed="epoch-0",
+        span_dedup_min_df=8,  # floor binding on this corpus (max gram df = 9)
+    )
+    from sum_spark.operators.dedup import duplicate_ngrams, remove_duplicate_spans
+
+    assert out.count() > 0
+    # The floor is actually binding on this corpus (pervasive grams
+    # exist), and the stage genuinely stripped them: the pipeline
+    # output's total token mass is below the unstripped pipeline's.
+    assert duplicate_ngrams(corpus, min_df=8).count() > 0
+    stripped = remove_duplicate_spans(corpus, min_df=8)
+    assert stripped.where(F.col("n_removed") > 0).count() > 0
+    # The output's text IS the stripped text: every output doc the
+    # stripper touched differs from its original corpus text.
+    joined = out.select("doc_id", F.col("text").alias("out_text")).join(
+        corpus.select("doc_id", "text"), "doc_id"
+    ).join(stripped.where(F.col("n_removed") > 0).select("doc_id"), "doc_id", "left_semi")
+    assert joined.count() > 0
+    assert joined.where(F.col("out_text") == F.col("text")).count() == 0
