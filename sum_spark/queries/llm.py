@@ -179,7 +179,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dups",
         F.lit(None).cast("long").alias("gram_h"),
     )
-    gram_leg = dedup.duplicate_ngrams(docs).select(
+    # ONE duplicated-gram derivation feeds both the 'gram' leg and the
+    # 'span' leg's coverage marking (same n/min_df); persisted across the
+    # two branches, released with the returned plan.
+    from pyspark.storagelevel import StorageLevel
+
+    from sum_spark.plans.scale import release_with
+
+    dg = dedup.duplicate_ngrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    gram_leg = dg.select(
         F.lit("gram").alias("mode"),
         F.col("first_doc").alias("keep_id"),
         F.col("n_docs").alias("n_dups"),
@@ -211,18 +219,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_lines").alias("n_dups"),
         hash60(F.col("clean_text")).alias("gram_h"),
     )
-    span_leg = dedup.remove_duplicate_spans(docs).select(
+    span_leg = dedup.remove_duplicate_spans(docs, dup_grams=dg).select(
         F.lit("span").alias("mode"),
         F.col("doc_id").alias("keep_id"),
         F.col("n_removed").alias("n_dups"),
         hash60(F.col("clean_text")).alias("gram_h"),
     )
-    return (
+    out = (
         doc_leg.unionAll(gram_leg)
         .unionAll(line_leg)
         .unionAll(span_leg)
         .orderBy("mode", "keep_id", "gram_h")
     )
+    return release_with(out, dg)
 
 
 _NGRAM_JACCARD_ORACLE = f"""
