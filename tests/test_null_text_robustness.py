@@ -72,3 +72,29 @@ def test_sampling_is_text_independent(nullish):
         ).collect()
     }
     assert out == {1, 2, 3, 4, 5}
+
+
+def test_line_and_span_dedup_null_contract(nullish):
+    # dedup_lines: NULL text -> no lines -> excluded; empty string is one
+    # (empty) line and participates normally.
+    got = {r["doc_id"]: r for r in dedup.dedup_lines(nullish).collect()}
+    assert 2 not in got
+    assert set(got) == {1, 3, 4, 5}
+    # remove_duplicate_spans: NULL excluded; sub-n-token docs pass
+    # through untouched.
+    got = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(nullish).collect()}
+    assert 2 not in got
+    assert got[5]["n_removed"] == 0 and got[5]["clean_text"] == "x"
+    # docs 1 and 4 are identical: every 3-gram is cross-doc duplicated.
+    assert got[1]["clean_text"] == "" and got[1]["n_removed"] == 5
+
+
+def test_classifier_and_html_null_contract(spark, nullish):
+    from sum_spark.operators.classifier import score_with_hash_weights
+    from sum_spark.operators.textops import extract_html
+
+    got = {r["doc_id"]: r for r in score_with_hash_weights(nullish).collect()}
+    assert 2 not in got  # NULL text contributes no features
+    assert got[5]["n_feats"] == 1  # single word: unigram only
+    h = {r["doc_id"]: r["text"] for r in extract_html(nullish).collect()}
+    assert h[2] is None and h[3] == ""  # map-side op: NULL in, NULL out

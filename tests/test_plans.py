@@ -187,3 +187,38 @@ def test_pipeline_no_cartesian_and_broadcasts(spark, sf_smoke):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_dedup_lines_broadcasts_boilerplate_set(spark, sf_smoke):
+    from sum_spark.operators.dedup import dedup_lines
+    from sum_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    # The duplicated-line (boilerplate) marker set comes back as a
+    # broadcast; the corpus side never shuffles for the marking join.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_removal_no_token_level_shuffle(spark, sf_smoke):
+    from sum_spark.operators.dedup import remove_duplicate_spans
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = remove_duplicate_spans(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # Reassembly is map-side array work: the only aggregates in the plan
+    # are the duplicated-gram count and the per-doc START-POSITION list —
+    # there is NO collect_list over token rows and no (doc, pos) anti
+    # join (the old shape). A token-level reassembly would show a
+    # SortAggregate/ObjectHashAggregate over __tok.
+    assert "__tok" not in plan
+    # The only collect_list is the per-doc START-POSITION list, and it
+    # comes back to the corpus side as a BROADCAST left join.
+    assert plan.count("collect_list") <= 2  # partial + final of __pos
+    assert "collect_list(__pos" in plan
+    assert "BroadcastHashJoin" in plan
