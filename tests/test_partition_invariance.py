@@ -115,3 +115,24 @@ def test_prepare_training_data_invariant(spark, sf_smoke):
         )
 
     _assert_layout_invariant(run, corpus, ["doc_id"])
+
+
+def test_dedup_lines_invariant(spark, sf_smoke):
+    lined = _docs(spark, sf_smoke).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    _assert_layout_invariant(dedup.dedup_lines, lined, ["doc_id"])
+
+
+def test_remove_duplicate_spans_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        dedup.remove_duplicate_spans, _docs(spark, sf_smoke), ["doc_id"]
+    )
+
+
+def test_hash_weight_scoring_invariant(spark, sf_smoke):
+    from sum_spark.operators.classifier import score_with_hash_weights
+
+    _assert_layout_invariant(
+        score_with_hash_weights, _docs(spark, sf_smoke), ["doc_id"]
+    )
