@@ -231,6 +231,59 @@ def chunk_documents(
     ).orderBy("doc_id", "chunk_id")
 
 
+def chunk_by_lines(
+    df: DataFrame,
+    budget: int = 64,
+    line_sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boundary-aware chunking: pack CONSECUTIVE LINES (paragraphs) into
+    chunks of ~``budget`` tokens without ever splitting a line — the
+    retrieval/context-prep variant of chunk_documents (token windows cut
+    mid-sentence; line chunks keep semantic units whole). Assignment
+    follows the pack_sequences rule — chunk_id = floor(tokens-before /
+    budget) over the doc's running line-token sum — so a single line
+    longer than the budget still forms its own chunk (no line is ever
+    split), and the rule has an exact SQL-window twin.
+
+    Per-doc window over exploded lines (shuffle keyed by doc — the same
+    shape as the profile's top-word count), then one (doc, chunk)
+    reassembly groupBy. Output: (doc_id, chunk_id, chunk_text, n_tokens)
+    ordered; NULL-text docs carry no lines and are excluded.
+    """
+    from pyspark.sql import Window as W
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    lines = spread_for_compute(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__idx", "__line"),
+    )
+    ltok = lines.withColumn("__nt", F.size(F.split(F.col("__line"), " ")).cast("long"))
+    w = W.partitionBy("doc_id").orderBy("__idx")
+    cum = ltok.withColumn(
+        "__before", F.coalesce(F.sum("__nt").over(w), F.lit(0)) - F.col("__nt")
+    )
+    assigned = cum.withColumn(
+        "chunk_id", F.floor(F.col("__before") / F.lit(int(budget))).cast("long")
+    )
+    return (
+        assigned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__idx", "__line"))),
+                    lambda x: x["__line"],
+                ),
+                line_sep,
+            ).alias("chunk_text"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher-style repetition/boilerplate signals per document:
 

@@ -36,6 +36,18 @@ from sum_spark.sources.tables import load_table
 
 _SHINGLES_DUCK = duck_word_shingles("w", SHINGLE_N)
 
+# Deterministic 8-word line breaking (the corpus has no natural newlines;
+# the line-dedup and line-chunking legs break it identically in both
+# engines). Spark side expects a staged token array column __w.
+_LINE_BREAK_SPARK = (
+    "array_join(transform(sequence(0, CAST(floor((size(__w) + 7) / 8) AS INT) - 1), "
+    "c -> array_join(slice(__w, c * 8 + 1, 8), ' ')), '\\n')"
+)
+_LINE_BREAK_DUCK = (
+    "array_to_string(list_transform(generate_series(1, len(w), 8), "
+    "st -> array_to_string(list_slice(w, st, st + 7), ' ')), chr(10))"
+)
+
 # One full Lloyd step in DuckDB SQL, shared by the embed_quantize
 # 'kmeans'/'kcent' legs and the dedup_embedding_cosine 'sem' leg.
 # Assumes a prior CTE v(vec_id, vv double[]); yields ka(vec_id, vv,
@@ -90,8 +102,7 @@ _DUCK_LLOYD_CTES = """
     ),
     augl AS (
       SELECT doc_id,
-             array_to_string(list_transform(generate_series(1, len(w), 8),
-                st -> array_to_string(list_slice(w, st, st + 7), ' ')), chr(10))
+             {_LINE_BREAK_DUCK}
              || CASE WHEN doc_id % 4 = 0
                      THEN chr(10) || 'subscribe to daily updates' ELSE '' END AS t
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
@@ -194,18 +205,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gram_h",
     )
     # 'line' leg: the corpus has no natural line breaks, so break it
-    # deterministically (8-word lines, identical expression in the
-    # oracle) and plant a boilerplate line in every 4th doc.
-    chunks = F.expr(
-        "transform(sequence(0, CAST(floor((size(__w) + 7) / 8) AS INT) - 1), "
-        "c -> array_join(slice(__w, c * 8 + 1, 8), ' '))"
-    )
+    # deterministically (8-word lines, shared _LINE_BREAK expressions)
+    # and plant a boilerplate line in every 4th doc.
     aug = (
         docs.select("doc_id", tokens("text").alias("__w"))
         .select(
             "doc_id",
             F.concat(
-                F.array_join(chunks, "\n"),
+                F.expr(_LINE_BREAK_SPARK),
                 F.when(
                     F.col("doc_id") % 4 == 0,
                     F.lit("\nsubscribe to daily updates"),
@@ -996,24 +1003,62 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunk",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 48)) AS st FROM t),
     c AS (
       SELECT doc_id, CAST((st - 1) / 48 AS BIGINT) AS chunk_id,
              list_slice(w, st, st + 63) AS ch
       FROM s
+    ),
+    clt AS (SELECT doc_id, {_LINE_BREAK_DUCK} AS t2 FROM t),
+    cll AS (SELECT doc_id, string_split(t2, chr(10)) AS l FROM clt),
+    cle AS (
+      SELECT doc_id, i, l[i] AS line,
+             CAST(len(string_split(l[i], ' ')) AS BIGINT) AS nt
+      FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM cll)
+    ),
+    clc AS (
+      SELECT doc_id, i, line, nt,
+             SUM(nt) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS bef
+      FROM cle
+    ),
+    clg AS (
+      SELECT doc_id,
+             CAST(floor(CAST(bef AS DOUBLE) / 24) AS BIGINT) AS chunk_id,
+             string_agg(line, chr(10) ORDER BY i) AS chunk_text,
+             SUM(nt) AS n_tokens
+      FROM clc GROUP BY 1, 2
     )
-    SELECT doc_id, chunk_id, array_to_string(ch, ' ') AS chunk_text,
+    SELECT 'tok' AS mode, doc_id, chunk_id,
+           array_to_string(ch, ' ') AS chunk_text,
            CAST(len(ch) AS BIGINT) AS n_tokens
-    FROM c ORDER BY doc_id, chunk_id
+    FROM c
+    UNION ALL
+    SELECT 'line', doc_id, chunk_id, chunk_text, CAST(n_tokens AS BIGINT)
+    FROM clg
+    ORDER BY mode, doc_id, chunk_id
     """,
-    doc="Overlapping token-window chunking (64-token windows every 48): "
-    "the context-length prep step; map-side sequence+posexplode+slice.",
+    doc="Tagged pair: 'tok' = overlapping token-window chunking (64-token "
+    "windows every 48; map-side sequence+posexplode+slice); 'line' = "
+    "boundary-aware chunking (textops.chunk_by_lines: consecutive lines "
+    "packed to a 24-token budget without splitting a line — the "
+    "retrieval/context-prep variant) over the deterministically "
+    "line-broken corpus.",
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return textops.chunk_documents(docs, chunk_size=64, stride=48)
+    tok = textops.chunk_documents(docs, chunk_size=64, stride=48).select(
+        F.lit("tok").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
+    )
+    lined = docs.select(
+        "doc_id", tokens("text").alias("__w")
+    ).select("doc_id", F.expr(_LINE_BREAK_SPARK).alias("text"))
+    line = textops.chunk_by_lines(lined, budget=24).select(
+        F.lit("line").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
+    )
+    return tok.unionAll(line).orderBy("mode", "doc_id", "chunk_id")
 
 
 # The synthetic corpus contains no PII by construction, so the registered

@@ -101,3 +101,52 @@ class TestHtmlToText:
         lit = "'" + html.replace("'", "''") + "'"
         duck = duckdb.sql(f"SELECT {duck_html_to_text(lit)} AS t").fetchone()[0]
         assert ours == duck == "T Head & lines para one para two"
+
+
+class TestChunkByLines:
+    def test_budget_packing_and_no_line_split(self, spark):
+        from sum_spark.operators.textops import chunk_by_lines
+
+        # lines of 3/3/3 tokens, budget 6: chunks = [l0,l1], [l2]
+        df = spark.createDataFrame(
+            [(1, "a b c\nd e f\ng h i")], "doc_id long, text string"
+        )
+        got = chunk_by_lines(df, budget=6).collect()
+        assert [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in got] == [
+            (0, "a b c\nd e f", 6),
+            (1, "g h i", 3),
+        ]
+
+    def test_oversized_line_forms_own_chunk(self, spark):
+        from sum_spark.operators.textops import chunk_by_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nb c d e f g h i j\nk")], "doc_id long, text string"
+        )
+        got = chunk_by_lines(df, budget=4).collect()
+        # line 2 (9 tokens > budget) is NOT split; the pack rule places
+        # line 1+2 by cumulative-before, line 3 starts a later chunk.
+        texts = [r["chunk_text"] for r in got]
+        assert any("b c d e f g h i j" == t or "a\nb c d e f g h i j" == t for t in texts)
+        flat = "\n".join(texts)
+        assert flat.count("b c d e f g h i j") == 1
+        # token conservation
+        assert sum(r["n_tokens"] for r in got) == 11
+
+    def test_null_excluded_and_layout_invariant(self, spark, sf_smoke):
+        from sum_spark.operators.textops import chunk_by_lines
+        from sum_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        assert (
+            chunk_by_lines(
+                spark.createDataFrame([(1, None)], "doc_id long, text string")
+            ).count()
+            == 0
+        )
+        docs = load_table(spark, sf_smoke, "documents").limit(60).select(
+            "doc_id", F.replace(F.col("text"), F.lit(" data "), F.lit("\n")).alias("text")
+        )
+        a = sorted(map(tuple, chunk_by_lines(docs, budget=20).collect()))
+        b = sorted(map(tuple, chunk_by_lines(docs.repartition(13), budget=20).collect()))
+        assert a == b
