@@ -67,3 +67,32 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
         .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
         .orderBy("column")
     )
+
+
+def corpus_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-row corpus identity card: (n_docs, n_null_texts, n_tokens,
+    fp_sum) — the reproducibility stamp a data card / training manifest
+    records so two corpus builds can be compared without diffing rows.
+
+    fp_sum is the DECIMAL(38,0) sum of every document's 60-bit text
+    hash: ORDER-INSENSITIVE (integer addition commutes — identical on
+    any partition layout or engine, unlike any order- or float-dependent
+    digest) and content-sensitive (any changed/added/dropped text moves
+    it). Emitted as a string: Spark DECIMAL and DuckDB HUGEINT render
+    the same digits, and a 128-bit accumulator cannot overflow below
+    ~2^68 documents. One aggregate pass, no shuffle beyond the final
+    single-row combine.
+    """
+    from sum_spark.functions.hashing import hash60
+
+    t = F.col(text_col)
+    return df.select(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.count("*") - F.count(t)).cast("long").alias("n_null_texts"),
+        F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens"),
+        F.sum(hash60(t).cast("decimal(38,0)")).cast("decimal(38,0)")
+        .cast("string")
+        .alias("fp_sum"),
+    )

@@ -102,14 +102,24 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
              COUNT(DISTINCT value), NULL, NULL FROM events
     ) s ON s.col = p.col
+    UNION ALL
+    SELECT 'fingerprint', 'documents', NULL, COUNT(*),
+           COUNT(*) - COUNT(text),
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT),
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR),
+           NULL
+    FROM documents
     ORDER BY mode, col_a, col_b
     """,
-    doc="Tagged pair: 'distinct' = DISTINCT on a projection (the "
+    doc="Tagged triple: 'distinct' = DISTINCT on a projection (the "
     "deterministic form of dropDuplicates); 'profile' = the one-pass "
     "table profiler (operators/profile.py) over the events table — "
     "per-column nulls, exact distinct cardinality, and portable min/max "
     "(integer/string columns only), the data-quality pass a pipeline "
-    "runs before trusting an ingested table.",
+    "runs before trusting an ingested table; 'fingerprint' = the corpus "
+    "identity card (profile.corpus_fingerprint over documents: doc/"
+    "token counts plus the order-insensitive 128-bit hash-sum stamp a "
+    "training manifest records).",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -139,7 +149,21 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_str",
         "max_str",
     )
-    return distinct.unionByName(prof).orderBy("mode", "col_a", "col_b")
+    from sum_spark.operators.profile import corpus_fingerprint
+
+    fp = corpus_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        F.lit("fingerprint").alias("mode"),
+        F.lit("documents").alias("col_a"),
+        ns.alias("col_b"),
+        F.col("n_docs").alias("n_rows"),
+        F.col("n_null_texts").alias("n_nulls"),
+        F.col("n_tokens").alias("n_distinct"),
+        F.col("fp_sum").alias("min_str"),
+        ns.alias("max_str"),
+    )
+    return (
+        distinct.unionByName(prof).unionByName(fp).orderBy("mode", "col_a", "col_b")
+    )
 
 
 def _duck_quantile_cols(ps: dict[str, float]) -> tuple[str, str]:

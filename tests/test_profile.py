@@ -62,3 +62,32 @@ def test_profile_approx_mode(spark, sf_smoke):
     with contextlib.redirect_stdout(buf):
         profile_table(ev, exact_distinct=False).explain("formatted")
     assert "Expand" not in buf.getvalue()
+
+
+def test_corpus_fingerprint_detects_any_change(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.profile import corpus_fingerprint
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = corpus_fingerprint(docs).collect()[0]
+    assert base["n_docs"] == 500 and base["n_null_texts"] == 0
+    # Order/layout-insensitive: shuffled layout, same stamp.
+    again = corpus_fingerprint(docs.repartition(13)).collect()[0]
+    assert tuple(base) == tuple(again)
+    # Any single-doc edit moves fp_sum but not the counts-only columns
+    # it shouldn't.
+    edited = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit(" zz"))).otherwise(
+            F.col("text")
+        ),
+    )
+    mod = corpus_fingerprint(edited).collect()[0]
+    assert mod["fp_sum"] != base["fp_sum"]
+    assert mod["n_docs"] == base["n_docs"]
+    assert mod["n_tokens"] == base["n_tokens"] + 1
+    # A dropped doc moves it too.
+    dropped = corpus_fingerprint(docs.where(F.col("doc_id") != 7)).collect()[0]
+    assert dropped["fp_sum"] != base["fp_sum"]
