@@ -151,6 +151,7 @@ def dedup_lines(
     line_sep: str = "\n",
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_boiler: bool = True,
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: remove every line that occurs in
     at least ``min_df`` distinct documents (headers, footers, cookie
@@ -170,7 +171,8 @@ def dedup_lines(
     identity is the portable hash60, so the whole operator (counts and
     reassembled-text hash) is value-checkable against DuckDB (the
     dedup_exact entry's 'line' leg). For a corpus whose duplicated-line
-    set outgrows broadcast, drop the hint — the join shape is unchanged.
+    set outgrows broadcast, pass broadcast_boiler=False — the marking
+    join falls back to a shuffled hash join, shape otherwise unchanged.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
@@ -184,7 +186,9 @@ def dedup_lines(
         .where(F.col("__nd") >= F.lit(int(min_df)))
         .select("__h", F.lit(1).alias("__dup"))
     )
-    marked = hashed.join(F.broadcast(boiler), "__h", "left")
+    marked = hashed.join(
+        F.broadcast(boiler) if broadcast_boiler else boiler, "__h", "left"
+    )
     kept = F.when(F.col("__dup").isNull(), F.struct("__pos", "__line"))
     return (
         marked.groupBy("doc_id")

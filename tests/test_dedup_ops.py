@@ -376,6 +376,18 @@ class TestDedupLines:
             assert all(any(line == o for o in it) for line in kept)
 
 
+    def test_unbroadcast_boiler_same_result(self, spark):
+        from sum_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "a\nboil\nb"), (2, "boil\nc"), (3, "x")],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, dedup_lines(df).collect()))
+        b = sorted(map(tuple, dedup_lines(df, broadcast_boiler=False).collect()))
+        assert a == b
+
+
 class TestRemoveDuplicateSpans:
     def test_hand_case(self, spark):
         from sum_spark.operators.dedup import remove_duplicate_spans
