@@ -109,3 +109,33 @@ def test_ivf_index_prunes_partitions_and_matches_inflight(spark, sf_smoke, tmp_p
     # the filter is non-empty: bucket isin(...) reached the scan
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf and pf.strip() != ""
+
+
+def test_knn_ivf_kmeans_recall_and_full_probe_exactness(spark, sf_smoke):
+    from sum_spark.operators.clustering import kmeans_fit
+    from sum_spark.operators.similarity import knn_bruteforce, knn_ivf_kmeans
+    from sum_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("data")
+    )
+    probes = emb.where(F.col("id") % 100 == 3)
+    cents = kmeans_fit(emb, k=8, iters=3, id_col="id", vec_col="data")
+    exact = knn_bruteforce(emb, probes, 10, id_col="id", vec_col="data")
+    # Probing EVERY cluster must reproduce brute force exactly.
+    all_probe = knn_ivf_kmeans(
+        emb, probes, 10, cents, n_probes=len(cents), id_col="id", vec_col="data"
+    )
+    assert sorted(map(tuple, all_probe.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # Probing a few clusters keeps most of the true neighbors.
+    few = knn_ivf_kmeans(emb, probes, 10, cents, n_probes=3, id_col="id", vec_col="data")
+    e = {(r["probe_id"], r["id"]) for r in exact.collect()}
+    g = {(r["probe_id"], r["id"]) for r in few.collect()}
+    recall = len(e & g) / len(e)
+    assert recall >= 0.5
+    # Candidate generation is an equi-join, never a cross join.
+    plan = few._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
