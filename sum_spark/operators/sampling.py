@@ -88,6 +88,72 @@ def duck_sample_stratified_sql(
     """
 
 
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum — the fixed-budget twin
+    of sample_stratified's fixed-rate Bernoulli ("give me 10k docs per
+    domain", not "give me 1% of each domain").
+
+    Selection is the k smallest deterministic hashes of '<stratum>:<id>'
+    (ties broken by id): a uniform-without-replacement draw that is
+    reproducible across runs, engines, and cluster layouts, and NESTED —
+    the k=5 sample is always a subset of the k=10 sample, so budgets can
+    be revised without re-drawing (hash-ordered prefixes, the same
+    property consistent hashing gives caches).
+
+    Scale shape: rank-filter over a window is rewritten by Catalyst into
+    WindowGroupLimit (Spark 3.5+) — each input partition pre-filters to
+    its local top-k per stratum BEFORE the shuffle, so the exchange
+    carries at most k*partitions rows per stratum, never the corpus.
+    Asserted in tests/test_plans.py.
+
+    Output: (doc_id, stratum, pick) with pick in 1..k, ordered by doc_id.
+    """
+    from pyspark.sql import Window
+
+    h = hash60(
+        F.concat(F.col(strat_col), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("stratum").orderBy("__h", "doc_id")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strat_col).alias("stratum"),
+            h.alias("__h"),
+        )
+        .withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= k)
+        .select("doc_id", "stratum", "pick")
+        .orderBy("doc_id")
+    )
+
+
+def duck_sample_exact_k_sql(
+    k: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of sample_exact_k (same hash, same tie-break)."""
+    from sum_spark.functions.hashing import duck_hash60
+
+    h = duck_hash60(f"{strat_col} || ':' || {id_col}")
+    return f"""
+    WITH r AS (
+      SELECT {id_col} AS doc_id, {strat_col} AS stratum,
+             row_number() OVER (
+               PARTITION BY {strat_col} ORDER BY {h}, {id_col}
+             ) AS pick
+      FROM {table}
+    )
+    SELECT doc_id, stratum, pick FROM r WHERE pick <= {k} ORDER BY doc_id
+    """
+
+
 def corpus_mixture(
     df: DataFrame, strat_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

@@ -562,14 +562,30 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 @query(
     "sample_stratified",
-    oracle=sampling.duck_sample_stratified_sql(_MIX_RATES, default_rate=0.05),
-    doc="Deterministic hash-Bernoulli stratified sampling (data-mixture "
-    "step): keep iff md5-hash(stratum:id) mod 10k < rate*10k — "
-    "reproducible, shuffle-free, oracle-identical selection.",
+    oracle=f"""
+    WITH bern AS ({sampling.duck_sample_stratified_sql(_MIX_RATES, default_rate=0.05)}),
+         topk AS ({sampling.duck_sample_exact_k_sql(7)})
+    SELECT 'bern' AS mode, doc_id, stratum, bucket AS pick FROM bern
+    UNION ALL
+    SELECT 'topk' AS mode, doc_id, stratum, pick FROM topk
+    ORDER BY mode, doc_id
+    """,
+    doc="Tagged sampling pair (data-mixture step): 'bern' = deterministic "
+    "hash-Bernoulli stratified sampling (keep iff md5-hash(stratum:id) "
+    "mod 10k < rate*10k — reproducible, shuffle-free); 'topk' = "
+    "sample_exact_k, exactly 7 rows per stratum by ascending hash "
+    "(fixed-budget draw, WindowGroupLimit pre-shuffle pruning at scale). "
+    "Both operators execute; one checked result.",
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.sample_stratified(docs, _MIX_RATES, default_rate=0.05)
+    bern = sampling.sample_stratified(docs, _MIX_RATES, default_rate=0.05).select(
+        F.lit("bern").alias("mode"), "doc_id", "stratum", F.col("bucket").alias("pick")
+    )
+    topk = sampling.sample_exact_k(docs, 7).select(
+        F.lit("topk").alias("mode"), "doc_id", "stratum", "pick"
+    )
+    return bern.unionAll(topk).orderBy("mode", "doc_id")
 
 
 # Rebalancing targets for the 'plan' leg — integer weights per source,

@@ -78,6 +78,14 @@ def test_sample_stratified_invariant(spark, sf_smoke):
     )
 
 
+def test_sample_exact_k_invariant(spark, sf_smoke):
+    _assert_layout_invariant(
+        lambda d: sampling.sample_exact_k(d, 9),
+        _docs(spark, sf_smoke),
+        ["doc_id"],
+    )
+
+
 def test_dedup_exact_invariant(spark, sf_smoke):
     _assert_layout_invariant(
         lambda d: dedup.dedup_exact(d),

@@ -130,6 +130,17 @@ def test_event_analytics_single_window_pass(spark, sf_smoke):
     assert "TakeOrderedAndProject" in p
 
 
+def test_sample_exact_k_window_group_limit(spark, sf_smoke):
+    """The exact-k rank filter must compile to WindowGroupLimit (Spark
+    3.5+ InferWindowGroupLimit): each input partition pre-filters to its
+    local top-k per stratum BEFORE the exchange, so the shuffle carries
+    at most k*partitions rows per stratum — the property that makes a
+    fixed-budget draw safe against a 100 TB stratum."""
+    p = plan_of(spark, sf_smoke, "sample_stratified")
+    assert "WindowGroupLimit" in p
+    assert "SinglePartition" not in p
+
+
 def test_set_ops_no_cartesian(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "q20_set_ops")
     assert "CartesianProduct" not in p

@@ -93,6 +93,44 @@ def test_sample_stratified_deterministic_and_rate(spark):
     assert full == 2000
 
 
+def test_sample_exact_k_counts_determinism_nesting(spark):
+    from sum_spark.operators.sampling import sample_exact_k
+
+    rows = [(i, "src%d" % (i % 3), "t") for i in range(300)] + [
+        (1000 + i, "tiny", "t") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sample_exact_k(df, 10).collect()
+    # Exactly min(k, |stratum|) per stratum; pick numbering is 1..n.
+    by_s: dict[str, list] = {}
+    for r in out:
+        by_s.setdefault(r["stratum"], []).append(r)
+    assert {s: len(v) for s, v in by_s.items()} == {
+        "src0": 10, "src1": 10, "src2": 10, "tiny": 4
+    }
+    assert sorted(r["pick"] for r in by_s["tiny"]) == [1, 2, 3, 4]
+    # Reproducible.
+    assert out == sample_exact_k(df, 10).collect()
+    # Nested: the k=5 draw is a prefix of the k=10 draw per stratum.
+    small = {(r["doc_id"], r["stratum"]) for r in sample_exact_k(df, 5).collect()}
+    big = {(r["doc_id"], r["stratum"]) for r in out}
+    assert small < big
+
+
+def test_sample_exact_k_matches_duckdb(spark):
+    import duckdb
+
+    from sum_spark.operators.sampling import duck_sample_exact_k_sql, sample_exact_k
+
+    rows = [(i, "s%d" % (i % 5), "t") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = [tuple(r) for r in sample_exact_k(df, 13).collect()]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute(duck_sample_exact_k_sql(13)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 def test_corpus_mixture_shares_sum_to_one(spark):
     from sum_spark.operators.sampling import corpus_mixture
 
