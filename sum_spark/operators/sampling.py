@@ -88,6 +88,43 @@ def duck_sample_stratified_sql(
     """
 
 
+SPLIT_MOD = 1_000_000  # holdout resolution 1 ppm — integer compare, no floats
+
+
+def split_holdout(
+    df: DataFrame,
+    holdout_ppm: int = 10_000,
+    id_col: str = "doc_id",
+    seed: str = "holdout-0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row 'train' or 'holdout' (carve an eval set out of the
+    corpus): holdout iff hash('<seed>:<id>') mod 1e6 < holdout_ppm.
+
+    The decision hashes the id ALONE — independent of corpus composition,
+    partitioning, and engine — so a document's split NEVER flips as the
+    corpus grows or is re-curated. That stability is the contamination
+    guarantee: a doc once held out for eval can't silently drift into a
+    later training run's train split (the failure mode of rand()- or
+    position-based splits). Different seeds give independent splits
+    (cross-validation folds = k seeds).
+
+    Map-only (no shuffle, no state); returns df + split_col. Filter and
+    drop the column for the materialized halves.
+    """
+    thr = int(holdout_ppm)
+    if not 0 <= thr <= SPLIT_MOD:
+        raise ValueError("holdout_ppm must be in [0, 1_000_000]")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+        F.lit(SPLIT_MOD),
+    )
+    return df.withColumn(
+        split_col,
+        F.when(bucket < F.lit(thr), F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
+
 def sample_exact_k(
     df: DataFrame,
     k: int,

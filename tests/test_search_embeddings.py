@@ -117,6 +117,33 @@ def test_sample_exact_k_counts_determinism_nesting(spark):
     assert small < big
 
 
+def test_split_holdout_stable_under_corpus_growth(spark):
+    from sum_spark.operators.sampling import split_holdout
+
+    rows = [(i, "t") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["split"] for r in split_holdout(df, 50_000).collect()}
+    # Disjoint + exhaustive, roughly 5% holdout.
+    assert set(out.values()) <= {"train", "holdout"}
+    n_hold = sum(1 for v in out.values() if v == "holdout")
+    assert 50 <= n_hold <= 160
+    # The contamination guarantee: growing the corpus flips NO doc's split.
+    bigger = df.unionAll(
+        spark.createDataFrame([(10_000 + i, "t") for i in range(500)], df.schema)
+    )
+    out2 = {r["doc_id"]: r["split"] for r in split_holdout(bigger, 50_000).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+    # Different seeds draw independent-looking holdouts (not identical).
+    outb = {
+        r["doc_id"]: r["split"]
+        for r in split_holdout(df, 50_000, seed="fold-1").collect()
+    }
+    assert outb != out
+    # Edge rates: 0 ppm -> all train; 1e6 ppm -> all holdout.
+    assert split_holdout(df, 0).where("split = 'holdout'").count() == 0
+    assert split_holdout(df, 1_000_000).where("split = 'train'").count() == 0
+
+
 def test_sample_exact_k_matches_duckdb(spark):
     import duckdb
 
