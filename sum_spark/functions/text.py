@@ -25,6 +25,16 @@ LANG_STOPWORDS: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 
+def regex_quote(sep: str) -> str:
+    """Java ``Pattern.quote`` of a literal separator: ``F.split`` treats
+    its pattern as a regex, so a caller passing '|' or '.' as a line
+    separator would otherwise get per-character splits that no longer
+    round-trip with the literal ``array_join`` reassembly (or the DuckDB
+    twin's literal string_split). \\Q...\\E quoting, with embedded \\E
+    spliced exactly as java.util.regex.Pattern.quote does."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens. DuckDB twin: string_split(text, ' ')."""
     c = F.col(text) if isinstance(text, str) else text

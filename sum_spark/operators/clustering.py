@@ -280,8 +280,15 @@ def semantic_dedup(
     )
     left = packed.select("cl", F.col("b").alias("ba"), F.col("ids").alias("ia"), F.col("flat").alias("fa"))
     right = packed.select("cl", F.col("b").alias("bb"), F.col("ids").alias("ib"), F.col("flat").alias("fb"))
+    # The right side is the ENTIRE packed corpus (every cluster's id+vector
+    # blocks) — broadcast only when the size estimate says it fits (test
+    # scale); at corpus scale the equi-join on cl must stay a shuffled hash
+    # join, which preserves per-cluster locality just as well.
+    from sum_spark.plans.scale import is_broadcastable
+
+    right_side = F.broadcast(right) if is_broadcastable(packed, 64 << 20) else right
     pairs = (
-        left.join(F.broadcast(right), ["cl"])
+        left.join(right_side, ["cl"])
         .where(F.col("ba") <= F.col("bb"))
         .repartition(min(len(centroids) * S * (S + 1) // 2, 2 * par), "cl", "ba", "bb")
     )

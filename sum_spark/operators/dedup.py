@@ -27,7 +27,7 @@ from sum_spark.functions.hashing import (
     hash60,
     minhash_signature_pandas,
 )
-from sum_spark.functions.text import SHINGLE_N, tokens, word_shingles
+from sum_spark.functions.text import SHINGLE_N, regex_quote, tokens, word_shingles
 from sum_spark.plans.scale import release_with, spread_for_compute
 from sum_spark.functions.vector import cosine
 
@@ -145,13 +145,19 @@ def duplicated_span_stats(
     return _release_with(out, sh)
 
 
+# Auto-switch threshold for dedup_lines' boilerplate join: duplicated-line
+# sets up to this many rows broadcast (~16 B/row keys -> well under the
+# default 8 MB relation budget); larger sets take the shuffled hash join.
+BOILER_BROADCAST_MAX_ROWS = 500_000
+
+
 def dedup_lines(
     df: DataFrame,
     min_df: int = 2,
     line_sep: str = "\n",
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_boiler: bool = True,
+    broadcast_boiler: bool | None = None,
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: remove every line that occurs in
     at least ``min_df`` distinct documents (headers, footers, cookie
@@ -170,13 +176,24 @@ def dedup_lines(
     only corpus-sized shuffle is the per-doc reassembly groupBy. Line
     identity is the portable hash60, so the whole operator (counts and
     reassembled-text hash) is value-checkable against DuckDB (the
-    dedup_exact entry's 'line' leg). For a corpus whose duplicated-line
-    set outgrows broadcast, pass broadcast_boiler=False — the marking
-    join falls back to a shuffled hash join, shape otherwise unchanged.
+    dedup_exact entry's 'line' leg).
+
+    broadcast_boiler=None (default) SIZES THE JOIN AUTOMATICALLY: the
+    duplicated-line set is persisted and counted (the count executes the
+    same line scan the join needs, so the cache makes it nearly free),
+    and broadcasts only up to BOILER_BROADCAST_MAX_ROWS — a web-scale
+    corpus whose boilerplate set outgrows the driver falls back to the
+    shuffled hash join with no user action (the dedup_clusters
+    size-adaptive pattern). Pass True/False to force either path.
     """
     lines = df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__pos", "__line"),
+        # regex_quote: split's pattern arg is a regex, but line_sep is a
+        # LITERAL separator (the reassembly array_join and the DuckDB twin
+        # both treat it literally) — quote it so '|' or '.' separators work.
+        F.posexplode(F.split(F.col(text_col), regex_quote(line_sep))).alias(
+            "__pos", "__line"
+        ),
     )
     lh = hash60(F.col("__line")).alias("__h")
     hashed = lines.select("doc_id", "__pos", "__line", lh)
@@ -186,11 +203,16 @@ def dedup_lines(
         .where(F.col("__nd") >= F.lit(int(min_df)))
         .select("__h", F.lit(1).alias("__dup"))
     )
+    cached = None
+    if broadcast_boiler is None:
+        cached = boiler.persist()
+        broadcast_boiler = cached.count() <= BOILER_BROADCAST_MAX_ROWS
+        boiler = cached
     marked = hashed.join(
         F.broadcast(boiler) if broadcast_boiler else boiler, "__h", "left"
     )
     kept = F.when(F.col("__dup").isNull(), F.struct("__pos", "__line"))
-    return (
+    out = (
         marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),
@@ -204,6 +226,7 @@ def dedup_lines(
         )
         .orderBy("doc_id")
     )
+    return _release_with(out, cached) if cached is not None else out
 
 
 def remove_duplicate_spans(

@@ -37,8 +37,9 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     contribute no rows (split(NULL) explodes to nothing, single-word docs
     have no bigram), matching the SQL twin's unnest semantics."""
     w = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w"))
-    # size(NULL) = -1 and sequence(1, 0) DESCENDS in Spark — the filter
-    # is what keeps null and single-word docs from emitting bogus rows.
+    # size(split(NULL)) is NULL on Spark 3.0+ defaults (legacy sizeOfNull
+    # off — NOT -1; no compensation needed) and sequence(1, 0) DESCENDS —
+    # the >= 2 filter drops both NULL and single-word docs in one predicate.
     w = w.where(F.size("__w") >= 2)
     return w.select(
         "doc_id",
@@ -137,11 +138,9 @@ def _is_small(counts: DataFrame) -> bool:
     the default broadcast threshold — a corpus-trained vocabulary often
     does at test scale; at real scale the estimate exceeds it and the
     join falls back to a plain shuffled hash join (still many-to-one)."""
-    try:
-        est = float(counts._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        return est < 8 << 20
-    except Exception:
-        return False
+    from sum_spark.plans.scale import is_broadcastable
+
+    return is_broadcastable(counts)
 
 
 def score_self(

@@ -18,6 +18,7 @@ from sum_spark.plans.scale import spread_for_compute
 from sum_spark.functions.text import (
     LANG_STOPWORDS,
     SHINGLE_N,
+    regex_quote,
     stopword_hits,
     tokens,
     word_shingles,
@@ -258,7 +259,11 @@ def chunk_by_lines(
         raise ValueError("budget must be >= 1")
     lines = spread_for_compute(df).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("__idx", "__line"),
+        # line_sep is a LITERAL separator (reassembly + DuckDB twin treat
+        # it literally); quote it for split's regex argument.
+        F.posexplode(F.split(F.col(text_col), regex_quote(line_sep))).alias(
+            "__idx", "__line"
+        ),
     )
     ltok = lines.withColumn("__nt", F.size(F.split(F.col("__line"), " ")).cast("long"))
     w = W.partitionBy("doc_id").orderBy("__idx")

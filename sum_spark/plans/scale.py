@@ -53,6 +53,21 @@ def carry_caches(derived: DataFrame, source: DataFrame) -> DataFrame:
     return derived
 
 
+def is_broadcastable(df: DataFrame, threshold: int = 8 << 20) -> bool:
+    """True when the optimizer's size estimate for ``df`` fits under
+    ``threshold`` bytes — the guard a broadcast HINT must sit behind: a
+    hint bypasses Spark's own autoBroadcastJoinThreshold sizing, so an
+    unconditional ``F.broadcast(x)`` on a corpus-derived frame turns into
+    a driver collect + 8 GB relation failure at scale. Estimates of
+    aggregated/derived frames are conservative (they descend from the
+    scan stats), which errs toward NOT broadcasting — the safe side."""
+    try:
+        est = float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return est < threshold
+    except Exception:
+        return False
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -13,9 +13,10 @@ needs, expressed Spark-first:
 - ONE shuffle: repartition by shard, sortWithinPartitions by order; at
   100 TB this is the unavoidable placement exchange and nothing else.
 - An integrity MANIFEST (one row per shard: row count, order range,
-  order-sensitive md5 digest) computed from the SAME DataFrame in the
-  same job — the artifact a resume or a downstream consumer validates
-  against without trusting the filesystem.
+  order-sensitive md5 digest) computed by READING BACK the files the
+  write produced — the digest attests to the bytes on disk, not to a
+  second evaluation of the input lineage (which could silently diverge
+  under upstream nondeterminism or a source mutated between jobs).
 - RESUME reads that touch only the requested shards via partition
   pruning (shard is the parquet partition column — the scan's
   PartitionFilters, not a post-read filter).
@@ -48,6 +49,20 @@ def _digest(order_col: str, cols: list[str]):
     )
 
 
+def _shard_manifest(data: DataFrame, order_col: str) -> DataFrame:
+    """(shard, n_rows, min_order, max_order, digest) — one aggregate over
+    a shard-partitioned frame; every non-shard column joins the digest.
+    Shared by the write (read-back attestation) and verify paths so the
+    two can only ever disagree when the files themselves changed."""
+    cols = [c for c in data.columns if c != "shard"]
+    return data.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.min(order_col).alias("min_order"),
+        F.max(order_col).alias("max_order"),
+        _digest(order_col, cols).alias("digest"),
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -62,23 +77,31 @@ def write_training_shards(
 
     ``order_col`` must be the dense serialization rank (0- or 1-based) —
     the output of global_shuffle / assign_contiguous_ids; placement is
-    ``(order - base) // rows_per_shard`` so shard boundaries are stable
-    under appends of higher ranks and every shard except the last holds
-    exactly rows_per_shard rows. Pass ``base`` (the rank's origin, 0 or
-    1) when you know it — leaving it None computes min(order), an extra
-    single-column pass the parquet min/max statistics make cheap but a
-    100 TB export shouldn't pay twice. All columns join the digest.
+    ``(order - base) DIV rows_per_shard`` (integer division — exact at
+    any rank, where a double round-trip would drift past 2^53) so shard
+    boundaries are stable under appends of higher ranks and every shard
+    except the last holds exactly rows_per_shard rows. Pass ``base`` (the
+    rank's origin, 0 or 1) when you know it — leaving it None computes
+    min(order), an extra single-column pass the parquet min/max
+    statistics make cheap but a 100 TB export shouldn't pay twice.
+
+    The manifest is computed FROM THE WRITTEN FILES (read back, same
+    grouping as verify_shards): the digest attests to the shards on disk.
+    The read-back costs one scan of the export — the price of an
+    attestation that doesn't trust a re-evaluation of the input lineage
+    (nondeterministic upstreams, sources mutated between jobs).
+    For json, readback uses the input's schema so types (hence digests)
+    are exact, not inference-widened.
     """
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unsupported shard format {fmt!r}")
-    cols = [c for c in df.columns]
     if base is None:
         base = df.select(F.min(F.col(order_col)).alias("__b")).collect()[0]["__b"]
         if base is None:
             raise ValueError("write_training_shards: empty input")
     sharded = df.withColumn(
         "shard",
-        ((F.col(order_col) - F.lit(int(base))) / F.lit(int(rows_per_shard))).cast("long"),
+        F.expr(f"CAST((`{order_col}` - {int(base)}) DIV {int(rows_per_shard)} AS LONG)"),
     )
     (
         sharded.repartition("shard")
@@ -88,18 +111,14 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
-    manifest = (
-        sharded.groupBy("shard")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.min(order_col).alias("min_order"),
-            F.max(order_col).alias("max_order"),
-            _digest(order_col, cols).alias("digest"),
-        )
-        .orderBy("shard")
-    )
+    spark = df.sparkSession
+    reader = spark.read.format(fmt)
+    if fmt == "json":
+        reader = reader.schema(sharded.schema)
+    written = reader.load(path)
+    manifest = _shard_manifest(written, order_col).orderBy("shard")
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
-    return manifest
+    return spark.read.parquet(path + "/_manifest").orderBy("shard")
 
 
 def read_training_shards(
@@ -144,13 +163,7 @@ def verify_shards(
     if schema is not None:
         reader = reader.schema(schema)
     data = reader.load(path)
-    cols = [c for c in data.columns if c != "shard"]
-    actual = data.groupBy("shard").agg(
-        F.count("*").alias("n_rows"),
-        F.min(order_col).alias("min_order"),
-        F.max(order_col).alias("max_order"),
-        _digest(order_col, cols).alias("digest"),
-    )
+    actual = _shard_manifest(data, order_col)
     s = stored.select(
         "shard",
         F.col("n_rows").alias("e_rows"),

@@ -387,6 +387,33 @@ class TestDedupLines:
         b = sorted(map(tuple, dedup_lines(df, broadcast_boiler=False).collect()))
         assert a == b
 
+    def test_regex_metachar_separator_is_literal(self, spark):
+        """line_sep is a LITERAL separator: '|' (a regex metachar) must
+        split on pipes, not per character, and the clean text must
+        round-trip with the literal reassembly join."""
+        from sum_spark.operators.dedup import dedup_lines
+
+        df = spark.createDataFrame(
+            [(1, "a|boil|b"), (2, "boil|c"), (3, "zz")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dedup_lines(df, line_sep="|").collect()}
+        assert got[1]["n_lines"] == 3 and got[1]["clean_text"] == "a|b"
+        assert got[2]["clean_text"] == "c"
+        assert got[3]["n_lines"] == 1 and got[3]["clean_text"] == "zz"
+
+    def test_dot_separator_chunk_by_lines_literal(self, spark):
+        """chunk_by_lines with '.' must treat the dot literally (a regex
+        '.' would split every character into its own line)."""
+        from sum_spark.operators.textops import chunk_by_lines
+
+        df = spark.createDataFrame(
+            [(1, "one two.three four five.six")], "doc_id long, text string"
+        )
+        rows = chunk_by_lines(df, budget=4, line_sep=".").collect()
+        text = ".".join(r["chunk_text"] for r in rows)
+        assert text == "one two.three four five.six"
+
 
 class TestRemoveDuplicateSpans:
     def test_hand_case(self, spark):

@@ -215,6 +215,37 @@ def test_dedup_lines_broadcasts_boilerplate_set(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
+def test_dedup_lines_auto_switches_to_shuffled_join(spark, sf_smoke, monkeypatch):
+    """An over-threshold boilerplate set takes the shuffled-join path
+    WITHOUT user action (broadcast_boiler=None auto-sizing): forcing the
+    row threshold to 0 models a corpus whose duplicated-line set outgrows
+    the driver. Same results either way."""
+    from sum_spark.operators import dedup
+    from sum_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    auto_small = dedup.dedup_lines(docs)
+    a = sorted(map(tuple, auto_small.collect()))
+    monkeypatch.setattr(dedup, "BOILER_BROADCAST_MAX_ROWS", 0)
+    # Disable Spark's own size-based broadcast so the plan shows exactly
+    # what the operator requested: over threshold there must be NO hint
+    # left in the plan (Spark re-broadcasting a set it MEASURED as tiny
+    # is fine — the bug was hinting an unmeasured, possibly huge one).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        auto_big = dedup.dedup_lines(docs)
+        plan = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        b = sorted(map(tuple, auto_big.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert a == b
+
+
 def test_span_removal_no_token_level_shuffle(spark, sf_smoke):
     from sum_spark.operators.dedup import remove_duplicate_spans
     from sum_spark.sources.tables import load_table
