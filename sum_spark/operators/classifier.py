@@ -191,11 +191,12 @@ def score_text_classifier(
 
 
 def score_with_hash_weights(
-    df: DataFrame,
+    df: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = N_BUCKETS,
     salt: str = "clfw",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """The scoring machinery with deterministic hash-derived weights —
     w_micro(bucket) = hash60(salt:bucket) % 2000001 - 1000000 — instead
@@ -203,8 +204,12 @@ def score_with_hash_weights(
     per-doc-integer-sum path with an exact DuckDB twin; this is the
     oracle-checked leg (text_profile n_feats/clf_micro). No join at all:
     the weight is an expression on the feature row, so the only shuffle
-    is the per-doc sum."""
-    w = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w"))
+    is the per-doc sum. Pass ``tokenized`` — a (doc_id, __w) frame — to
+    reuse a shared tokenization instead of re-scanning ``df``."""
+    if tokenized is not None:
+        w = tokenized.select("doc_id", "__w")
+    else:
+        w = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w"))
     g = w.select("doc_id", F.explode(_grams_from("__w")).alias("__g"))
     bkt = hash32(F.col("__g")) % F.lit(n_buckets)
     wm = (

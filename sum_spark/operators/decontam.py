@@ -25,19 +25,34 @@ from sum_spark.plans.scale import spread_for_compute
 
 
 def _shingle_hashes(
-    df: DataFrame, n: int, text_col: str, id_col: str | None
+    df: DataFrame | None,
+    n: int,
+    text_col: str,
+    id_col: str | None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id?, __h) rows: one per DISTINCT word n-shingle per document.
 
     Staged projections (words, then shingles, then hashes) on purpose:
     inlining tokens() into word_shingles' element_at lambdas re-evaluates
     split(text) per shingle element — quadratic in document length (the
-    Catalyst re-inlining pitfall shingle_sets documents)."""
+    Catalyst re-inlining pitfall shingle_sets documents).
+
+    Pass ``words`` — a (doc_id, __w: array<string>) frame, typically a
+    PERSISTED shared tokenization — to skip the tokenize (and the scan
+    behind it) entirely; ``df``/``text_col`` are then unused."""
+    if words is not None:
+        w = words.select("doc_id", "__w").where(F.size("__w") >= n)
+        ex = w.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("__w"), n))).alias("__s"),
+        )
+        return ex.select("doc_id", hash60(F.col("__s")).alias("__h"))
     ids = [F.col(id_col).alias("doc_id")] if id_col else []
-    words = spread_for_compute(df).select(*ids, tokens(text_col).alias("__w"))
-    words = words.where(F.size("__w") >= n)
+    w = spread_for_compute(df).select(*ids, tokens(text_col).alias("__w"))
+    w = w.where(F.size("__w") >= n)
     id_names = ["doc_id"] if id_col else []
-    ex = words.select(
+    ex = w.select(
         *id_names, F.explode(F.array_distinct(word_shingles(F.col("__w"), n))).alias("__s")
     )
     return ex.select(*id_names, hash60(F.col("__s")).alias("__h"))

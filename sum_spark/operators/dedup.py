@@ -95,12 +95,13 @@ def _dup_grams_from_hashes(sh: DataFrame, min_df: int) -> DataFrame:
 
 
 def duplicated_span_stats(
-    df: DataFrame,
+    df: DataFrame | None,
     dup_grams: DataFrame | None = None,
     n: int = SHINGLE_N,
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span coverage: for each document, the
     number of its distinct word n-grams and how many of those appear in
@@ -120,12 +121,17 @@ def duplicated_span_stats(
     Output: (doc_id, n_grams, n_dup_grams) for every doc with at least
     one n-gram, ordered by doc_id. Both counts are integers so the
     result is exactly comparable across engines.
+
+    Pass ``tokenized`` — a (doc_id, __w) frame, typically a persisted
+    shared tokenization (text_profile's one-scan contract) — to derive
+    the shingles from it instead of re-scanning and re-tokenizing ``df``
+    (which may then be None).
     """
     from sum_spark.operators.decontam import _shingle_hashes
 
     # Persisted in BOTH paths: the gram derivation (when needed) and the
     # counting aggregate below each read the shingle scan.
-    sh = _shingle_hashes(df, n, text_col, id_col).persist()
+    sh = _shingle_hashes(df, n, text_col, id_col, words=tokenized).persist()
     if dup_grams is None:
         dup_grams = _dup_grams_from_hashes(sh, min_df).select("__h")
     else:

@@ -32,11 +32,20 @@ from pyspark.sql import functions as F
 from sum_spark.functions.text import tokens
 
 
-def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_bigrams(
+    df: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, w1, w2) — one row per bigram OCCURRENCE. NULL/short texts
     contribute no rows (split(NULL) explodes to nothing, single-word docs
-    have no bigram), matching the SQL twin's unnest semantics."""
-    w = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w"))
+    have no bigram), matching the SQL twin's unnest semantics. Pass
+    ``words`` — a (doc_id, __w) frame — to skip the tokenize."""
+    if words is not None:
+        w = words.select("doc_id", "__w")
+    else:
+        w = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w"))
     # size(split(NULL)) is NULL on Spark 3.0+ defaults (legacy sizeOfNull
     # off — NOT -1; no compensation needed) and sequence(1, 0) DESCENDS —
     # the >= 2 filter drops both NULL and single-word docs in one predicate.
@@ -144,7 +153,10 @@ def _is_small(counts: DataFrame) -> bool:
 
 
 def score_self(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Convenience: train on ``df`` and score ``df`` (the registry's
     checked configuration). Production pipelines train on a clean
@@ -153,17 +165,24 @@ def score_self(
     The bigram table is tokenized ONCE and persisted: counts and scoring
     both read it (calling bigram_lm + lm_score separately re-tokenizes
     the corpus — at 100 TB the text scan is the cost that matters). The
-    cache's lifetime is tied to the returned plan (release_with)."""
+    cache's lifetime is tied to the returned plan (release_with).
+
+    Pass ``tokenized`` — a (doc_id, __w) frame, typically the persisted
+    shared tokenization of text_profile's one-scan contract — and the
+    bigram/vocab/id passes all read it instead of re-scanning ``df``
+    (which may then be None)."""
     from sum_spark.plans.scale import release_with
 
-    bg = _doc_bigrams(df, text_col, id_col).persist()
+    bg = _doc_bigrams(df, text_col, id_col, words=tokenized).persist()
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     counts = c12.join(c1, "w1").select("w1", "w2", "c12", "c1")
-    v = (
-        df.select(F.explode(tokens(text_col)).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .collect()[0]["v"]
-    )
-    out = _score_bigrams(df, bg, counts, int(v), id_col)
+    if tokenized is not None:
+        word_src = tokenized.select(F.explode("__w").alias("w"))
+        ids_src, ids_col = tokenized, "doc_id"
+    else:
+        word_src = df.select(F.explode(tokens(text_col)).alias("w"))
+        ids_src, ids_col = df, id_col
+    v = word_src.agg(F.countDistinct("w").alias("v")).collect()[0]["v"]
+    out = _score_bigrams(ids_src, bg, counts, int(v), ids_col)
     return release_with(out, bg)

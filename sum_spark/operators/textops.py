@@ -107,7 +107,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ).orderBy("doc_id")
 
 
-def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_profile(
+    df: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
+) -> DataFrame:
     """One-scan per-document profile combining every per-doc text signal:
     language ID (argmax stopword hits), token statistics, quality score,
     repetition signals, and the md5/60-bit fingerprints.
@@ -127,13 +132,23 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     Output: (doc_id, pred_lang, hits, n_tokens, n_distinct, n_chars,
     n_bpe, stop_ratio, score, dup_word_frac, top_word_frac,
     dup_3gram_frac, fp, fp60) ordered.
+
+    Pass ``tokenized`` — a (doc_id, __text, __w) frame, typically the
+    PERSISTED shared tokenization the text_profile registry entry stages
+    across all four of its components — and this function performs no
+    scan or tokenize of its own (``df`` may then be None).
     """
-    df = spread_for_compute(df)
-    words = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("__text"),
-        tokens(text_col).alias("__words"),
-    )
+    if tokenized is not None:
+        words = tokenized.select(
+            "doc_id", "__text", F.col("__w").alias("__words")
+        )
+    else:
+        df = spread_for_compute(df)
+        words = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("__text"),
+            tokens(text_col).alias("__words"),
+        )
     toks = F.col("__words")
     hits = _lang_hit_cols(toks)
     best = F.greatest(*hits)

@@ -43,13 +43,15 @@ def release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return result
 
 
-def carry_caches(derived: DataFrame, source: DataFrame) -> DataFrame:
-    """Keep ``source`` (and therefore any release_with finalizer attached
-    to it) alive for as long as the derived frame is: a query function
-    that returns ``op(...).select(...)`` would otherwise drop the only
-    reference to the finalized object at return, unpersisting the very
-    intermediates the derived plan still reads."""
-    derived._sum_spark_cache_keepalive = source  # strong ref, GC'd together
+def carry_caches(derived: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Keep ``sources`` (and therefore any release_with finalizers
+    attached to them) alive for as long as the derived frame is: a query
+    function that returns ``op(...).select(...)`` would otherwise drop
+    the only reference to the finalized objects at return, unpersisting
+    the very intermediates the derived plan still reads. Stacks across
+    calls (a second call extends the keepalive tuple)."""
+    prior = getattr(derived, "_sum_spark_cache_keepalive", ())
+    derived._sum_spark_cache_keepalive = tuple(prior) + sources  # strong refs
     return derived
 
 

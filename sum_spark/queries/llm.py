@@ -995,11 +995,27 @@ _EN_HITS = duck_stopword_hits("w", LANG_STOPWORDS[0][1])
     "same machinery, operators/classifier.py).",
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.plans.scale import release_with, spread_for_compute
+
     docs = load_table(spark, sf_dir, "documents")
-    prof = textops.text_profile(docs)
-    spans = dedup.duplicated_span_stats(docs)
-    lmsc = lm.score_self(docs)
-    clfsc = classifier.score_with_hash_weights(docs)
+    # ONE corpus scan + tokenize, persisted and shared by all four
+    # components (profile columns, duplicated-span stats, bigram-LM
+    # self-score, classifier score) — at 100 TB the four separate text
+    # scans+tokenizations this replaces are the entry's dominant cost.
+    # Released via the finalizer when the result frame is dropped.
+    tok = (
+        spread_for_compute(docs)
+        .select(
+            F.col("doc_id"),
+            F.col("text").alias("__text"),
+            tokens("text").alias("__w"),
+        )
+        .persist()
+    )
+    prof = textops.text_profile(docs, tokenized=tok)
+    spans = dedup.duplicated_span_stats(docs, tokenized=tok)
+    lmsc = lm.score_self(docs, tokenized=tok)
+    clfsc = classifier.score_with_hash_weights(docs, tokenized=tok)
     out = (
         prof.join(spans, "doc_id", "left")
         .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
@@ -1012,9 +1028,10 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("clf_micro", F.coalesce(F.col("clf_micro"), F.lit(0)).cast("long"))
         .orderBy("doc_id")
     )
-    # spans carries the persisted shingle table's release finalizer; the
-    # joined frame must keep it alive until execution.
-    return carry_caches(out, spans)
+    # spans/lmsc carry the persisted shingle/bigram tables' release
+    # finalizers; the joined frame must keep them alive until execution,
+    # and the shared tokenization releases with the result itself.
+    return carry_caches(release_with(out, tok), spans, lmsc)
 
 
 @query(

@@ -246,6 +246,58 @@ def test_dedup_lines_auto_switches_to_shuffled_join(spark, sf_smoke, monkeypatch
     assert a == b
 
 
+def test_text_profile_single_documents_scan(spark, sf_smoke):
+    """The text_profile entry's four components (profile columns, span
+    stats, bigram-LM self-score, classifier score) must all read ONE
+    persisted tokenized projection: the optimized logical plan's leaves
+    are cache reads only — no component re-scans documents (at 100 TB,
+    four text scans+tokenizations where one suffices is the entry's
+    dominant avoidable cost)."""
+    from sum_spark.queries import REGISTRY
+
+    out = REGISTRY["text_profile"].fn(spark, sf_smoke)
+    lp = out._jdf.queryExecution().optimizedPlan()
+    leaves = lp.collectLeaves()
+    names = [leaves.apply(i).getClass().getSimpleName() for i in range(leaves.size())]
+    scans = [n for n in names if "LogicalRelation" in n or "DataSourceV2" in n]
+    assert not scans, f"direct source scans in consumer plan: {names}"
+    assert any("InMemoryRelation" in n for n in names), names
+
+
+def test_tokenized_reuse_matches_direct(spark, sf_smoke):
+    """Every component that accepts the shared tokenization must produce
+    byte-identical results through it."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.text import tokens
+    from sum_spark.operators import classifier, dedup, lm, textops
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(60)
+    tok = docs.select(
+        F.col("doc_id"), F.col("text").alias("__text"), tokens("text").alias("__w")
+    ).persist()
+    try:
+        pairs = [
+            (textops.text_profile(docs), textops.text_profile(None, tokenized=tok)),
+            (
+                dedup.duplicated_span_stats(docs),
+                dedup.duplicated_span_stats(None, tokenized=tok),
+            ),
+            (lm.score_self(docs), lm.score_self(None, tokenized=tok)),
+            (
+                classifier.score_with_hash_weights(docs),
+                classifier.score_with_hash_weights(None, tokenized=tok),
+            ),
+        ]
+        for direct, shared in pairs:
+            assert sorted(map(tuple, direct.collect())) == sorted(
+                map(tuple, shared.collect())
+            )
+    finally:
+        tok.unpersist()
+
+
 def test_span_removal_no_token_level_shuffle(spark, sf_smoke):
     from sum_spark.operators.dedup import remove_duplicate_spans
     from sum_spark.sources.tables import load_table
