@@ -246,6 +246,23 @@ def test_dedup_lines_auto_switches_to_shuffled_join(spark, sf_smoke, monkeypatch
     assert a == b
 
 
+def test_tagged_leg_filter_prunes_other_legs(spark, sf_smoke):
+    """bench.py's per-leg timings filter a multi-leg entry to one leg's
+    literal tag; Catalyst must fold the tag comparison and prune the
+    other union children, or the 'per-leg' number would silently time
+    the whole entry. Pin that for every tagged entry."""
+    from pyspark.sql import functions as F
+
+    from bench import TAGGED_LEGS
+    from sum_spark.queries import REGISTRY
+
+    for name, (tag, values) in TAGGED_LEGS.items():
+        whole = REGISTRY[name].fn(spark, sf_smoke)
+        leg = whole.where(F.col(tag) == values[0])
+        plan = leg._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" not in plan, f"{name}: leg filter did not prune the union"
+
+
 def test_text_profile_single_documents_scan(spark, sf_smoke):
     """The text_profile entry's four components (profile columns, span
     stats, bigram-LM self-score, classifier score) must all read ONE
