@@ -106,10 +106,16 @@ def train_text_classifier(
 
     ``df`` is the labeled TRAINING SAMPLE (label_col in {0, 1}), not the
     corpus — callers sample/curate upstream. The per-doc sparse-vector
-    assembly is one Python call per training doc (bounded by the sample,
-    never the corpus hot path); the fit itself is MLlib's distributed
-    L-BFGS. standardization=False keeps coefficients in raw tf units so
-    the exported table scores unstandardized features.
+    assembly is an ARROW-OPTIMIZED Python UDF: batches cross the
+    JVM/Python boundary as Arrow columns instead of pickled rows, and
+    the stage is bounded by the sample, never the corpus hot path. (A
+    fully vectorized pandas_udf/mapInPandas cannot emit VectorUDT on
+    this Spark — the Arrow writers reject the UDT; MLlib genuinely
+    requires a Vector column and ships no builtin sparse assembler, so
+    the Arrow-batched UDF is the fastest expressible form.) The fit
+    itself is MLlib's distributed L-BFGS. standardization=False keeps
+    coefficients in raw tf units so the exported table scores
+    unstandardized features.
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.linalg import Vectors, VectorUDT
@@ -125,7 +131,7 @@ def train_text_classifier(
             n_buckets, [int(x["bucket"]) for x in p], [float(x["tf"]) for x in p]
         )
 
-    assemble = F.udf(_assemble, VectorUDT())
+    assemble = F.udf(_assemble, VectorUDT(), useArrow=True)
     labeled = df.select(
         F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("__y")
     )

@@ -143,6 +143,64 @@ class QueryRegistry:
         qs = sorted(self._by_id.values(), key=lambda q: q.id)
         return len(qs), qs[(page - 1) * per_page : (page - 1) * per_page + per_page]
 
+    # -- persistence (storage/index.go:72-102 via LoadOracles,
+    #    node/service/service.go:51-98: oracles persist to disk and
+    #    reload at startup) --------------------------------------------------
+
+    def save(self, path: str, strict: bool = True) -> int:
+        """Persist the catalog as a JSON file of (id, name, code) rows —
+        the engine's analog of the reference's on-disk oracle store.
+        Only SOURCE-registered queries round-trip (the reference's
+        oracles are always source; a bare Python callable has no
+        serializable form): with ``strict`` (default) a code-less entry
+        raises, else it is skipped. Returns the number of rows written.
+        The file is driver-sized by nature (a stored-query catalog, not
+        data) — plain JSON, no Spark session needed to reload it."""
+        import json
+
+        rows = []
+        skipped = []
+        for q in sorted(self._by_id.values(), key=lambda q: q.id):
+            if q.code:
+                rows.append({"id": q.id, "name": q.name, "code": q.code})
+            else:
+                skipped.append(q.name)
+        if skipped and strict:
+            raise ValueError(
+                f"queries without source cannot persist: {skipped} "
+                "(register them with create_source, or save(strict=False))"
+            )
+        payload = {"version": 1, "next_id": self._next_id, "queries": rows}
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=1)
+        return len(rows)
+
+    def load(self, path: str) -> int:
+        """Reload a saved catalog into THIS registry (startup reload,
+        ≡ service.go:51-98): each entry re-compiles through
+        create_source — the same validation as live registration — and
+        keeps its persisted id and name. Collides (by id or name) with
+        already-registered queries rather than silently overwriting.
+        Returns the number of queries loaded."""
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            payload = json.load(f)
+        for row in payload["queries"]:
+            if row["id"] in self._by_id:
+                raise ValueError(f"query id {row['id']} already registered")
+            qid = self.create_source(row["code"], name=row["name"])
+            if qid != row["id"]:
+                # Re-seat under the persisted id (create assigns serially).
+                q = self._by_id.pop(qid)
+                q.id = row["id"]
+                self._by_id[row["id"]] = q
+        self._next_id = max(
+            self._next_id, int(payload.get("next_id", 1)),
+            *(q.id + 1 for q in self._by_id.values()),
+        )
+        return len(payload["queries"])
+
     # -- execution (service.go:128-154) ------------------------------------
 
     def run(self, qid_or_name: int | str, *args):

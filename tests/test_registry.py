@@ -113,3 +113,49 @@ def test_run_merged_default_merge(reg):
     reg.create(lambda lo, hi: {i: i * i for i in range(lo, hi)}, name="squares")
     out = reg.run_merged("squares", [(0, 2), (2, 4)])
     assert out == {0: 0, 1: 1, 2: 4, 3: 9}
+
+
+def test_save_load_round_trip(reg, tmp_path):
+    """≡ the reference's on-disk oracle store reload (storage/index.go:
+    72-102, service.go:51-98): register from source, save, load into a
+    NEW session's registry, run — same result, same ids, and the id
+    sequence continues past the reloaded entries."""
+    from sum_spark.registry import QueryRegistry
+
+    qid = reg.create_source("def double(x):\n    return x * 2\n")
+    reg.create_source(
+        "def tally(xs):\n    return {x: 1 for x in xs}\n"
+        "def merge_tallies(parts):\n"
+        "    out = {}\n"
+        "    for p in parts:\n"
+        "        out.update(p)\n"
+        "    return out\n",
+        name="tally",
+    )
+    p = str(tmp_path / "oracles.json")
+    assert reg.save(p) == 2
+
+    fresh = QueryRegistry()  # "new session"
+    assert fresh.load(p) == 2
+    assert fresh.run("double", 21) == 42
+    assert fresh.find("double").id == qid
+    # Merger survives the round trip (merge-prefix single-arg rule).
+    assert fresh.run_merged("tally", [(["a"],), (["b"],)]) == {"a": 1, "b": 1}
+    # New registrations continue past the persisted id space.
+    nid = fresh.create(lambda: 0, name="post_reload")
+    assert nid > fresh.find("tally").id
+
+
+def test_save_strict_rejects_sourceless(reg, tmp_path):
+    reg.create(lambda x: x, name="opaque")
+    with pytest.raises(ValueError, match="opaque"):
+        reg.save(str(tmp_path / "o.json"))
+    assert reg.save(str(tmp_path / "o.json"), strict=False) == 0
+
+
+def test_load_collision_raises(reg, tmp_path):
+    reg.create_source("def f(x):\n    return x\n", name="f")
+    p = str(tmp_path / "o.json")
+    reg.save(p)
+    with pytest.raises(ValueError, match="already registered"):
+        reg.load(p)
