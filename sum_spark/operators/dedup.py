@@ -629,6 +629,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    salt_bands: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, exact-verified.
 
@@ -645,23 +646,42 @@ def dedup_minhash_lsh(
     At 100 TB only steps 3-4 shuffle, and only on O(#near-dup) rows.
     """
     sig = minhash_signatures(df, text_col, id_col).persist()
-    out = minhash_lsh_from_sig(sig, threshold)
+    out = minhash_lsh_from_sig(sig, threshold, salt_bands=salt_bands)
     return _release_with(out, sig)
 
 
-def minhash_lsh_from_sig(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
+def minhash_lsh_from_sig(
+    sig: DataFrame, threshold: float = 0.8, salt_bands: int | None = None
+) -> DataFrame:
     """The band-join + exact-verify tail of dedup_minhash_lsh over an
     existing ``minhash_signatures`` table (caller-persisted: the band
     join's two branches and the verify stage all read it). Lets a caller
     that already holds signatures — the stored ingest artifact, or a
     pipeline stage that needs the shingle hashes for other work too —
-    run near-dup detection without re-scanning text."""
+    run near-dup detection without re-scanning text.
+
+    ``salt_bands``: a corpus with a HOT band bucket (mass-duplicated
+    boilerplate documents share every band key) funnels that bucket's
+    whole build side through one reducer of the candidate self-join.
+    Passing a salt count routes the join through plans.scale.salted_join
+    on the band key — the hot bucket's probe rows split across
+    ``salt_bands`` reducers (per-task input bounded at ~1/salt of the hot
+    key), the build side replicates, and the verified pair set is
+    IDENTICAL (stress-tested in tests/test_skew_stress.py). The band key
+    already mixes in the band index (xxhash64(band, minhashes...)), so a
+    single-column key join is equivalent to the (band, key) pair join.
+    """
     bands = _bands_from_sig(sig)
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    left = bands.select(F.col("doc_id").alias("doc_a"), "key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "key")
+    if salt_bands:
+        from sum_spark.plans.scale import salted_join
+
+        joined = salted_join(left, right, "key", salt=int(salt_bands))
+    else:
+        joined = left.join(right, ["key"])
     cand = (
-        left.join(right, ["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        joined.where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )

@@ -86,3 +86,85 @@ def test_auto_guard_counts_shingle_eligible_docs(spark):
     auto = dedup.dedup_ngram_jaccard(docs, threshold=0.6, max_df="auto").collect()
     off = dedup.dedup_ngram_jaccard(docs, threshold=0.6, max_df=None).collect()
     assert sorted(map(tuple, auto)) == sorted(map(tuple, off))
+
+
+def test_minhash_hot_band_salted_join_is_exact(spark):
+    """A mass-duplicated document (90% of the corpus identical) puts 90%
+    of every band's rows under ONE band key — the hot-bucket shape that
+    funnels a plain band self-join through a single reducer. The salted
+    path (plans/scale.salted_join on the band key) must return the
+    IDENTICAL verified pair set while splitting the hot key's probe rows
+    across salt reducers."""
+    from pyspark.sql import functions as F
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, hot) for i in range(90)]  # 90% identical -> one hot bucket
+    rows += [(100 + i, f"unique u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    plain = dedup.dedup_minhash_lsh(docs, threshold=0.8)
+    salted = dedup.dedup_minhash_lsh(docs, threshold=0.8, salt_bands=8)
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan  # the candidate join really is salted
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # All C(90, 2) identical-doc pairs found either way (J = 1.0).
+    assert len(a) == 90 * 89 // 2
+    assert all(r[2] == 1.0 for r in a)
+
+
+def test_semantic_dedup_hot_cluster_blocks_stay_bounded(spark):
+    """90% of vectors land in ONE k-means cluster; the within-cluster
+    sub-blocking must keep every GEMM block ~cluster_size/S regardless
+    of the skew (per-task input bounded), and the pair output must be
+    exactly the planted twins."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.clustering import assign_clusters, semantic_dedup
+
+    rng = np.random.default_rng(7)
+    d = 16
+    rows = []
+    # 450 random vectors near the origin -> cluster 0 (centroid at 0);
+    # pairwise cosine of independent random vectors stays far below 0.999.
+    for i in range(450):
+        rows.append((i, (rng.standard_normal(d) * 0.1).tolist()))
+    # 3 planted exact twins inside the hot cluster (cos = 1.0).
+    for j in range(3):
+        v = (rng.standard_normal(d) * 0.1).tolist()
+        rows.append((1000 + 2 * j, v))
+        rows.append((1000 + 2 * j + 1, v))
+    # 50 vectors near a far centroid -> cluster 1 (the 10% cluster).
+    far = np.zeros(d); far[0] = 100.0
+    for i in range(50):
+        rows.append((2000 + i, (far + rng.standard_normal(d) * 0.1).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+    cents = {0: [0.0] * d, 1: far.tolist()}
+
+    S = 8
+    # Per-block boundedness: replicate the operator's packing rule
+    # (cluster, pmod(hash(id), S)) and assert no block outgrows ~2x the
+    # even share of the HOT cluster.
+    assigned = assign_clusters(df, cents, "vec_id", "embedding")
+    sizes = (
+        assigned.groupBy("cluster", F.pmod(F.hash("vec_id"), F.lit(S)).alias("b"))
+        .count()
+        .collect()
+    )
+    hot_sizes = [r["count"] for r in sizes if r["cluster"] == 0]
+    assert len(hot_sizes) == S  # the hot cluster genuinely split into S blocks
+    assert max(hot_sizes) <= 2 * (456 // S + 1)
+
+    out = semantic_dedup(
+        df, threshold=0.999, centroids=cents, n_subblocks=S
+    ).collect()
+    hot_pairs = {(r["id_a"], r["id_b"]) for r in out if r["cluster"] == 0}
+    assert hot_pairs == {(1000 + 2 * j, 1000 + 2 * j + 1) for j in range(3)}
+    # Cluster-1 vectors all point along the far centroid (cos ~ 1), so
+    # their mutual pairs are genuine near-dups — but strictly within
+    # cluster 1 (no cross-cluster pair can exist by construction).
+    for r in out:
+        if r["cluster"] == 1:
+            assert r["id_a"] >= 2000 and r["id_b"] >= 2000
