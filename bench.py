@@ -82,7 +82,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "corpus_mixture": ("mode", ["mix", "plan"]),
     "sample_stratified": ("mode", ["bern", "topk"]),
     "pack_sequences": ("mode", ["pack", "pipeline"]),
-    "embed_quantize": ("mode", ["quant", "norm", "pool", "kmeans", "kcent"]),
+    "embed_quantize": ("mode", ["quant", "norm", "pool", "kmeans", "kcent", "pq"]),
     "text_chunk": ("mode", ["tok", "line"]),
 }
 

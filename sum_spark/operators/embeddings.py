@@ -197,3 +197,90 @@ def mean_pool(
         )
         .orderBy("group")
     )
+
+
+def product_quantize(
+    df: DataFrame,
+    m: int = 2,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fixed_point: int = 6,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Product quantization (PQ — Jégou et al. 2011): split each vector
+    into ``m`` contiguous subvectors and quantize each against its own
+    ``k``-entry codebook, compressing d floats to m small code ids — the
+    memory layout IVF-PQ ANN indexes store at corpus scale.
+
+    Codebook training here is ONE Lloyd step from the deterministic
+    hash-init partition (the same oracle-checkable recipe as the
+    'kmeans'/'kcent' legs): because the init cluster of a vector is a
+    function of its id alone, the per-cluster mean of the FULL vector,
+    sliced into m parts, IS the per-subspace codebook — so training is
+    ONE (cluster, pos) fixed-point aggregate over the corpus, not m of
+    them, and the driver holds only k x d integers. Production PQ runs
+    more Lloyd iterations per subspace on a sample; this form trades
+    codebook quality for a bit-reproducible, cross-engine-checkable
+    train step with the identical Spark shape (aggregate + map-side
+    assign).
+
+    Assignment is one map-side projection: per subspace, the strictly
+    left-to-right Catalyst squared-distance fold (bit-matching DuckDB's
+    list_sum) and a lexicographic (dist, code) argmin — ties to the
+    lowest code id.
+
+    Returns (codes, codebook): codes = (vec_id, codes array<long>) with
+    m entries per row, ordered by vec_id; codebook = the full-vector
+    centroid dict (cluster -> d doubles) whose m slices are the
+    subspace codebooks. Empty init buckets (possible only with fewer
+    ids than k) simply yield no codebook entry, as in kmeans_fit.
+    """
+    from sum_spark.operators.clustering import (
+        _centroids_from_sums,
+        centroid_sums,
+        hash_init_assign,
+    )
+
+    if m < 1 or k < 1:
+        raise ValueError("product_quantize needs m >= 1 and k >= 1")
+    init = hash_init_assign(df, k, id_col)
+    cents = _centroids_from_sums(
+        centroid_sums(init, "cluster", vec_col, fixed_point).collect(), fixed_point
+    )
+    items = sorted(cents.items())
+    d = len(items[0][1])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    for j in range(m):
+        sub = F.slice(v, j * sd + 1, sd)
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.array(*[F.lit(float(x)) for x in c[j * sd : (j + 1) * sd]]).alias("c"),
+                    F.lit(int(cid)).cast("long").alias("j"),
+                )
+                for cid, c in items
+            ]
+        )
+        # Factory closure, NOT a default arg: PySpark introspects HOF
+        # lambda arity, and `lambda s, sub=sub:` would be called as the
+        # two-arg (element, index) form with `sub` bound to the index.
+        def _dist_struct(sub_expr):
+            return lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(sub_expr, s["c"], lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s["j"].alias("j"),
+            )
+
+        best = F.array_min(F.transform(cent_lit, _dist_struct(sub)))
+        code_cols.append(best["j"])
+    codes = df.select(
+        F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
+    ).orderBy("vec_id")
+    return codes, cents

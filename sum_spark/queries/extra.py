@@ -109,6 +109,14 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS VARCHAR),
            NULL
     FROM documents
+    UNION ALL
+    SELECT 'vocab', w, NULL, tf, NULL, df, NULL, NULL
+    FROM (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY tf DESC, w LIMIT 30
+    )
     ORDER BY mode, col_a, col_b
     """,
     doc="Tagged triple: 'distinct' = DISTINCT on a projection (the "
@@ -119,7 +127,11 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs before trusting an ingested table; 'fingerprint' = the corpus "
     "identity card (profile.corpus_fingerprint over documents: doc/"
     "token counts plus the order-insensitive 128-bit hash-sum stamp a "
-    "training manifest records).",
+    "training manifest records); 'vocab' = corpus heavy-hitters (top-30 "
+    "tokens by total frequency with document frequency, deterministic "
+    "(tf desc, token) tie-break) — the vocabulary/boilerplate-discovery "
+    "pass of corpus curation; two-level aggregate then per-partition "
+    "top-k merge (TakeOrdered), never a global sort.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -151,7 +163,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sum_spark.operators.profile import corpus_fingerprint
 
-    fp = corpus_fingerprint(load_table(spark, sf_dir, "documents")).select(
+    docs = load_table(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs).select(
         F.lit("fingerprint").alias("mode"),
         F.lit("documents").alias("col_a"),
         ns.alias("col_b"),
@@ -161,8 +174,36 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_sum").alias("min_str"),
         ns.alias("max_str"),
     )
+    from sum_spark.functions.text import tokens
+
+    # Heavy-hitters: explode -> two-level agg -> orderBy+limit, which
+    # compiles to TakeOrderedAndProject (per-partition top-k, merge on
+    # the driver side of the exchange) — no global sort of the vocab.
+    vocab = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("__w"))
+        .groupBy("__w")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("__w"))
+        .limit(30)
+        .select(
+            F.lit("vocab").alias("mode"),
+            F.col("__w").alias("col_a"),
+            ns.alias("col_b"),
+            F.col("tf").alias("n_rows"),
+            nl.alias("n_nulls"),
+            F.col("df").alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
+    )
     return (
-        distinct.unionByName(prof).unionByName(fp).orderBy("mode", "col_a", "col_b")
+        distinct.unionByName(prof)
+        .unionByName(fp)
+        .unionByName(vocab)
+        .orderBy("mode", "col_a", "col_b")
     )
 
 

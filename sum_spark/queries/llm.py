@@ -772,6 +772,22 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
              COUNT(*) AS c
       FROM kaex GROUP BY cluster, pos
+    ),
+    pqd AS (
+      SELECT ki.vec_id, kc.c0 AS cand,
+             list_sum(list_transform(range(1, len(ki.vv) // 2 + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS d0,
+             list_sum(list_transform(range(len(ki.vv) // 2 + 1, len(ki.vv) + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS d1
+      FROM ki CROSS JOIN kc
+    ),
+    pq0 AS (
+      SELECT vec_id, cand AS c FROM pqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cand) = 1
+    ),
+    pq1 AS (
+      SELECT vec_id, cand AS c FROM pqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cand) = 1
     )
     SELECT 'quant' AS mode, vec_id, amax / 127 AS scale,
            array_to_string(qq, ',') AS q_str,
@@ -800,6 +816,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list(m ORDER BY pos), ','),
            CAST(NULL AS DOUBLE), MAX(c)
     FROM kagg GROUP BY cluster
+    UNION ALL
+    SELECT 'pq', pq0.vec_id, CAST(NULL AS DOUBLE),
+           CAST(pq0.c AS VARCHAR) || ',' || CAST(pq1.c AS VARCHAR),
+           CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM pq0 JOIN pq1 USING (vec_id)
     ORDER BY mode, vec_id
     """,
     doc="Embedding-preparation battery, tagged: 'quant' = symmetric int8 "
@@ -814,7 +835,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "point centroid means -> map-side nearest-centroid re-assignment -> "
     "updated integer centroid sums), the building block of SemDeDup-"
     "style semantic clustering — assignment uses the strictly left-to-"
-    "right Catalyst fold so distances bit-match DuckDB's list_sum.",
+    "right Catalyst fold so distances bit-match DuckDB's list_sum; "
+    "'pq' = product quantization (embeddings.product_quantize, Jégou "
+    "et al. 2011): m=2 subspace codebooks sliced from the one-step "
+    "fixed-point codebook train, per-subspace argmin codes — the IVF-PQ "
+    "storage layout, one aggregate + one map-side projection.",
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -877,11 +902,23 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_abs_err"),
         "n_vecs",
     )
+    pq_codes, _pq_book = embeddings.product_quantize(emb, m=2, k=k)
+    pq = pq_codes.select(
+        F.lit("pq").alias("mode"),
+        "vec_id",
+        F.lit(None).cast("double").alias("scale"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("q_str"),
+        F.lit(None).cast("double").alias("max_abs_err"),
+        F.lit(None).cast("long").alias("n_vecs"),
+    )
     return (
         quant.unionByName(norm)
         .unionByName(pool)
         .unionByName(kmeans)
         .unionByName(kcent)
+        .unionByName(pq)
         .orderBy("mode", "vec_id")
     )
 

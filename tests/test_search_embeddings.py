@@ -463,3 +463,37 @@ def test_temperature_weights_shape_and_limits(spark, sf_smoke):
     assert w_flat[s_big] / w_flat[s_small] <= w2[s_big] / w2[s_small] <= w1[s_big] / w1[s_small]
     with pytest.raises(ValueError):
         sampling.temperature_weights(docs, temperature=0.0)
+
+
+def test_product_quantize_codes(spark):
+    """PQ codes: m entries per vector, each a trained codebook id; twin
+    vectors get identical codes; subspace codes derive from the right
+    slice (two vectors equal in subspace 0 but wildly different in
+    subspace 1 share code[0])."""
+    import numpy as np
+
+    from sum_spark.operators.embeddings import product_quantize
+
+    rng = np.random.default_rng(3)
+    d = 8
+    base = rng.standard_normal(d)
+    rows = [(i, rng.standard_normal(d).tolist()) for i in range(40)]
+    rows.append((100, base.tolist()))
+    rows.append((101, base.tolist()))  # exact twin of 100
+    half = base.copy()
+    half[d // 2 :] += 50.0  # same first half, far-off second half
+    rows.append((102, half.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    codes, book = product_quantize(df, m=2, k=4)
+    got = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    assert all(len(c) == 2 for c in got.values())
+    valid = set(book)
+    assert all(c in valid for cs in got.values() for c in cs)
+    assert got[100] == got[101]
+    # NOTE: 102 participates in codebook training, so codebooks shift a
+    # little — but its subspace-0 slice equals 100's, so code[0] matches.
+    assert got[102][0] == got[100][0]
+
+    with pytest.raises(ValueError, match="not divisible"):
+        product_quantize(df, m=3)
