@@ -206,6 +206,7 @@ def product_quantize(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fixed_point: int = 6,
+    centroids: dict[int, list[float]] | None = None,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Product quantization (PQ — Jégou et al. 2011): split each vector
     into ``m`` contiguous subvectors and quantize each against its own
@@ -234,6 +235,10 @@ def product_quantize(
     centroid dict (cluster -> d doubles) whose m slices are the
     subspace codebooks. Empty init buckets (possible only with fewer
     ids than k) simply yield no codebook entry, as in kmeans_fit.
+
+    Pass ``centroids`` (a full-vector codebook in the same dict form,
+    e.g. from a previous train or shared with a coarse IVF quantizer)
+    to skip the train aggregate and only assign codes.
     """
     from sum_spark.operators.clustering import (
         _centroids_from_sums,
@@ -243,10 +248,13 @@ def product_quantize(
 
     if m < 1 or k < 1:
         raise ValueError("product_quantize needs m >= 1 and k >= 1")
-    init = hash_init_assign(df, k, id_col)
-    cents = _centroids_from_sums(
-        centroid_sums(init, "cluster", vec_col, fixed_point).collect(), fixed_point
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        init = hash_init_assign(df, k, id_col)
+        cents = _centroids_from_sums(
+            centroid_sums(init, "cluster", vec_col, fixed_point).collect(), fixed_point
+        )
     items = sorted(cents.items())
     d = len(items[0][1])
     if d % m != 0:

@@ -301,3 +301,127 @@ def knn_ivf_kmeans(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def knn_ivfpq(
+    records: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m: int = 2,
+    n_codes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "data",
+    round_to: int | None = None,
+    centroids: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ search (Jégou et al. 2011): coarse-quantize the corpus into
+    inverted lists, PQ-encode every vector to m small codes, and answer a
+    probe by scanning only its coarse list with ASYMMETRIC DISTANCE
+    COMPUTATION — per subspace, the probe's squared distance to each
+    codebook entry is tabulated ONCE (an m x n_codes lookup table), and a
+    candidate's approximate distance is the sum of m table lookups, never
+    a d-dimensional computation. This is the memory layout and the
+    scoring loop of a production ANN index: the corpus side stores only
+    (id, coarse list, m codes).
+
+    Codebook: ONE shared one-step fixed-point book (hash-init partition
+    -> integer centroid means — the oracle-checkable train of
+    product_quantize/kmeans legs): the full-vector argmin is the coarse
+    quantizer, its m slices are the subspace codebooks. Production IVF-PQ
+    trains residual codebooks over more iterations on a sample; this form
+    keeps every number cross-engine reproducible (folds are strictly
+    left-to-right in Spark, DuckDB and the driver-side LUT loop, so the
+    doubles match bit-for-bit).
+
+    ``probes`` must be small (their vectors are collected to build the
+    LUT literals — the same bounded-small-side contract as
+    knn_bruteforce's broadcast and knn_ivf_from_index's bucket collect).
+    Output: (probe_id, id, adc, rank) — adc is the approximate SQUARED
+    distance (ascending = nearer), rank within the probe's coarse list.
+    """
+    from sum_spark.operators.clustering import (
+        _centroids_from_sums,
+        assign_clusters,
+        centroid_sums,
+        hash_init_assign,
+    )
+    from sum_spark.operators.embeddings import product_quantize
+
+    if centroids is None:
+        init = hash_init_assign(records, n_codes, id_col)
+        centroids = _centroids_from_sums(
+            centroid_sums(init, "cluster", vec_col, 6).collect(), 6
+        )
+    items = sorted(centroids.items())
+    d = len(items[0][1])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+
+    # Corpus index: (id, coarse cluster, m codes) — what a 100 TB
+    # deployment stores (write with partitionBy(coarse) for pruning).
+    coarse = assign_clusters(
+        records, centroids, id_col, vec_col, cluster_col="__coarse",
+        backend="catalyst",
+    )
+    codes, _book = product_quantize(
+        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+        centroids=centroids,
+    )
+    index = coarse.select(F.col(id_col), "__coarse").join(
+        codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+    )
+
+    # Probe-side: LUTs computed on the driver with the SAME sequential
+    # fold order as the engines (bit-reproducible doubles).
+    probe_rows = probes.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
+    ).collect()
+
+    def _sqdist(q: list[float], c: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(q, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    legs = []
+    for row in probe_rows:
+        q = [float(x) for x in row["__pv"]]
+        # Coarse list for this probe: lexicographic (dist, id) argmin —
+        # identical rule to assign_clusters' catalyst fold.
+        best = min(
+            ((_sqdist(q, c), cid) for cid, c in items), key=lambda t: (t[0], t[1])
+        )[1]
+        adc = None
+        for j in range(m):
+            lut = F.map_from_arrays(
+                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+                F.array(
+                    *[
+                        F.lit(_sqdist(q[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
+                        for _, c in items
+                    ]
+                ),
+            )
+            term = F.element_at(lut, F.col("codes")[j])
+            adc = term if adc is None else adc + term
+        if round_to is not None:
+            adc = F.round(adc, round_to)
+        legs.append(
+            index.where(
+                (F.col("__coarse") == int(best)) & (F.col(id_col) != int(row["__pid"]))
+            ).select(
+                F.lit(int(row["__pid"])).alias("probe_id"),
+                F.col(id_col),
+                adc.alias("adc"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    w = W.partitionBy("probe_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

@@ -531,19 +531,65 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
 @query(
     "knn_search",
     oracle=f"""
-    WITH brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings
+    ),
+    {_DUCK_LLOYD_CTES.strip().lstrip()},
+    pqd AS (
+      SELECT ki.vec_id, kc.c0 AS cand,
+             list_sum(list_transform(range(1, len(ki.vv) // 2 + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS d0,
+             list_sum(list_transform(range(len(ki.vv) // 2 + 1, len(ki.vv) + 1),
+                      t -> (ki.vv[t] - kc.cc[t]) * (ki.vv[t] - kc.cc[t]))) AS d1
+      FROM ki CROSS JOIN kc
+    ),
+    pq0 AS (
+      SELECT vec_id, cand AS c FROM pqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cand) = 1
+    ),
+    pq1 AS (
+      SELECT vec_id, cand AS c FROM pqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cand) = 1
+    ),
+    cand AS (
+      SELECT p.vec_id AS probe_id, e.vec_id AS vec_id
+      FROM ka p JOIN ka e ON e.cluster = p.cluster AND e.vec_id <> p.vec_id
+      WHERE p.vec_id <= 3
+    ),
+    scored AS (
+      SELECT c.probe_id, c.vec_id, ROUND(lu0.d0 + lu1.d1, 4) AS sim
+      FROM cand c
+      JOIN pq0 ON pq0.vec_id = c.vec_id
+      JOIN pq1 ON pq1.vec_id = c.vec_id
+      JOIN pqd lu0 ON lu0.vec_id = c.probe_id AND lu0.cand = pq0.c
+      JOIN pqd lu1 ON lu1.vec_id = c.probe_id AND lu1.cand = pq1.c
+    ),
+    ivfpq AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rank
+      FROM scored QUALIFY rank <= 5
+    ),
+    brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
     ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)})
     SELECT 'brute' AS mode, probe_id, vec_id, sim, rank FROM brute
     UNION ALL
     SELECT 'ivf', probe_id, vec_id, sim, rank FROM ivf
+    UNION ALL
+    SELECT 'ivfpq', probe_id, vec_id, sim, rank FROM ivfpq
     ORDER BY mode, probe_id, rank
     """,
-    doc="Tagged ANN pair (consolidated knn_bruteforce + knn_ivf) for probes "
-    "vec_id<=3: the exact baseline (broadcast probes x full scan + "
-    "per-probe top-10 — the find_similar generalization) and the scale "
-    "path (IVF-style coarse sign-bit bucket (8 bits) equi-join restricts "
-    "each probe to its bucket — partition-prunable at scale; top-5 within "
-    "bucket). Both operators execute; one checked result.",
+    doc="Tagged ANN triple (consolidated knn_bruteforce + knn_ivf + "
+    "knn_ivfpq) for probes vec_id<=3: the exact baseline (broadcast "
+    "probes x full scan + per-probe top-10 — the find_similar "
+    "generalization); the sign-bit IVF scale path (8-bit coarse bucket "
+    "equi-join, partition-prunable; top-5 within bucket); and IVF-PQ "
+    "with asymmetric distance computation (operators/similarity."
+    "knn_ivfpq: coarse list + m=2 PQ codes per vector, probe LUT of "
+    "subspace distances, score = 2 table lookups per candidate — the "
+    "production ANN index layout; its 'sim' column carries the "
+    "approximate SQUARED DISTANCE, rank ascending). All three operators "
+    "execute; one checked result.",
 )
 def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -554,7 +600,19 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = knn_ivf(
         emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     ).select(F.lit("ivf").alias("mode"), "probe_id", "vec_id", "sim", "rank")
-    return brute.unionAll(ivf).orderBy("mode", "probe_id", "rank")
+    from sum_spark.operators.similarity import knn_ivfpq
+
+    ivfpq = knn_ivfpq(
+        emb, probes, k=5, m=2, n_codes=8, id_col="vec_id", vec_col="embedding",
+        round_to=4,
+    ).select(
+        F.lit("ivfpq").alias("mode"),
+        "probe_id",
+        "vec_id",
+        F.col("adc").alias("sim"),
+        "rank",
+    )
+    return brute.unionAll(ivf).unionAll(ivfpq).orderBy("mode", "probe_id", "rank")
 
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}

@@ -139,3 +139,34 @@ def test_knn_ivf_kmeans_recall_and_full_probe_exactness(spark, sf_smoke):
     # Candidate generation is an equi-join, never a cross join.
     plan = few._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_ivfpq_properties(spark):
+    """IVF-PQ: candidates come only from the probe's coarse list, adc is
+    a non-negative ascending ranking, and an exact twin of the probe
+    (same vector -> same codes) scores the reconstruction-error floor —
+    no candidate can score below it."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import knn_ivfpq
+
+    rng = np.random.default_rng(11)
+    d = 8
+    base = rng.standard_normal(d).tolist()
+    rows = [(i, rng.standard_normal(d).tolist()) for i in range(60)]
+    rows.append((500, base))   # probe
+    rows.append((501, base))   # exact twin
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = df.where("id = 500")
+
+    out = knn_ivfpq(df, probes, k=60, m=2, n_codes=4).collect()
+    assert out, "probe's coarse list is empty"
+    assert all(r["probe_id"] == 500 for r in out)
+    assert all(r["adc"] >= 0.0 for r in out)
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks)
+    adcs = [r["adc"] for r in out]
+    assert adcs == sorted(adcs)
+    by_id = {r["id"]: r["adc"] for r in out}
+    assert 501 in by_id  # twin shares the probe's coarse cluster
+    assert by_id[501] == min(adcs)  # reconstruction-error floor
