@@ -144,3 +144,51 @@ def test_hash_weight_scoring_invariant(spark, sf_smoke):
     _assert_layout_invariant(
         score_with_hash_weights, _docs(spark, sf_smoke), ["doc_id"]
     )
+
+
+def test_product_quantize_invariant(spark, sf_smoke):
+    from sum_spark.operators.embeddings import product_quantize
+
+    emb = load_table(spark, sf_smoke, "embeddings").select("vec_id", "embedding")
+    a, b = emb.coalesce(1), emb.repartition(17, F.col("vec_id"))
+    ra = [tuple([r["vec_id"]] + list(r["codes"])) for r in product_quantize(a)[0].collect()]
+    rb = [tuple([r["vec_id"]] + list(r["codes"])) for r in product_quantize(b)[0].collect()]
+    assert ra == rb and len(ra) > 0
+
+
+def test_knn_ivfpq_invariant(spark, sf_smoke):
+    from sum_spark.operators.similarity import knn_ivfpq
+
+    emb = load_table(spark, sf_smoke, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("data")
+    )
+    probes = emb.where("id <= 3")
+    a, b = emb.coalesce(1), emb.repartition(17, F.col("id"))
+    ra = [tuple(r) for r in knn_ivfpq(a, probes, k=5, round_to=4).collect()]
+    rb = [tuple(r) for r in knn_ivfpq(b, probes, k=5, round_to=4).collect()]
+    assert ra == rb and len(ra) > 0
+
+
+def test_vocab_heavy_hitters_invariant(spark, sf_smoke):
+    """The q31 'vocab' leg: TakeOrdered top-k with a total (tf desc,
+    token) order must not depend on layout."""
+    from sum_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+
+    def vocab(d):
+        return (
+            d.select("doc_id", F.explode(tokens("text")).alias("__w"))
+            .groupBy("__w")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+            )
+            .orderBy(F.col("tf").desc(), F.col("__w"))
+            .limit(30)
+        )
+
+    a, b = docs.coalesce(1), docs.repartition(17, F.col("text"))
+    ra = [tuple(r) for r in vocab(a).collect()]
+    rb = [tuple(r) for r in vocab(b).collect()]
+    assert ra == rb and len(ra) == 30
