@@ -425,3 +425,130 @@ def knn_ivfpq(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def write_pq_index(
+    records: DataFrame,
+    path: str,
+    m: int = 2,
+    n_codes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "data",
+    centroids: dict[int, list[float]] | None = None,
+) -> dict[int, list[float]]:
+    """Persist the IVF-PQ index: a parquet table of ONLY (id, codes)
+    PARTITIONED BY the coarse cluster — the compressed, prunable form a
+    100 TB embedding corpus is actually served from (m small codes per
+    vector instead of d floats; a probe's search opens only its coarse
+    list's files). The codebook (k x d doubles — driver-sized) is
+    returned and also persisted at ``<path>/_codebook`` so a later
+    session can search without retraining; vectors themselves are NOT
+    stored (that's the point — join back on id when payloads are
+    needed). Same one-step fixed-point codebook as knn_ivfpq, so
+    in-flight and from-index searches return identical neighbors."""
+    from sum_spark.operators.clustering import (
+        _centroids_from_sums,
+        assign_clusters,
+        centroid_sums,
+        hash_init_assign,
+    )
+    from sum_spark.operators.embeddings import product_quantize
+
+    if centroids is None:
+        init = hash_init_assign(records, n_codes, id_col)
+        centroids = _centroids_from_sums(
+            centroid_sums(init, "cluster", vec_col, 6).collect(), 6
+        )
+    coarse = assign_clusters(
+        records, centroids, id_col, vec_col, cluster_col="coarse", backend="catalyst"
+    )
+    codes, _ = product_quantize(
+        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
+    (
+        coarse.select(F.col(id_col), "coarse")
+        .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+        .write.partitionBy("coarse")
+        .parquet(path, mode="overwrite")
+    )
+    spark = records.sparkSession
+    book_rows = [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())]
+    spark.createDataFrame(book_rows, "cluster long, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/_codebook")
+    return centroids
+
+
+def knn_ivfpq_from_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int,
+    m: int = 2,
+    id_col: str = "id",
+    vec_col: str = "data",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Search a write_pq_index table: the codebook reloads from
+    ``<path>/_codebook`` (driver-sized), each probe's coarse list becomes
+    a LITERAL filter on the partition column (PartitionFilters — only the
+    probed lists' files are opened), and candidates score by the same
+    m-lookup ADC as knn_ivfpq. Vectors are never read — the scan touches
+    only (id, codes). Output: (probe_id, id, adc, rank)."""
+    book = {
+        int(r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(path + "/_codebook").collect()
+    }
+    items = sorted(book.items())
+    d = len(items[0][1])
+    sd = d // m
+    probe_rows = probes.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
+    ).collect()
+
+    def _sqdist(q, c):
+        acc = 0.0
+        for x, y in zip(q, c):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    idx = spark.read.parquet(path)
+    legs = []
+    for row in probe_rows:
+        q = [float(x) for x in row["__pv"]]
+        best = min(
+            ((_sqdist(q, c), cid) for cid, c in items), key=lambda t: (t[0], t[1])
+        )[1]
+        adc = None
+        for j in range(m):
+            lut = F.map_from_arrays(
+                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+                F.array(
+                    *[
+                        F.lit(_sqdist(q[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
+                        for _, c in items
+                    ]
+                ),
+            )
+            term = F.element_at(lut, F.col("codes")[j])
+            adc = term if adc is None else adc + term
+        if round_to is not None:
+            adc = F.round(adc, round_to)
+        legs.append(
+            idx.where(
+                (F.col("coarse") == int(best)) & (F.col(id_col) != int(row["__pid"]))
+            ).select(
+                F.lit(int(row["__pid"])).alias("probe_id"),
+                F.col(id_col),
+                adc.alias("adc"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    w = W.partitionBy("probe_id").orderBy(F.col("adc").asc(), F.col(id_col))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )

@@ -170,3 +170,38 @@ def test_knn_ivfpq_properties(spark):
     by_id = {r["id"]: r["adc"] for r in out}
     assert 501 in by_id  # twin shares the probe's coarse cluster
     assert by_id[501] == min(adcs)  # reconstruction-error floor
+
+
+def test_pq_index_roundtrip_matches_inflight(spark, tmp_path):
+    """write_pq_index -> knn_ivfpq_from_index: identical neighbors to the
+    in-flight knn_ivfpq (same codebook recipe), the scan reads ONLY the
+    probed coarse lists (PartitionFilters on the partition column), and
+    the index stores codes, never vectors."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        knn_ivfpq,
+        knn_ivfpq_from_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = df.where("id <= 2")
+    path = str(tmp_path / "pqidx")
+
+    write_pq_index(df, path, m=2, n_codes=4)
+    stored = spark.read.parquet(path)
+    assert sorted(stored.columns) == ["coarse", "codes", "id"]  # no vectors
+
+    from_idx = knn_ivfpq_from_index(spark, path, probes, k=7, m=2, round_to=4)
+    inflight = knn_ivfpq(df, probes, k=7, m=2, n_codes=4, round_to=4)
+    assert sorted(map(tuple, from_idx.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+
+    p = from_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "coarse" in pf  # the scan prunes to the probed lists
