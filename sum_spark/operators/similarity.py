@@ -313,6 +313,7 @@ def knn_ivfpq(
     vec_col: str = "data",
     round_to: int | None = None,
     centroids: dict[int, list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ search (Jégou et al. 2011): coarse-quantize the corpus into
     inverted lists, PQ-encode every vector to m small codes, and answer a
@@ -338,6 +339,15 @@ def knn_ivfpq(
     knn_bruteforce's broadcast and knn_ivf_from_index's bucket collect).
     Output: (probe_id, id, adc, rank) — adc is the approximate SQUARED
     distance (ascending = nearer), rank within the probe's coarse list.
+
+    ``residual=True`` switches to the textbook IVF-PQ encoding: vectors
+    are PQ-coded as RESIDUALS from their coarse centroid (v - c_list),
+    against a residual codebook trained by the same one-step recipe, and
+    the probe tabulates distances from ITS residual (q - c_list). Within
+    a list, residual spread is much smaller than raw spread, so the same
+    m x n_codes budget approximates true distances far more tightly —
+    pinned by the accuracy test. One extra map-side subtraction on each
+    side; the index layout and the scoring loop are unchanged.
     """
     from sum_spark.operators.clustering import (
         _centroids_from_sums,
@@ -364,13 +374,41 @@ def knn_ivfpq(
         records, centroids, id_col, vec_col, cluster_col="__coarse",
         backend="catalyst",
     )
-    codes, _book = product_quantize(
-        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
-        centroids=centroids,
-    )
-    index = coarse.select(F.col(id_col), "__coarse").join(
-        codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-    )
+    if residual:
+        # Residual = v - centroid[coarse], one map-side zip_with; the
+        # residual codebook trains on these with the same one-step
+        # recipe (hash-init on the SAME ids, one fixed-point aggregate).
+        cent_map = F.map_from_arrays(
+            F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+            F.array(
+                *[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]
+            ),
+        )
+        res = coarse.select(
+            F.col(id_col),
+            "__coarse",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(cent_map, F.col("__coarse")),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
+        codes, pq_book = product_quantize(
+            res, m=m, k=n_codes, id_col=id_col, vec_col="__res"
+        )
+        index = res.select(F.col(id_col), "__coarse").join(
+            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+        )
+    else:
+        pq_book = centroids
+        codes, _ = product_quantize(
+            records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+            centroids=centroids,
+        )
+        index = coarse.select(F.col(id_col), "__coarse").join(
+            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+        )
+    book_items = sorted(pq_book.items())
 
     # Probe-side: LUTs computed on the driver with the SAME sequential
     # fold order as the engines (bit-reproducible doubles).
@@ -384,6 +422,7 @@ def knn_ivfpq(
             acc = acc + (x - y) * (x - y)
         return acc
 
+    cent_by_id = dict(items)
     legs = []
     for row in probe_rows:
         q = [float(x) for x in row["__pv"]]
@@ -392,14 +431,19 @@ def knn_ivfpq(
         best = min(
             ((_sqdist(q, c), cid) for cid, c in items), key=lambda t: (t[0], t[1])
         )[1]
+        if residual:
+            cb = cent_by_id[best]
+            qv = [x - c for x, c in zip(q, cb)]
+        else:
+            qv = q
         adc = None
         for j in range(m):
             lut = F.map_from_arrays(
-                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in book_items]),
                 F.array(
                     *[
-                        F.lit(_sqdist(q[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
-                        for _, c in items
+                        F.lit(_sqdist(qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
+                        for _, c in book_items
                     ]
                 ),
             )

@@ -205,3 +205,39 @@ def test_pq_index_roundtrip_matches_inflight(spark, tmp_path):
     assert "PartitionFilters: [" in p
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "coarse" in pf  # the scan prunes to the probed lists
+
+
+def test_ivfpq_residual_encoding_tightens_adc(spark):
+    """residual=True (textbook IVF-PQ) must approximate true squared
+    distances strictly better than raw-vector PQ on clustered data:
+    within a coarse list the residual spread is small, so the same
+    m x n_codes budget buys much finer quantization."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import knn_ivfpq
+
+    rng = np.random.default_rng(31)
+    d = 8
+    centers = [rng.standard_normal(d) * 20 for _ in range(3)]
+    rows = []
+    vecs = {}
+    for i in range(120):
+        v = centers[i % 3] + rng.standard_normal(d)
+        vecs[i] = v
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = df.where("id = 0")
+
+    def mean_err(residual):
+        out = knn_ivfpq(
+            df, probes, k=120, m=2, n_codes=8, residual=residual
+        ).collect()
+        assert out
+        q = vecs[0]
+        errs = [
+            abs(r["adc"] - float(((q - vecs[r["id"]]) ** 2).sum())) for r in out
+        ]
+        return sum(errs) / len(errs)
+
+    raw, res = mean_err(False), mean_err(True)
+    assert res < raw * 0.8, (raw, res)
