@@ -1,3 +1,4 @@
+from sum_spark.streaming.ann import read_embedding_stream, streaming_ann_scores
 from sum_spark.streaming.joins import (
     enrich_stream,
     make_parquet_batch_sink,
@@ -16,6 +17,8 @@ from sum_spark.streaming.windows import (
 
 __all__ = [
     "dedup_events",
+    "read_embedding_stream",
+    "streaming_ann_scores",
     "enrich_stream",
     "make_parquet_batch_sink",
     "purchases_after_signup",

@@ -1,0 +1,107 @@
+"""Streaming ANN: score an arriving stream of query embeddings against
+the STORED IVF-PQ index at ingest time — the online twin of
+``operators.similarity.knn_ivfpq_from_index`` (retrieval-at-ingest:
+route each new document/query to its nearest stored neighbors for
+near-dup triage, clustering hints, or retrieval features).
+
+The 100 TB deployment shape: the corpus is served from the compressed
+codes-only index (``write_pq_index`` — m small codes per vector,
+partitioned by coarse list); the probe stream coarse-assigns itself with
+a MAP-SIDE catalyst argmin (the codebook is a driver-sized literal baked
+into the plan at query build — bounded by contract, k x d doubles), then
+stream-static equi-joins its coarse list and scores by asymmetric
+distance against the RECONSTRUCTED codes. Stateless: no watermark, no
+aggregation — each micro-batch emits its probes' scored candidates and
+the sink (or a foreachBatch top-k) ranks them.
+
+Numbers match the batch path bit-for-bit: the per-subspace distance is
+the same strictly left-to-right fold the batch LUT loop and the DuckDB
+twin use, on the same codebook doubles.
+
+Reference analog: none (the reference is an online server but has no
+stream processor); this extends the streaming family per SURVEY §2.F.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of (vec_id, embedding) parquet drops — the
+    local stand-in for the queue of freshly embedded documents."""
+    return spark.readStream.schema(EMB_SCHEMA).parquet(path)
+
+
+def streaming_ann_scores(
+    probe_stream: DataFrame,
+    index: DataFrame,
+    codebook: dict[int, list[float]],
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    index_id_col: str = "id",
+) -> DataFrame:
+    """Score every streaming probe against its coarse list of the PQ
+    index. ``index`` is the (id, coarse, codes) table (read back from
+    ``write_pq_index``'s parquet — static side, re-read per micro-batch
+    with partition pruning on the joined coarse keys); ``codebook`` is
+    the driver-held dict (reload from ``<path>/_codebook``).
+
+    Returns a STREAMING (probe_id, id, adc) frame — every candidate in
+    the probe's coarse list with its approximate squared distance, the
+    same adc the batch search computes. Top-k is the consumer's move
+    (a foreachBatch window, or take the min per probe downstream):
+    windows/aggregations would force stateful output modes, and the
+    candidate list per probe is already coarse-list-bounded.
+    """
+    from sum_spark.operators.clustering import assign_clusters
+
+    items = sorted(codebook.items())
+    d = len(items[0][1])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sd = d // m
+
+    # Map-side coarse assignment: pure expression, streaming-safe.
+    probes = assign_clusters(
+        probe_stream, codebook, id_col, vec_col, cluster_col="coarse",
+        backend="catalyst",
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("__pv"),
+        "coarse",
+    )
+
+    # Full-centroid lookup table as one literal map (k x d doubles).
+    book_map = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]),
+    )
+    idx = index.select(
+        F.col(index_id_col).alias("id"), "coarse", "codes"
+    )
+    joined = probes.join(idx, "coarse").where(F.col("probe_id") != F.col("id"))
+    adc = None
+    for j in range(m):
+        cent = F.slice(F.element_at(book_map, F.col("codes")[j]), j * sd + 1, sd)
+        qsub = F.slice(F.col("__pv"), j * sd + 1, sd)
+        term = F.aggregate(
+            F.zip_with(qsub, cent, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adc = term if adc is None else adc + term
+    if round_to is not None:
+        adc = F.round(adc, round_to)
+    return joined.select("probe_id", F.col("id"), adc.alias("adc"))
