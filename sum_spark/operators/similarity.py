@@ -596,3 +596,41 @@ def knn_ivfpq_from_index(
         .where(F.col("rank") <= k)
         .orderBy("probe_id", "rank")
     )
+
+
+def append_to_pq_index(
+    new_records: DataFrame,
+    path: str,
+    m: int = 2,
+    id_col: str = "id",
+    vec_col: str = "data",
+) -> None:
+    """O(delta) index maintenance: encode ONLY the arriving vectors with
+    the index's STORED codebook (reloaded from ``<path>/_codebook`` — the
+    codebook is immutable once written; re-training it would silently
+    invalidate every previously stored code) and append their (id, codes)
+    rows to the existing coarse-list partitions. The corpus is never
+    re-read, never re-encoded — the same delta contract as
+    dedup_incremental's stored-signature path. Callers own id uniqueness
+    (appending an existing id creates a duplicate row, exactly like
+    appending to any parquet table)."""
+    from sum_spark.operators.clustering import assign_clusters
+    from sum_spark.operators.embeddings import product_quantize
+
+    spark = new_records.sparkSession
+    book = {
+        int(r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(path + "/_codebook").collect()
+    }
+    coarse = assign_clusters(
+        new_records, book, id_col, vec_col, cluster_col="coarse", backend="catalyst"
+    )
+    codes, _ = product_quantize(
+        new_records, m=m, k=len(book), id_col=id_col, vec_col=vec_col, centroids=book
+    )
+    (
+        coarse.select(F.col(id_col), "coarse")
+        .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+        .write.partitionBy("coarse")
+        .parquet(path, mode="append")
+    )

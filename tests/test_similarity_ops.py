@@ -241,3 +241,38 @@ def test_ivfpq_residual_encoding_tightens_adc(spark):
 
     raw, res = mean_err(False), mean_err(True)
     assert res < raw * 0.8, (raw, res)
+
+
+def test_append_to_pq_index_is_delta_and_equivalent(spark, tmp_path):
+    """Appending a batch with the stored codebook must equal an index
+    rebuilt from the full corpus WITH THE SAME codebook — old codes are
+    untouched, new vectors become searchable."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        append_to_pq_index,
+        knn_ivfpq_from_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(53)
+    base_rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    delta_rows = [(1000 + i, rng.standard_normal(8).tolist()) for i in range(20)]
+    base = spark.createDataFrame(base_rows, "id long, data array<double>")
+    delta = spark.createDataFrame(delta_rows, "id long, data array<double>")
+
+    p1 = str(tmp_path / "grown")
+    book = write_pq_index(base, p1, m=2, n_codes=4)
+    append_to_pq_index(delta, p1, m=2)
+
+    p2 = str(tmp_path / "rebuilt")
+    write_pq_index(base.unionAll(delta), p2, m=2, n_codes=4, centroids=book)
+
+    a = {tuple([r["id"], r["coarse"]] + list(r["codes"])) for r in spark.read.parquet(p1).collect()}
+    b = {tuple([r["id"], r["coarse"]] + list(r["codes"])) for r in spark.read.parquet(p2).collect()}
+    assert a == b and len(a) == 80
+
+    probes = delta.where("id = 1000")
+    s1 = sorted(map(tuple, knn_ivfpq_from_index(spark, p1, probes, k=10, round_to=4).collect()))
+    s2 = sorted(map(tuple, knn_ivfpq_from_index(spark, p2, probes, k=10, round_to=4).collect()))
+    assert s1 == s2 and s1
