@@ -76,7 +76,7 @@ HEADLINE = [
 TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q02_lookup_topk": ("op", ["point", "topk"]),
     "q08_semi_join": ("op", ["exists", "in"]),
-    "knn_search": ("mode", ["brute", "ivf", "ivfpq"]),
+    "knn_search": ("mode", ["brute", "filt", "ivf", "ivfpq"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
     "corpus_mixture": ("mode", ["mix", "plan"]),

@@ -571,24 +571,30 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
       FROM scored QUALIFY rank <= 5
     ),
     brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
-    ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)})
+    ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)}),
+    filt AS ({_duck_knn("p.vec_id <= 3", " AND e.label % 2 = 0", 5)})
     SELECT 'brute' AS mode, probe_id, vec_id, sim, rank FROM brute
+    UNION ALL
+    SELECT 'filt', probe_id, vec_id, sim, rank FROM filt
     UNION ALL
     SELECT 'ivf', probe_id, vec_id, sim, rank FROM ivf
     UNION ALL
     SELECT 'ivfpq', probe_id, vec_id, sim, rank FROM ivfpq
     ORDER BY mode, probe_id, rank
     """,
-    doc="Tagged ANN triple (consolidated knn_bruteforce + knn_ivf + "
-    "knn_ivfpq) for probes vec_id<=3: the exact baseline (broadcast "
-    "probes x full scan + per-probe top-10 — the find_similar "
-    "generalization); the sign-bit IVF scale path (8-bit coarse bucket "
+    doc="Tagged ANN quad (consolidated knn_bruteforce + knn_filtered + "
+    "knn_ivf + knn_ivfpq) for probes vec_id<=3: the exact baseline "
+    "(broadcast probes x full scan + per-probe top-10 — the find_similar "
+    "generalization); filtered ANN (metadata predicate label%2=0 applied "
+    "PRE-ranking — exact top-5 of the qualifying set, predicate pushed "
+    "into the scan; post-filter would silently under-return at low "
+    "selectivity); the sign-bit IVF scale path (8-bit coarse bucket "
     "equi-join, partition-prunable; top-5 within bucket); and IVF-PQ "
     "with asymmetric distance computation (operators/similarity."
     "knn_ivfpq: coarse list + m=2 PQ codes per vector, probe LUT of "
     "subspace distances, score = 2 table lookups per candidate — the "
     "production ANN index layout; its 'sim' column carries the "
-    "approximate SQUARED DISTANCE, rank ascending). All three operators "
+    "approximate SQUARED DISTANCE, rank ascending). All four operators "
     "execute; one checked result.",
 )
 def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -597,6 +603,17 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = knn_bruteforce(
         emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4
     ).select(F.lit("brute").alias("mode"), "probe_id", "vec_id", "sim", "rank")
+    from sum_spark.operators.similarity import knn_filtered
+
+    filt = knn_filtered(
+        emb,
+        probes,
+        k=5,
+        predicate=F.col("label") % 2 == 0,
+        id_col="vec_id",
+        vec_col="embedding",
+        round_to=4,
+    ).select(F.lit("filt").alias("mode"), "probe_id", "vec_id", "sim", "rank")
     ivf = knn_ivf(
         emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     ).select(F.lit("ivf").alias("mode"), "probe_id", "vec_id", "sim", "rank")
@@ -612,7 +629,12 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc").alias("sim"),
         "rank",
     )
-    return brute.unionAll(ivf).unionAll(ivfpq).orderBy("mode", "probe_id", "rank")
+    return (
+        brute.unionAll(filt)
+        .unionAll(ivf)
+        .unionAll(ivfpq)
+        .orderBy("mode", "probe_id", "rank")
+    )
 
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}

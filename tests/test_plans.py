@@ -333,3 +333,26 @@ def test_span_removal_no_token_level_shuffle(spark, sf_smoke):
     assert plan.count("collect_list") <= 2  # partial + final of __pos
     assert "collect_list(__pos" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_filtered_predicate_reaches_scan(spark, sf_smoke):
+    # Filtered ANN's whole scale argument is that the metadata predicate
+    # prunes the scan BEFORE any scoring: a pushable predicate must appear
+    # in PushedFilters (row-group stats skip the non-qualifying 99%).
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.similarity import knn_filtered
+    from sum_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 2)
+    df = knn_filtered(
+        emb, probes, k=3, predicate=F.col("label") == 1,
+        id_col="vec_id", vec_col="embedding",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "EqualTo(label,1)" in p
+    assert "CartesianProduct" not in p

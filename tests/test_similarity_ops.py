@@ -276,3 +276,44 @@ def test_append_to_pq_index_is_delta_and_equivalent(spark, tmp_path):
     s1 = sorted(map(tuple, knn_ivfpq_from_index(spark, p1, probes, k=10, round_to=4).collect()))
     s2 = sorted(map(tuple, knn_ivfpq_from_index(spark, p2, probes, k=10, round_to=4).collect()))
     assert s1 == s2 and s1
+
+
+def test_knn_filtered_is_topk_of_qualifying_set(emb):
+    from sum_spark.operators.similarity import knn_filtered
+
+    probes = emb.where(F.col("vec_id") <= 2)
+    pred = F.col("label") % 2 == 0
+    got = knn_filtered(
+        emb, probes, k=5, predicate=pred, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    # Reference: brute-force over the manually filtered set.
+    want = knn_bruteforce(
+        emb.where(pred), probes, k=5, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    assert got == want
+    # Every returned neighbor satisfies the predicate.
+    ok = {r["vec_id"] for r in emb.where(pred).select("vec_id").collect()}
+    assert all(r["vec_id"] in ok for r in got)
+    # Pre-filter recall: exactly k per probe as long as the qualifying
+    # set has >= k rows (post-filter would under-return here).
+    per_probe = {}
+    for r in got:
+        per_probe[r["probe_id"]] = per_probe.get(r["probe_id"], 0) + 1
+    assert set(per_probe.values()) == {5}
+
+
+def test_knn_filtered_ivf_strategy_composes(emb):
+    from sum_spark.operators.similarity import knn_filtered, knn_ivf
+
+    probes = emb.where(F.col("vec_id") <= 2)
+    pred = F.col("label") % 2 == 0
+    got = knn_filtered(
+        emb, probes, k=3, predicate=pred, id_col="vec_id", vec_col="embedding",
+        strategy="ivf",
+    ).collect()
+    want = knn_ivf(
+        emb.where(pred), probes, k=3, id_col="vec_id", vec_col="embedding"
+    ).collect()
+    assert got == want
+    with pytest.raises(ValueError):
+        knn_filtered(emb, probes, k=3, predicate=pred, strategy="nope")
