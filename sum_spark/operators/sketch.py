@@ -1,0 +1,158 @@
+"""Count-min sketch: fixed-size approximate frequency counting.
+
+The curation use case: exact token/URL/n-gram frequency over a 100 TB
+corpus needs a shuffle keyed by a vocabulary whose long tail is billions
+of distinct items; a count-min sketch replaces that with a FIXED
+depth x width integer grid (kilobytes) that any number of executors can
+build with one map-side pass + one tiny aggregation, at the cost of a
+one-sided error: estimates only ever OVER-count (est >= true count, with
+overshoot <= 2N/width at 1 - (1/2)^depth probability). That makes it the
+scale path for heavy-hitter discovery, boilerplate detection, and
+stop-list construction — anything where "roughly how frequent" is enough
+and under-counting would be wrong.
+
+Engine shape: the grid is built as a (depth, bucket) -> count table of
+at most depth*width rows, so the only shuffle is an aggregation onto a
+by-construction-bounded key space — partial (map-side) combine does
+almost all the work and the exchange moves kilobytes regardless of
+corpus size. Estimation joins the query items against that bounded grid.
+
+Hashes are the portable 60-bit md5 family (functions/hashing.py), so a
+DuckDB oracle reproduces every cell and every estimate bit-for-bit —
+the sketch is deterministic, not sampled.
+
+No reference analog (the reference has no approximate-counting surface);
+this extends the curation family per the build brief, alongside the
+exact heavy-hitters pass (queries/extra.q31 'vocab' leg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sum_spark.functions.hashing import duck_hash60, hash60
+
+
+def _bucket(item: F.Column, depth_i: int, width: int) -> F.Column:
+    """Row ``depth_i``'s bucket for an item: portable 60-bit hash of the
+    seeded item string, modulo the row width."""
+    return hash60(F.concat(F.lit(f"cms{depth_i}:"), item)) % F.lit(width)
+
+
+def count_min_build(
+    items: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch grid: (depth, bucket, c) with c = total weight of
+    items hashing into that cell (count when ``weight_col`` is None).
+
+    Two-level aggregate: per-item totals first (the natural partial
+    combine — duplicate occurrences of a hot item collapse map-side),
+    then the scatter onto depth*width cells. NULL items are skipped (a
+    NULL hashes to NULL and would silently pool into one cell).
+    """
+    it = F.col(item_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.count("*").cast("long")
+    per_item = (
+        items.where(it.isNotNull())
+        .groupBy(it.alias("__item"))
+        .agg((F.sum(w) if weight_col else w).alias("__n"))
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("depth"),
+                _bucket(F.col("__item"), i, width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        per_item.select(F.explode(cells).alias("__c"), "__n")
+        .groupBy(
+            F.col("__c.depth").alias("depth"), F.col("__c.bucket").alias("bucket")
+        )
+        .agg(F.sum("__n").alias("c"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: adds an ``est`` column (BIGINT) to
+    ``queries`` — min over the ``depth`` cells the item hashes into.
+
+    ``width``/``depth`` MUST match the build call (the bucket function is
+    recomputed here; a mismatch silently reads the wrong cells). The grid
+    is broadcast: its size is bounded by construction at depth*width rows
+    (a few KB) independent of corpus size, which is exactly the case
+    where a broadcast hint is safe without measurement. Items absent from
+    the corpus may still return a positive est (collision mass) — CMS
+    never under-counts, including counting phantom mass for misses.
+    """
+    it = F.col(item_col)
+    probes = queries.withColumn(
+        "__cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("depth"),
+                        _bucket(it, i, width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ),
+    )
+    out_cols = [F.col(c) for c in queries.columns]
+    return (
+        probes.join(
+            F.broadcast(sketch),
+            (F.col("__cell.depth") == sketch["depth"])
+            & (F.col("__cell.bucket") == sketch["bucket"]),
+            "left",
+        )
+        .groupBy(*out_cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+def duck_count_min_sql(
+    item_sql: str,
+    top_k: int,
+    width: int = 256,
+    depth: int = 4,
+) -> str:
+    """DuckDB CTE chain reproducing build + estimate for the ``top_k``
+    most frequent items of ``item_sql`` (a FROM-able subquery producing a
+    single column ``w``). Yields CTEs ``cms_cnt``/``cms_cells``/
+    ``cms_top``/``cms_est``; select from ``cms_est`` (w, tf, est)."""
+    seeds = ", ".join(str(i) for i in range(depth))
+    h = duck_hash60("'cms' || d.d || ':' || w")
+    return f"""
+    cms_cnt AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS tf FROM ({item_sql}) GROUP BY w
+    ),
+    cms_cells AS (
+      SELECT d.d AS depth, {h} % {width} AS bucket, SUM(tf) AS c
+      FROM cms_cnt CROSS JOIN (SELECT unnest([{seeds}]) AS d) d
+      GROUP BY 1, 2
+    ),
+    cms_top AS (SELECT w, tf FROM cms_cnt ORDER BY tf DESC, w LIMIT {top_k}),
+    cms_est AS (
+      SELECT t.w, t.tf, CAST(MIN(c.c) AS BIGINT) AS est
+      FROM cms_top t
+      CROSS JOIN (SELECT unnest([{seeds}]) AS d) d
+      JOIN cms_cells c
+        ON c.depth = d.d AND c.bucket = {h} % {width}
+      GROUP BY t.w, t.tf
+    )"""

@@ -11,6 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sum_spark.operators.profile import profile_table
+from sum_spark.operators.sketch import duck_count_min_sql
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
 
@@ -61,13 +62,23 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 256, 4
+_CMS_CTES = duck_count_min_sql(
+    "SELECT unnest(string_split(text, ' ')) AS w FROM documents",
+    top_k=30,
+    width=_CMS_W,
+    depth=_CMS_D,
+)
+
+
 @query(
     "q31_distinct_projection",
     # Profile leg columns: min/max check only for integer/string types;
     # double/timestamp render differently across engines and profile to
     # NULL min/max (their null/distinct counts still check exactly).
-    oracle="""
-    WITH prof(col, mm) AS (VALUES
+    oracle=f"""
+    WITH {_CMS_CTES.strip()},
+    prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
       ('ts', false), ('user_id', true), ('value', false)
     )
@@ -117,6 +128,8 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
       GROUP BY w ORDER BY tf DESC, w LIMIT 30
     )
+    UNION ALL
+    SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     ORDER BY mode, col_a, col_b
     """,
     doc="Tagged triple: 'distinct' = DISTINCT on a projection (the "
@@ -131,7 +144,12 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens by total frequency with document frequency, deterministic "
     "(tf desc, token) tie-break) — the vocabulary/boilerplate-discovery "
     "pass of corpus curation; two-level aggregate then per-partition "
-    "top-k merge (TakeOrdered), never a global sort.",
+    "top-k merge (TakeOrdered), never a global sort; 'cms' = the same "
+    "top-30 tokens point-queried against a count-min sketch (operators/"
+    "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
+    "fixed-kilobytes approximate-frequency path when the distinct-key "
+    "shuffle behind 'vocab' is too big), est and the one-sided overcount "
+    "est-tf both value-checked cell-for-cell against the DuckDB rebuild.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -175,18 +193,25 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("max_str"),
     )
     from sum_spark.functions.text import tokens
+    from sum_spark.operators.sketch import count_min_build, count_min_estimate
 
     # Heavy-hitters: explode -> two-level agg -> orderBy+limit, which
     # compiles to TakeOrderedAndProject (per-partition top-k, merge on
     # the driver side of the exchange) — no global sort of the vocab.
-    vocab = (
+    # The same per-token aggregate feeds the vocab leg, the CMS build
+    # (weight_col: duplicate occurrences are already collapsed), and the
+    # CMS probe set — identical aggregation subtrees become one
+    # ReusedExchange in the physical plan, not three corpus scans.
+    vc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("__w"))
         .groupBy("__w")
         .agg(
             F.count("*").cast("long").alias("tf"),
             F.countDistinct("doc_id").cast("long").alias("df"),
         )
-        .orderBy(F.col("tf").desc(), F.col("__w"))
+    )
+    vocab = (
+        vc.orderBy(F.col("tf").desc(), F.col("__w"))
         .limit(30)
         .select(
             F.lit("vocab").alias("mode"),
@@ -199,10 +224,25 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             ns.alias("max_str"),
         )
     )
+    sk = count_min_build(vc, "__w", width=256, depth=4, weight_col="tf")
+    top = (
+        vc.select("__w", "tf").orderBy(F.col("tf").desc(), F.col("__w")).limit(30)
+    )
+    cms = count_min_estimate(sk, top, "__w", width=256, depth=4).select(
+        F.lit("cms").alias("mode"),
+        F.col("__w").alias("col_a"),
+        ns.alias("col_b"),
+        F.col("est").alias("n_rows"),
+        (F.col("est") - F.col("tf")).cast("long").alias("n_nulls"),
+        F.col("tf").alias("n_distinct"),
+        ns.alias("min_str"),
+        ns.alias("max_str"),
+    )
     return (
         distinct.unionByName(prof)
         .unionByName(fp)
         .unionByName(vocab)
+        .unionByName(cms)
         .orderBy("mode", "col_a", "col_b")
     )
 
