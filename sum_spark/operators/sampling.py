@@ -457,3 +457,121 @@ def global_shuffle(df: DataFrame, seed: str = "shuffle-0", id_col: str = "doc_id
     d = df.select(F.col(id_col).alias("doc_id")).withColumn("__h", h)
     out = assign_contiguous_ids(d, ["__h", "doc_id"], id_name="shuffle_pos")
     return out.select("doc_id", "shuffle_pos").orderBy("shuffle_pos")
+
+
+CAP_SUBBUCKET_BITS = 6  # 64 hash-range sub-buckets per stratum
+_CAP_BUCKET_DIV = 1 << (60 - CAP_SUBBUCKET_BITS)
+
+
+def cap_domain_tokens(
+    df: DataFrame,
+    cap_tokens: int,
+    strat_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> DataFrame:
+    """Per-domain token budget cap — the over-represented-source guard
+    of corpus curation ("no domain contributes more than T tokens"):
+    within each stratum, documents are taken greedily in deterministic
+    hash order until the running token total would exceed ``cap_tokens``.
+
+    Output: one row per input document —
+    (doc_id, stratum, n_tok, cum_tokens, kept) — where ``kept`` is true
+    iff the doc's inclusive running total fits the cap; filter on it for
+    the capped corpus, aggregate it for the per-domain report. Hash
+    order (not ingest order) makes the kept set a uniform sample of the
+    domain and reproducible on any cluster layout; the portable md5-60
+    hash means a SQL oracle reproduces the exact kept set.
+
+    Scale shape: a naive ``SUM OVER (PARTITION BY stratum ORDER BY h)``
+    sorts each domain on ONE task — a hot domain (a crawl is 30% one
+    site) is a straggler or an OOM. Instead the prefix sum is two-level:
+    the hash's top ``CAP_SUBBUCKET_BITS`` bits split each stratum into
+    hash-RANGE sub-buckets (bucket id is monotone in h, so per-bucket
+    order concatenates to exactly the flat order); per-(stratum, bucket)
+    token sums roll into per-bucket starting offsets via a window over
+    the <=64 bucket rows per stratum; each document then needs only a
+    window within its (stratum, bucket) — every sort task is bounded at
+    ~1/64 of the hottest domain, and both shuffles share the
+    (stratum, bucket) key so Catalyst reuses one exchange. Offsets join
+    back by key (no broadcast hint: the offset table is one row per
+    (stratum, bucket) — tiny per stratum but proportional to the number
+    of domains, so Spark's own sizing decides).
+    """
+    cap = int(cap_tokens)
+    nt = F.coalesce(F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0))
+    h = hash60(
+        F.concat_ws(
+            ":", F.lit(seed), F.col(strat_col), F.col(id_col).cast("string")
+        )
+    )
+    # Staged projection: __h computed once, bucket derived from the
+    # column (not the md5 expression) — the Catalyst re-inlining pitfall.
+    per = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        nt.alias("n_tok"),
+        h.alias("__h"),
+    ).withColumn(
+        # Integer shift, not float division: h is 60-bit and a double
+        # mantissa is 53 — float quotients round across bucket
+        # boundaries and silently break the flat-order equivalence.
+        "__b",
+        F.shiftright(F.col("__h"), 60 - CAP_SUBBUCKET_BITS),
+    )
+    from pyspark.sql.window import Window
+
+    off_w = (
+        Window.partitionBy("stratum")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per.groupBy("stratum", "__b")
+        .agg(F.sum("n_tok").alias("__bsum"))
+        .select(
+            "stratum",
+            "__b",
+            F.coalesce(F.sum("__bsum").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    local = (
+        Window.partitionBy("stratum", "__b")
+        .orderBy("__h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.join(offsets, ["stratum", "__b"])
+        .withColumn("cum_tokens", F.col("__off") + F.sum("n_tok").over(local))
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(cap))
+        .select("doc_id", "stratum", "n_tok", "cum_tokens", "kept")
+    )
+
+
+def duck_cap_domain_sql(
+    cap_tokens: int,
+    table: str = "documents",
+    strat_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "cap",
+) -> str:
+    """DuckDB CTE chain for cap_domain_tokens (flat single-window form —
+    the two-level prefix sum is order-equivalent by construction).
+    Yields ``capd``; select (doc_id, stratum, n_tok, cum_tokens, kept)."""
+    from sum_spark.functions.hashing import duck_hash60
+
+    h = duck_hash60(
+        f"'{seed}' || ':' || {strat_col} || ':' || CAST({id_col} AS VARCHAR)"
+    )
+    return f"""
+    capd AS (
+      SELECT {id_col} AS doc_id, {strat_col} AS stratum,
+             CAST(COALESCE(len(string_split({text_col}, ' ')), 0) AS BIGINT) AS n_tok,
+             CAST(SUM(COALESCE(len(string_split({text_col}, ' ')), 0)) OVER (
+               PARTITION BY {strat_col} ORDER BY {h}, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM {table}
+    )"""

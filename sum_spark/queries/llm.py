@@ -673,6 +673,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_WEIGHTS = {f"src{i}": 1 + (i % 3) for i in range(20)}
 _MIX_W = sum(_MIX_WEIGHTS.values())
 _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+# Per-domain token budget for the 'cap' leg — binds (truncates most
+# sources) at sf0.01 where each source holds ~5k tokens.
+_CAP_TOKENS = 2500
 
 
 @query(
@@ -700,6 +703,14 @@ _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
                             // ({_MIX_W} * CAST(j.n_tokens AS HUGEINT)) AS BIGINT)
                   ELSE 0 END AS rate_ppm
       FROM j CROSS JOIN cap
+    ),
+    {sampling.duck_cap_domain_sql(_CAP_TOKENS).strip()},
+    capr AS (
+      SELECT stratum,
+             CAST(SUM(CASE WHEN cum_tokens <= {_CAP_TOKENS} THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             CAST(SUM(CASE WHEN cum_tokens <= {_CAP_TOKENS} THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+             CAST(SUM(n_tok) AS BIGINT) AS tot
+      FROM capd GROUP BY stratum
     )
     SELECT 'mix' AS mode, stratum, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST((CAST(n_tokens AS HUGEINT) * 2000000 + CAST(t AS HUGEINT))
@@ -712,14 +723,24 @@ _MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items())
            CAST(CAST(n_tokens AS HUGEINT) * CAST(rate_ppm AS HUGEINT)
                 // 1000000 AS BIGINT)
     FROM jr
+    UNION ALL
+    SELECT 'cap', stratum, kept_docs, kept_tokens,
+           CAST((CAST(kept_tokens AS HUGEINT) * 2000000 + CAST(tot AS HUGEINT))
+                // (2 * CAST(tot AS HUGEINT)) AS BIGINT),
+           CAST({_CAP_TOKENS} AS BIGINT), tot
+    FROM capr
     ORDER BY mode, stratum
     """,
-    doc="Per-source mixture, tagged pair: 'mix' = bookkeeping (docs, "
+    doc="Per-source mixture, tagged triple: 'mix' = bookkeeping (docs, "
     "tokens, token share ppm); 'plan' = the rebalancing plan for integer "
     "target weights — per-stratum downsampling rate_ppm maximizing total "
     "tokens under the target mixture (binding stratum at rate 1), all in "
     "exact DECIMAL/HUGEINT integer arithmetic (sampling.plan_mixture); "
-    "feed rate_ppm/1e6 to sample_stratified to execute.",
+    "feed rate_ppm/1e6 to sample_stratified to execute; 'cap' = the "
+    "per-domain token-budget cap (sampling.cap_domain_tokens: greedy "
+    "deterministic hash-order fill to 2500 tokens per source, skew-safe "
+    "two-level prefix sum) reported as kept docs/tokens, kept share ppm, "
+    "the cap, and the uncapped total.",
 )
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -741,7 +762,34 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "planned_tokens",
     )
-    return mix.unionByName(plan).orderBy("mode", "stratum")
+    kept_ppm = F.expr(
+        "CAST((CAST(n_tokens AS DECIMAL(38,0)) * 2000000"
+        " + CAST(planned_tokens AS DECIMAL(38,0)))"
+        " div (2 * CAST(planned_tokens AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    cap = (
+        sampling.cap_domain_tokens(docs, _CAP_TOKENS)
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum("n_tok").cast("long").alias("planned_tokens"),
+        )
+        .select(
+            F.lit("cap").alias("mode"),
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            kept_ppm.alias("ppm"),
+            F.lit(_CAP_TOKENS).cast("long").alias("weight"),
+            "planned_tokens",
+        )
+    )
+    return mix.unionByName(plan).unionByName(cap).orderBy("mode", "stratum")
 
 
 @query(

@@ -192,3 +192,10 @@ def test_vocab_heavy_hitters_invariant(spark, sf_smoke):
     ra = [tuple(r) for r in vocab(a).collect()]
     rb = [tuple(r) for r in vocab(b).collect()]
     assert ra == rb and len(ra) == 30
+
+
+def test_cap_domain_tokens_invariant(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    _assert_layout_invariant(
+        lambda d: sampling.cap_domain_tokens(d, 2500), docs, ["doc_id"]
+    )

@@ -55,3 +55,53 @@ def test_cms_phantom_item_nonnegative_and_null_skipped(spark, sf_smoke):
     n = tok.count()
     per_depth = sk2.groupBy("depth").agg(F.sum("c").alias("m")).collect()
     assert all(row["m"] == n for row in per_depth)
+
+
+def test_cap_domain_tokens_respects_cap_and_matches_flat_window(spark, sf_smoke):
+    """The two-level prefix sum must equal the naive flat window (the
+    oracle form), and the kept set must satisfy the budget exactly:
+    kept tokens <= cap, and the first excluded doc would overflow it."""
+    from pyspark.sql import Window as W
+
+    from sum_spark.functions.hashing import hash60
+    from sum_spark.operators.sampling import cap_domain_tokens
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cap = 1500
+    out = cap_domain_tokens(docs, cap)
+    # Flat-window reference.
+    h = hash60(
+        F.concat_ws(":", F.lit("cap"), F.col("source"), F.col("doc_id").cast("string"))
+    )
+    nt = F.coalesce(F.size(F.split(F.col("text"), " ")).cast("long"), F.lit(0))
+    flat_w = (
+        W.partitionBy("stratum").orderBy("__h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flat = (
+        docs.select(
+            F.col("doc_id"), F.col("source").alias("stratum"),
+            nt.alias("n_tok"), h.alias("__h"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tok").over(flat_w))
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(cap))
+        .select("doc_id", "stratum", "n_tok", "cum_tokens", "kept")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, flat.collect()))
+    # Budget semantics: kept totals fit the cap; adding the cheapest
+    # excluded doc's tokens would not have fit at its position.
+    agg = (
+        out.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias("kt"),
+            F.min(F.when(~F.col("kept"), F.col("cum_tokens"))).alias("first_over"),
+        )
+        .collect()
+    )
+    assert len(agg) > 0
+    for r in agg:
+        assert r["kt"] <= cap
+        if r["first_over"] is not None:
+            assert r["first_over"] > cap
+    # The cap genuinely binds somewhere at this scale.
+    assert out.where(~F.col("kept")).count() > 0
