@@ -81,6 +81,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
     "corpus_mixture": ("mode", ["mix", "plan", "cap"]),
+    "decontaminate": ("mode", ["exact", "bloom"]),
     "sample_stratified": ("mode", ["bern", "topk"]),
     "pack_sequences": ("mode", ["pack", "pipeline"]),
     "embed_quantize": ("mode", ["quant", "norm", "pool", "kmeans", "kcent", "pq"]),

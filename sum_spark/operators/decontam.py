@@ -116,3 +116,88 @@ def duck_decontaminate_sql(
     FROM corp JOIN bench USING (h)
     GROUP BY corp.doc_id ORDER BY doc_id
     """
+
+
+def decontaminate_bloom(
+    corpus: DataFrame | None,
+    benchmark: DataFrame,
+    n: int = SHINGLE_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int | None = None,
+    k: int | None = None,
+    corpus_hashes: DataFrame | None = None,
+) -> DataFrame:
+    """Contamination report via a Bloom filter of the benchmark's shingle
+    hashes — the fixed-size form of ``decontaminate`` for when even the
+    exact hash set is too big to broadcast comfortably (a large eval
+    union, or decontaminating against another full corpus): the filter
+    is ``m_bits`` bits regardless of benchmark size, membership is k
+    getbit lookups per corpus shingle (pure map-side expression — no
+    join at all on the corpus side), and the one-sided error means NO
+    missed contamination: every exact hit is reported (possibly with a
+    slightly inflated n_hits), plus a ~(set_bits/m_bits)^k rate of
+    false-positive shingles. Filter bloom-flagged docs with the exact
+    operator when precision matters — the standard two-phase shape.
+
+    Same surface and preconditions as ``decontaminate`` (including the
+    shingle-width contract on ``corpus_hashes``); output (doc_id,
+    n_hits) where n_hits counts the doc's DISTINCT maybe-overlapping
+    shingles (>= the exact n_hits for every exactly-contaminated doc).
+    """
+    from sum_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_build_bits,
+        bloom_member,
+    )
+
+    if corpus is None and corpus_hashes is None:
+        raise ValueError("decontaminate_bloom needs corpus or corpus_hashes")
+    m_bits = m_bits or BLOOM_M_BITS
+    k = k or BLOOM_K
+    bench = _shingle_hashes(benchmark, n, text_col, None).distinct()
+    words = bloom_build_bits(bench, "__h", m_bits, k)
+    corp = (
+        corpus_hashes
+        if corpus_hashes is not None
+        else _shingle_hashes(corpus, n, text_col, id_col)
+    )
+    flagged = bloom_member(corp, "__h", words, m_bits, k)
+    return (
+        flagged.where(F.col("maybe"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def duck_decontaminate_tagged_sql(
+    bench_pred: str,
+    n: int = SHINGLE_N,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of the tagged exact+bloom pair: same CTEs as
+    duck_decontaminate_sql plus the bloom-filter rebuild
+    (sketch.duck_bloom_member_sql) over the benchmark hash set."""
+    from sum_spark.operators.sketch import duck_bloom_member_sql
+
+    sh = duck_word_shingles("w", n)
+    h = duck_hash60("s")
+    bloom_cte, bloom_pred = duck_bloom_member_sql("SELECT h AS x FROM bench")
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    sh AS (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM d),
+    hh AS (SELECT doc_id, {h} AS h FROM sh),
+    bench AS (SELECT DISTINCT h FROM hh WHERE {bench_pred}),
+    corp AS (SELECT * FROM hh WHERE NOT ({bench_pred})),
+    {bloom_cte.strip()}
+    SELECT 'exact' AS mode, corp.doc_id, COUNT(*) AS n_hits
+    FROM corp JOIN bench USING (h)
+    GROUP BY corp.doc_id
+    UNION ALL
+    SELECT 'bloom', doc_id, COUNT(*)
+    FROM corp WHERE {bloom_pred.format(x="h")}
+    GROUP BY doc_id
+    ORDER BY mode, doc_id
+    """

@@ -156,3 +156,113 @@ def duck_count_min_sql(
         ON c.depth = d.d AND c.bucket = {h} % {width}
       GROUP BY t.w, t.tf
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership in fixed bits, map-side
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 65536  # 8 KiB of bits = 1024 packed BIGINT words
+BLOOM_K = 3
+
+
+def bloom_positions(item: F.Column, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """The ``k`` bit positions an item sets/probes — portable md5-60
+    hashes of the seeded item string, so a SQL oracle reproduces the
+    exact filter. ``item`` is cast to string (pass hashes as-is)."""
+    s = item.cast("string")
+    return [
+        hash60(F.concat(F.lit(f"bloom{i}:"), s)) % F.lit(m_bits) for i in range(k)
+    ]
+
+
+def bloom_build_bits(
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> list[int]:
+    """Build the filter: returns ``m_bits // 64`` packed signed-64 words.
+
+    The only driver traffic is the DISTINCT set-bit positions — bounded
+    at ``m_bits`` values (<= 0.5 MB at the default) by construction
+    regardless of item count, the same bounded-collect contract as the
+    k x d centroid sums (clustering.py). Build cost is one map + one
+    tiny distinct over positions.
+    """
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = bloom_positions(F.col(item_col), m_bits, k)
+    rows = (
+        items.where(F.col(item_col).isNotNull())
+        .select(F.explode(F.array(*pos)).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # Two's-complement fold into signed 64-bit (Spark LongType literals;
+    # getbit reads the raw bit pattern, so semantics are unchanged).
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_member(
+    df: DataFrame,
+    item_col: str,
+    words: list[int],
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    out_col: str = "maybe",
+) -> DataFrame:
+    """Adds ``out_col``: true iff the item MAY be in the set the filter
+    was built from (never a false negative; false-positive rate
+    ~(set_bits/m_bits)^k). Pure map-side column expression — the packed
+    words ride along as one constant-folded array literal and each probe
+    is k getbit lookups, so membership costs NO join and NO shuffle at
+    any corpus size; that is the entire point versus broadcasting the
+    exact (unbounded) hash set."""
+    pos = bloom_positions(F.col(item_col), m_bits, k)
+    staged = df.select(
+        "*", *[p.alias(f"__bp{i}") for i, p in enumerate(pos)]
+    ).withColumn("__bw", F.array(*[F.lit(w).cast("long") for w in words]))
+    checks = [
+        f"getbit(element_at(__bw, CAST(__bp{i} DIV 64 AS INT) + 1),"
+        f" CAST(__bp{i} % 64 AS INT)) = 1"
+        for i in range(k)
+    ]
+    return (
+        staged.withColumn(out_col, F.expr(" AND ".join(checks)))
+        .drop("__bw", *[f"__bp{i}" for i in range(k)])
+    )
+
+
+def duck_bloom_member_sql(
+    item_sql: str, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> tuple[str, str]:
+    """(CTE, predicate-template) pair for the oracle: ``bloom_bits`` =
+    the distinct set positions of the build items (``item_sql`` yields
+    one column ``x``); the returned predicate string tests membership of
+    an expression substituted for ``{x}`` at call sites."""
+    build_hashes = [
+        duck_hash60("'bloom" + str(i) + ":' || CAST(x AS VARCHAR)")
+        for i in range(k)
+    ]
+    probe_hashes = [
+        duck_hash60("'bloom" + str(i) + ":' || CAST({x} AS VARCHAR)")
+        for i in range(k)
+    ]
+    pos_union = "\n      UNION ALL ".join(
+        f"SELECT {h} % {m_bits} AS p FROM ({item_sql})" for h in build_hashes
+    )
+    cte = f"""
+    bloom_bits AS (
+      SELECT DISTINCT p FROM (
+      {pos_union}
+      )
+    )"""
+    pred = " AND ".join(
+        f"({h} % {m_bits}) IN (SELECT p FROM bloom_bits)" for h in probe_hashes
+    )
+    return cte, pred

@@ -1320,21 +1320,38 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from sum_spark.functions.hashing import duck_hash60 as _dh60  # noqa: E402
-from sum_spark.operators.decontam import decontaminate, duck_decontaminate_sql  # noqa: E402
+from sum_spark.operators.decontam import (  # noqa: E402
+    decontaminate,
+    decontaminate_bloom,
+    duck_decontaminate_tagged_sql,
+)
 
 
 @query(
     "decontaminate",
-    oracle=duck_decontaminate_sql("doc_id % 97 = 0"),
-    doc="Benchmark decontamination: corpus docs sharing a word n-gram "
-    "with the eval set (doc_id%97=0), via broadcast of the benchmark's "
-    "distinct shingle hashes — corpus side never shuffles.",
+    oracle=duck_decontaminate_tagged_sql("doc_id % 97 = 0"),
+    doc="Benchmark decontamination, tagged pair: 'exact' = corpus docs "
+    "sharing a word n-gram with the eval set (doc_id%97=0), via "
+    "broadcast of the benchmark's distinct shingle hashes — corpus side "
+    "never shuffles; 'bloom' = the same check through an 8 KiB Bloom "
+    "filter of those hashes (operators/sketch.py: k=3 portable md5-60 "
+    "getbit probes against a constant-folded packed-bits literal — NO "
+    "join on the corpus side at all, the fixed-size form for benchmark "
+    "sets too big to broadcast exactly). Bloom never misses a "
+    "contaminated doc (one-sided error); both legs value-checked, the "
+    "bloom leg bit-for-bit against a DuckDB rebuild of the filter.",
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    return decontaminate(corpus, bench)
+    exact = decontaminate(corpus, bench).select(
+        F.lit("exact").alias("mode"), "doc_id", "n_hits"
+    )
+    bloom = decontaminate_bloom(corpus, bench).select(
+        F.lit("bloom").alias("mode"), "doc_id", "n_hits"
+    )
+    return exact.unionAll(bloom).orderBy("mode", "doc_id")
 
 
 _PACK_BUDGET = 2048

@@ -105,3 +105,68 @@ def test_cap_domain_tokens_respects_cap_and_matches_flat_window(spark, sf_smoke)
             assert r["first_over"] > cap
     # The cap genuinely binds somewhere at this scale.
     assert out.where(~F.col("kept")).count() > 0
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark, sf_smoke):
+    from sum_spark.operators.sketch import bloom_build_bits, bloom_member
+
+    docs = load_table(spark, sf_smoke, "documents")
+    members = docs.select(F.col("doc_id").alias("x")).where(F.col("x") % 3 == 0)
+    words = bloom_build_bits(members, "x", m_bits=4096, k=3)
+    probes = docs.select(F.col("doc_id").alias("x"))
+    out = bloom_member(probes, "x", words, m_bits=4096, k=3)
+    # One-sided error: every true member answers maybe=true.
+    misses = out.where((F.col("x") % 3 == 0) & ~F.col("maybe")).count()
+    assert misses == 0
+    # False positives exist but are a small minority of non-members
+    # (set_bits/m_bits ~ 0.11 at this sizing -> fp ~ 0.1-0.2%; allow 5%).
+    non = out.where(F.col("x") % 3 != 0)
+    fp = non.where(F.col("maybe")).count()
+    assert fp <= max(2, int(0.05 * non.count()))
+    # Output schema: input columns preserved, staging columns dropped.
+    assert out.columns == ["x", "maybe"]
+
+
+def test_bloom_packing_roundtrip(spark):
+    from sum_spark.operators.sketch import (
+        bloom_build_bits,
+        bloom_member,
+        bloom_positions,
+    )
+
+    items = spark.createDataFrame([(i,) for i in range(50)], "x long")
+    words = bloom_build_bits(items, "x", m_bits=512, k=2)
+    assert len(words) == 8 and all(-(1 << 63) <= w < (1 << 63) for w in words)
+    # The packed words contain exactly the positions the items hash to.
+    # Python ints are infinite two's complement, so (w >> b) & 1 reads
+    # the stored bit correctly for negative (bit-63-set) words too.
+    got_bits = {
+        (wi * 64 + b)
+        for wi, w in enumerate(words)
+        for b in range(64)
+        if (w >> b) & 1
+    }
+    want_bits = {
+        int(r["p"])
+        for r in items.select(
+            F.explode(F.array(*bloom_positions(F.col("x"), 512, 2))).alias("p")
+        ).distinct().collect()
+    }
+    assert got_bits == want_bits
+    # Membership of the build set is total.
+    assert bloom_member(items, "x", words, 512, 2).where(~F.col("maybe")).count() == 0
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_smoke):
+    from sum_spark.operators.decontam import decontaminate, decontaminate_bloom
+
+    docs = load_table(spark, sf_smoke, "documents")
+    bench = docs.where(F.col("doc_id") % 11 == 0)
+    corpus = docs.where(F.col("doc_id") % 11 != 0)
+    exact = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, bench).collect()}
+    bloom = {
+        r["doc_id"]: r["n_hits"] for r in decontaminate_bloom(corpus, bench).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
