@@ -200,8 +200,14 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver side of the exchange) — no global sort of the vocab.
     # The same per-token aggregate feeds the vocab leg, the CMS build
     # (weight_col: duplicate occurrences are already collapsed), and the
-    # CMS probe set — identical aggregation subtrees become one
-    # ReusedExchange in the physical plan, not three corpus scans.
+    # CMS probe set. PERSISTED: the three consumers are separate union
+    # branches and Catalyst does not reuse the aggregation exchange
+    # across them (verified via explain) — without the cache the corpus
+    # would be tokenized and aggregated three times. Vocab-sized (not
+    # corpus-sized); released by the finalizer when the result is
+    # dropped (the dedup operators' lifetime pattern).
+    from sum_spark.plans.scale import release_with
+
     vc = (
         docs.select("doc_id", F.explode(tokens("text")).alias("__w"))
         .groupBy("__w")
@@ -209,6 +215,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("tf"),
             F.countDistinct("doc_id").cast("long").alias("df"),
         )
+        .persist()
     )
     vocab = (
         vc.orderBy(F.col("tf").desc(), F.col("__w"))
@@ -238,12 +245,13 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
-    return (
+    return release_with(
         distinct.unionByName(prof)
         .unionByName(fp)
         .unionByName(vocab)
         .unionByName(cms)
-        .orderBy("mode", "col_a", "col_b")
+        .orderBy("mode", "col_a", "col_b"),
+        vc,
     )
 
 

@@ -1342,16 +1342,23 @@ from sum_spark.operators.decontam import (  # noqa: E402
     "bloom leg bit-for-bit against a DuckDB rebuild of the filter.",
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.decontam import _shingle_hashes
+    from sum_spark.plans.scale import release_with
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
-    exact = decontaminate(corpus, bench).select(
+    # One persisted corpus shingle-hash pass feeds BOTH legs (they are
+    # separate union branches — no exchange reuse across them), released
+    # by the finalizer with the result.
+    corp_h = _shingle_hashes(corpus, SHINGLE_N, "text", "doc_id").persist()
+    exact = decontaminate(None, bench, corpus_hashes=corp_h).select(
         F.lit("exact").alias("mode"), "doc_id", "n_hits"
     )
-    bloom = decontaminate_bloom(corpus, bench).select(
+    bloom = decontaminate_bloom(None, bench, corpus_hashes=corp_h).select(
         F.lit("bloom").alias("mode"), "doc_id", "n_hits"
     )
-    return exact.unionAll(bloom).orderBy("mode", "doc_id")
+    return release_with(exact.unionAll(bloom).orderBy("mode", "doc_id"), corp_h)
 
 
 _PACK_BUDGET = 2048
