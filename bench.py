@@ -69,6 +69,7 @@ HEADLINE = [
     "text_chunk",
     "text_pii",
     "q32_percentile",
+    "q31_distinct_projection",
 ]
 
 # entry -> (tag column, leg values). Filtering fn(...) on tag == value
