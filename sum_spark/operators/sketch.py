@@ -266,3 +266,95 @@ def duck_bloom_member_sql(
         f"({h} % {m_bits}) IN (SELECT p FROM bloom_bits)" for h in probe_hashes
     )
     return cte, pred
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) — mergeable approximate distinct counting
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+KMV_SPACE = 1 << 60  # hash60 range
+
+
+def kmv_sketch(
+    items: DataFrame, item_col: str, k: int = KMV_K, seed: str = "kmv"
+) -> DataFrame:
+    """The KMV sketch of a column: the ``k`` smallest DISTINCT 60-bit
+    hashes of its values, as a (h BIGINT) frame of <= k rows.
+
+    This is the mergeable form of approximate COUNT(DISTINCT): sketches
+    of two corpus parts union into the sketch of the whole
+    (``kmv_merge``), so per-shard/per-day sketches roll up without
+    touching the data again — the property Spark's own
+    approx_count_distinct buffers have but cannot expose as a value, and
+    the md5-60 hash family makes the sketch (and therefore the estimate)
+    bit-identical in a SQL oracle, unlike HLL whose buffers are
+    engine-private.
+
+    Plan shape: distinct (map-side partial combine collapses duplicates
+    before the exchange) then ORDER BY+LIMIT k, which compiles to
+    TakeOrderedAndProject — per-partition k-min heaps merged on the
+    driver side of a k-row exchange, never a global sort. The exchange
+    before the top-k carries the distinct hash set; for repeated
+    estimates over growing data, store the sketch and merge deltas
+    instead of rebuilding (the point of mergeability).
+    """
+    h = hash60(F.concat(F.lit(f"{seed}:"), F.col(item_col).cast("string")))
+    return (
+        items.where(F.col(item_col).isNotNull())
+        .select(h.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union two KMV sketches (same seed/k) into the sketch of the
+    combined data: distinct-union of the value sets, k smallest kept."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One-row (n_vals, est) estimate from a sketch: with fewer than
+    ``k`` values the sketch IS the exact distinct set (est = n_vals);
+    otherwise the classic unbiased estimator (k-1) * SPACE / h_k with
+    h_k the k-th smallest hash — in DECIMAL(38,0) integer arithmetic
+    ((k-1) * 2^60 overflows BIGINT) so the oracle reproduces it
+    exactly. Relative error ~ 1/sqrt(k-2)."""
+    return sketch.agg(
+        F.count("*").cast("long").alias("n_vals"),
+        F.max("h").alias("__hk"),
+    ).select(
+        "n_vals",
+        F.when(F.col("n_vals") < F.lit(k), F.col("n_vals"))
+        .otherwise(
+            F.expr(
+                f"CAST(CAST({k - 1} AS DECIMAL(38,0)) * CAST({KMV_SPACE} AS"
+                " DECIMAL(38,0)) div CAST(__hk AS DECIMAL(38,0)) AS BIGINT)"
+            )
+        )
+        .alias("est"),
+    )
+
+
+def duck_kmv_sql(
+    item_sql: str, name: str, k: int = KMV_K, seed: str = "kmv"
+) -> str:
+    """DuckDB CTE pair rebuilding sketch + estimate for ``item_sql``
+    (one column ``x``): yields ``kmv_<name>`` (the sketch) and
+    ``kmvest_<name>`` (n_vals, est)."""
+    h = duck_hash60(f"'{seed}:' || CAST(x AS VARCHAR)")
+    return f"""
+    kmv_{name} AS (
+      SELECT DISTINCT {h} AS h FROM ({item_sql}) WHERE x IS NOT NULL
+      ORDER BY h LIMIT {k}
+    ),
+    kmvest_{name} AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vals,
+             CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS BIGINT)
+                  ELSE CAST(CAST({k - 1} AS HUGEINT) * {KMV_SPACE}
+                            // CAST(MAX(h) AS HUGEINT) AS BIGINT)
+             END AS est
+      FROM kmv_{name}
+    )"""

@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sum_spark.operators.profile import profile_table
-from sum_spark.operators.sketch import duck_count_min_sql
+from sum_spark.operators.sketch import duck_count_min_sql, duck_kmv_sql
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
 
@@ -69,6 +69,11 @@ _CMS_CTES = duck_count_min_sql(
     width=_CMS_W,
     depth=_CMS_D,
 )
+_KMV_CTES = (
+    duck_kmv_sql("SELECT user_id AS x FROM events", "uid")
+    + ","
+    + duck_kmv_sql("SELECT event_type AS x FROM events", "etype")
+)
 
 
 @query(
@@ -78,6 +83,7 @@ _CMS_CTES = duck_count_min_sql(
     # NULL min/max (their null/distinct counts still check exactly).
     oracle=f"""
     WITH {_CMS_CTES.strip()},
+    {_KMV_CTES.strip()},
     prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
       ('ts', false), ('user_id', true), ('value', false)
@@ -130,6 +136,11 @@ _CMS_CTES = duck_count_min_sql(
     )
     UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
+    UNION ALL
+    SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
+    UNION ALL
+    SELECT 'kmv', 'event_type', NULL, est, NULL, n_vals, NULL, NULL
+    FROM kmvest_etype
     ORDER BY mode, col_a, col_b
     """,
     doc="Tagged triple: 'distinct' = DISTINCT on a projection (the "
@@ -149,7 +160,12 @@ _CMS_CTES = duck_count_min_sql(
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
     "shuffle behind 'vocab' is too big), est and the one-sided overcount "
-    "est-tf both value-checked cell-for-cell against the DuckDB rebuild.",
+    "est-tf both value-checked cell-for-cell against the DuckDB rebuild; "
+    "'kmv' = KMV approximate distinct (sketch.kmv_sketch: k=32 smallest "
+    "md5-60 hashes — the MERGEABLE, engine-portable form of "
+    "approx_count_distinct, estimator (k-1)*2^60/h_k in exact integer "
+    "arithmetic) over user_id (estimator path) and event_type (<k "
+    "values: exact-fallback path), both value-checked.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -245,11 +261,32 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
+    # KMV approximate-distinct over two events columns: user_id exercises
+    # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the
+    # exact-fallback path. The profile leg's n_distinct rows are the
+    # exact answers these approximate.
+    from sum_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    kmv_legs = [
+        kmv_estimate(kmv_sketch(ev.select(F.col(c).alias("x")), "x")).select(
+            F.lit("kmv").alias("mode"),
+            F.lit(c).alias("col_a"),
+            ns.alias("col_b"),
+            F.col("est").alias("n_rows"),
+            nl.alias("n_nulls"),
+            F.col("n_vals").alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
+        for c in ["user_id", "event_type"]
+    ]
     return release_with(
         distinct.unionByName(prof)
         .unionByName(fp)
         .unionByName(vocab)
         .unionByName(cms)
+        .unionByName(kmv_legs[0])
+        .unionByName(kmv_legs[1])
         .orderBy("mode", "col_a", "col_b"),
         vc,
     )

@@ -170,3 +170,34 @@ def test_decontaminate_bloom_superset_of_exact(spark, sf_smoke):
     assert set(exact) <= set(bloom)
     for d, n in exact.items():
         assert bloom[d] >= n
+
+
+def test_kmv_mergeability_and_accuracy(spark, sf_smoke):
+    """sketch(A) merge sketch(B) == sketch(A union B) — the roll-up
+    property that lets per-shard sketches combine without re-reading
+    data — and the estimator lands within its ~1/sqrt(k-2) error band."""
+    from sum_spark.operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    docs = load_table(spark, sf_smoke, "documents")
+    items = docs.select(F.col("doc_id").alias("x"))
+    a = items.where(F.col("x") % 2 == 0)
+    b = items.where(F.col("x") % 2 != 0)
+    merged = kmv_merge(kmv_sketch(a, "x"), kmv_sketch(b, "x"))
+    full = kmv_sketch(items, "x")
+    assert [r["h"] for r in merged.collect()] == [r["h"] for r in full.collect()]
+    # Accuracy: within 4 standard errors of exact (k=32 -> se ~ 18%).
+    [e] = kmv_estimate(full).collect()
+    exact = items.where(F.col("x").isNotNull()).distinct().count()
+    assert e["n_vals"] == 32
+    assert abs(e["est"] - exact) <= 4 * exact / (30 ** 0.5)
+
+
+def test_kmv_exact_fallback_under_k(spark):
+    from sum_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    items = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(100)] + [(None,)], "x string"
+    )
+    sk = kmv_sketch(items, "x", k=32)
+    [e] = kmv_estimate(sk, k=32).collect()
+    assert e["n_vals"] == 7 and e["est"] == 7  # exact when under k; NULL skipped
