@@ -165,6 +165,7 @@ def write_ivf_index(
     id_col: str = "id",
     vec_col: str = "data",
     n_bits: int = 8,
+    attr_cols: list[str] | None = None,
 ) -> None:
     """Persist records as a parquet table PARTITIONED BY the IVF bucket —
     the write-time half of the IVF contract: once the 100 TB embedding
@@ -174,8 +175,13 @@ def write_ivf_index(
     sign-bit function knn_ivf computes on the fly (ivf_bucket), so the
     two paths return identical neighbors. Only (id, vector, bucket) are
     written — the index is a search structure, not a copy of the record
-    table (join back on id for payload columns)."""
-    records.select(id_col, vec_col).withColumn(
+    table (join back on id for payload columns) — EXCEPT ``attr_cols``:
+    filterable metadata denormalized INTO the index so filtered searches
+    (``knn_ivf_from_index(predicate=...)``) prune on row-group
+    statistics at the scan instead of joining back to the record table
+    first. Index the attributes queries actually filter on, nothing
+    more (each widens every row)."""
+    records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).write.partitionBy("bucket").parquet(path, mode="overwrite")
 
@@ -189,6 +195,7 @@ def knn_ivf_from_index(
     vec_col: str = "data",
     n_bits: int = 8,
     round_to: int | None = None,
+    predicate=None,
 ) -> DataFrame:
     """k-NN against a write-time IVF index (write_ivf_index): the probes'
     buckets are collected (bounded — probes are small by contract, as in
@@ -196,7 +203,15 @@ def knn_ivf_from_index(
     partition column, so the parquet scan reads ONLY the probed buckets
     (PartitionFilters in the plan — asserted in tests). Matching within
     a bucket is the same broadcast equi-join + per-probe top-k as
-    knn_ivf. Output: (probe_id, id, sim, rank)."""
+    knn_ivf. Output: (probe_id, id, sim, rank).
+
+    ``predicate`` (a Column over ``attr_cols`` stored by
+    write_ivf_index) turns this into INDEXED filtered ANN: the
+    pre-filter semantics of ``knn_filtered`` (exact top-k of the
+    qualifying set, no recall cliff) with both prunes composed at the
+    scan — PartitionFilters drop the unprobed buckets' files,
+    PushedFilters drop non-qualifying row groups within the probed
+    buckets. The two prune dimensions multiply; nothing else is read."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__pv"),
@@ -204,6 +219,8 @@ def knn_ivf_from_index(
     )
     probe_buckets = [r["bucket"] for r in p.select("bucket").distinct().collect()]
     idx = spark.read.parquet(path).where(F.col("bucket").isin(probe_buckets))
+    if predicate is not None:
+        idx = idx.where(predicate)
     sim = cosine(F.col(vec_col), F.col("__pv"))
     if round_to is not None:
         sim = F.round(sim, round_to)

@@ -317,3 +317,52 @@ def test_knn_filtered_ivf_strategy_composes(emb):
     assert got == want
     with pytest.raises(ValueError):
         knn_filtered(emb, probes, k=3, predicate=pred, strategy="nope")
+
+
+def test_ivf_index_filtered_search_composes_both_prunes(spark, sf_smoke, tmp_path):
+    """Indexed filtered ANN: attr columns denormalized into the index,
+    predicate + bucket prune BOTH visible at the scan, result equals the
+    in-flight pre-filter path."""
+    import contextlib
+    import io
+
+    from sum_spark.operators.similarity import (
+        knn_filtered,
+        knn_ivf_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 3)
+    path = str(tmp_path / "ivf_attr_index")
+    write_ivf_index(
+        emb, path, id_col="vec_id", vec_col="embedding", attr_cols=["label"]
+    )
+
+    pred = F.col("label") % 2 == 0
+    from_index = knn_ivf_from_index(
+        spark, path, probes, k=5, id_col="vec_id", vec_col="embedding",
+        round_to=4, predicate=pred,
+    )
+    inflight = knn_filtered(
+        emb, probes, k=5, predicate=pred, id_col="vec_id", vec_col="embedding",
+        strategy="ivf", round_to=4,
+    )
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+
+    # Both prune dimensions at the scan: partition pruning on bucket AND
+    # a pushed row-group filter on the indexed attribute (equality form
+    # so the filter is pushable).
+    eq = knn_ivf_from_index(
+        spark, path, probes, k=5, id_col="vec_id", vec_col="embedding",
+        predicate=F.col("label") == 1,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        eq.explain("formatted")
+    p = buf.getvalue()
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    assert "EqualTo(label,1)" in p
