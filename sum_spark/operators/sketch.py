@@ -126,6 +126,17 @@ def count_min_estimate(
     )
 
 
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketch grids built with the SAME width/depth: CMS is linear
+    (sketch(A u B) = sketch(A) + sketch(B) cell-wise), so per-shard /
+    per-day / per-micro-batch grids roll up by summing cells — a
+    groupBy over <= depth*width rows, never over data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("depth", "bucket").agg(F.sum("c").alias("c"))
+
+
 def duck_count_min_sql(
     item_sql: str,
     top_k: int,

@@ -1,0 +1,63 @@
+"""Streaming count-min sketch — corpus-wide approximate frequencies
+maintained at ingest, in fixed space.
+
+CMS is LINEAR (operators/sketch.count_min_merge): the grid of a union
+is the cell-wise sum of the grids. So the streaming form needs no
+streaming state at all — each micro-batch builds its own
+depth x width grid (a few KB) and writes it under an idempotent
+batch-id directory (the engine's standard redelivery-safe sink layout);
+the sketch of everything ingested so far is the cell-sum over the batch
+directories, computed at READ time over <= batches * depth * width tiny
+rows. A redelivered batch overwrites its own grid instead of
+double-counting — exactly the idempotence argument of
+streaming/joins.make_parquet_batch_sink, inherited by construction.
+
+This is the fixed-space answer to "what are the hot tokens/domains in
+the stream so far" — the streaming twin of q31's 'cms' leg, sharing the
+same portable-hash build (stream-accumulated == batch-built,
+parity-tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sum_spark.operators.sketch import count_min_build
+
+
+def streaming_count_min(
+    stream_df: DataFrame,
+    item_col: str,
+    path: str,
+    checkpoint: str,
+    width: int = 256,
+    depth: int = 4,
+    trigger: dict | None = None,
+):
+    """Accumulate a CMS over a stream: one grid parquet per micro-batch
+    under ``path/batch_id=N``. Batch ids are checkpoint-scoped (path and
+    checkpoint live and die together)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        grid = count_min_build(batch_df, item_col, width=width, depth=depth)
+        grid.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_count_min(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated sketch: cell-wise sum of every batch grid —
+    identical to the grid a single batch build over all ingested rows
+    would produce (CMS linearity; parity-tested)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

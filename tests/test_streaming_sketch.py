@@ -1,0 +1,71 @@
+"""Streaming CMS: stream-accumulated grid == batch-built grid over the
+same rows (CMS linearity through the idempotent batch-id sink), across
+MULTIPLE micro-batches."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sum_spark.functions.text import tokens
+from sum_spark.operators.sketch import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+from sum_spark.sources.tables import load_table
+
+
+def test_stream_cms_equals_batch_cms(spark, sf_smoke, tmp_path):
+    from sum_spark.streaming.sketch import read_count_min, streaming_count_min
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+
+    # Two separate drop files + maxFilesPerTrigger=1 -> >= 2 micro-batches.
+    drop_dir = str(tmp_path / "drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+    )
+    out_dir = str(tmp_path / "cms")
+    q = streaming_count_min(
+        stream, "w", path=out_dir, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    # More than one batch grid was written (the accumulation is real).
+    import glob
+
+    assert len(glob.glob(out_dir + "/batch_id=*")) >= 2
+
+    accumulated = read_count_min(spark, out_dir)
+    batch = count_min_build(tok, "w")
+    assert sorted(map(tuple, accumulated.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # And estimates from the accumulated grid behave: never under-count.
+    truth = tok.groupBy("w").agg(F.count("*").cast("long").alias("tf"))
+    est = count_min_estimate(accumulated, truth, "w")
+    assert est.where(F.col("est") < F.col("tf")).count() == 0
+
+
+def test_count_min_merge_is_linear(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    a = tok.where(F.col("w") < "m")
+    b = tok.where(F.col("w") >= "m")
+    merged = count_min_merge(
+        count_min_build(a, "w"), count_min_build(b, "w")
+    )
+    full = count_min_build(tok, "w")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
