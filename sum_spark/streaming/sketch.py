@@ -61,3 +61,50 @@ def read_count_min(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def streaming_kmv(
+    stream_df: DataFrame,
+    item_col: str,
+    path: str,
+    checkpoint: str,
+    k: int = 32,
+    seed: str = "kmv",
+    trigger: dict | None = None,
+):
+    """Accumulate a KMV distinct sketch over a stream — the same
+    per-batch/merge-at-read shape as streaming_count_min, resting on
+    KMV's mergeability instead of CMS linearity: each micro-batch writes
+    its own <= k smallest-hash rows under ``path/batch_id=N`` and the
+    sketch so far is the k smallest DISTINCT values across the batch
+    files (operators/sketch.kmv_merge semantics at read time over
+    <= batches * k rows). A value arriving in several batches
+    deduplicates in the read-side distinct; a redelivered batch
+    overwrites its own file. The answer to "how many distinct
+    users/domains/tokens so far" in k rows of state."""
+    from sum_spark.operators.sketch import kmv_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, item_col, k=k, seed=seed)
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_kmv(spark: SparkSession, path: str, k: int = 32) -> DataFrame:
+    """The accumulated KMV sketch: k smallest distinct hashes across
+    every batch sketch (== the sketch of all ingested rows)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .select("h")
+        .distinct()
+        .orderBy(F.col("h"))
+        .limit(k)
+    )

@@ -356,3 +356,44 @@ def test_knn_filtered_predicate_reaches_scan(spark, sf_smoke):
     p = buf.getvalue()
     assert "EqualTo(label,1)" in p
     assert "CartesianProduct" not in p
+
+
+def test_cap_domain_tokens_two_level_window(spark, sf_smoke):
+    # The skew claim: the per-document prefix-sum window must be keyed
+    # (stratum, __b) — a window partitioned by stratum ALONE over the
+    # documents would sort a hot domain on one task. The only
+    # stratum-alone window allowed is the offsets roll-up, whose input
+    # is the <=64 per-bucket sums, and it must sort by __b only.
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sampling import cap_domain_tokens
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cap_domain_tokens(docs, 1000).explain("formatted")
+    p = buf.getvalue()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert len(specs) == 2
+    data_specs = [s for s in specs if "__h" in s]
+    assert len(data_specs) == 1 and "__b" in data_specs[0]  # (stratum, __b) key
+    offset_specs = [s for s in specs if "__h" not in s]
+    assert len(offset_specs) == 1 and "__b" in offset_specs[0]  # bucket roll-up
+
+
+def test_kmv_sketch_is_take_ordered(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sketch import kmv_sketch
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    df = kmv_sketch(docs.select(F.col("doc_id").alias("x")), "x")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    # Per-partition k-min heaps merged across one k-row exchange — never
+    # a global Sort of the distinct hash set.
+    assert "TakeOrderedAndProject" in p

@@ -69,3 +69,34 @@ def test_count_min_merge_is_linear(spark, sf_smoke):
     )
     full = count_min_build(tok, "w")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_stream_kmv_equals_batch_kmv(spark, sf_smoke, tmp_path):
+    from sum_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from sum_spark.streaming.sketch import read_kmv, streaming_kmv
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.col("doc_id").alias("x"))
+    )
+    out_dir = str(tmp_path / "kmv")
+    q = streaming_kmv(stream, "x", path=out_dir, checkpoint=str(tmp_path / "ck2"))
+    q.awaitTermination()
+
+    acc = read_kmv(spark, out_dir)
+    full = kmv_sketch(docs.select(F.col("doc_id").alias("x")), "x")
+    assert [r["h"] for r in acc.collect()] == [r["h"] for r in full.collect()]
+    [ea] = kmv_estimate(acc).collect()
+    [ef] = kmv_estimate(full).collect()
+    assert tuple(ea) == tuple(ef)
