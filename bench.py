@@ -86,7 +86,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "sample_stratified": ("mode", ["bern", "topk"]),
     "pack_sequences": ("mode", ["pack", "pipeline"]),
     "embed_quantize": ("mode", ["quant", "norm", "pool", "kmeans", "kcent", "pq"]),
-    "text_chunk": ("mode", ["tok", "line"]),
+    "text_chunk": ("mode", ["tok", "line", "bpe"]),
 }
 
 

@@ -1236,16 +1236,33 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'line', doc_id, chunk_id, chunk_text, CAST(n_tokens AS BIGINT)
     FROM clg
+    UNION ALL
+    SELECT 'bpe', doc_id, CAST(1 AS BIGINT),
+           CASE WHEN text IS NULL THEN ''
+                ELSE replace(text, ' ', '▁') || '▁' END,
+           CAST(CASE WHEN text IS NULL THEN 0
+                     ELSE len(string_split(text, ' ')) END AS BIGINT)
+    FROM documents
     ORDER BY mode, doc_id, chunk_id
     """,
-    doc="Tagged pair: 'tok' = overlapping token-window chunking (64-token "
-    "windows every 48; map-side sequence+posexplode+slice); 'line' = "
-    "boundary-aware chunking (textops.chunk_by_lines: consecutive lines "
-    "packed to a 24-token budget without splitting a line — the "
-    "retrieval/context-prep variant) over the deterministically "
-    "line-broken corpus.",
+    doc="Tagged triple: 'tok' = overlapping token-window chunking "
+    "(64-token windows every 48; map-side sequence+posexplode+slice); "
+    "'line' = boundary-aware chunking (textops.chunk_by_lines: "
+    "consecutive lines packed to a 24-token budget without splitting a "
+    "line — the retrieval/context-prep variant) over the "
+    "deterministically line-broken corpus; 'bpe' = the trained BPE "
+    "tokenizer APPLIED to the corpus (operators/bpe: train on the "
+    "distributed word-frequency table, Arrow-batched encode), checked "
+    "by the reconstruction invariant — concatenating a document's "
+    "pieces must reproduce its characters with one end-sentinel per "
+    "word (chunk_text, HASH-CHECKED per doc: any segmentation bug "
+    "breaks the equality), plus the n_words<=n_pieces<=chars+words "
+    "bound as the 1-flag. Merge-table SELECTION is iterative and not "
+    "SQL-expressible; it stays unit-tested (test_bpe).",
 )
 def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators import bpe as bpe_mod
+
     docs = load_table(spark, sf_dir, "documents")
     tok = textops.chunk_documents(docs, chunk_size=64, stride=48).select(
         F.lit("tok").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
@@ -1256,7 +1273,21 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = textops.chunk_by_lines(lined, budget=24).select(
         F.lit("line").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
     )
-    return tok.unionAll(line).orderBy("mode", "doc_id", "chunk_id")
+    merges = bpe_mod.train_bpe(bpe_mod.word_counts(docs), num_merges=50)
+    recon = F.regexp_replace(F.col("pieces"), " ", "")
+    bpe_leg = bpe_mod.bpe_encode(docs, merges).select(
+        F.lit("bpe").alias("mode"),
+        "doc_id",
+        (
+            (F.col("n_pieces") >= F.col("n_words"))
+            & (F.col("n_pieces") <= F.length(recon))
+        )
+        .cast("long")
+        .alias("chunk_id"),
+        recon.alias("chunk_text"),
+        F.col("n_words").alias("n_tokens"),
+    )
+    return tok.unionAll(line).unionAll(bpe_leg).orderBy("mode", "doc_id", "chunk_id")
 
 
 # The synthetic corpus contains no PII by construction, so the registered
