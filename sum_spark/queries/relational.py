@@ -166,21 +166,55 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_join_left_outer",
     oracle="""
-    SELECT c_custkey, COUNT(o_orderkey) AS n
+    SELECT 'full' AS op, COALESCE(c_custkey, o_custkey) AS custkey,
+           COUNT(o_orderkey) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+    FULL JOIN orders ON c_custkey = o_custkey
+    GROUP BY COALESCE(c_custkey, o_custkey)
+    UNION ALL
+    SELECT 'left', c_custkey, COUNT(o_orderkey)
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey ORDER BY c_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    SELECT 'right', o_custkey, COUNT(o_orderkey)
+    FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+    RIGHT JOIN orders ON c_custkey = o_custkey
+    GROUP BY o_custkey
+    ORDER BY op, custkey
     """,
-    doc="Left outer join ≡ Find-miss -> IsNull (/root/reference/node/wrapper/record.go:41-44).",
+    doc="Outer-join family, tagged triple. 'left' ≡ Find-miss -> IsNull "
+    "(/root/reference/node/wrapper/record.go:41-44); 'full' and 'right' "
+    "complete the outer-join inventory, run against a RESTRICTED "
+    "customer side (c_custkey<=50) so both null directions are "
+    "non-vacuous: 'full' keeps customers without orders (n=0) AND "
+    "order keys outside the restricted set (null customer side, keyed "
+    "by COALESCE); 'right' keeps every order group regardless of match.",
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (
+    c50 = customer.where(F.col("c_custkey") <= 50)
+    left = (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
+        .groupBy(F.col("c_custkey").alias("custkey"))
         .agg(F.count("o_orderkey").alias("n"))
-        .orderBy("c_custkey")
+        .select(F.lit("left").alias("op"), "custkey", "n")
     )
+    full = (
+        c50.join(orders, c50.c_custkey == orders.o_custkey, "full")
+        .groupBy(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey")
+        )
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(F.lit("full").alias("op"), "custkey", "n")
+    )
+    right = (
+        c50.join(orders, c50.c_custkey == orders.o_custkey, "right")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("o_orderkey").alias("n"))
+        .select(F.lit("right").alias("op"), "custkey", "n")
+    )
+    return full.unionAll(left).unionAll(right).orderBy("op", "custkey")
 
 
 @query(
