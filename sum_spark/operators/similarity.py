@@ -196,6 +196,7 @@ def knn_ivf_from_index(
     n_bits: int = 8,
     round_to: int | None = None,
     predicate=None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """k-NN against a write-time IVF index (write_ivf_index): the probes'
     buckets are collected (bounded — probes are small by contract, as in
@@ -205,6 +206,13 @@ def knn_ivf_from_index(
     a bucket is the same broadcast equi-join + per-probe top-k as
     knn_ivf. Output: (probe_id, id, sim, rank).
 
+    ``n_probes > 1`` is knn_ivf's multi-probe against the index: each
+    probe also searches the buckets at Hamming distance 1 (nearest sign
+    boundaries first) — the isin literal widens to the union of probed
+    buckets, so recall rises while the scan still prunes every
+    unprobed bucket's files. Results equal the in-flight
+    ``knn_ivf(..., n_probes=n_probes)`` exactly.
+
     ``predicate`` (a Column over ``attr_cols`` stored by
     write_ivf_index) turns this into INDEXED filtered ANN: the
     pre-filter semantics of ``knn_filtered`` (exact top-k of the
@@ -212,10 +220,15 @@ def knn_ivf_from_index(
     scan — PartitionFilters drop the unprobed buckets' files,
     PushedFilters drop non-qualifying row groups within the probed
     buckets. The two prune dimensions multiply; nothing else is read."""
+    n_probes = max(1, min(n_probes, n_bits + 1))
+    b = ivf_bucket(vec_col, n_bits)
+    probe_buckets_col = F.array(
+        b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_probes - 1)]
+    )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("__pv"),
-        ivf_bucket(vec_col, n_bits).alias("bucket"),
+        F.explode(probe_buckets_col).alias("bucket"),
     )
     probe_buckets = [r["bucket"] for r in p.select("bucket").distinct().collect()]
     idx = spark.read.parquet(path).where(F.col("bucket").isin(probe_buckets))

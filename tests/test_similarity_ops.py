@@ -366,3 +366,33 @@ def test_ivf_index_filtered_search_composes_both_prunes(spark, sf_smoke, tmp_pat
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf
     assert "EqualTo(label,1)" in p
+
+
+def test_ivf_index_multiprobe_matches_inflight(spark, sf_smoke, tmp_path):
+    from sum_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_from_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    probes = emb.where(F.col("vec_id") <= 3)
+    path = str(tmp_path / "ivf_mp_index")
+    write_ivf_index(emb, path, id_col="vec_id", vec_col="embedding")
+
+    from_index = knn_ivf_from_index(
+        spark, path, probes, k=5, id_col="vec_id", vec_col="embedding",
+        round_to=4, n_probes=4,
+    )
+    inflight = knn_ivf(
+        emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4,
+        n_probes=4,
+    )
+    got = sorted(map(tuple, from_index.collect()))
+    want = sorted(map(tuple, inflight.collect()))
+    assert got == want
+    # Multi-probe genuinely widens the candidate set vs single-probe.
+    single = knn_ivf_from_index(
+        spark, path, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+    )
+    assert len(got) >= single.count()
