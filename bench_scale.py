@@ -61,6 +61,8 @@ ENTRIES = [
     "text_chunk",
     "pack_sequences",
     "embed_quantize",
+    "decontaminate",  # round-5: exact + Bloom legs share one persisted shingle pass
+    "knn_search",  # round-5: brute/filt/ivf/ivfpq legs over embeddings
 ]
 
 

@@ -280,6 +280,95 @@ def duck_bloom_member_sql(
 
 
 # ---------------------------------------------------------------------------
+# Fixed-bucket histogram — mergeable one-pass distribution profile
+# ---------------------------------------------------------------------------
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    width: float,
+    lo: float = 0.0,
+    scale: int = 100,
+) -> DataFrame:
+    """One-pass fixed-width histogram: (bucket, n, s_fixed) with
+    ``bucket = (round(v*scale) - round(lo*scale)) DIV round(width*scale)``,
+    ``n`` the row count and ``s_fixed`` the bucket's value sum in
+    ``1/scale`` fixed-point units.
+
+    This is the bounded-size scale path for "what does this column's
+    distribution look like" over an arbitrarily large table: one map-side
+    pass + an aggregation onto a key space bounded by the value RANGE
+    (never the row count), with partial combine doing all the work — the
+    same exchange shape as the CMS grid. Like CMS/KMV it is MERGEABLE
+    (``histogram_merge``): per-shard/per-day histograms roll up by
+    summing cells without touching the data again, which Spark's own
+    ``histogram_numeric`` (engine-private buffer, approximate splits)
+    cannot expose.
+
+    Every step is INTEGER arithmetic on ``round(v*scale)`` — for values
+    with <= log10(scale) decimals the fixed-point image is exact, so
+    bucket placement and per-bucket sums are reproducible across
+    partition layouts AND engines (CLAUDE.md: float division on derived
+    integers loses low bits; cross-row double sums follow partition
+    order — both avoided by summing BIGINT cents). NULL values are
+    skipped; values below ``lo`` are the caller's contract to exclude
+    (signed DIV truncates toward zero, floor-dividing only non-negative
+    offsets).
+    """
+    base = round(lo * scale)
+    w = round(width * scale)
+    if w <= 0:
+        raise ValueError("width must be positive at the given scale")
+    fixed = F.expr(f"CAST(ROUND({value_col} * {scale}) AS BIGINT)")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(fixed.alias("__fx"))
+        .select(F.expr(f"(__fx - {base}) DIV {w}").alias("bucket"), "__fx")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("__fx").cast("long").alias("s_fixed"),
+        )
+    )
+
+
+def histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms built with the SAME width/lo/scale: cell-wise
+    sum of (n, s_fixed) — a groupBy over range-bounded bucket rows,
+    never over data."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_fixed").cast("long").alias("s_fixed"),
+    )
+
+
+def duck_histogram_sql(
+    value_sql: str, width: float, lo: float = 0.0, scale: int = 100
+) -> str:
+    """DuckDB CTE rebuilding the histogram for ``value_sql`` (a FROM-able
+    subquery with one column ``v``): yields ``hist`` (bucket, n, s_fixed).
+    Same integer fixed-point pipeline; CASTs keep DuckDB's HUGEINT
+    promotion out of the compared columns."""
+    base = round(lo * scale)
+    w = round(width * scale)
+    return f"""
+    hist AS (
+      SELECT (fx - {base}) // {w} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(fx) AS BIGINT) AS s_fixed
+      FROM (
+        SELECT CAST(ROUND(v * {scale}) AS BIGINT) AS fx
+        FROM ({value_sql}) WHERE v IS NOT NULL
+      )
+      GROUP BY 1
+    )"""
+
+
+# ---------------------------------------------------------------------------
 # KMV (k minimum values) — mergeable approximate distinct counting
 # ---------------------------------------------------------------------------
 

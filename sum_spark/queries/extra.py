@@ -11,7 +11,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sum_spark.operators.profile import profile_table
-from sum_spark.operators.sketch import duck_count_min_sql, duck_kmv_sql
+from sum_spark.operators.sketch import (
+    duck_count_min_sql,
+    duck_histogram_sql,
+    duck_kmv_sql,
+)
 from sum_spark.queries.base import query
 from sum_spark.sources.tables import load_table
 
@@ -74,6 +78,7 @@ _KMV_CTES = (
     + ","
     + duck_kmv_sql("SELECT event_type AS x FROM events", "etype")
 )
+_HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
 
 
 @query(
@@ -84,6 +89,7 @@ _KMV_CTES = (
     oracle=f"""
     WITH {_CMS_CTES.strip()},
     {_KMV_CTES.strip()},
+    {_HIST_CTE.strip()},
     prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
       ('ts', false), ('user_id', true), ('value', false)
@@ -135,6 +141,22 @@ _KMV_CTES = (
       GROUP BY w ORDER BY tf DESC, w LIMIT 30
     )
     UNION ALL
+    SELECT 'dvocab', source, w, tf, rnk, df, NULL, NULL FROM (
+      SELECT source, w, tf, df,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY tf DESC, w) AS BIGINT) AS rnk
+      FROM (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source, w
+      )
+    ) WHERE rnk <= 5
+    UNION ALL
+    SELECT 'hist', CAST(bucket AS VARCHAR), NULL, n, NULL, s_fixed, NULL, NULL
+    FROM hist
+    UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
     SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
@@ -155,7 +177,20 @@ _KMV_CTES = (
     "tokens by total frequency with document frequency, deterministic "
     "(tf desc, token) tie-break) — the vocabulary/boilerplate-discovery "
     "pass of corpus curation; two-level aggregate then per-partition "
-    "top-k merge (TakeOrdered), never a global sort; 'cms' = the same "
+    "top-k merge (TakeOrdered), never a global sort; 'dvocab' = the "
+    "per-GROUP form (top-5 tokens per source with rank): row_number + "
+    "rank filter compiling to WindowGroupLimit so each partition "
+    "pre-filters to its local top-k before the window exchange — the "
+    "per-domain vocabulary pass; both vocab legs and the CMS share ONE "
+    "tokenize + exchange (the corpus-wide aggregate re-aggregates the "
+    "persisted per-source one — sound because a doc has exactly one "
+    "source, so per-source distinct-doc sets are disjoint); 'hist' = "
+    "fixed-bucket value histogram (sketch.histogram_fixed over "
+    "events.value, 50.00-wide buckets): count + integer-cents sum per "
+    "bucket, all-BIGINT arithmetic so placement and sums reproduce "
+    "across layouts and engines — the mergeable bounded-size "
+    "distribution profile (cells bounded by value range, not rows); "
+    "'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -224,12 +259,26 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped (the dedup operators' lifetime pattern).
     from sum_spark.plans.scale import release_with
 
-    vc = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("__w"))
-        .groupBy("__w")
+    dvc = (
+        docs.select("source", "doc_id", F.explode(tokens("text")).alias("__w"))
+        .groupBy("source", "__w")
         .agg(
             F.count("*").cast("long").alias("tf"),
             F.countDistinct("doc_id").cast("long").alias("df"),
+        )
+        .persist()
+    )
+    # Corpus-wide vocab derives from the per-source aggregate by
+    # RE-aggregation — sound for df (not just tf) because source is a
+    # doc-level attribute: each doc_id carries exactly one source, so the
+    # per-source distinct-doc sets are disjoint and their counts sum.
+    # One tokenize + one corpus-keyed exchange feeds all four token legs
+    # (vocab/cms/dvocab); the re-agg runs over the vocab-sized cache.
+    vc = (
+        dvc.groupBy("__w")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.sum("df").cast("long").alias("df"),
         )
         .persist()
     )
@@ -261,6 +310,43 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
+    # Per-source heavy-hitters: row_number over (source | tf desc, w) with
+    # the rank filter — compiles to WindowGroupLimit (each input partition
+    # pre-filters to its local top-k before the window exchange), so the
+    # per-group top-k never sorts a group's full vocabulary. The rank is
+    # emitted (n_nulls) so the oracle checks placement, not just set
+    # membership.
+    wr = W.partitionBy("source").orderBy(F.col("tf").desc(), F.col("__w"))
+    dvocab = (
+        dvc.withColumn("__rnk", F.row_number().over(wr))
+        .where(F.col("__rnk") <= 5)
+        .select(
+            F.lit("dvocab").alias("mode"),
+            F.col("source").alias("col_a"),
+            F.col("__w").alias("col_b"),
+            F.col("tf").alias("n_rows"),
+            F.col("__rnk").cast("long").alias("n_nulls"),
+            F.col("df").alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
+    )
+    # Value-distribution histogram (sketch.histogram_fixed): 50.00-wide
+    # buckets over events.value, counts + integer-cents sums — the
+    # mergeable fixed-size distribution profile (bucket count bounded by
+    # the value RANGE, not the row count).
+    from sum_spark.operators.sketch import histogram_fixed
+
+    hist = histogram_fixed(ev, "value", width=50.0).select(
+        F.lit("hist").alias("mode"),
+        F.col("bucket").cast("string").alias("col_a"),
+        ns.alias("col_b"),
+        F.col("n").alias("n_rows"),
+        nl.alias("n_nulls"),
+        F.col("s_fixed").alias("n_distinct"),
+        ns.alias("min_str"),
+        ns.alias("max_str"),
+    )
     # KMV approximate-distinct over two events columns: user_id exercises
     # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the
     # exact-fallback path. The profile leg's n_distinct rows are the
@@ -284,10 +370,13 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.unionByName(prof)
         .unionByName(fp)
         .unionByName(vocab)
+        .unionByName(dvocab)
+        .unionByName(hist)
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])
         .orderBy("mode", "col_a", "col_b"),
+        dvc,
         vc,
     )
 

@@ -397,3 +397,32 @@ def test_kmv_sketch_is_take_ordered(spark, sf_smoke):
     # Per-partition k-min heaps merged across one k-row exchange — never
     # a global Sort of the distinct hash set.
     assert "TakeOrderedAndProject" in p
+
+
+def test_q31_dvocab_window_group_limit(spark, sf_smoke):
+    """The per-source top-k rank filter must compile to WindowGroupLimit:
+    each input partition pre-filters to its local top-5 per source BEFORE
+    the window exchange — a 100 TB source's vocabulary never funnels
+    through one sorted group."""
+    p = plan_of(spark, sf_smoke, "q31_distinct_projection")
+    assert "WindowGroupLimit" in p
+
+
+def test_histogram_one_exchange_no_sort(spark, sf_smoke):
+    """histogram_fixed is one map-side pass + one aggregation onto the
+    range-bounded bucket key: exactly one Exchange (partial combine does
+    the work), and no Sort anywhere."""
+    import contextlib
+    import io
+
+    from sum_spark.operators.sketch import histogram_fixed
+    from sum_spark.sources.tables import load_table
+
+    df = histogram_fixed(load_table(spark, sf_smoke, "events"), "value", width=50.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    body = p.split("\n\n", 1)[0]
+    assert body.count("Exchange") == 1
+    assert "Sort" not in body

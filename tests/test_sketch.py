@@ -201,3 +201,44 @@ def test_kmv_exact_fallback_under_k(spark):
     sk = kmv_sketch(items, "x", k=32)
     [e] = kmv_estimate(sk, k=32).collect()
     assert e["n_vals"] == 7 and e["est"] == 7  # exact when under k; NULL skipped
+
+
+def test_histogram_exact_counts_sums_and_merge(spark, sf_smoke):
+    """Fixed-bucket histogram: cells match an exact per-bucket reference,
+    and hist(A) merge hist(B) == hist(A union B) — the per-shard roll-up
+    property (cell-wise BIGINT sums, so equality is exact)."""
+    from sum_spark.operators.sketch import histogram_fixed, histogram_merge
+
+    ev = load_table(spark, sf_smoke, "events")
+    got = {
+        r["bucket"]: (r["n"], r["s_fixed"])
+        for r in histogram_fixed(ev, "value", width=50.0).collect()
+    }
+    expected: dict[int, list[int]] = {}
+    for r in ev.select("value").collect():
+        cents = round(r["value"] * 100)
+        b = cents // 5000
+        cell = expected.setdefault(b, [0, 0])
+        cell[0] += 1
+        cell[1] += cents
+    assert got == {b: (n, s) for b, (n, s) in expected.items()}
+
+    a = histogram_fixed(ev.where(F.col("event_id") % 2 == 0), "value", width=50.0)
+    b = histogram_fixed(ev.where(F.col("event_id") % 2 != 0), "value", width=50.0)
+    merged = {
+        r["bucket"]: (r["n"], r["s_fixed"]) for r in histogram_merge(a, b).collect()
+    }
+    assert merged == got
+
+
+def test_histogram_layout_invariant(spark, sf_smoke):
+    """Bucket placement and per-bucket sums are integer arithmetic, so the
+    histogram is identical under hostile partition layouts (the property
+    a cross-row DOUBLE sum would not have)."""
+    from sum_spark.operators.sketch import histogram_fixed
+
+    ev = load_table(spark, sf_smoke, "events").select("value")
+    rows = lambda d: sorted(
+        tuple(r) for r in histogram_fixed(d, "value", width=50.0).collect()
+    )
+    assert rows(ev.coalesce(1)) == rows(ev.repartition(17, F.col("value")))
