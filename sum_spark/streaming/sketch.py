@@ -108,3 +108,52 @@ def read_kmv(spark: SparkSession, path: str, k: int = 32) -> DataFrame:
         .orderBy(F.col("h"))
         .limit(k)
     )
+
+
+def streaming_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint: str,
+    width: float,
+    lo: float = 0.0,
+    scale: int = 100,
+    trigger: dict | None = None,
+):
+    """Maintain a fixed-bucket value histogram over a stream — the third
+    member of the per-batch/merge-at-read sketch family, resting on
+    histogram mergeability (operators/sketch.histogram_merge): each
+    micro-batch writes its own range-bounded (bucket, n, s_fixed) cells
+    under ``path/batch_id=N`` and the distribution of everything
+    ingested so far is the cell-wise sum at read time. All-BIGINT cells,
+    so stream-accumulated == batch-built exactly (parity-tested), unlike
+    an engine-private quantile sketch. The answer to "what does the
+    value/length/score distribution look like so far" in
+    range-bounded space."""
+    from sum_spark.operators.sketch import histogram_fixed
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        h = histogram_fixed(batch_df, value_col, width=width, lo=lo, scale=scale)
+        h.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_histogram(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated histogram: cell-wise sum of every batch's cells —
+    identical to one batch build over all ingested rows."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s_fixed").cast("long").alias("s_fixed"),
+        )
+    )

@@ -100,3 +100,42 @@ def test_stream_kmv_equals_batch_kmv(spark, sf_smoke, tmp_path):
     [ea] = kmv_estimate(acc).collect()
     [ef] = kmv_estimate(full).collect()
     assert tuple(ea) == tuple(ef)
+
+
+def test_stream_histogram_equals_batch_histogram(spark, sf_smoke, tmp_path):
+    """Stream-accumulated histogram == batch-built histogram over the
+    same rows (BIGINT cells, so equality is exact), across >= 2
+    micro-batches."""
+    from pyspark.sql.types import DoubleType
+
+    from sum_spark.operators.sketch import histogram_fixed
+    from sum_spark.streaming.sketch import read_histogram, streaming_histogram
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "value")
+    drop_dir = str(tmp_path / "drops")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("value", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out = str(tmp_path / "hist")
+    q = streaming_histogram(
+        stream, "value", path=out, checkpoint=str(tmp_path / "ckpt"), width=50.0
+    )
+    q.awaitTermination()
+
+    import glob
+
+    assert len(glob.glob(out + "/batch_id=*")) >= 2
+    accumulated = sorted(tuple(r) for r in read_histogram(spark, out).collect())
+    batch = sorted(
+        tuple(r) for r in histogram_fixed(ev, "value", width=50.0).collect()
+    )
+    assert accumulated == batch
