@@ -346,6 +346,63 @@ def histogram_merge(*hists: DataFrame) -> DataFrame:
     )
 
 
+def histogram_quantile(
+    hist: DataFrame,
+    ps: list[float],
+    width: float,
+    lo: float = 0.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bucket histogram: (p, est) with
+    ``|est - exact_quantile| <= width`` by construction (the answer lies
+    somewhere in the located bucket; linear interpolation inside it).
+
+    This is how a stored/streamed histogram answers percentile questions
+    without revisiting the data — the mergeable counterpart to
+    percentile_approx, with an error bound stated in VALUE units (bucket
+    width) instead of rank units. ``width``/``lo``/``scale`` MUST match
+    the build call. The cumulative pass runs over the range-bounded cell
+    frame (a global window over kilobytes — the documented benign case
+    of an empty partitionBy, same as the post-limit top-k in search.py).
+    """
+    from pyspark.sql import Window
+
+    w = round(width * scale)
+    base = round(lo * scale)
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(Window.orderBy("bucket")).alias("__cum"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    probes = hist.sparkSession.createDataFrame(
+        [(float(p),) for p in ps], "p double"
+    )
+    # Target rank p*total; the answering bucket is the first whose
+    # cumulative count reaches it. min() picks it without a second sort.
+    j = probes.crossJoin(F.broadcast(cum)).where(
+        F.col("__cum") >= F.col("p") * F.col("__total")
+    )
+    best = j.groupBy("p").agg(F.min("bucket").alias("bucket"))
+    cells = cum.select("bucket", "n", (F.col("__cum") - F.col("n")).alias("__before"), "__total")
+    return (
+        best.join(F.broadcast(cells), "bucket")
+        .select(
+            "p",
+            (
+                (F.lit(base) + F.col("bucket") * F.lit(w)) / F.lit(scale)
+                + F.lit(width)
+                * (F.col("p") * F.col("__total") - F.col("__before"))
+                / F.col("n")
+            ).alias("est"),
+        )
+    )
+
+
 def duck_histogram_sql(
     value_sql: str, width: float, lo: float = 0.0, scale: int = 100
 ) -> str:

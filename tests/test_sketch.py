@@ -242,3 +242,22 @@ def test_histogram_layout_invariant(spark, sf_smoke):
         tuple(r) for r in histogram_fixed(d, "value", width=50.0).collect()
     )
     assert rows(ev.coalesce(1)) == rows(ev.repartition(17, F.col("value")))
+
+
+def test_histogram_quantile_within_bucket_width(spark, sf_smoke):
+    """Quantiles answered FROM the histogram land within one bucket
+    width of the exact quantile — the value-units error bound the
+    fixed-bucket profile trades for its bounded size."""
+    from sum_spark.operators.sketch import histogram_fixed, histogram_quantile
+
+    ev = load_table(spark, sf_smoke, "events")
+    width = 50.0
+    h = histogram_fixed(ev, "value", width=width)
+    got = {
+        r["p"]: r["est"]
+        for r in histogram_quantile(h, [0.1, 0.5, 0.9], width=width).collect()
+    }
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    for p in (0.1, 0.5, 0.9):
+        exact = vals[min(len(vals) - 1, int(p * len(vals)))]
+        assert abs(got[p] - exact) <= width + 1e-9, (p, got[p], exact)
