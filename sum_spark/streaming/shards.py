@@ -162,13 +162,25 @@ def read_stream_shards(
         reader = reader.schema(schema)
     df = reader.load(f"{path}/data")
     if sealed_only:
-        sealed = [
+        sealed = sorted(
             int(r["shard"])
             for r in stream_shard_counts(spark, path)
             .where(F.col("sealed"))
             .collect()
-        ]
-        df = df.where(F.col("shard").isin(sealed))
+        )
+        # Ranks arrive roughly in order, so the sealed set is normally
+        # the contiguous prefix [0..m] — one comparison instead of a
+        # predicate enumerating every sealed shard (at full scale the
+        # export holds ~10^5 shards; an isin that size is a plan, not a
+        # filter). The enumerated form remains as the out-of-order
+        # fallback; both are partition-column filters, so pruning is
+        # identical.
+        if sealed and sealed == list(range(sealed[0], sealed[0] + len(sealed))):
+            df = df.where(
+                (F.col("shard") >= sealed[0]) & (F.col("shard") <= sealed[-1])
+            )
+        else:
+            df = df.where(F.col("shard").isin(sealed))
     if shards is not None:
         df = df.where(F.col("shard").isin([int(s) for s in shards]))
     return df.drop("batch_id")
