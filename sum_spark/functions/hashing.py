@@ -131,3 +131,51 @@ def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:
     FROM {rel}, (VALUES {values}) AS p(i, a, b)
     GROUP BY {doc_col}, p.i
     """
+
+
+def lsh_params(
+    n_hashes: int = LSH_BANDS * LSH_ROWS,
+    threshold: float = 0.5,
+    min_recall: float = 0.99,
+):
+    """Choose (bands, rows) for a VERIFIED banded-LSH pipeline targeting
+    a Jaccard ``threshold``: among factorizations b*r = n_hashes whose
+    candidate recall at the threshold, P(candidate|s=t) = 1-(1-t^r)^b
+    (the standard banding analysis, Mining of Massive Datasets ch. 3),
+    meets ``min_recall``, pick the one with the LEAST false-positive
+    mass (integral of P(candidate|s) below t).
+
+    The asymmetric objective is the point: in shingle->band->verify
+    pipelines (dedup_minhash_lsh) every candidate is re-checked with the
+    EXACT Jaccard, so a false positive only costs compute, while a false
+    negative — a true near-dup pair that never shares a bucket — is
+    unrecoverable. Recall is therefore a constraint, not a term to trade
+    away; a symmetric error-mass objective would happily buy precision
+    with missed duplicates. This reproduces the shipped LSH_BANDS x
+    LSH_ROWS = 16x4 at t=0.8 and prescribes wider/shallower bands (32x2)
+    for looser thresholds. Pure driver arithmetic — call it once, then
+    build the band projection with the chosen shape. Returns
+    (bands, rows, recall_at_t, fp_mass). Falls back to the max-recall
+    factorization if none meets ``min_recall`` (tiny n_hashes).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    grid = [i / 200.0 for i in range(1, 200)]
+    qualifying = None
+    fallback = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        recall = 1.0 - (1.0 - threshold**rows) ** bands
+        fp = sum(
+            (1.0 - (1.0 - s**rows) ** bands) / 200.0
+            for s in grid
+            if s < threshold
+        )
+        if fallback is None or recall > fallback[0]:
+            fallback = (recall, bands, rows, fp)
+        if recall >= min_recall and (qualifying is None or fp < qualifying[3]):
+            qualifying = (recall, bands, rows, fp)
+    recall, bands, rows, fp = qualifying or fallback
+    return bands, rows, recall, fp

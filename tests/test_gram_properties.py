@@ -149,3 +149,34 @@ def test_dedup_lines_matches_reference(spark, texts):
         assert nl == len(lines)
         assert nd == sum(1 for ln in lines if ln in boiler)
         assert clean == "\n".join(kept)
+
+
+def test_lsh_params_recall_constrained_tuning():
+    """Recall at the threshold is a CONSTRAINT (verified pipelines can't
+    recover a missed bucket pair), and among qualifying factorizations
+    the cheapest candidate set wins. The shipped 16x4 default is exactly
+    the t=0.8 choice; looser thresholds get wider, shallower bands."""
+    from sum_spark.functions.hashing import LSH_BANDS, LSH_ROWS, lsh_params
+
+    b8, r8, recall8, fp8 = lsh_params(64, 0.8)
+    assert (b8, r8) == (LSH_BANDS, LSH_ROWS)
+    assert recall8 >= 0.99
+    b5, r5, recall5, _ = lsh_params(64, 0.5)
+    assert recall5 >= 0.99
+    assert b5 > b8 and r5 < r8  # looser threshold -> easier candidacy
+    # Every qualifying alternative generates at least as many candidates
+    # (fp mass) as the chosen shape.
+    for rows in (1, 2):
+        bands = 64 // rows
+        alt_recall = 1 - (1 - 0.8**rows) ** bands
+        alt_fp = sum(
+            (1 - (1 - (i / 200) ** rows) ** bands) / 200
+            for i in range(1, 200)
+            if i / 200 < 0.8
+        )
+        assert alt_recall >= 0.99 and alt_fp >= fp8
+    # Tiny sketches that can't reach the floor fall back to max recall.
+    b, r, recall, _ = lsh_params(4, 0.95, min_recall=0.999999)
+    assert b * r == 4 and recall == max(
+        1 - (1 - 0.95**rr) ** (4 // rr) for rr in (1, 2, 4)
+    )
