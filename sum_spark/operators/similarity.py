@@ -562,13 +562,18 @@ def knn_ivfpq_from_index(
     id_col: str = "id",
     vec_col: str = "data",
     round_to: int | None = None,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Search a write_pq_index table: the codebook reloads from
     ``<path>/_codebook`` (driver-sized), each probe's coarse list becomes
     a LITERAL filter on the partition column (PartitionFilters — only the
     probed lists' files are opened), and candidates score by the same
     m-lookup ADC as knn_ivfpq. Vectors are never read — the scan touches
-    only (id, codes). Output: (probe_id, id, adc, rank)."""
+    only (id, codes). ``n_probes > 1`` is the k-means form of
+    multi-probe (knn_ivf_kmeans): the probe searches its ``n_probes``
+    NEAREST coarse lists — still a literal partition filter, so the scan
+    opens exactly those lists' files and recall buys candidate volume,
+    never a full scan. Output: (probe_id, id, adc, rank)."""
     book = {
         int(r["cluster"]): [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(path + "/_codebook").collect()
@@ -588,11 +593,16 @@ def knn_ivfpq_from_index(
 
     idx = spark.read.parquet(path)
     legs = []
+    n_probes = max(1, min(int(n_probes), len(items)))
     for row in probe_rows:
         q = [float(x) for x in row["__pv"]]
-        best = min(
-            ((_sqdist(q, c), cid) for cid, c in items), key=lambda t: (t[0], t[1])
-        )[1]
+        nearest = [
+            cid
+            for _, cid in sorted(
+                ((_sqdist(q, c), cid) for cid, c in items),
+                key=lambda t: (t[0], t[1]),
+            )[:n_probes]
+        ]
         adc = None
         for j in range(m):
             lut = F.map_from_arrays(
@@ -608,9 +618,14 @@ def knn_ivfpq_from_index(
             adc = term if adc is None else adc + term
         if round_to is not None:
             adc = F.round(adc, round_to)
+        coarse_pred = (
+            F.col("coarse") == int(nearest[0])
+            if n_probes == 1
+            else F.col("coarse").isin([int(c) for c in nearest])
+        )
         legs.append(
             idx.where(
-                (F.col("coarse") == int(best)) & (F.col(id_col) != int(row["__pid"]))
+                coarse_pred & (F.col(id_col) != int(row["__pid"]))
             ).select(
                 F.lit(int(row["__pid"])).alias("probe_id"),
                 F.col(id_col),

@@ -396,3 +396,37 @@ def test_ivf_index_multiprobe_matches_inflight(spark, sf_smoke, tmp_path):
         spark, path, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
     )
     assert len(got) >= single.count()
+
+
+def test_pq_index_multiprobe_expands_candidates(spark, tmp_path):
+    """n_probes > 1 on the stored PQ index: the probe searches its
+    n nearest coarse lists — recall can only improve (the top-k ADC
+    total is non-increasing in n_probes), and the scan is STILL pruned
+    to exactly the probed lists (a literal isin partition filter), never
+    a full read."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import knn_ivfpq_from_index, write_pq_index
+
+    rng = np.random.default_rng(47)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = df.where("id <= 1")
+    path = str(tmp_path / "pqidx_mp")
+    write_pq_index(df, path, m=2, n_codes=4)
+
+    def topk_sum(n_probes):
+        out = knn_ivfpq_from_index(
+            spark, path, probes, k=7, m=2, round_to=6, n_probes=n_probes
+        )
+        return out, sum(r["adc"] for r in out.collect())
+
+    one, s1 = topk_sum(1)
+    two, s2 = topk_sum(2)
+    all_, s_all = topk_sum(64)  # clamps to the list count
+    assert s2 <= s1 + 1e-9 and s_all <= s2 + 1e-9
+
+    p = two._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "coarse" in pf  # pruned to the probed lists even when several
