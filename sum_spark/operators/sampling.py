@@ -386,6 +386,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    token_base: int = 0,
 ) -> DataFrame:
     """Sequence packing: lay documents (in id order) into fixed
     token-budget packs — the step that turns a filtered corpus into
@@ -432,13 +433,25 @@ def pack_sequences(
     offsets = sums.select(
         "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
     )
-    cum_before = F.col("__off") + F.sum("n_tokens").over(local) - F.col("n_tokens")
+    # token_base shifts the running sum's origin: a caller packing an
+    # APPEND (streaming/pack.py) passes the token total of everything
+    # already packed, so pack ids continue the existing sequence instead
+    # of restarting at 0. Placement is integer DIV end-to-end — a double
+    # quotient is only exact below 2^53 total tokens, and the corpus this
+    # is designed for can cross that.
+    cum_before = (
+        F.lit(int(token_base))
+        + F.col("__off")
+        + F.sum("n_tokens").over(local)
+        - F.col("n_tokens")
+    )
     return (
         d.join(F.broadcast(offsets), "__pid")
+        .select("doc_id", "n_tokens", cum_before.cast("long").alias("__before"))
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(cum_before.cast("double") / F.lit(budget)).cast("long").alias("pack_id"),
+            F.expr(f"__before DIV {int(budget)}").cast("long").alias("pack_id"),
         )
         .orderBy("doc_id")
     )
