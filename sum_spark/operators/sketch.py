@@ -403,6 +403,96 @@ def histogram_quantile(
     )
 
 
+def histogram_quantile_fixed(
+    hist: DataFrame,
+    ps: list[tuple[int, int]],
+    width: float,
+    lo: float = 0.0,
+    scale: int = 100,
+) -> DataFrame:
+    """``histogram_quantile`` in EXACT integer arithmetic: probabilities
+    as rationals ``(p_num, p_den)`` and the estimate as a BIGINT in
+    ``1/(1000*scale)`` value units — every comparison and the final
+    interpolation are integer ops, so the result is bit-identical across
+    engines (the hash-checkable form; the float variant's doubles are
+    only incidentally portable). Same bucket-width error bound.
+
+    The answering bucket is the first with ``p_den*cum >= p_num*total``
+    (the integer form of cum >= p*total); within it,
+    ``est_fp = (base + bucket*w)*1000
+               + (w*1000*(p_num*total - p_den*before)) DIV (p_den*n)``
+    with ``before = cum - n``. Both DIV operands are non-negative by the
+    bucket choice, so Spark's truncating DIV and the oracle's floor
+    division agree. Output: (p_num, p_den, est_fp).
+    """
+    from pyspark.sql import Window
+
+    w = round(width * scale)
+    base = round(lo * scale)
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(Window.orderBy("bucket")).alias("__cum"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    probes = hist.sparkSession.createDataFrame(
+        [(int(pn), int(pd)) for pn, pd in ps], "p_num long, p_den long"
+    )
+    j = probes.crossJoin(F.broadcast(cum)).where(
+        F.col("p_den") * F.col("__cum") >= F.col("p_num") * F.col("__total")
+    )
+    first = (
+        j.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("p_num", "p_den").orderBy("bucket")
+            ),
+        )
+        .where(F.col("__rk") == 1)
+    )
+    est = F.expr(
+        f"({base} + bucket * {w}) * 1000"
+        f" + ({w} * 1000 * (p_num * __total - p_den * (__cum - n)))"
+        f" DIV (p_den * n)"
+    )
+    return first.select("p_num", "p_den", est.cast("long").alias("est_fp"))
+
+
+def duck_histogram_quantile_sql(
+    ps: list[tuple[int, int]], width: float, lo: float = 0.0, scale: int = 100
+) -> str:
+    """DuckDB CTEs rebuilding histogram_quantile_fixed from the ``hist``
+    CTE (duck_histogram_sql): yields ``histq`` (p_num, p_den, est_fp)."""
+    w = round(width * scale)
+    base = round(lo * scale)
+    values = ", ".join(f"({pn}, {pd})" for pn, pd in ps)
+    return f"""
+    histc AS (
+      SELECT bucket, n, SUM(n) OVER (ORDER BY bucket) AS cum,
+             SUM(n) OVER () AS total
+      FROM hist
+    ),
+    histq AS (
+      SELECT p_num, p_den,
+             CAST(({base} + bucket * {w}) * 1000
+                  + ({w} * 1000 * (p_num * total - p_den * (cum - n)))
+                    // (p_den * n) AS BIGINT) AS est_fp
+      FROM (
+        SELECT pr.p_num, pr.p_den, c.bucket, c.n, c.cum, c.total,
+               ROW_NUMBER() OVER (PARTITION BY pr.p_num, pr.p_den
+                                  ORDER BY c.bucket) AS rk
+        FROM (VALUES {values}) pr(p_num, p_den)
+        CROSS JOIN histc c
+        WHERE pr.p_den * c.cum >= pr.p_num * c.total
+      )
+      WHERE rk = 1
+    )"""
+
+
 def duck_histogram_sql(
     value_sql: str, width: float, lo: float = 0.0, scale: int = 100
 ) -> str:

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sum_spark.operators.profile import profile_table
 from sum_spark.operators.sketch import (
     duck_count_min_sql,
+    duck_histogram_quantile_sql,
     duck_histogram_sql,
     duck_kmv_sql,
 )
@@ -79,6 +80,7 @@ _KMV_CTES = (
     + duck_kmv_sql("SELECT event_type AS x FROM events", "etype")
 )
 _HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
+_HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
 
 
 @query(
@@ -90,6 +92,7 @@ _HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
     WITH {_CMS_CTES.strip()},
     {_KMV_CTES.strip()},
     {_HIST_CTE.strip()},
+    {_HISTQ_CTES.strip()},
     prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
       ('ts', false), ('user_id', true), ('value', false)
@@ -157,6 +160,10 @@ _HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
     SELECT 'hist', CAST(bucket AS VARCHAR), NULL, n, NULL, s_fixed, NULL, NULL
     FROM hist
     UNION ALL
+    SELECT 'histq', CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR),
+           NULL, est_fp, NULL, NULL, NULL, NULL
+    FROM histq
+    UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
     SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
@@ -190,7 +197,11 @@ _HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
     "bucket, all-BIGINT arithmetic so placement and sums reproduce "
     "across layouts and engines — the mergeable bounded-size "
     "distribution profile (cells bounded by value range, not rows); "
-    "'cms' = the same "
+    "'histq' = quantiles answered FROM that histogram "
+    "(sketch.histogram_quantile_fixed: rational p, integer fixed-point "
+    "interpolation — bit-identical cross-engine, within one bucket "
+    "width of the exact percentile by construction; the cell frame is "
+    "persisted and shared with 'hist'); 'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -334,16 +345,37 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Value-distribution histogram (sketch.histogram_fixed): 50.00-wide
     # buckets over events.value, counts + integer-cents sums — the
     # mergeable fixed-size distribution profile (bucket count bounded by
-    # the value RANGE, not the row count).
-    from sum_spark.operators.sketch import histogram_fixed
+    # the value RANGE, not the row count). The cell frame is PERSISTED:
+    # the 'hist' and 'histq' legs are separate union branches, and
+    # without the cache each would scan+bucket the events table itself.
+    from sum_spark.operators.sketch import histogram_fixed, histogram_quantile_fixed
 
-    hist = histogram_fixed(ev, "value", width=50.0).select(
+    hist_cells = histogram_fixed(ev, "value", width=50.0).persist()
+    hist = hist_cells.select(
         F.lit("hist").alias("mode"),
         F.col("bucket").cast("string").alias("col_a"),
         ns.alias("col_b"),
         F.col("n").alias("n_rows"),
         nl.alias("n_nulls"),
         F.col("s_fixed").alias("n_distinct"),
+        ns.alias("min_str"),
+        ns.alias("max_str"),
+    )
+    # Quantiles answered FROM the histogram in exact integer arithmetic
+    # (rational p, fixed-point estimate) — the hash-checkable form of
+    # histogram_quantile; the estimate is within one bucket width of the
+    # exact percentile by construction.
+    histq = histogram_quantile_fixed(
+        hist_cells, [(1, 2), (9, 10)], width=50.0
+    ).select(
+        F.lit("histq").alias("mode"),
+        F.concat_ws(
+            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
+        ).alias("col_a"),
+        ns.alias("col_b"),
+        F.col("est_fp").alias("n_rows"),
+        nl.alias("n_nulls"),
+        nl.alias("n_distinct"),
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
@@ -372,12 +404,14 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vocab)
         .unionByName(dvocab)
         .unionByName(hist)
+        .unionByName(histq)
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])
         .orderBy("mode", "col_a", "col_b"),
         dvc,
         vc,
+        hist_cells,
     )
 
 

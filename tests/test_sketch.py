@@ -261,3 +261,33 @@ def test_histogram_quantile_within_bucket_width(spark, sf_smoke):
     for p in (0.1, 0.5, 0.9):
         exact = vals[min(len(vals) - 1, int(p * len(vals)))]
         assert abs(got[p] - exact) <= width + 1e-9, (p, got[p], exact)
+
+
+def test_histogram_quantile_fixed_matches_float_form(spark, sf_smoke):
+    """The integer fixed-point quantile (the hash-checkable form) agrees
+    with the float interpolation to fixed-point resolution, and carries
+    the same one-bucket-width bound vs the exact quantile."""
+    from sum_spark.operators.sketch import (
+        histogram_fixed,
+        histogram_quantile,
+        histogram_quantile_fixed,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    width = 50.0
+    h = histogram_fixed(ev, "value", width=width)
+    fx = {
+        (r["p_num"], r["p_den"]): r["est_fp"]
+        for r in histogram_quantile_fixed(h, [(1, 2), (9, 10)], width=width).collect()
+    }
+    fl = {
+        r["p"]: r["est"]
+        for r in histogram_quantile(h, [0.5, 0.9], width=width).collect()
+    }
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    for (pn, pd), est_fp in fx.items():
+        p = pn / pd
+        est = est_fp / (1000 * 100)  # 1/(1000*scale) value units
+        assert abs(est - fl[p]) < 1e-3  # same interpolation, integer floor
+        exact = vals[min(len(vals) - 1, int(p * len(vals)))]
+        assert abs(est - exact) <= width + 1e-9
