@@ -290,6 +290,7 @@ def histogram_fixed(
     width: float,
     lo: float = 0.0,
     scale: int = 100,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """One-pass fixed-width histogram: (bucket, n, s_fixed) with
     ``bucket = (round(v*scale) - round(lo*scale)) DIV round(width*scale)``,
@@ -315,17 +316,24 @@ def histogram_fixed(
     skipped; values below ``lo`` are the caller's contract to exclude
     (signed DIV truncates toward zero, floor-dividing only non-negative
     offsets).
+
+    ``group_cols`` produces per-group histograms (the per-domain /
+    per-language distribution profile of corpus curation) keyed by
+    (group..., bucket). Grouped cells REAGGREGATE into the ungrouped
+    histogram (``histogram_merge`` drops no information — cells sum),
+    so one grouped pass serves both views.
     """
     base = round(lo * scale)
     w = round(width * scale)
     if w <= 0:
         raise ValueError("width must be positive at the given scale")
+    groups = list(group_cols or [])
     fixed = F.expr(f"CAST(ROUND({value_col} * {scale}) AS BIGINT)")
     return (
         df.where(F.col(value_col).isNotNull())
-        .select(fixed.alias("__fx"))
-        .select(F.expr(f"(__fx - {base}) DIV {w}").alias("bucket"), "__fx")
-        .groupBy("bucket")
+        .select(*groups, fixed.alias("__fx"))
+        .select(*groups, F.expr(f"(__fx - {base}) DIV {w}").alias("bucket"), "__fx")
+        .groupBy(*groups, "bucket")
         .agg(
             F.count("*").cast("long").alias("n"),
             F.sum("__fx").cast("long").alias("s_fixed"),
@@ -335,12 +343,15 @@ def histogram_fixed(
 
 def histogram_merge(*hists: DataFrame) -> DataFrame:
     """Merge histograms built with the SAME width/lo/scale: cell-wise
-    sum of (n, s_fixed) — a groupBy over range-bounded bucket rows,
-    never over data."""
+    sum of (n, s_fixed) over whatever key columns the cells carry
+    (bucket, plus any group columns) — a groupBy over range-bounded
+    cell rows, never over data. Dropping the group columns before the
+    merge collapses grouped cells into the ungrouped histogram."""
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    return out.groupBy("bucket").agg(
+    keys = [c for c in out.columns if c not in ("n", "s_fixed")]
+    return out.groupBy(*keys).agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("s_fixed").cast("long").alias("s_fixed"),
     )
@@ -494,15 +505,23 @@ def duck_histogram_quantile_sql(
 
 
 def duck_histogram_sql(
-    value_sql: str, width: float, lo: float = 0.0, scale: int = 100
+    value_sql: str,
+    width: float,
+    lo: float = 0.0,
+    scale: int = 100,
+    grouped: bool = False,
 ) -> str:
     """DuckDB CTE rebuilding the histogram for ``value_sql`` (a FROM-able
     subquery with one column ``v``): yields ``hist`` (bucket, n, s_fixed).
     Same integer fixed-point pipeline; CASTs keep DuckDB's HUGEINT
-    promotion out of the compared columns."""
+    promotion out of the compared columns. With ``grouped``, ``value_sql``
+    must also produce a group column ``g`` and the CTEs become ``histg``
+    (g, bucket, n, s_fixed) plus ``hist`` REAGGREGATED from it — the
+    same one-grouped-pass-serves-both shape as the engine side."""
     base = round(lo * scale)
     w = round(width * scale)
-    return f"""
+    if not grouped:
+        return f"""
     hist AS (
       SELECT (fx - {base}) // {w} AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -512,6 +531,22 @@ def duck_histogram_sql(
         FROM ({value_sql}) WHERE v IS NOT NULL
       )
       GROUP BY 1
+    )"""
+    return f"""
+    histg AS (
+      SELECT g, (fx - {base}) // {w} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(fx) AS BIGINT) AS s_fixed
+      FROM (
+        SELECT g, CAST(ROUND(v * {scale}) AS BIGINT) AS fx
+        FROM ({value_sql}) WHERE v IS NOT NULL
+      )
+      GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s_fixed) AS BIGINT) AS s_fixed
+      FROM histg GROUP BY 1
     )"""
 
 

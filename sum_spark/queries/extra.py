@@ -79,7 +79,9 @@ _KMV_CTES = (
     + ","
     + duck_kmv_sql("SELECT event_type AS x FROM events", "etype")
 )
-_HIST_CTE = duck_histogram_sql("SELECT value AS v FROM events", width=50.0)
+_HIST_CTE = duck_histogram_sql(
+    "SELECT event_type AS g, value AS v FROM events", width=50.0, grouped=True
+)
 _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
 
 
@@ -160,6 +162,9 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     SELECT 'hist', CAST(bucket AS VARCHAR), NULL, n, NULL, s_fixed, NULL, NULL
     FROM hist
     UNION ALL
+    SELECT 'hist', CAST(bucket AS VARCHAR), g, n, NULL, s_fixed, NULL, NULL
+    FROM histg
+    UNION ALL
     SELECT 'histq', CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR),
            NULL, est_fp, NULL, NULL, NULL, NULL
     FROM histq
@@ -196,7 +201,10 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     "events.value, 50.00-wide buckets): count + integer-cents sum per "
     "bucket, all-BIGINT arithmetic so placement and sums reproduce "
     "across layouts and engines — the mergeable bounded-size "
-    "distribution profile (cells bounded by value range, not rows); "
+    "distribution profile (cells bounded by value range, not rows), "
+    "emitted BOTH per event_type (col_b = the group — the per-domain "
+    "distribution view) and corpus-wide (col_b NULL), the latter "
+    "REAGGREGATED from the former so one scan serves both; "
     "'histq' = quantiles answered FROM that histogram "
     "(sketch.histogram_quantile_fixed: rational p, integer fixed-point "
     "interpolation — bit-identical cross-engine, within one bucket "
@@ -344,22 +352,38 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Value-distribution histogram (sketch.histogram_fixed): 50.00-wide
     # buckets over events.value, counts + integer-cents sums — the
-    # mergeable fixed-size distribution profile (bucket count bounded by
-    # the value RANGE, not the row count). The cell frame is PERSISTED:
-    # the 'hist' and 'histq' legs are separate union branches, and
-    # without the cache each would scan+bucket the events table itself.
-    from sum_spark.operators.sketch import histogram_fixed, histogram_quantile_fixed
+    # mergeable fixed-size distribution profile (cells bounded by the
+    # value RANGE, not the row count). Built GROUPED by event_type (the
+    # per-domain distribution view of curation) and REAGGREGATED into
+    # the corpus-wide cells — one scan serves both views. The grouped
+    # cell frame is PERSISTED: the grouped rows, the corpus rows, and
+    # the 'histq' leg are separate union branches, and without the cache
+    # each would scan+bucket the events table itself.
+    from sum_spark.operators.sketch import (
+        histogram_fixed,
+        histogram_merge,
+        histogram_quantile_fixed,
+    )
 
-    hist_cells = histogram_fixed(ev, "value", width=50.0).persist()
-    hist = hist_cells.select(
-        F.lit("hist").alias("mode"),
-        F.col("bucket").cast("string").alias("col_a"),
-        ns.alias("col_b"),
-        F.col("n").alias("n_rows"),
-        nl.alias("n_nulls"),
-        F.col("s_fixed").alias("n_distinct"),
-        ns.alias("min_str"),
-        ns.alias("max_str"),
+    hist_gcells = histogram_fixed(
+        ev, "value", width=50.0, group_cols=["event_type"]
+    ).persist()
+    hist_cells = histogram_merge(hist_gcells.drop("event_type"))
+
+    def _hist_rows(cells, col_b):
+        return cells.select(
+            F.lit("hist").alias("mode"),
+            F.col("bucket").cast("string").alias("col_a"),
+            col_b.alias("col_b"),
+            F.col("n").alias("n_rows"),
+            nl.alias("n_nulls"),
+            F.col("s_fixed").alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
+
+    hist = _hist_rows(hist_cells, ns).unionByName(
+        _hist_rows(hist_gcells, F.col("event_type"))
     )
     # Quantiles answered FROM the histogram in exact integer arithmetic
     # (rational p, fixed-point estimate) — the hash-checkable form of
@@ -411,7 +435,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mode", "col_a", "col_b"),
         dvc,
         vc,
-        hist_cells,
+        hist_gcells,
     )
 
 

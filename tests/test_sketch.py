@@ -291,3 +291,36 @@ def test_histogram_quantile_fixed_matches_float_form(spark, sf_smoke):
         assert abs(est - fl[p]) < 1e-3  # same interpolation, integer floor
         exact = vals[min(len(vals) - 1, int(p * len(vals)))]
         assert abs(est - exact) <= width + 1e-9
+
+
+def test_histogram_grouped_reaggregates_to_ungrouped(spark, sf_smoke):
+    """Per-group cells merge (group dropped) into exactly the ungrouped
+    histogram — the property that lets one grouped pass serve both the
+    per-domain and the corpus-wide distribution view."""
+    from sum_spark.operators.sketch import histogram_fixed, histogram_merge
+
+    ev = load_table(spark, sf_smoke, "events")
+    grouped = histogram_fixed(ev, "value", width=50.0, group_cols=["event_type"])
+    collapsed = sorted(
+        tuple(r) for r in histogram_merge(grouped.drop("event_type")).collect()
+    )
+    direct = sorted(
+        tuple(r) for r in histogram_fixed(ev, "value", width=50.0).collect()
+    )
+    assert collapsed == direct
+    # Grouped cells themselves match per-group direct builds.
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    for t in types[:2]:
+        sub = sorted(
+            tuple(r)
+            for r in histogram_fixed(
+                ev.where(F.col("event_type") == t), "value", width=50.0
+            ).collect()
+        )
+        got = sorted(
+            (r["bucket"], r["n"], r["s_fixed"])
+            for r in grouped.where(F.col("event_type") == t)
+            .select("bucket", "n", "s_fixed")
+            .collect()
+        )
+        assert got == sub
