@@ -588,3 +588,34 @@ def duck_cap_domain_sql(
              ) AS BIGINT) AS cum_tokens
       FROM {table}
     )"""
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic per-group top-k: the rows ranking 1..k within each
+    group under ``order_cols``, with the rank appended as ``rank_col``.
+
+    The generic form of the per-source vocabulary pass (q31 'dvocab')
+    and the shape behind per-domain "best documents" selection: a
+    row_number + rank filter that Spark compiles to WindowGroupLimit —
+    each input partition pre-filters to its LOCAL top-k per group before
+    the window exchange, so the shuffle carries at most k * partitions
+    rows per group and a 100 TB group never funnels through one sorted
+    task (the same plan property sample_exact_k is pinned to).
+
+    ``order_cols`` must be a TOTAL order within every group (add the id
+    as the last tie-break) — with ties the rank, and therefore the
+    selected set, would be partition-order-dependent.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= int(k))
+    )

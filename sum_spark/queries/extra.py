@@ -329,16 +329,19 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
-    # Per-source heavy-hitters: row_number over (source | tf desc, w) with
-    # the rank filter — compiles to WindowGroupLimit (each input partition
-    # pre-filters to its local top-k before the window exchange), so the
-    # per-group top-k never sorts a group's full vocabulary. The rank is
-    # emitted (n_nulls) so the oracle checks placement, not just set
-    # membership.
-    wr = W.partitionBy("source").orderBy(F.col("tf").desc(), F.col("__w"))
+    # Per-source heavy-hitters: top_k_per_group (operators/sampling.py)
+    # — row_number + rank filter compiling to WindowGroupLimit (each
+    # input partition pre-filters to its local top-k before the window
+    # exchange), so the per-group top-k never sorts a group's full
+    # vocabulary. The rank is emitted (n_nulls) so the oracle checks
+    # placement, not just set membership.
+    from sum_spark.operators.sampling import top_k_per_group
+
     dvocab = (
-        dvc.withColumn("__rnk", F.row_number().over(wr))
-        .where(F.col("__rnk") <= 5)
+        top_k_per_group(
+            dvc, ["source"], [F.col("tf").desc(), F.col("__w")], 5,
+            rank_col="__rnk",
+        )
         .select(
             F.lit("dvocab").alias("mode"),
             F.col("source").alias("col_a"),

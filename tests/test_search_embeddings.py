@@ -497,3 +497,28 @@ def test_product_quantize_codes(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         product_quantize(df, m=3)
+
+
+def test_top_k_per_group_matches_reference(spark, sf_smoke):
+    """Generic per-group top-k equals a direct Python selection under the
+    same total order, with correct ranks."""
+    from sum_spark.operators.sampling import top_k_per_group
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    got = {
+        (r["source"], r["doc_id"]): r["rank"]
+        for r in top_k_per_group(
+            docs, ["source"], [F.col("n_chars").desc(), F.col("doc_id")], 3
+        ).collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in docs.collect():
+        by_src.setdefault(r["source"], []).append((-r["n_chars"], r["doc_id"]))
+    expected = {}
+    for src, rows in by_src.items():
+        for i, (_, did) in enumerate(sorted(rows)[:3], 1):
+            expected[(src, did)] = i
+    assert got == expected and got
