@@ -420,6 +420,7 @@ def histogram_quantile_fixed(
     width: float,
     lo: float = 0.0,
     scale: int = 100,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """``histogram_quantile`` in EXACT integer arithmetic: probabilities
     as rationals ``(p_num, p_den)`` and the estimate as a BIGINT in
@@ -434,33 +435,42 @@ def histogram_quantile_fixed(
                + (w*1000*(p_num*total - p_den*before)) DIV (p_den*n)``
     with ``before = cum - n``. Both DIV operands are non-negative by the
     bucket choice, so Spark's truncating DIV and the oracle's floor
-    division agree. Output: (p_num, p_den, est_fp).
+    division agree. Output: (group..., p_num, p_den, est_fp).
+
+    ``group_cols`` answers each p per group from GROUPED cells (the
+    per-domain median/length-p90 of curation) — the cumulative window
+    partitions by group, so no group's cells ever funnel through another
+    group's sort; the tiny probe table broadcasts against the cell
+    frame.
     """
     from pyspark.sql import Window
 
     w = round(width * scale)
     base = round(lo * scale)
+    groups = list(group_cols or [])
+    gcols = [F.col(c) for c in groups]
+    cum_w = Window.partitionBy(*gcols).orderBy("bucket")
+    tot_w = cum_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = hist.select(
+        *groups,
         "bucket",
         "n",
-        F.sum("n").over(Window.orderBy("bucket")).alias("__cum"),
-        F.sum("n").over(
-            Window.orderBy("bucket").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("__total"),
+        F.sum("n").over(cum_w).alias("__cum"),
+        F.sum("n").over(tot_w).alias("__total"),
     )
     probes = hist.sparkSession.createDataFrame(
         [(int(pn), int(pd)) for pn, pd in ps], "p_num long, p_den long"
     )
-    j = probes.crossJoin(F.broadcast(cum)).where(
+    j = cum.crossJoin(F.broadcast(probes)).where(
         F.col("p_den") * F.col("__cum") >= F.col("p_num") * F.col("__total")
     )
     first = (
         j.withColumn(
             "__rk",
             F.row_number().over(
-                Window.partitionBy("p_num", "p_den").orderBy("bucket")
+                Window.partitionBy(*gcols, "p_num", "p_den").orderBy("bucket")
             ),
         )
         .where(F.col("__rk") == 1)
@@ -470,7 +480,9 @@ def histogram_quantile_fixed(
         f" + ({w} * 1000 * (p_num * __total - p_den * (__cum - n)))"
         f" DIV (p_den * n)"
     )
-    return first.select("p_num", "p_den", est.cast("long").alias("est_fp"))
+    return first.select(
+        *groups, "p_num", "p_den", est.cast("long").alias("est_fp")
+    )
 
 
 def duck_histogram_quantile_sql(

@@ -324,3 +324,27 @@ def test_histogram_grouped_reaggregates_to_ungrouped(spark, sf_smoke):
             .collect()
         )
         assert got == sub
+
+
+def test_histogram_quantile_fixed_grouped(spark, sf_smoke):
+    """Grouped quantiles from grouped cells == the ungrouped operator run
+    per group — no cross-group leakage in the cumulative windows."""
+    from sum_spark.operators.sketch import histogram_fixed, histogram_quantile_fixed
+
+    ev = load_table(spark, sf_smoke, "events")
+    grouped = histogram_fixed(ev, "value", width=50.0, group_cols=["event_type"])
+    got = {
+        (r["event_type"], r["p_num"], r["p_den"]): r["est_fp"]
+        for r in histogram_quantile_fixed(
+            grouped, [(1, 2), (9, 10)], width=50.0, group_cols=["event_type"]
+        ).collect()
+    }
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    expected = {}
+    for t in types:
+        sub = histogram_fixed(
+            ev.where(F.col("event_type") == t), "value", width=50.0
+        )
+        for r in histogram_quantile_fixed(sub, [(1, 2), (9, 10)], width=50.0).collect():
+            expected[(t, r["p_num"], r["p_den"])] = r["est_fp"]
+    assert got == expected and len(got) == 2 * len(types)
