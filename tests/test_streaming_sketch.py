@@ -139,3 +139,64 @@ def test_stream_histogram_equals_batch_histogram(spark, sf_smoke, tmp_path):
         tuple(r) for r in histogram_fixed(ev, "value", width=50.0).collect()
     )
     assert accumulated == batch
+
+
+def _drop_two_batches(spark, sf_smoke, tmp_path, name):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / f"drops_{name}")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+    )
+
+
+def test_compact_batches_preserves_sketch_and_survives_crash(
+    spark, sf_smoke, tmp_path
+):
+    """Compaction folds every batch grid into one directory without
+    changing the accumulated sketch, and a crash between delete and
+    rename is recovered by re-running."""
+    import glob
+    import os
+    import shutil
+
+    from sum_spark.streaming.compact import compact_batches
+    from sum_spark.streaming.sketch import read_count_min, streaming_count_min
+
+    out = str(tmp_path / "cms_c")
+    q = streaming_count_min(
+        _drop_two_batches(spark, sf_smoke, tmp_path, "c"),
+        "w",
+        path=out,
+        checkpoint=str(tmp_path / "ckpt_c"),
+    )
+    q.awaitTermination()
+    assert len(glob.glob(out + "/batch_id=*")) >= 2
+    before = sorted(map(tuple, read_count_min(spark, out).collect()))
+
+    max_id = compact_batches(spark, out, merged=read_count_min(spark, out))
+    dirs = glob.glob(out + "/batch_id=*")
+    assert [os.path.basename(d) for d in dirs] == [f"batch_id={max_id}"]
+    assert sorted(map(tuple, read_count_min(spark, out).collect())) == before
+    # Idempotent on an already-compacted path.
+    assert compact_batches(spark, out) == max_id
+
+    # Crash window: merged data durable under _compacted, old dirs gone,
+    # rename never happened — re-running finishes the job.
+    tmp = out + "/_compacted"
+    shutil.copytree(out + f"/batch_id={max_id}", tmp)
+    with open(tmp + "/_SUCCESS", "w") as fh:
+        fh.write(str(max_id + 7))
+    shutil.rmtree(out + f"/batch_id={max_id}")
+    recovered = compact_batches(spark, out)
+    assert recovered == max_id + 7
+    assert sorted(map(tuple, read_count_min(spark, out).collect())) == before
