@@ -157,3 +157,66 @@ def read_histogram(spark: SparkSession, path: str) -> DataFrame:
             F.sum("s_fixed").cast("long").alias("s_fixed"),
         )
     )
+
+
+def streaming_vocab(
+    stream_docs: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+):
+    """Maintain corpus vocabulary counts over a document stream: each
+    micro-batch writes its own per-token (w, tf, df) partial under
+    ``path/batch_id=N`` and the corpus-so-far vocabulary is a cell-wise
+    sum at read time (``read_vocab``) — the streaming twin of q31's
+    'vocab' heavy-hitters leg.
+
+    tf is trivially mergeable; df merges because a DOCUMENT is atomic to
+    one micro-batch (foreachBatch hands over whole rows), so per-batch
+    distinct-doc counts for a token count disjoint doc sets — the same
+    disjointness argument that lets the per-source vocabulary aggregate
+    reaggregate into the corpus one. Partial size is batch-vocabulary
+    rows, not batch tokens; redelivery overwrites its own directory."""
+    from sum_spark.functions.text import tokens
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        vc = (
+            batch_df.select(
+                F.col(id_col).alias("__id"),
+                F.explode(tokens(text_col)).alias("w"),
+            )
+            .groupBy("w")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.countDistinct("__id").cast("long").alias("df"),
+            )
+        )
+        vc.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_vocab(spark: SparkSession, path: str, top_k: int | None = None) -> DataFrame:
+    """The accumulated vocabulary: cell-wise (tf, df) sums across batch
+    partials — identical to one batch aggregate over all ingested docs.
+    ``top_k`` keeps the k most frequent ((tf desc, w) tie-break) via
+    TakeOrdered, never a global sort."""
+    from pyspark.sql import functions as F
+
+    out = (
+        spark.read.parquet(path)
+        .groupBy("w")
+        .agg(F.sum("tf").cast("long").alias("tf"), F.sum("df").cast("long").alias("df"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("tf").desc(), F.col("w")).limit(int(top_k))
+    return out

@@ -200,3 +200,47 @@ def test_compact_batches_preserves_sketch_and_survives_crash(
     recovered = compact_batches(spark, out)
     assert recovered == max_id + 7
     assert sorted(map(tuple, read_count_min(spark, out).collect())) == before
+
+
+def test_stream_vocab_equals_batch_vocab(spark, sf_smoke, tmp_path):
+    """Stream-accumulated (w, tf, df) == one batch aggregate over the
+    same docs — tf by linearity, df by batch-disjointness of documents."""
+    from sum_spark.streaming.sketch import read_vocab, streaming_vocab
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "drops_v")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out = str(tmp_path / "vocab")
+    q = streaming_vocab(stream, path=out, checkpoint=str(tmp_path / "ckpt_v"))
+    q.awaitTermination()
+
+    import glob
+
+    assert len(glob.glob(out + "/batch_id=*")) >= 2
+    accumulated = sorted(map(tuple, read_vocab(spark, out).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+            .groupBy("w")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+            )
+            .collect(),
+        )
+    )
+    assert accumulated == batch
+    top = read_vocab(spark, out, top_k=10).collect()
+    assert len(top) == 10 and top[0]["tf"] == max(r[1] for r in batch)
