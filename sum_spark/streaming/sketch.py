@@ -165,6 +165,7 @@ def streaming_vocab(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
     trigger: dict | None = None,
 ):
     """Maintain corpus vocabulary counts over a document stream: each
@@ -178,18 +179,25 @@ def streaming_vocab(
     distinct-doc counts for a token count disjoint doc sets — the same
     disjointness argument that lets the per-source vocabulary aggregate
     reaggregate into the corpus one. Partial size is batch-vocabulary
-    rows, not batch tokens; redelivery overwrites its own directory."""
+    rows, not batch tokens; redelivery overwrites its own directory.
+    ``group_cols`` keeps the partials per group (the per-SOURCE
+    vocabulary at ingest, q31's 'dvocab' view) — grouped partials
+    reaggregate into the corpus vocabulary at read exactly like the
+    batch operator's."""
     from sum_spark.functions.text import tokens
+
+    groups = list(group_cols or [])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         vc = (
             batch_df.select(
+                *groups,
                 F.col(id_col).alias("__id"),
                 F.explode(tokens(text_col)).alias("w"),
             )
-            .groupBy("w")
+            .groupBy(*groups, "w")
             .agg(
                 F.count("*").cast("long").alias("tf"),
                 F.countDistinct("__id").cast("long").alias("df"),
@@ -205,18 +213,35 @@ def streaming_vocab(
     )
 
 
-def read_vocab(spark: SparkSession, path: str, top_k: int | None = None) -> DataFrame:
+def read_vocab(
+    spark: SparkSession,
+    path: str,
+    top_k: int | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
     """The accumulated vocabulary: cell-wise (tf, df) sums across batch
     partials — identical to one batch aggregate over all ingested docs.
+    Pass the writer's ``group_cols`` to keep the per-group view, or omit
+    them to collapse grouped partials into the corpus vocabulary (the
+    doc-atomicity disjointness makes df collapse correctly). Ungrouped
     ``top_k`` keeps the k most frequent ((tf desc, w) tie-break) via
-    TakeOrdered, never a global sort."""
+    TakeOrdered, never a global sort; grouped top-k goes through
+    sampling.top_k_per_group (WindowGroupLimit)."""
     from pyspark.sql import functions as F
 
+    groups = list(group_cols or [])
     out = (
         spark.read.parquet(path)
-        .groupBy("w")
+        .groupBy(*groups, "w")
         .agg(F.sum("tf").cast("long").alias("tf"), F.sum("df").cast("long").alias("df"))
     )
     if top_k is not None:
-        out = out.orderBy(F.col("tf").desc(), F.col("w")).limit(int(top_k))
+        if groups:
+            from sum_spark.operators.sampling import top_k_per_group
+
+            out = top_k_per_group(
+                out, groups, [F.col("tf").desc(), F.col("w")], int(top_k)
+            )
+        else:
+            out = out.orderBy(F.col("tf").desc(), F.col("w")).limit(int(top_k))
     return out

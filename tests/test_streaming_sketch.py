@@ -244,3 +244,68 @@ def test_stream_vocab_equals_batch_vocab(spark, sf_smoke, tmp_path):
     assert accumulated == batch
     top = read_vocab(spark, out, top_k=10).collect()
     assert len(top) == 10 and top[0]["tf"] == max(r[1] for r in batch)
+
+
+def test_stream_vocab_grouped_and_collapsed(spark, sf_smoke, tmp_path):
+    """Grouped streaming vocabulary: per-source partials match the batch
+    per-source aggregate, and reading WITHOUT the group collapses them
+    into the corpus vocabulary (doc-atomicity disjointness)."""
+    from sum_spark.streaming.sketch import read_vocab, streaming_vocab
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", "text"
+    )
+    drop_dir = str(tmp_path / "drops_gv")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out = str(tmp_path / "gvocab")
+    q = streaming_vocab(
+        stream,
+        path=out,
+        checkpoint=str(tmp_path / "ckpt_gv"),
+        group_cols=["source"],
+    )
+    q.awaitTermination()
+
+    tok = docs.select("doc_id", "source", F.explode(tokens("text")).alias("w"))
+    batch_grouped = sorted(
+        map(
+            tuple,
+            tok.groupBy("source", "w")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+            )
+            .collect(),
+        )
+    )
+    got_grouped = sorted(
+        map(tuple, read_vocab(spark, out, group_cols=["source"]).collect())
+    )
+    assert got_grouped == batch_grouped
+
+    batch_corpus = sorted(
+        map(
+            tuple,
+            tok.groupBy("w")
+            .agg(
+                F.count("*").cast("long").alias("tf"),
+                F.countDistinct("doc_id").cast("long").alias("df"),
+            )
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, read_vocab(spark, out).collect())) == batch_corpus
+
+    topg = read_vocab(spark, out, top_k=3, group_cols=["source"])
+    counts = {r["source"]: 0 for r in topg.collect()}
+    for r in topg.collect():
+        counts[r["source"]] += 1
+    assert counts and all(v == 3 for v in counts.values())
