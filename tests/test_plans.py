@@ -426,3 +426,20 @@ def test_histogram_one_exchange_no_sort(spark, sf_smoke):
     body = p.split("\n\n", 1)[0]
     assert body.count("Exchange") == 1
     assert "Sort" not in body
+
+
+def test_q31_token_legs_share_one_documents_tokenize(spark, sf_smoke):
+    """q31's four token legs (vocab/dvocab/cms build+probe) must all feed
+    from the ONE persisted per-source aggregate — the plan may scan
+    documents at most twice (the corpus fingerprint leg + the cached
+    aggregate's build); a third scan means a union branch lost the cache
+    and re-tokenizes the corpus. Events scans are likewise pinned (each
+    remaining branch projects different columns, where parquet column
+    pruning beats a shared full-width cache)."""
+    import re
+    from collections import Counter
+
+    p = plan_of(spark, sf_smoke, "q31_distinct_projection")
+    locs = Counter(re.findall(r"Location:.*?(\w+)\.parquet", p))
+    assert locs["documents"] <= 2
+    assert locs["events"] <= 5
