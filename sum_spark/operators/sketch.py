@@ -562,6 +562,57 @@ def duck_histogram_sql(
     )"""
 
 
+def histogram_drift(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Distribution drift between two histograms built with the SAME
+    width/lo/scale (two corpus snapshots, two crawls, two days of a
+    stream): one row ``(n_a, n_b, tv_ppm)`` where ``tv_ppm`` is the
+    total-variation distance between the two bucket distributions in
+    parts-per-million — ``(sum_bucket |n_a*N_b - n_b*N_a|) * 1e6 DIV
+    (2*N_a*N_b)``, the half-L1 of the normalized histograms without ever
+    forming a float frequency.
+
+    This is the "did today's data shift?" gate of a continuously
+    ingested corpus, answered from two bounded cell frames (a full-outer
+    join on bucket keys, missing cells = 0) — the data itself is never
+    revisited. TV = 0 iff the distributions agree bucket-wise;
+    TV = 1e6 iff disjoint. Cross-products reach n*N ~ rows^2, so the
+    numerator accumulates in DECIMAL(38,0) (the corpus_fingerprint
+    overflow rule) and only the final ppm quotient returns to BIGINT —
+    exact integer arithmetic end-to-end, reproducible across layouts
+    and engines.
+    """
+    ca = a.select("bucket", F.col("n").alias("__na"))
+    cb = b.select("bucket", F.col("n").alias("__nb"))
+    joined = ca.join(cb, "bucket", "full_outer").select(
+        F.coalesce("__na", F.lit(0)).alias("__na"),
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
+    agg = joined.agg(
+        F.sum("__na").cast("decimal(38,0)").alias("__ta"),
+        F.sum("__nb").cast("decimal(38,0)").alias("__tb"),
+        F.collect_list(F.struct("__na", "__nb")).alias("__cells"),
+    )
+    # The |na*Nb - nb*Na| sum needs the totals first; cells are
+    # range-bounded by construction, so folding them in one aggregate
+    # expression (per-row DECIMAL arithmetic) is a kilobyte-scale fold,
+    # not a data pass.
+    num = F.expr(
+        "aggregate(__cells, CAST(0 AS DECIMAL(38,0)),"
+        " (acc, c) -> acc + abs(CAST(c.__na AS DECIMAL(38,0)) * __tb"
+        "                      - CAST(c.__nb AS DECIMAL(38,0)) * __ta))"
+    )
+    staged = agg.select("__ta", "__tb", num.alias("__num"))
+    return staged.select(
+        F.col("__ta").cast("long").alias("n_a"),
+        F.col("__tb").cast("long").alias("n_b"),
+        F.expr(
+            "CASE WHEN __ta = 0 OR __tb = 0 THEN NULL"
+            " ELSE CAST((__num * 1000000) DIV (2 * __ta * __tb) AS BIGINT)"
+            " END"
+        ).alias("tv_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV (k minimum values) — mergeable approximate distinct counting
 # ---------------------------------------------------------------------------

@@ -348,3 +348,35 @@ def test_histogram_quantile_fixed_grouped(spark, sf_smoke):
         for r in histogram_quantile_fixed(sub, [(1, 2), (9, 10)], width=50.0).collect():
             expected[(t, r["p_num"], r["p_den"])] = r["est_fp"]
     assert got == expected and len(got) == 2 * len(types)
+
+
+def test_histogram_drift_total_variation(spark, sf_smoke):
+    """TV drift between snapshots: 0 for identical distributions, the
+    exact integer-ppm half-L1 for differing ones (checked against a
+    Python fraction reference), 1e6 for disjoint supports."""
+    from fractions import Fraction
+
+    from sum_spark.operators.sketch import histogram_drift, histogram_fixed
+
+    ev = load_table(spark, sf_smoke, "events")
+    h_all = histogram_fixed(ev, "value", width=50.0)
+    [same] = histogram_drift(h_all, h_all).collect()
+    assert same["tv_ppm"] == 0 and same["n_a"] == same["n_b"]
+
+    lo = histogram_fixed(ev.where(F.col("value") < 100), "value", width=50.0)
+    [d] = histogram_drift(h_all, lo).collect()
+    cells_a = {r["bucket"]: r["n"] for r in h_all.collect()}
+    cells_b = {r["bucket"]: r["n"] for r in lo.collect()}
+    na, nb = sum(cells_a.values()), sum(cells_b.values())
+    tv = sum(
+        abs(Fraction(cells_a.get(k, 0), na) - Fraction(cells_b.get(k, 0), nb))
+        for k in set(cells_a) | set(cells_b)
+    ) / 2
+    assert d["tv_ppm"] == int(tv * 1_000_000)
+    assert 0 < d["tv_ppm"] < 1_000_000
+
+    hi = histogram_fixed(ev.where(F.col("value") >= 100), "value", width=50.0)
+    # Disjoint only if no bucket straddles the cut: 100.00 is a bucket
+    # boundary at width 50, so lo and hi supports are disjoint.
+    [x] = histogram_drift(lo, hi).collect()
+    assert x["tv_ppm"] == 1_000_000
