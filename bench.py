@@ -76,7 +76,7 @@ HEADLINE = [
 # folds the other union legs out of the plan entirely.
 TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q02_lookup_topk": ("op", ["point", "topk"]),
-    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "cms", "kmv"]),
+    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv"]),
     "q08_semi_join": ("op", ["exists", "in"]),
     "knn_search": ("mode", ["brute", "filt", "ivf", "ivfpq"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),

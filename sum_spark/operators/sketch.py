@@ -613,6 +613,56 @@ def histogram_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def histogram_drift_by_group(
+    grouped: DataFrame, group_cols: list[str], reference: DataFrame
+) -> DataFrame:
+    """Per-group distribution drift: each group's TV distance (integer
+    ppm, as in ``histogram_drift``) against one ``reference`` histogram
+    — "which domains/types deviate from the corpus mixture, and by how
+    much", answered entirely from cell frames.
+
+    REQUIRES the reference's bucket support to cover every group's
+    (satisfied by the natural call: reference = the groups' own merged
+    corpus view, whose support is the union) — the drift grid is
+    group x reference-bucket, so a group bucket absent from the
+    reference would silently drop. All frames are range-bounded cells;
+    the reference rides along as a broadcast. Same DECIMAL(38,0)
+    accumulation + final integer DIV as the ungrouped form. Output:
+    (group..., n_g, n_ref, tv_ppm).
+    """
+    groups = list(group_cols)
+    gtot = grouped.groupBy(*groups).agg(
+        F.sum("n").cast("decimal(38,0)").alias("__ng")
+    )
+    ref_cells = reference.select("bucket", F.col("n").alias("__nc_b"))
+    ref_tot = reference.agg(F.sum("n").cast("decimal(38,0)").alias("__nc"))
+    grid = (
+        gtot.crossJoin(F.broadcast(ref_tot))
+        .crossJoin(F.broadcast(ref_cells))
+        .join(
+            grouped.select(*groups, "bucket", F.col("n").alias("__ng_b")),
+            groups + ["bucket"],
+            "left",
+        )
+    )
+    term = F.expr(
+        "abs(CAST(coalesce(__ng_b, 0) AS DECIMAL(38,0)) * __nc"
+        "     - CAST(__nc_b AS DECIMAL(38,0)) * __ng)"
+    )
+    return (
+        grid.groupBy(*groups, "__ng", "__nc")
+        .agg(F.sum(term).alias("__num"))
+        .select(
+            *groups,
+            F.col("__ng").cast("long").alias("n_g"),
+            F.col("__nc").cast("long").alias("n_ref"),
+            F.expr(
+                "CAST((__num * 1000000) DIV (2 * __ng * __nc) AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # KMV (k minimum values) — mergeable approximate distinct counting
 # ---------------------------------------------------------------------------

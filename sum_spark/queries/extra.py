@@ -169,6 +169,19 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
            NULL, est_fp, NULL, NULL, NULL, NULL
     FROM histq
     UNION ALL
+    SELECT 'drift', d.g, NULL, d.tv_ppm, NULL, d.n_g, NULL, NULL FROM (
+      SELECT gt.g,
+             CAST(SUM(ABS(CAST(COALESCE(hg.n, 0) AS HUGEINT) * t.nc
+                          - CAST(h.n AS HUGEINT) * gt.ng)) * 1000000
+                  // (2 * gt.ng * t.nc) AS BIGINT) AS tv_ppm,
+             CAST(gt.ng AS BIGINT) AS n_g
+      FROM (SELECT g, SUM(n) AS ng FROM histg GROUP BY g) gt
+      CROSS JOIN (SELECT SUM(n) AS nc FROM hist) t
+      CROSS JOIN hist h
+      LEFT JOIN histg hg ON hg.g = gt.g AND hg.bucket = h.bucket
+      GROUP BY gt.g, gt.ng, t.nc
+    ) d
+    UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
     SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
@@ -209,7 +222,11 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     "(sketch.histogram_quantile_fixed: rational p, integer fixed-point "
     "interpolation — bit-identical cross-engine, within one bucket "
     "width of the exact percentile by construction; the cell frame is "
-    "persisted and shared with 'hist'); 'cms' = the same "
+    "persisted and shared with 'hist'); 'drift' = per-type mixture "
+    "drift (sketch.histogram_drift_by_group: each event_type's TV "
+    "distance vs the corpus distribution in integer ppm — "
+    "DECIMAL/HUGEINT cross-products, final integer DIV — from the same "
+    "persisted cells, zero extra data passes); 'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -388,6 +405,24 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _hist_rows(hist_cells, ns).unionByName(
         _hist_rows(hist_gcells, F.col("event_type"))
     )
+    # Per-type drift vs the corpus mixture: TV distance in integer ppm
+    # from the SAME persisted cells (sketch.histogram_drift_by_group) —
+    # "which event types' value distributions deviate, and by how much",
+    # with zero additional data passes.
+    from sum_spark.operators.sketch import histogram_drift_by_group
+
+    drift = histogram_drift_by_group(
+        hist_gcells, ["event_type"], hist_cells
+    ).select(
+        F.lit("drift").alias("mode"),
+        F.col("event_type").alias("col_a"),
+        ns.alias("col_b"),
+        F.col("tv_ppm").alias("n_rows"),
+        nl.alias("n_nulls"),
+        F.col("n_g").alias("n_distinct"),
+        ns.alias("min_str"),
+        ns.alias("max_str"),
+    )
     # Quantiles answered FROM the histogram in exact integer arithmetic
     # (rational p, fixed-point estimate) — the hash-checkable form of
     # histogram_quantile; the estimate is within one bucket width of the
@@ -432,6 +467,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dvocab)
         .unionByName(hist)
         .unionByName(histq)
+        .unionByName(drift)
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])

@@ -380,3 +380,34 @@ def test_histogram_drift_total_variation(spark, sf_smoke):
     # boundary at width 50, so lo and hi supports are disjoint.
     [x] = histogram_drift(lo, hi).collect()
     assert x["tv_ppm"] == 1_000_000
+
+
+def test_histogram_drift_by_group_matches_per_group(spark, sf_smoke):
+    """Grouped drift vs the merged corpus reference == running the
+    ungrouped drift once per group against that reference."""
+    from sum_spark.operators.sketch import (
+        histogram_drift,
+        histogram_drift_by_group,
+        histogram_fixed,
+        histogram_merge,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    grouped = histogram_fixed(ev, "value", width=50.0, group_cols=["event_type"])
+    corpus = histogram_merge(grouped.drop("event_type"))
+    got = {
+        r["event_type"]: (r["n_g"], r["n_ref"], r["tv_ppm"])
+        for r in histogram_drift_by_group(
+            grouped, ["event_type"], corpus
+        ).collect()
+    }
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    for t in types:
+        own = grouped.where(F.col("event_type") == t).select(
+            "bucket", "n", "s_fixed"
+        )
+        [d] = histogram_drift(own, corpus).collect()
+        # histogram_drift(a, b) reports (n_a, n_b); by_group reports vs
+        # the reference — same quantities, same exact ppm.
+        assert got[t] == (d["n_a"], d["n_b"], d["tv_ppm"])
+    assert len(got) == len(types)
