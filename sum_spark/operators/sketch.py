@@ -753,3 +753,128 @@ def duck_kmv_sql(
              END AS est
       FROM kmv_{name}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — mergeable cardinality registers with reproducible buffers
+# ---------------------------------------------------------------------------
+
+HLL_P = 12  # 2^12 = 4096 registers; rsd ~ 1.04/sqrt(m) = 1.6%
+HLL_M = 1 << HLL_P
+_HLL_REM_BITS = 60 - HLL_P  # low bits that feed the leading-zero count
+_HLL_REM_SPACE = 1 << _HLL_REM_BITS
+
+
+def hll_sketch(
+    items: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    seed: str = "hll",
+) -> DataFrame:
+    """HyperLogLog registers of a column, optionally per group: a
+    (group..., idx, rho) frame of at most 2^HLL_P rows per group,
+    mergeable across corpus parts via MAX (``hll_merge``).
+
+    KMV (above) already covers mergeable distinct counting at k=32
+    accuracy; HLL is the standard-error-per-byte winner (rsd
+    1.04/sqrt(m)) and the industry default for cardinality rollups, so
+    the engine carries both. Unlike Spark's approx_count_distinct, whose
+    HLL++ buffer is engine-private bytes, these registers are built from
+    the portable md5-60 hash family with INTEGER-only ops — bucket is
+    the hash's top HLL_P bits (integer DIV), rho the leading-zero count
+    of the remaining bits derived from length(bin(rem)) (both engines
+    print minimal-width binary) — so a DuckDB oracle reproduces every
+    register bit-for-bit and the sketch can be stored/merged across
+    engines.
+
+    Plan shape: one map-side pass then an aggregation onto a key space
+    bounded by groups x 4096 — partial combine collapses the corpus
+    before the exchange, which moves kilobytes regardless of input size.
+    """
+    h = hash60(F.concat(F.lit(f"{seed}:"), F.col(item_col).cast("string")))
+    # staged projection: hash once, then derive idx/rho from the stored
+    # hash (Catalyst would re-inline the md5 into both subtrees otherwise)
+    rem = F.col("__hll_h") % F.lit(_HLL_REM_SPACE)
+    rho = (
+        F.when(rem == F.lit(0), F.lit(_HLL_REM_BITS + 1))
+        .otherwise(F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    # integer DIV, not float division (CLAUDE.md: hash-derived integers
+    # must stay integer end-to-end)
+    idx = F.expr(f"__hll_h DIV {_HLL_REM_SPACE}").alias("idx")
+    return (
+        items.where(F.col(item_col).isNotNull())
+        .select(*group_cols, h.alias("__hll_h"))
+        .select(*group_cols, idx, rho.alias("__rho"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("__rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables (same seed, same grouping) into the sketch
+    of the combined data: per-register MAX, the HLL merge law."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c not in ("idx", "rho")]
+    return out.groupBy(*group, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group (est DOUBLE) cardinality estimate from registers.
+
+    Classic HLL with the small-range (linear counting) correction:
+    raw = alpha_m * m^2 / (sum over registers of 2^-rho), where absent
+    registers contribute 2^0; if raw <= 2.5m and zero registers exist,
+    est = m * ln(m / V). The estimate is float (ln/pow) — callers that
+    need cross-engine equality check the REGISTERS (exact integers) and
+    gate the estimate with a tolerance flag, the q38 acd_ok pattern.
+    """
+    m = HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("__nnz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("__s_nz"),
+    )
+    v = F.lit(m) - F.col("__nnz")  # zero registers
+    raw = F.lit(alpha * m * m) / (F.col("__s_nz") + v.cast("double"))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), lc).otherwise(raw)
+    return agg.select(*group_cols, est.alias("est"))
+
+
+def hll_regsum(sketch: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Per-group BIGINT digest of the registers: SUM(idx*64 + rho).
+    Order-independent, exact (<= 4096 terms of < 2^19 each), and
+    reproducible by the DuckDB oracle — the checkable identity of the
+    sketch, analogous to the histogram cell hashes."""
+    return sketch.groupBy(*group_cols).agg(
+        F.sum(F.col("idx") * F.lit(64) + F.col("rho")).alias("regsum")
+    )
+
+
+def duck_hll_sql(
+    item_sql: str, name: str, seed: str = "hll", group: str = ""
+) -> str:
+    """DuckDB CTE pair rebuilding the registers and their digest for
+    ``item_sql`` (columns: optional group ``g``, value ``x``): yields
+    ``hllreg_<name>`` (g?, idx, rho) and ``hllsum_<name>`` (g?, regsum).
+    ``group`` is '' for ungrouped or 'g' for one group column."""
+    h = duck_hash60(f"'{seed}:' || CAST(x AS VARCHAR)")
+    gsel = f"{group}, " if group else ""
+    gby = f"GROUP BY {group}" if group else ""
+    return f"""
+    hllreg_{name} AS (
+      SELECT {gsel}h // {_HLL_REM_SPACE} AS idx,
+             MAX(CASE WHEN h % {_HLL_REM_SPACE} = 0 THEN {_HLL_REM_BITS + 1}
+                      ELSE {_HLL_REM_BITS + 1} - length(bin(h % {_HLL_REM_SPACE}))
+                 END) AS rho
+      FROM (SELECT {gsel}{h} AS h FROM ({item_sql}) WHERE x IS NOT NULL)
+      GROUP BY {gsel}idx
+    ),
+    hllsum_{name} AS (
+      SELECT {gsel}CAST(SUM(idx * 64 + rho) AS BIGINT) AS regsum
+      FROM hllreg_{name} {gby}
+    )"""

@@ -15,6 +15,7 @@ from sum_spark.operators.sketch import (
     duck_count_min_sql,
     duck_histogram_quantile_sql,
     duck_histogram_sql,
+    duck_hll_sql,
     duck_kmv_sql,
 )
 from sum_spark.queries.base import query
@@ -674,32 +675,62 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q38_approx_count_distinct",
-    oracle="""
-    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS cd, true AS acd_ok
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    oracle=f"""
+    WITH {duck_hll_sql("SELECT o_orderpriority AS g, o_custkey AS x FROM orders", "q38", seed="q38", group="g")}
+    SELECT 'acd' AS mode, o_orderpriority, COUNT(DISTINCT o_custkey) AS cd,
+           true AS ok, CAST(0 AS BIGINT) AS regsum
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'hll', c.g, c.cd, true, s.regsum
+    FROM (SELECT o_orderpriority AS g, COUNT(DISTINCT o_custkey) AS cd
+          FROM orders GROUP BY 1) c
+    JOIN hllsum_q38 s USING (g)
+    ORDER BY mode, o_orderpriority
     """,
-    doc="approx_count_distinct (HLL++) — the declared perf variant of Q13. "
-    "The sketch value itself is engine-specific, so the CHECKED claim is "
-    "its accuracy: acd_ok asserts the HLL estimate is within 5% of the "
-    "exact COUNT(DISTINCT), which the oracle emits as ground truth "
-    "(VERDICT r3 #2). The sketch targets rsd=0.01, but rsd is a standard "
-    "deviation, not a bound — 5% (5 sigma) keeps the gate meaningful "
-    "without failing the suite on an unlucky-but-in-spec sketch after a "
-    "Spark HLL++ implementation change or at a different scale factor.",
+    doc="Approximate distinct counting, two sketches. 'acd' leg: Spark's "
+    "built-in approx_count_distinct (HLL++) — its buffer is "
+    "engine-private, so the CHECKED claim is accuracy: ok asserts the "
+    "estimate is within 5% of the exact COUNT(DISTINCT), which the "
+    "oracle emits as ground truth (VERDICT r3 #2; rsd=0.01 is a std "
+    "dev, not a bound — 5 sigma keeps the gate meaningful). 'hll' leg: "
+    "the engine's own HyperLogLog (operators/sketch.py hll_sketch) whose "
+    "md5-60 integer registers ARE oracle-reproducible — regsum is the "
+    "exact per-group register digest rebuilt bit-for-bit by the DuckDB "
+    "CTE, and ok gates the float estimate (with linear-counting "
+    "small-range correction) at the same 5%. Registers merge via MAX "
+    "(hll_merge), so per-shard sketches roll up without rescanning.",
 )
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    agg = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"),
-            F.countDistinct("o_custkey").alias("cd"),
+    from sum_spark.operators.sketch import hll_estimate, hll_regsum, hll_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"),
+        F.countDistinct("o_custkey").alias("cd"),
+    )
+    acd = exact.select(
+        F.lit("acd").alias("mode"),
+        "o_orderpriority",
+        "cd",
+        (F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.05)).alias("ok"),
+        F.lit(0).cast("long").alias("regsum"),
+    )
+    sk = hll_sketch(orders, "o_custkey", ("o_orderpriority",), seed="q38")
+    hll = (
+        hll_regsum(sk, ("o_orderpriority",))
+        .join(hll_estimate(sk, ("o_orderpriority",)), "o_orderpriority")
+        .join(exact.select("o_orderpriority", "cd"), "o_orderpriority")
+        .select(
+            F.lit("hll").alias("mode"),
+            "o_orderpriority",
+            "cd",
+            (F.abs(F.col("est") - F.col("cd")) / F.col("cd") <= F.lit(0.05)).alias(
+                "ok"
+            ),
+            "regsum",
         )
     )
-    ok = (
-        F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.05)
-    ).alias("acd_ok")
-    return agg.select("o_orderpriority", "cd", ok).orderBy("o_orderpriority")
+    return acd.unionByName(hll).orderBy("mode", "o_orderpriority")
 
 
 @query(

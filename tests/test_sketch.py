@@ -411,3 +411,64 @@ def test_histogram_drift_by_group_matches_per_group(spark, sf_smoke):
         # the reference — same quantities, same exact ppm.
         assert got[t] == (d["n_a"], d["n_b"], d["tv_ppm"])
     assert len(got) == len(types)
+
+
+def test_hll_mergeability_registers_and_accuracy(spark, sf_smoke):
+    """sketch(A) merge sketch(B) == sketch(A union B) (register-exact:
+    MAX is the HLL merge law), estimate within 5% at m=4096, and the
+    regsum digest matches the DuckDB rebuild of the same registers."""
+    import duckdb
+
+    from sum_spark.operators.sketch import (
+        duck_hll_sql,
+        hll_estimate,
+        hll_merge,
+        hll_regsum,
+        hll_sketch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    items = docs.select(F.col("doc_id").alias("x"))
+    a = items.where(F.col("x") % 2 == 0)
+    b = items.where(F.col("x") % 2 != 0)
+    merged = hll_merge(hll_sketch(a, "x"), hll_sketch(b, "x"))
+    full = hll_sketch(items, "x")
+    key = lambda df: sorted((r["idx"], r["rho"]) for r in df.collect())
+    assert key(merged) == key(full)
+
+    exact = items.distinct().count()
+    [e] = hll_estimate(full).collect()
+    assert abs(e["est"] - exact) <= 0.05 * exact
+
+    [rs] = hll_regsum(full).collect()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    cte = duck_hll_sql("SELECT doc_id AS x FROM documents", "t")
+    [(duck_rs,)] = con.sql(
+        f"WITH {cte} SELECT regsum FROM hllsum_t"
+    ).fetchall()
+    assert rs["regsum"] == duck_rs
+
+
+def test_hll_grouped_layout_invariant(spark, sf_smoke):
+    """Grouped registers are identical under a different partition
+    layout (pure integer MAX aggregation — no float, no order
+    sensitivity), and null items are skipped."""
+    from sum_spark.operators.sketch import hll_sketch
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "source", F.col("doc_id").alias("x")
+    )
+    with_null = docs.unionByName(
+        docs.limit(1).select("source", F.lit(None).cast("long").alias("x"))
+    )
+    sk1 = hll_sketch(with_null, "x", ("source",))
+    sk2 = hll_sketch(with_null.repartition(17, "x"), "x", ("source",))
+    key = lambda df: sorted(
+        (r["source"], r["idx"], r["rho"]) for r in df.collect()
+    )
+    assert key(sk1) == key(sk2)
+    assert key(hll_sketch(docs, "x", ("source",))) == key(sk1)  # NULL skipped
