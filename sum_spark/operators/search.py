@@ -120,3 +120,188 @@ def duck_bm25_sql(terms: list[str], k: int = 10) -> str:
            doc_id, ROUND(s, 4) AS score
     FROM top ORDER BY rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Inverted index — stored posting lists, BM25 served from the index
+# ---------------------------------------------------------------------------
+
+II_BUCKETS = 64
+
+
+def _term_bucket(term: F.Column, n_buckets: int = II_BUCKETS) -> F.Column:
+    # Engine-internal partition key (never oracle-checked): xxhash64,
+    # not md5 (CLAUDE.md hash-key rule).
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frames of a text inverted index:
+
+    - postings (term, doc_id, tf, dl): one row per distinct term per
+      document — the posting lists, with the document length
+      denormalized so scoring never joins back to the corpus;
+    - terms (term, df): per-term document frequency;
+    - meta (n, sum_dl): corpus size and total token count, from which
+      avgdl derives exactly (integer sum, one double division).
+
+    This is the lexical twin of the IVF index (similarity.py): the
+    corpus tokenization happens ONCE at build time, and a query then
+    touches only its terms' postings instead of re-tokenizing 100 TB
+    per search. n/sum_dl come from the DOCUMENT frame (a zero-token
+    document has no postings but still counts toward N and avgdl).
+    """
+    words = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
+    ).select("doc_id", F.size("__w").alias("dl"), F.col("__w"))
+    postings = (
+        words.select("doc_id", "dl", F.explode("__w").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    terms = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    meta = words.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    return postings, terms, meta
+
+
+def write_inverted_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = II_BUCKETS,
+) -> None:
+    """Persist the inverted index PARTITIONED BY a term-hash bucket —
+    the write-time half of the contract: a query's scan reads only the
+    buckets its terms hash to (PartitionFilters), and within a bucket
+    the term equality predicate prunes row groups (PushedFilters,
+    postings are written sorted by term). Layout mirrors write_ivf_index:
+    <path>/postings, <path>/terms (both bucketed), <path>/meta (1 row).
+    """
+    postings, terms, meta = build_inverted_index(df, text_col, id_col)
+    (
+        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/postings", mode="overwrite")
+    )
+    (
+        terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/terms", mode="overwrite")
+    )
+    meta.write.parquet(f"{path}/meta", mode="overwrite")
+
+
+def _bm25_over_postings(
+    matched: DataFrame,
+    terms: list[str],
+    dfs: dict[str, int],
+    n: int,
+    sum_dl: int,
+    k: int,
+) -> DataFrame:
+    """Score matched posting rows (term, doc_id, tf, dl) with the SAME
+    fixed left-associative per-term chain as bm25_search — matched terms
+    pivot to fixed per-term tf columns first, so double addition order
+    is identical and the two paths agree to the last bit."""
+    pivoted = matched.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == F.lit(t), F.col("tf"))).alias(f"__tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    avgdl = F.lit(sum_dl).cast("double") / F.lit(n)
+    score: Column | None = None
+    for i, t in enumerate(terms):
+        dft = F.lit(dfs.get(t, 0))
+        idf = F.log(F.lit(1) + (F.lit(n) - dft + F.lit(0.5)) / (dft + F.lit(0.5)))
+        tf = F.coalesce(F.col(f"__tf{i}"), F.lit(0)).cast("double")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+        )
+        contrib = idf * (tf * (F.lit(BM25_K1) + F.lit(1))) / denom
+        score = contrib if score is None else score + contrib
+    ranked = (
+        pivoted.select("doc_id", score.alias("__score"))
+        .where(F.col("__score") > 0)
+        .orderBy(F.col("__score").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__score").desc(), "doc_id")
+    return ranked.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.round("__score", 4).alias("score"),
+    ).orderBy("rank")
+
+
+def _collect_stats(
+    terms_df: DataFrame, meta: DataFrame, terms: list[str]
+) -> tuple[dict[str, int], int, int]:
+    """Bounded collects (<= len(terms) + 1 rows — the knn probe-bucket
+    pattern): per-query-term document frequencies and the corpus meta
+    row, inlined as literals into the scoring expression."""
+    dfs = {
+        r["term"]: r["df"]
+        for r in terms_df.where(F.col("term").isin(terms)).collect()
+    }
+    [m] = meta.collect()
+    return dfs, m["n"], m["sum_dl"]
+
+
+def bm25_postings_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 through an in-flight inverted index: build the posting
+    frames, then score only rows whose term is in the query. Returns
+    exactly bm25_search's rows — the equality the registry leg checks;
+    the point of the path is that tf/df/dl come from the POSTINGS
+    representation (what a stored index serves), not from re-tokenizing
+    every document per query."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    postings, terms_df, meta = build_inverted_index(df, text_col, id_col)
+    dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
+    matched = postings.where(F.col("term").isin(terms))
+    return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)
+
+
+def bm25_from_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    n_buckets: int = II_BUCKETS,
+) -> DataFrame:
+    """BM25 against a write-time inverted index (write_inverted_index):
+    the query terms' buckets become a LITERAL isin filter on the
+    partition column, so the scan reads ONLY those buckets' files
+    (PartitionFilters — asserted in tests) and the term predicate
+    prunes row groups within them (PushedFilters, term-sorted layout).
+    Results equal bm25_search / bm25_postings_search exactly."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lt = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = [
+        r["b"]
+        for r in lt.select(_term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    prune = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    matched = spark.read.parquet(f"{path}/postings").where(prune)
+    terms_df = spark.read.parquet(f"{path}/terms").where(prune)
+    meta = spark.read.parquet(f"{path}/meta")
+    dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
+    return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)

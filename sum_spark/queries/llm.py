@@ -847,13 +847,37 @@ _BM25_TERMS = ["spark", "window", "merge"]
 
 @query(
     "bm25_search",
-    oracle=duck_bm25_sql(_BM25_TERMS, k=10),
-    doc="BM25(k1=1.2, b=0.75) top-10 keyword retrieval: one broadcast "
-    "stats row + per-row column scoring + TakeOrderedAndProject.",
+    oracle=f"""
+    WITH base AS ({duck_bm25_sql(_BM25_TERMS, k=10)})
+    SELECT 'idx' AS mode, rank, doc_id, score FROM base
+    UNION ALL
+    SELECT 'scan', rank, doc_id, score FROM base
+    ORDER BY mode, rank
+    """,
+    doc="BM25(k1=1.2, b=0.75) top-10 keyword retrieval, two execution "
+    "paths with checked-identical results. 'scan' leg: one broadcast "
+    "stats row + per-row column scoring over the tokenized corpus + "
+    "TakeOrderedAndProject. 'idx' leg: the same query served from the "
+    "INVERTED INDEX representation (operators/search.py "
+    "build_inverted_index — term-bucketed posting lists with df/dl/meta "
+    "denormalized), scoring only the query terms' posting rows via the "
+    "same fixed left-associative chain, so the two paths agree "
+    "bit-for-bit and the oracle checks both against one SQL body. The "
+    "write-time half (write_inverted_index / bm25_from_index, "
+    "PartitionFilters on the term bucket) round-trips in "
+    "tests/test_inverted_index.py.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.search import bm25_postings_search
+
     docs = load_table(spark, sf_dir, "documents")
-    return bm25_search(docs, _BM25_TERMS, k=10)
+    scan = bm25_search(docs, _BM25_TERMS, k=10).select(
+        F.lit("scan").alias("mode"), "rank", "doc_id", "score"
+    )
+    idx = bm25_postings_search(docs, _BM25_TERMS, k=10).select(
+        F.lit("idx").alias("mode"), "rank", "doc_id", "score"
+    )
+    return idx.unionByName(scan).orderBy("mode", "rank")
 
 
 @query(

@@ -1,0 +1,99 @@
+"""Inverted-index properties: the posting-list BM25 paths (in-flight
+and from-disk) return exactly what the full-scan bm25_search returns,
+and the stored layout actually prunes — the postings scan's
+PartitionFilters restricts to the query terms' buckets and the term
+predicate is pushed."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from sum_spark.operators.search import (
+    II_BUCKETS,
+    bm25_from_index,
+    bm25_postings_search,
+    bm25_search,
+    build_inverted_index,
+    write_inverted_index,
+)
+from sum_spark.sources.tables import load_table
+
+TERMS = ["the", "data", "zebra"]  # common, mid, likely-absent
+
+
+def test_postings_path_equals_scan_path(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    scan = bm25_search(docs, TERMS, k=10).collect()
+    idx = bm25_postings_search(docs, TERMS, k=10).collect()
+    assert sorted(map(tuple, idx)) == sorted(map(tuple, scan))
+
+
+def test_index_roundtrip_equals_scan_and_prunes(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "ii")
+    write_inverted_index(docs, path)
+
+    from_disk = bm25_from_index(spark, path, TERMS, k=10)
+    scan = bm25_search(docs, TERMS, k=10)
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, scan.collect())
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_disk.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf and pf.strip() != ""
+    # the term equality predicate reached the parquet row-group level
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed
+
+
+def test_meta_counts_zero_token_documents(spark):
+    """A document with no tokens has no postings but still counts
+    toward N and sum_dl — meta must come from the document frame."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    postings, terms, meta = build_inverted_index(docs)
+    [m] = meta.collect()
+    # split('', ' ') is [''] — one (empty-string) token, same as the
+    # scan path tokenizes; both docs count toward N and sum_dl.
+    assert m["n"] == 2
+    assert m["sum_dl"] == 3  # 'alpha beta' -> 2, '' -> 1
+    per_doc = {r["doc_id"]: r["dl"] for r in postings.select("doc_id", "dl").distinct().collect()}
+    assert per_doc == {1: 2, 2: 1}
+
+
+def test_tf_and_df_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    postings, terms, _ = build_inverted_index(docs)
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in postings.collect()}
+    assert got[("a", 1)] == (2, 3)
+    assert got[("b", 1)] == (1, 3)
+    assert got[("a", 2)] == (1, 2)
+    dfs = {r["term"]: r["df"] for r in terms.collect()}
+    assert dfs == {"a": 2, "b": 1, "c": 1}
+
+
+def test_bucket_count_bounds_scanned_partitions(spark, sf_smoke, tmp_path):
+    """Single-term query: exactly one bucket value survives in the
+    partition filter literal set."""
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "ii1")
+    write_inverted_index(docs, path, n_buckets=II_BUCKETS)
+    one = bm25_from_index(spark, path, ["data"], k=5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    pf = buf.getvalue().split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # isin collapses to a single equality or 1-element IN
+    assert pf.count(",") <= 2
