@@ -76,6 +76,9 @@ HEADLINE = [
 # folds the other union legs out of the plan entirely.
 TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q02_lookup_topk": ("op", ["point", "topk"]),
+    "q38_approx_count_distinct": ("mode", ["acd", "hll"]),
+    "bm25_search": ("mode", ["scan", "idx"]),
+    "global_shuffle": ("mode", ["shuf", "zord"]),
     "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv"]),
     "q08_semi_join": ("op", ["exists", "in"]),
     "knn_search": ("mode", ["brute", "filt", "ivf", "ivfpq"]),

@@ -1591,6 +1591,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_zorder_leg() -> str:
+    from sum_spark.operators.layout import duck_zorder_sql
+
+    z = duck_zorder_sql(
+        ["n_chars", "doc_id"],
+        [("b.mn0", "b.mx0"), ("b.mn1", "b.mx1")],
+    )
+    return f"""
+    zb AS (SELECT MIN(n_chars) AS mn0, MAX(n_chars) AS mx0,
+                  MIN(doc_id) AS mn1, MAX(doc_id) AS mx1 FROM documents),
+    zk AS (SELECT doc_id, {z} AS zkey FROM documents CROSS JOIN zb b)
+    """
+
+
 @query(
     "global_shuffle",
     oracle=f"""
@@ -1598,18 +1612,39 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              {_dh60("'epoch-0:' || CAST(doc_id AS VARCHAR)")} AS hh
       FROM documents
-    )
-    SELECT doc_id,
-           CAST(ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS BIGINT) AS shuffle_pos
-    FROM h ORDER BY shuffle_pos
+    ),
+    {_duck_zorder_leg().strip().rstrip().rstrip(',')}
+    SELECT 'shuf' AS mode, doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM h
+    UNION ALL
+    SELECT 'zord', doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY zkey, doc_id) AS BIGINT)
+    FROM zk
+    ORDER BY mode, pos
     """,
-    doc="Deterministic global corpus shuffle: rank of the seeded portable "
-    "hash, assigned via the two-pass contiguous-id path (no global sort "
-    "on one task); reshuffle per epoch by changing the seed.",
+    doc="Corpus layout orderings, both via the two-pass contiguous-id "
+    "path (no global sort on one task). 'shuf' leg: deterministic "
+    "pseudorandom shuffle — rank of the seeded portable hash, "
+    "re-seedable per epoch. 'zord' leg: Z-ORDER clustering "
+    "(operators/layout.py) — rank along the Morton curve of "
+    "(n_chars, doc_id), the multi-dimension file-skipping layout; the "
+    "key is pure integer shift/and/or over range-quantized dims, so the "
+    "oracle rebuilds every position exactly (the layout operator "
+    "zorder_layout range-partitions by the same key; locality is "
+    "property-tested in tests/test_layout.py).",
 )
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.layout import zorder_rank
+
     docs = load_table(spark, sf_dir, "documents")
-    return sampling.global_shuffle(docs, seed="epoch-0")
+    shuf = sampling.global_shuffle(docs, seed="epoch-0").select(
+        F.lit("shuf").alias("mode"), "doc_id", F.col("shuffle_pos").alias("pos")
+    )
+    zord = zorder_rank(docs, ["n_chars", "doc_id"], id_col="doc_id").select(
+        F.lit("zord").alias("mode"), "doc_id", F.col("zpos").alias("pos")
+    )
+    return shuf.unionByName(zord).orderBy("mode", "pos")
 
 
 from sum_spark.operators.multimodal import asset_stats, make_assets  # noqa: E402
