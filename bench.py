@@ -81,6 +81,9 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "global_shuffle": ("mode", ["shuf", "zord"]),
     "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv"]),
     "q08_semi_join": ("op", ["exists", "in"]),
+    # the three diff_* statuses are one union child (one full-outer
+    # join); diff_changed times that child once for all three.
+    "q20_set_ops": ("op", ["anti", "except", "intersect", "union_all", "diff_changed"]),
     "knn_search": ("mode", ["brute", "filt", "ivf", "ivfpq"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),

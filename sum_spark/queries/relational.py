@@ -497,6 +497,14 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'union_all', k FROM (
       SELECT n_nationkey AS k FROM nation
       UNION ALL SELECT r_regionkey FROM region)
+    UNION ALL
+    SELECT 'diff_' || CASE WHEN doc_id % 11 = 0 THEN 'added'
+                           WHEN doc_id % 7 = 0 THEN 'removed'
+                           ELSE 'changed' END, doc_id
+    FROM documents
+    WHERE (doc_id % 11 = 0 AND doc_id % 7 <> 0)      -- in new only
+       OR (doc_id % 7 = 0 AND doc_id % 11 <> 0)      -- in old only
+       OR (doc_id % 13 = 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0)
     ORDER BY op, k
     """,
     doc="Tagged set-operation battery (consolidated q20_intersect + "
@@ -504,7 +512,13 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with distinct semantics, UNION ALL ≡ defaultMerger array "
     "concatenation (/root/reference/master/mux_runner.go:220-226), and "
     "the left-anti NOT EXISTS form of EXCEPT — four operators, one "
-    "checked result.",
+    "checked result. The diff_* legs run operators/diff.snapshot_diff — "
+    "the corpus-version diff (added/removed/changed id sets from one "
+    "full-outer join on map-side content digests; unchanged ids emit "
+    "nothing, so output is delta-sized) — over two synthetic document "
+    "snapshots: old drops doc_id%11==0 and new drops doc_id%7==0, with "
+    "text edited in old where doc_id%13==0; the oracle derives the same "
+    "three sets from the membership arithmetic directly.",
 )
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -524,7 +538,25 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("k"))
     region = _t(spark, sf_dir, "region").select(F.col("r_regionkey").alias("k"))
     uni = nation.unionAll(region).select(F.lit("union_all").alias("op"), "k")
-    return anti.unionAll(exc).unionAll(inter).unionAll(uni).orderBy("op", "k")
+
+    from sum_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    diff = snapshot_diff(old, new, id_col="doc_id", content_cols=("text",)).select(
+        F.concat(F.lit("diff_"), F.col("status")).alias("op"),
+        F.col("id").alias("k"),
+    )
+    return (
+        anti.unionAll(exc).unionAll(inter).unionAll(uni).unionAll(diff)
+        .orderBy("op", "k")
+    )
 
 
 # --- Scalar functions -------------------------------------------------------

@@ -245,3 +245,46 @@ def read_vocab(
         else:
             out = out.orderBy(F.col("tf").desc(), F.col("w")).limit(int(top_k))
     return out
+
+
+def streaming_hll(
+    stream_df: DataFrame,
+    item_col: str,
+    path: str,
+    checkpoint: str,
+    seed: str = "hll",
+    trigger: dict | None = None,
+):
+    """Accumulate HyperLogLog registers over a stream — per-batch/
+    merge-at-read like streaming_kmv, resting on the register MAX merge
+    law (operators/sketch.hll_merge): each micro-batch writes its own
+    <= 4096 (idx, rho) rows under ``path/batch_id=N``; the registers so
+    far are the per-idx MAX across batch files. A redelivered batch
+    overwrites its own file, so redelivery cannot inflate rho (MAX is
+    idempotent anyway — HLL merge tolerates duplication by nature).
+    Cardinality-so-far in at most 4096 rows of state, with the
+    cross-engine-reproducible register property of the batch sketch."""
+    from sum_spark.operators.sketch import hll_sketch
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hll_sketch(batch_df, item_col, seed=seed)
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_hll(spark: SparkSession, path: str) -> DataFrame:
+    """The accumulated registers: per-idx MAX across every batch sketch
+    (== the registers of one batch build over all ingested rows)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -309,3 +309,38 @@ def test_stream_vocab_grouped_and_collapsed(spark, sf_smoke, tmp_path):
     for r in topg.collect():
         counts[r["source"]] += 1
     assert counts and all(v == 3 for v in counts.values())
+
+
+def test_stream_hll_equals_batch_hll(spark, sf_smoke, tmp_path):
+    """Stream-accumulated HLL registers == batch-built registers over
+    the same rows (integer MAX cells — exact equality), across >= 2
+    micro-batches; estimates therefore agree too."""
+    from sum_spark.operators.sketch import hll_estimate, hll_sketch
+    from sum_spark.streaming.sketch import read_hll, streaming_hll
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "hll_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.col("doc_id").alias("x"))
+    )
+    out_dir = str(tmp_path / "hll")
+    q = streaming_hll(stream, "x", path=out_dir, checkpoint=str(tmp_path / "ckh"))
+    q.awaitTermination()
+
+    acc = read_hll(spark, out_dir)
+    full = hll_sketch(docs.select(F.col("doc_id").alias("x")), "x")
+    key = lambda df: sorted((r["idx"], r["rho"]) for r in df.collect())
+    assert key(acc) == key(full)
+    [ea] = hll_estimate(acc).collect()
+    [ef] = hll_estimate(full).collect()
+    assert ea["est"] == ef["est"]
