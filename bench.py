@@ -70,6 +70,8 @@ HEADLINE = [
     "text_pii",
     "q32_percentile",
     "q31_distinct_projection",
+    "q20_set_ops",
+    "q38_approx_count_distinct",
 ]
 
 # entry -> (tag column, leg values). Filtering fn(...) on tag == value
@@ -89,7 +91,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
     "corpus_mixture": ("mode", ["mix", "plan", "cap"]),
     "decontaminate": ("mode", ["exact", "bloom"]),
-    "sample_stratified": ("mode", ["bern", "topk"]),
+    "sample_stratified": ("mode", ["bern", "topk", "wk"]),
     "pack_sequences": ("mode", ["pack", "pipeline"]),
     "embed_quantize": ("mode", ["quant", "norm", "pool", "kmeans", "kcent", "pq"]),
     "text_chunk": ("mode", ["tok", "line", "bpe"]),

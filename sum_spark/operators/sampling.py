@@ -169,6 +169,107 @@ def sample_exact_k(
     )
 
 
+def sample_weighted_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: str = "wk",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Exactly min(k, n) rows drawn WITHOUT replacement with probability
+    proportional to integer weights — the weighted twin of
+    sample_exact_k ("draw 10k docs, high-quality docs w times likelier").
+
+    Mechanism (successive minima): each row conceptually owns
+    ``weight`` replicas; replica r gets the deterministic 60-bit hash of
+    '<seed>:<id>:<r>', and the row's priority is the MIN over its
+    replicas. The k smallest priorities win. The global minimum replica
+    is uniform over all W replicas, so the first pick lands on row i
+    with probability w_i/W exactly; removing its replicas and repeating
+    gives the classic sequential weighted draw (the Efraimidis-Spirakis
+    scheme realized with INTEGER hashes instead of u^(1/w) floats — no
+    cross-engine float ordering, a SQL oracle reproduces the exact
+    sample). Like sample_exact_k, the draw is nested: k=5 is a prefix
+    of k=10.
+
+    Scale shape: the explode is bounded by ``max_weight`` replicas per
+    row (weights clamp to [1, max_weight]); MIN-per-id collapses
+    map-side before any exchange; the top-k compiles to
+    TakeOrderedAndProject. Cost is O(rows * avg_weight) hash
+    evaluations, zero corpus shuffles.
+
+    Output: (doc_id, stratum, pick) with pick in 1..k = selection
+    order, ordered by doc_id.
+    """
+    w_clamped = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    )
+    reps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        F.explode(F.sequence(F.lit(0), w_clamped - 1)).alias("__r"),
+    )
+    h = hash60(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("__r").cast("string"),
+        )
+    )
+    pri = (
+        reps.select("doc_id", "stratum", h.alias("__h"))
+        .groupBy("doc_id", "stratum")
+        .agg(F.min("__h").alias("__pri"))
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        pri.orderBy("__pri", "doc_id")
+        .limit(k)
+        .withColumn(
+            "pick",
+            F.row_number().over(Window.orderBy("__pri", "doc_id")).cast("long"),
+        )
+    )
+    return ranked.select("doc_id", "stratum", "pick").orderBy("doc_id")
+
+
+def duck_sample_weighted_k_sql(
+    k: int,
+    weight_expr: str,
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: str = "wk",
+    max_weight: int = 64,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of sample_weighted_k (same hash, same clamp, same
+    tie-break)."""
+    from sum_spark.functions.hashing import duck_hash60
+
+    h = duck_hash60(
+        f"'{seed}:' || CAST({id_col} AS VARCHAR) || ':' || CAST(r AS VARCHAR)"
+    )
+    return f"""
+    WITH reps AS (
+      SELECT {id_col} AS doc_id, {strat_col} AS stratum,
+             unnest(range(GREATEST(1, LEAST(CAST({weight_expr} AS BIGINT), {max_weight})))) AS r
+      FROM {table}
+    ),
+    pri AS (
+      SELECT doc_id, stratum, MIN({h}) AS p
+      FROM reps GROUP BY doc_id, stratum
+    ),
+    top AS (SELECT doc_id, stratum, p FROM pri ORDER BY p, doc_id LIMIT {k})
+    SELECT doc_id, stratum,
+           CAST(ROW_NUMBER() OVER (ORDER BY p, doc_id) AS BIGINT) AS pick
+    FROM top ORDER BY doc_id
+    """
+
+
 def duck_sample_exact_k_sql(
     k: int,
     strat_col: str = "source",

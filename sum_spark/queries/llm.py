@@ -644,18 +644,26 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
     "sample_stratified",
     oracle=f"""
     WITH bern AS ({sampling.duck_sample_stratified_sql(_MIX_RATES, default_rate=0.05)}),
-         topk AS ({sampling.duck_sample_exact_k_sql(7)})
+         topk AS ({sampling.duck_sample_exact_k_sql(7)}),
+         wk AS ({sampling.duck_sample_weighted_k_sql(25, "1 + (n_chars % 5)")})
     SELECT 'bern' AS mode, doc_id, stratum, bucket AS pick FROM bern
     UNION ALL
     SELECT 'topk' AS mode, doc_id, stratum, pick FROM topk
+    UNION ALL
+    SELECT 'wk' AS mode, doc_id, stratum, pick FROM wk
     ORDER BY mode, doc_id
     """,
-    doc="Tagged sampling pair (data-mixture step): 'bern' = deterministic "
+    doc="Tagged sampling trio (data-mixture step): 'bern' = deterministic "
     "hash-Bernoulli stratified sampling (keep iff md5-hash(stratum:id) "
     "mod 10k < rate*10k — reproducible, shuffle-free); 'topk' = "
     "sample_exact_k, exactly 7 rows per stratum by ascending hash "
-    "(fixed-budget draw, WindowGroupLimit pre-shuffle pruning at scale). "
-    "Both operators execute; one checked result.",
+    "(fixed-budget draw, WindowGroupLimit pre-shuffle pruning at scale); "
+    "'wk' = sample_weighted_k, 25 rows drawn without replacement with "
+    "probability proportional to an integer weight (1 + n_chars%5) via "
+    "the successive-minima scheme — per-row MIN over weight-many replica "
+    "hashes, k smallest win; the Efraimidis-Spirakis draw with integer "
+    "hashes instead of u^(1/w) floats, so the oracle reproduces the "
+    "exact sample. All three operators execute; one checked result.",
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -665,7 +673,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = sampling.sample_exact_k(docs, 7).select(
         F.lit("topk").alias("mode"), "doc_id", "stratum", "pick"
     )
-    return bern.unionAll(topk).orderBy("mode", "doc_id")
+    wk = sampling.sample_weighted_k(
+        docs.withColumn("weight", F.lit(1) + F.col("n_chars") % 5), k=25
+    ).select(F.lit("wk").alias("mode"), "doc_id", "stratum", "pick")
+    return bern.unionAll(topk).unionAll(wk).orderBy("mode", "doc_id")
 
 
 # Rebalancing targets for the 'plan' leg — integer weights per source,

@@ -522,3 +522,69 @@ def test_top_k_per_group_matches_reference(spark, sf_smoke):
         for i, (_, did) in enumerate(sorted(rows)[:3], 1):
             expected[(src, did)] = i
     assert got == expected and got
+
+
+def test_sample_weighted_k_determinism_nesting_and_clamp(spark):
+    from sum_spark.operators.sampling import sample_weighted_k
+
+    df = spark.createDataFrame(
+        [(i, "s", 1 + i % 4) for i in range(60)],
+        "doc_id long, source string, weight long",
+    )
+    out = sample_weighted_k(df, 10)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert sorted(r["pick"] for r in rows) == list(range(1, 11))
+    # deterministic + layout-invariant (integer hashes, no floats)
+    again = sample_weighted_k(df.repartition(7, "doc_id"), 10).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # nested: k=5 sample is a prefix of k=10 (same priorities)
+    small = {r["doc_id"] for r in sample_weighted_k(df, 5).collect()}
+    big_by_pick = {r["pick"]: r["doc_id"] for r in rows}
+    assert small == {big_by_pick[p] for p in range(1, 6)}
+    # weight <= 0 clamps to 1 replica, not zero (every row drawable)
+    zero = spark.createDataFrame(
+        [(1, "s", 0), (2, "s", -5)], "doc_id long, source string, weight long"
+    )
+    assert sample_weighted_k(zero, 2).count() == 2
+
+
+def test_sample_weighted_k_uniform_weights_reduce_to_hash_order(spark):
+    """With w=1 everywhere, each row has exactly one replica, so the
+    draw is the k smallest single hashes — the plain uniform draw."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.hashing import hash60
+    from sum_spark.operators.sampling import sample_weighted_k
+
+    df = spark.createDataFrame(
+        [(i, "s", 1) for i in range(50)], "doc_id long, source string, weight long"
+    )
+    got = {r["doc_id"] for r in sample_weighted_k(df, 8, seed="u").collect()}
+    h = hash60(F.concat(F.lit("u:"), F.col("doc_id").cast("string"), F.lit(":0")))
+    want = {
+        r["doc_id"]
+        for r in df.select("doc_id", h.alias("h")).orderBy("h", "doc_id").limit(8).collect()
+    }
+    assert got == want
+
+
+def test_sample_weighted_k_favors_heavy_rows(spark):
+    """Across many independent seeds, weight-8 rows must be picked far
+    more often than weight-1 rows (exact deterministic counts — no
+    randomness in the assertion)."""
+    from sum_spark.operators.sampling import sample_weighted_k
+
+    df = spark.createDataFrame(
+        [(i, "s", 8 if i < 10 else 1) for i in range(50)],
+        "doc_id long, source string, weight long",
+    )
+    heavy = light = 0
+    for s in range(20):
+        for r in sample_weighted_k(df, 5, seed=f"t{s}").collect():
+            if r["doc_id"] < 10:
+                heavy += 1
+            else:
+                light += 1
+    # heavy rows hold 80/120 replicas; expect ~2/3 of picks, require >1/2
+    assert heavy > (heavy + light) // 2, (heavy, light)
