@@ -169,6 +169,43 @@ def sample_exact_k(
     )
 
 
+def weighted_priorities(
+    df: DataFrame,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: str = "wk",
+    max_weight: int = 64,
+) -> DataFrame:
+    """Each row's weighted-draw priority — the MIN of its weight-many
+    replica hashes (see sample_weighted_k). Exposed separately because
+    priorities are MERGEABLE (min is associative and per-row
+    deterministic): per-shard/per-batch k-smallest priority sets union
+    into the global draw without revisiting data — the basis of the
+    streaming weighted sample. Output: (doc_id, stratum, __pri)."""
+    w_clamped = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    )
+    reps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        F.explode(F.sequence(F.lit(0), w_clamped - 1)).alias("__r"),
+    )
+    h = hash60(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("__r").cast("string"),
+        )
+    )
+    return (
+        reps.select("doc_id", "stratum", h.alias("__h"))
+        .groupBy("doc_id", "stratum")
+        .agg(F.min("__h").alias("__pri"))
+    )
+
+
 def sample_weighted_k(
     df: DataFrame,
     k: int,
@@ -177,10 +214,13 @@ def sample_weighted_k(
     strat_col: str = "source",
     seed: str = "wk",
     max_weight: int = 64,
+    per_stratum: bool = False,
 ) -> DataFrame:
     """Exactly min(k, n) rows drawn WITHOUT replacement with probability
     proportional to integer weights — the weighted twin of
     sample_exact_k ("draw 10k docs, high-quality docs w times likelier").
+    ``per_stratum=True`` draws k per stratum instead of k overall (the
+    weighted twin of sample_exact_k's fixed per-domain budget).
 
     Mechanism (successive minima): each row conceptually owns
     ``weight`` replicas; replica r gets the deterministic 60-bit hash of
@@ -203,37 +243,27 @@ def sample_weighted_k(
     Output: (doc_id, stratum, pick) with pick in 1..k = selection
     order, ordered by doc_id.
     """
-    w_clamped = F.greatest(
-        F.lit(1), F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
-    )
-    reps = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(strat_col).alias("stratum"),
-        F.explode(F.sequence(F.lit(0), w_clamped - 1)).alias("__r"),
-    )
-    h = hash60(
-        F.concat(
-            F.lit(f"{seed}:"),
-            F.col("doc_id").cast("string"),
-            F.lit(":"),
-            F.col("__r").cast("string"),
-        )
-    )
-    pri = (
-        reps.select("doc_id", "stratum", h.alias("__h"))
-        .groupBy("doc_id", "stratum")
-        .agg(F.min("__h").alias("__pri"))
-    )
+    pri = weighted_priorities(df, weight_col, id_col, strat_col, seed, max_weight)
     from pyspark.sql import Window
 
-    ranked = (
-        pri.orderBy("__pri", "doc_id")
-        .limit(k)
-        .withColumn(
-            "pick",
-            F.row_number().over(Window.orderBy("__pri", "doc_id")).cast("long"),
+    if per_stratum:
+        # k per stratum: rank-filter over a stratum-partitioned window —
+        # Catalyst rewrites it to WindowGroupLimit (pre-shuffle local
+        # top-k per stratum), the sample_exact_k scale shape.
+        w = Window.partitionBy("stratum").orderBy("__pri", "doc_id")
+        ranked = (
+            pri.withColumn("pick", F.row_number().over(w).cast("long"))
+            .where(F.col("pick") <= k)
         )
-    )
+    else:
+        ranked = (
+            pri.orderBy("__pri", "doc_id")
+            .limit(k)
+            .withColumn(
+                "pick",
+                F.row_number().over(Window.orderBy("__pri", "doc_id")).cast("long"),
+            )
+        )
     return ranked.select("doc_id", "stratum", "pick").orderBy("doc_id")
 
 

@@ -288,3 +288,72 @@ def read_hll(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def streaming_weighted_sample(
+    stream_df: DataFrame,
+    k: int,
+    path: str,
+    checkpoint: str,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    seed: str = "wk",
+    max_weight: int = 64,
+    trigger: dict | None = None,
+):
+    """Maintain a weighted random sample (without replacement) over a
+    stream — the streaming form of sampling.sample_weighted_k, resting
+    on priority mergeability: each micro-batch writes its own k
+    smallest (doc_id, stratum, __pri) rows under ``path/batch_id=N``;
+    the sample so far is the k smallest priorities across batch files
+    (a row's priority is a deterministic hash MIN, so a redelivered or
+    duplicated row carries the SAME priority and collapses in the
+    read-side distinct). This is a weighted reservoir in k rows of
+    state per batch, with exact batch parity: stream-accumulated ==
+    one batch draw over all ingested rows."""
+    from sum_spark.operators.sampling import weighted_priorities
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        top = (
+            weighted_priorities(
+                batch_df, weight_col, id_col, strat_col, seed, max_weight
+            )
+            .orderBy("__pri", "doc_id")
+            .limit(k)
+        )
+        top.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_weighted_sample(spark: SparkSession, path: str, k: int) -> DataFrame:
+    """The accumulated draw: k smallest distinct priorities across every
+    batch's top-k (== sample_weighted_k over all ingested rows, because
+    any globally-top-k priority is top-k within its own batch).
+    Output: (doc_id, stratum, pick)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    top = (
+        spark.read.parquet(path)
+        .select("doc_id", "stratum", "__pri")
+        .distinct()
+        .orderBy("__pri", "doc_id")
+        .limit(k)
+    )
+    return top.select(
+        "doc_id",
+        "stratum",
+        F.row_number()
+        .over(Window.orderBy("__pri", "doc_id"))
+        .cast("long")
+        .alias("pick"),
+    ).orderBy("doc_id")

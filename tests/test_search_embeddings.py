@@ -588,3 +588,35 @@ def test_sample_weighted_k_favors_heavy_rows(spark):
                 light += 1
     # heavy rows hold 80/120 replicas; expect ~2/3 of picks, require >1/2
     assert heavy > (heavy + light) // 2, (heavy, light)
+
+
+def test_sample_weighted_k_per_stratum(spark):
+    """per_stratum=True draws k per stratum (the weighted fixed-budget
+    twin of sample_exact_k), compiles to WindowGroupLimit, and each
+    stratum's draw equals the global draw restricted to that stratum's
+    rows (priorities are per-row, independent of other strata)."""
+    from sum_spark.operators.sampling import sample_weighted_k
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", 1 + i % 4) for i in range(60)],
+        "doc_id long, source string, weight long",
+    )
+    out = sample_weighted_k(df, 4, per_stratum=True)
+    rows = out.collect()
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["stratum"], []).append(r)
+    assert set(by_s) == {"s0", "s1", "s2"}
+    for s, grp in by_s.items():
+        assert sorted(r["pick"] for r in grp) == [1, 2, 3, 4]
+        solo = sample_weighted_k(df.where(F.col("source") == s), 4).collect()
+        assert sorted((r["doc_id"], r["pick"]) for r in grp) == sorted(
+            (r["doc_id"], r["pick"]) for r in solo
+        )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()

@@ -344,3 +344,44 @@ def test_stream_hll_equals_batch_hll(spark, sf_smoke, tmp_path):
     [ea] = hll_estimate(acc).collect()
     [ef] = hll_estimate(full).collect()
     assert ea["est"] == ef["est"]
+
+
+def test_stream_weighted_sample_equals_batch_draw(spark, sf_smoke, tmp_path):
+    """Stream-accumulated weighted sample == sample_weighted_k over all
+    ingested rows (priority mergeability), across >= 2 micro-batches."""
+    from sum_spark.operators.sampling import sample_weighted_k
+    from sum_spark.streaming.sketch import (
+        read_weighted_sample,
+        streaming_weighted_sample,
+    )
+
+    docs = (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "source", (F.lit(1) + F.col("n_chars") % 5).alias("weight"))
+    )
+    drop_dir = str(tmp_path / "wk_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out_dir = str(tmp_path / "wk")
+    q = streaming_weighted_sample(
+        stream, k=9, path=out_dir, checkpoint=str(tmp_path / "ckw")
+    )
+    q.awaitTermination()
+
+    acc = read_weighted_sample(spark, out_dir, k=9).collect()
+    full = sample_weighted_k(docs, 9).collect()
+    assert sorted(map(tuple, acc)) == sorted(map(tuple, full))
