@@ -245,14 +245,19 @@ def _bm25_over_postings(
 def _collect_stats(
     terms_df: DataFrame, meta: DataFrame, terms: list[str]
 ) -> tuple[dict[str, int], int, int]:
-    """Bounded collects (<= len(terms) + 1 rows — the knn probe-bucket
-    pattern): per-query-term document frequencies and the corpus meta
-    row, inlined as literals into the scoring expression."""
-    dfs = {
-        r["term"]: r["df"]
-        for r in terms_df.where(F.col("term").isin(terms)).collect()
-    }
-    [m] = meta.collect()
+    """Bounded collects (<= len(terms) * appends + appends rows — the
+    knn probe-bucket pattern): per-query-term document frequencies and
+    the corpus meta, inlined as literals into the scoring expression.
+    Both frames are read as MERGEABLE PARTIALS (summed here), so
+    append_to_inverted_index can add delta rows without rewriting —
+    the same merge-at-read contract as the streaming sketches."""
+    dfs: dict[str, int] = {}
+    for r in terms_df.where(F.col("term").isin(terms)).collect():
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+    [m] = meta.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).collect()
     return dfs, m["n"], m["sum_dl"]
 
 
@@ -305,3 +310,33 @@ def bm25_from_index(
     meta = spark.read.parquet(f"{path}/meta")
     dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
     return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)
+
+
+def append_to_inverted_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = II_BUCKETS,
+) -> None:
+    """O(delta) index maintenance: tokenize ONLY the arriving documents
+    and append their posting/df/meta rows — the indexed corpus is never
+    re-read or re-tokenized (the append_to_pq_index contract for the
+    lexical index). Correct without any rewrite because the read side
+    treats terms and meta as mergeable partials: df sums across appended
+    rows per term, n/sum_dl sum across meta rows (_collect_stats).
+    Callers own id uniqueness, exactly as with any parquet append."""
+    postings, terms, meta = build_inverted_index(new_docs, text_col, id_col)
+    (
+        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/postings", mode="append")
+    )
+    (
+        terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/terms", mode="append")
+    )
+    meta.write.mode("append").parquet(f"{path}/meta")

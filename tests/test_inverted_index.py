@@ -97,3 +97,19 @@ def test_bucket_count_bounds_scanned_partitions(spark, sf_smoke, tmp_path):
     pf = buf.getvalue().split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     # isin collapses to a single equality or 1-element IN
     assert pf.count(",") <= 2
+
+
+def test_append_then_query_equals_full_corpus_scan(spark, sf_smoke, tmp_path):
+    """Index half the corpus, append the other half, query — results
+    must equal bm25_search over the full corpus (df/meta partials merge
+    at read; the first half is never re-tokenized)."""
+    from sum_spark.operators.search import append_to_inverted_index
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "ii_app")
+    write_inverted_index(docs.where(F.col("doc_id") % 2 == 0), path)
+    append_to_inverted_index(docs.where(F.col("doc_id") % 2 != 0), path)
+
+    got = bm25_from_index(spark, path, TERMS, k=10).collect()
+    want = bm25_search(docs, TERMS, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
