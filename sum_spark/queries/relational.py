@@ -540,6 +540,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = nation.unionAll(region).select(F.lit("union_all").alias("op"), "k")
 
     from sum_spark.operators.diff import snapshot_diff
+    from sum_spark.plans.scale import release_with
 
     docs = _t(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 11 != 0).withColumn(
@@ -549,14 +550,24 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     new = docs.where(F.col("doc_id") % 7 != 0)
-    diff = snapshot_diff(old, new, id_col="doc_id", content_cols=("text",)).select(
-        F.concat(F.lit("diff_"), F.col("status")).alias("op"),
-        F.col("id").alias("k"),
-    )
-    return (
-        anti.unionAll(exc).unionAll(inter).unionAll(uni).unionAll(diff)
+    # Persist the delta-sized diff once; the three status legs are
+    # separate union children with LITERAL tags (a computed
+    # concat('diff_', status) tag would make the union un-prunable for
+    # bench leg timing — identical union-leg subtrees are NOT merged
+    # into one ReusedExchange, see CLAUDE.md).
+    diff = snapshot_diff(old, new, id_col="doc_id", content_cols=("text",)).persist()
+    legs = [
+        diff.where(F.col("status") == st).select(
+            F.lit(f"diff_{st}").alias("op"), F.col("id").alias("k")
+        )
+        for st in ("added", "changed", "removed")
+    ]
+    out = (
+        anti.unionAll(exc).unionAll(inter).unionAll(uni)
+        .unionAll(legs[0]).unionAll(legs[1]).unionAll(legs[2])
         .orderBy("op", "k")
     )
+    return release_with(out, diff)
 
 
 # --- Scalar functions -------------------------------------------------------
