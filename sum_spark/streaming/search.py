@@ -1,0 +1,64 @@
+"""Streaming inverted-index maintenance — documents become searchable
+as they arrive.
+
+Each micro-batch tokenizes ONLY its own documents and writes its
+posting/df/meta partials under idempotent ``batch_id=N`` directories
+(redelivery overwrites, never double-counts — the standard sink layout
+of streaming/sketch.py). The batch_id level nests ABOVE the term-hash
+bucket level, so the query-time scan still prunes on the bucket
+partition column across every batch directory, and the read side's
+merge-at-read contract (operators/search._collect_stats sums df/meta
+partials) makes the accumulated index answer queries EXACTLY as one
+batch build over all ingested documents — parity-tested.
+
+This is the streaming twin of append_to_inverted_index with redelivery
+safety added: the indexed history is never re-read, never re-tokenized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sum_spark.operators.search import II_BUCKETS, _term_bucket, build_inverted_index
+
+
+def streaming_index_documents(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = II_BUCKETS,
+    trigger: dict | None = None,
+):
+    """Accumulate the inverted index over a document stream. Query the
+    result at any time with ``bm25_from_index(spark, path, terms, k)``
+    — no rebuild, no compaction required for correctness (compact
+    batch dirs with streaming/compact.compact_batches when file counts
+    grow)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        postings, terms, meta = build_inverted_index(batch_df, text_col, id_col)
+        (
+            postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+            .repartition("bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(f"{path}/postings/batch_id={batch_id}")
+        )
+        (
+            terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(f"{path}/terms/batch_id={batch_id}")
+        )
+        meta.write.mode("overwrite").parquet(f"{path}/meta/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -1,0 +1,50 @@
+"""Streaming inverted index: documents indexed batch-by-batch answer
+BM25 queries exactly as the full-corpus scan path, and the query scan
+still prunes on the term bucket across batch directories."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sum_spark.operators.search import bm25_from_index, bm25_search
+from sum_spark.sources.tables import load_table
+from sum_spark.streaming.search import streaming_index_documents
+
+TERMS = ["the", "data", "zebra"]
+
+
+def test_stream_indexed_bm25_equals_scan(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "docs")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    idx = str(tmp_path / "ii")
+    q = streaming_index_documents(stream, idx, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    from_idx = bm25_from_index(spark, idx, TERMS, k=10)
+    want = bm25_search(docs, TERMS, k=10).collect()
+    assert sorted(map(tuple, from_idx.collect())) == sorted(map(tuple, want))
+
+    # bucket pruning still reaches the scan through the batch_id level
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_idx.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters: [" in p
+    pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
