@@ -229,3 +229,51 @@ def spread_for_compute(df: DataFrame, partitioning_col: str | None = None) -> Da
     if partitioning_col is not None:
         return df.repartition(par, F.col(partitioning_col))
     return df.repartition(par)
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    m_bits: int | None = None,
+    k: int | None = None,
+    words: list[int] | None = None,
+) -> DataFrame:
+    """Semi-join reduction for big ⋈ small at 100 TB: build a Bloom
+    filter over the SMALL side's join keys (bounded driver traffic —
+    set-bit positions only, <= 0.5 MB), pre-filter the BIG side with
+    map-side getbit probes BEFORE its shuffle, then run the real join.
+    The exchange carries only probable matches; Bloom has no false
+    negatives and the join itself removes false positives, so the
+    result is IDENTICAL to the plain join (property-tested).
+
+    Spark's own runtime Bloom join (runtime.bloomFilter.*) covers the
+    single-query case when statistics trigger it; this explicit form
+    exists for what the optimizer cannot do: pass ``words`` (a stored
+    filter from bloom_build_bits, e.g. built once at corpus curation)
+    to skip the small-side scan entirely and reuse ONE filter across
+    many joins/micro-batches — the decontaminate-'bloom' contract
+    applied to joins.
+
+    ``how`` must be 'inner' or 'left_semi' (pre-filtering the big side
+    would drop rows an outer join has to keep)."""
+    from sum_spark.operators.sketch import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_build_bits,
+        bloom_member,
+    )
+
+    if how not in ("inner", "left_semi", "semi", "leftsemi"):
+        raise ValueError("bloom_prefilter_join supports inner/left_semi only")
+    m_bits = m_bits or BLOOM_M_BITS
+    k = k or BLOOM_K
+    if words is None:
+        words = bloom_build_bits(small.select(on), on, m_bits, k)
+    filtered = (
+        bloom_member(big, on, words, m_bits, k, out_col="__bloom_maybe")
+        .where(F.col("__bloom_maybe"))
+        .drop("__bloom_maybe")
+    )
+    return filtered.join(small, on, how)

@@ -184,3 +184,49 @@ def test_contiguous_ids_stable_under_downstream_window(spark):
         for i, (v, k) in enumerate(sorted((v, k) for k, _, v in rows))
     }
     assert all(gid == expect_gid[k] for k, (gid, _) in a.items())
+
+
+def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
+    """The reduced join returns exactly the plain join's rows (no false
+    negatives; join removes Bloom false positives), and the map-side
+    pre-filter actually prunes non-matching big-side rows."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sketch import bloom_build_bits, bloom_member
+    from sum_spark.plans.scale import bloom_prefilter_join
+    from sum_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    custs = (
+        load_table(spark, sf_smoke, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    got = bloom_prefilter_join(orders, custs, "o_custkey")
+    want = orders.join(custs, "o_custkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # the pre-filter prunes: fewer big-side rows pass than exist, and
+    # at least every true match passes
+    words = bloom_build_bits(custs.select("o_custkey"), "o_custkey")
+    passed = (
+        bloom_member(orders, "o_custkey", words)
+        .where(F.col("maybe"))
+        .count()
+    )
+    true_matches = orders.join(custs.select("o_custkey").distinct(), "o_custkey").count()
+    assert true_matches <= passed < orders.count()
+
+    # stored-words path: same result without rescanning the small side
+    got2 = bloom_prefilter_join(orders, custs, "o_custkey", words=words)
+    assert sorted(map(tuple, got2.collect())) == sorted(map(tuple, want.collect()))
+
+    # left_semi flavor matches the plain semi join
+    semi = bloom_prefilter_join(orders, custs.select("o_custkey"), "o_custkey", how="left_semi")
+    want_semi = orders.join(custs.select("o_custkey"), "o_custkey", "left_semi")
+    assert semi.count() == want_semi.count()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_prefilter_join(orders, custs, "o_custkey", how="left")
