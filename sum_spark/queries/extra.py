@@ -515,6 +515,7 @@ _Q32_AGGS, _Q32_FINALS = _duck_quantile_cols({"med": 0.5, "p90": 0.9})
     oracle=f"""
     WITH r AS (
       SELECT l_returnflag, l_extendedprice AS v,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
@@ -523,11 +524,25 @@ _Q32_AGGS, _Q32_FINALS = _duck_quantile_cols({"med": 0.5, "p90": 0.9})
       SELECT l_returnflag,
            {_Q32_AGGS}
       FROM r GROUP BY l_returnflag
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             MIN(CASE WHEN rn = (n * 5 + 99) // 100 THEN c END) AS lo_c,
+             MIN(CASE WHEN rn = (n * 95 + 99) // 100 THEN c END) AS hi_c
+      FROM r GROUP BY l_returnflag
+    ),
+    clip AS (
+      SELECT r.l_returnflag,
+             CAST(SUM(GREATEST(b.lo_c, LEAST(b.hi_c, r.c))) AS BIGINT) AS clip_sum_c,
+             CAST(SUM(CASE WHEN r.c < b.lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+             CAST(SUM(CASE WHEN r.c > b.hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      FROM r JOIN bounds b USING (l_returnflag) GROUP BY r.l_returnflag
     )
     SELECT l_returnflag,
            {_Q32_FINALS},
-           true AS med_ok, true AS p90_ok
-    FROM g ORDER BY l_returnflag
+           true AS med_ok, true AS p90_ok,
+           clip.clip_sum_c, clip.n_lo, clip.n_hi
+    FROM g JOIN clip USING (l_returnflag) ORDER BY l_returnflag
     """,
     doc="Exact interpolated percentiles via explicit window-rank quantile "
     "(same a*(1-f)+b*f arithmetic on both engines — builtin percentile vs "
@@ -538,7 +553,15 @@ _Q32_AGGS, _Q32_FINALS = _duck_quantile_cols({"med": 0.5, "p90": 0.9})
     "med_ok/p90_ok assert the sketch at accuracy=10000 lands within 5% of "
     "the exact percentile (rank error 1e-4 of a smooth price distribution "
     "is far inside that; 5% keeps the gate meaningful without flaking on "
-    "an implementation change).",
+    "an implementation change). The clip_sum_c/n_lo/n_hi columns are the "
+    "WINSORIZE surface (outlier truncation, the value-column curation "
+    "gate): per-group [p05, p95] bounds taken at INTEGER ranks "
+    "ceil(n*5/100) / ceil(n*95/100) — computed as (n*p + 99) DIV 100, "
+    "never p*n in floats, which the two engines would round differently "
+    "(DuckDB parses 0.05 as DECIMAL, Spark as DOUBLE) — then the "
+    "integer-cents sum of values clamped into the bounds plus the "
+    "clipped-row counts, all BIGINT and value-checked. Shares the "
+    "existing rank window; one extra broadcast-sized bounds join.",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -547,6 +570,7 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("v"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
         F.row_number().over(w).alias("rn"),
         F.count("*").over(wn).alias("n"),
     )
@@ -578,7 +602,28 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name in ("med", "p90")
     ]
-    return staged.select("l_returnflag", "med", "p90", *oks).orderBy("l_returnflag")
+    lo_rank = F.expr("(n * 5 + 99) DIV 100")
+    hi_rank = F.expr("(n * 95 + 99) DIV 100")
+    bounds = r.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("c"))).alias("lo_c"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("c"))).alias("hi_c"),
+    )
+    clip = (
+        r.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.greatest("lo_c", F.least("hi_c", F.col("c"))))
+            .cast("long")
+            .alias("clip_sum_c"),
+            F.sum((F.col("c") < F.col("lo_c")).cast("int")).cast("long").alias("n_lo"),
+            F.sum((F.col("c") > F.col("hi_c")).cast("int")).cast("long").alias("n_hi"),
+        )
+    )
+    return (
+        staged.select("l_returnflag", "med", "p90", *oks)
+        .join(clip, "l_returnflag")
+        .orderBy("l_returnflag")
+    )
 
 
 @query(
