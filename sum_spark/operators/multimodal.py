@@ -74,28 +74,42 @@ def _try_import(name: str):
 
 
 def _real_feature(modality: str, payload: bytes, dim: int) -> np.ndarray | None:
-    """Decode + featurize with the real codec when importable; None when
-    the library is missing (caller decides strict-raise vs fake-fallback)."""
+    """Decode + featurize with a real codec; None when no codec applies
+    (caller decides strict-raise vs fake-fallback). Preference order per
+    modality: the installed library (PIL / soundfile) first, then the
+    engine-own dependency-free decoders (functions/codecs.py) for the
+    formats they cover (PNG, WAV) — so strict mode performs a REAL
+    decode even in a library-free environment."""
+    from sum_spark.functions import codecs
+
     data = payload or b""
     if modality == "image":
         pil = _try_import("PIL.Image")
-        if pil is None:
-            return None
-        import io
+        if pil is not None:
+            import io
 
-        from PIL import Image
+            from PIL import Image
 
-        img = Image.open(io.BytesIO(data)).convert("L").resize((dim, dim))
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-        return arr.mean(axis=0)  # column means -> dim-length signature
+            img = Image.open(io.BytesIO(data)).convert("L").resize((dim, dim))
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            return arr.mean(axis=0)  # column means -> dim-length signature
+        if codecs.is_png(data):
+            grey = codecs.png_to_grey(codecs.decode_png(data))
+            small = codecs.resize_nearest(grey, dim, dim)
+            return small.mean(axis=0).astype(np.float32)
+        return None
     if modality == "audio":
         sf = _try_import("soundfile")
-        if sf is None:
-            return None
-        import io
+        mono = None
+        if sf is not None:
+            import io
 
-        samples, _rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
-        mono = samples.mean(axis=1)
+            samples, _rate = sf.read(io.BytesIO(data), dtype="float32", always_2d=True)
+            mono = samples.mean(axis=1)
+        elif codecs.is_wav(data):
+            mono, _rate = codecs.decode_wav(data)
+        if mono is None:
+            return None
         if mono.size == 0:
             return np.zeros(dim, dtype=np.float32)
         bins = np.array_split(mono, dim)
@@ -163,6 +177,8 @@ def resize_images(
     plumbing: binary in -> binary out, map-only."""
 
     def _resize_one(content: bytes) -> bytes:
+        from sum_spark.functions import codecs
+
         if _try_import("PIL.Image") is not None:
             import io
 
@@ -172,8 +188,15 @@ def resize_images(
             buf = io.BytesIO()
             img.save(buf, format="PNG")
             return buf.getvalue()
+        if codecs.is_png(content or b""):
+            # engine-own PNG path: real decode -> nearest resample -> re-encode
+            arr = codecs.decode_png(content)
+            return codecs.encode_png(codecs.resize_nearest(arr, width, height))
         if decoder == "strict":
-            raise NotImplementedError("PIL not importable; use decoder='auto'/'fake'")
+            raise NotImplementedError(
+                "no codec for this payload (PIL absent and not a PNG); "
+                "use decoder='auto'/'fake'"
+            )
         return hashlib.md5((content or b"") + f"{width}x{height}".encode()).digest()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
