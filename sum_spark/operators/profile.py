@@ -96,3 +96,54 @@ def corpus_fingerprint(
         .cast("string")
         .alias("fp_sum"),
     )
+
+
+def validate_table(
+    df: DataFrame,
+    rules: dict[str, "F.Column"],
+    unique_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Data-quality gate (deequ/dbt-test style): evaluate named row
+    predicates and uniqueness constraints, return one row per check —
+    (check, n_violations, n_rows) — all zeros meaning the table may
+    proceed into the pipeline.
+
+    ``rules`` maps a check name to a Column predicate that must hold on
+    every row (rows where it is false OR NULL count as violations — a
+    NULL answer to "is this row valid" is not a pass). All row rules
+    evaluate in ONE aggregate pass, the profile_table contract (never
+    one job per check). Each ``unique_cols`` entry adds a uniqueness
+    check (duplicate rows counted beyond the first) — one groupBy per
+    key by necessity, on the key column only.
+
+    The gate composes: `validate_table(df, rules).where("n_violations
+    > 0").count() == 0` is the pipeline assertion, and the per-check
+    frame is the audit artifact to store next to the corpus snapshot.
+    """
+    n = F.count("*")
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(pred, F.lit(False)), F.lit(0)).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias(f"__v_{i}")
+        for i, (_name, pred) in enumerate(sorted(rules.items()))
+    ]
+    [row] = df.agg(n.cast("long").alias("__n"), *aggs).collect()
+    spark = df.sparkSession
+    out = [
+        (name, int(row[f"__v_{i}"]), int(row["__n"]))
+        for i, (name, _pred) in enumerate(sorted(rules.items()))
+    ]
+    for col in unique_cols:
+        dups = (
+            df.groupBy(col)
+            .count()
+            .where(F.col("count") > 1)
+            .agg(F.sum(F.col("count") - 1).cast("long").alias("d"))
+            .collect()[0]["d"]
+        )
+        out.append((f"unique:{col}", int(dups or 0), int(row["__n"])))
+    return spark.createDataFrame(
+        sorted(out), "check string, n_violations long, n_rows long"
+    )

@@ -91,3 +91,51 @@ def test_corpus_fingerprint_detects_any_change(spark, sf_smoke):
     # A dropped doc moves it too.
     dropped = corpus_fingerprint(docs.where(F.col("doc_id") != 7)).collect()[0]
     assert dropped["fp_sum"] != base["fp_sum"]
+
+
+def test_validate_table_counts_violations_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.profile import validate_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (2, "en", -3),       # negative length
+            (3, None, 5),        # null lang -> predicate NULL -> violation
+            (3, "de", 7),        # duplicate id
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    rep = validate_table(
+        df,
+        rules={
+            "n_chars_nonneg": F.col("n_chars") >= 0,
+            "lang_known": F.col("lang").isin("en", "de"),
+        },
+        unique_cols=("doc_id",),
+    )
+    got = {r["check"]: (r["n_violations"], r["n_rows"]) for r in rep.collect()}
+    assert got == {
+        "lang_known": (1, 4),
+        "n_chars_nonneg": (1, 4),
+        "unique:doc_id": (1, 4),
+    }
+
+
+def test_validate_table_clean_gate(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.profile import validate_table
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rep = validate_table(
+        docs,
+        rules={
+            "id_nonneg": F.col("doc_id") >= 0,
+            "has_text": F.col("text").isNotNull(),
+        },
+        unique_cols=("doc_id",),
+    )
+    assert rep.where("n_violations > 0").count() == 0
