@@ -63,6 +63,10 @@ ENTRIES = [
     "embed_quantize",
     "decontaminate",  # round-5: exact + Bloom legs share one persisted shingle pass
     "knn_search",  # round-5: brute/filt/ivf/ivfpq legs over embeddings
+    # fourth pass (documents-only entries; q20/q38 need unscaled tables):
+    "bm25_search",  # scan + posting-list legs: tokenize + index build
+    "global_shuffle",  # hash-rank + z-order rank, both two-pass range placement
+    "sample_stratified",  # bern + exact-k + weighted replica-minima draw
 ]
 
 

@@ -53,3 +53,54 @@ def delta_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+def compact_parquet_dir(
+    spark: SparkSession, path: str, target_mb: int = 256
+) -> int:
+    """Rewrite a parquet directory into files near ``target_mb`` — the
+    small-files fix (a 100 TB table accumulated from many incremental
+    writes ends up with millions of KB-scale files; scan planning and
+    footer reads then dominate I/O). File count comes from the ACTUAL
+    on-disk byte total (not an in-memory size estimate — parquet
+    compression makes those differ several-fold), so the output lands
+    within one file of the target.
+
+    Crash-safe staging: the compacted copy is written COMPLETELY to
+    ``<path>.__compacted`` first, the original is then removed and the
+    staged dir renamed into place. A crash before the swap leaves the
+    original untouched (stale staging is overwritten on retry); a crash
+    between remove and rename is recovered here on the next call by
+    finishing the rename (the staged dir carries parquet's _SUCCESS
+    marker, so completeness is checkable). Returns the file count.
+    """
+    import math
+    import os
+    import shutil
+
+    staged = path.rstrip("/") + ".__compacted"
+    if not os.path.isdir(path):
+        if os.path.isdir(staged) and os.path.exists(os.path.join(staged, "_SUCCESS")):
+            os.rename(staged, path)  # finish an interrupted swap
+        else:
+            raise FileNotFoundError(path)
+
+    def _bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return total
+
+    n_files = max(1, math.ceil(_bytes(path) / (target_mb << 20)))
+    if os.path.isdir(staged):
+        shutil.rmtree(staged)  # stale staging from an earlier crash
+    spark.read.parquet(path).repartition(n_files).write.parquet(staged)
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        raise RuntimeError("staged compaction did not complete")
+    shutil.rmtree(path)
+    os.rename(staged, path)
+    return n_files

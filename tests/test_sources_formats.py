@@ -111,3 +111,48 @@ def test_events_loader_both_parquet_shapes(spark, tmp_path):
         assert results["us_ntz"][2].microsecond == 999999
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_compact_parquet_dir_hits_target_and_preserves_rows(spark, sf_smoke, tmp_path):
+    import glob
+    import os
+
+    from sum_spark.sources.formats import compact_parquet_dir
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(path)  # deliberately fragmented
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert len(glob.glob(os.path.join(path, "part-*"))) == 40
+
+    total_mb = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(path, "part-*"))
+    ) / (1 << 20)
+    n = compact_parquet_dir(spark, path, target_mb=max(1, int(total_mb) or 1))
+    files = glob.glob(os.path.join(path, "part-*"))
+    assert len(files) == n <= 3
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+
+
+def test_compact_parquet_dir_recovers_interrupted_swap(spark, sf_smoke, tmp_path):
+    """Crash between remove and rename: original gone, complete staged
+    dir present — the next call finishes the rename."""
+    import os
+    import shutil
+
+    from sum_spark.sources.formats import compact_parquet_dir
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    path = str(tmp_path / "tab")
+    docs.write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    # simulate the crash window
+    staged = path + ".__compacted"
+    shutil.move(path, staged)
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    compact_parquet_dir(spark, path, target_mb=64)
+    assert spark.read.parquet(path).count() == n_rows
+    assert not os.path.isdir(staged)
