@@ -105,3 +105,23 @@ def test_zorder_layout_keeps_all_rows_and_key_is_sorted(spark, sf_smoke):
     )
     for prev, cur in zip(spans, spans[1:]):
         assert prev["hi"] <= cur["lo"]
+
+
+def test_zorder_key_three_dims(spark):
+    """The interleave generalizes to N dims: bit b of dim i lands at
+    position b*3 + i, and the 3-dim key stays bijective on a cube."""
+    grid = spark.range(8 * 8 * 8).select(
+        (F.col("id") % 8).alias("x"),
+        ((F.col("id") / 8).cast("long") % 8).alias("y"),
+        (F.col("id") / 64).cast("long").alias("z"),
+    )
+    keyed = grid.select(
+        "x", "y", "z",
+        zorder_key([F.col("x"), F.col("y"), F.col("z")], bits=3).alias("k"),
+    )
+    rows = keyed.collect()
+    ks = {r["k"] for r in rows}
+    assert len(ks) == 512 and min(ks) == 0 and max(ks) == 511
+    by = {(r["x"], r["y"], r["z"]): r["k"] for r in rows}
+    assert by[(1, 0, 0)] == 1 and by[(0, 1, 0)] == 2 and by[(0, 0, 1)] == 4
+    assert by[(2, 0, 0)] == 8  # bit 1 of dim 0 -> key bit 3
