@@ -39,6 +39,7 @@ def bm25_search(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25(k1=1.2, b=0.75) for the given terms.
 
@@ -47,13 +48,20 @@ def bm25_search(
 
     Output: (rank, doc_id, score) — score rounded to 4, ties broken by
     doc_id, zero-score documents excluded.
+
+    ``tokenized`` — a (doc_id, __w) frame, typically persisted — skips
+    the tokenize scan (the textops shared-scan contract): callers
+    running several token consumers over one corpus tokenize once.
     """
     if not terms:
         raise ValueError("terms must be non-empty")
-    df = spread_for_compute(df)
-    words = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
-    ).select("doc_id", "__w", F.size("__w").alias("__dl"))
+    if tokenized is not None:
+        words = tokenized.select("doc_id", "__w", F.size("__w").alias("__dl"))
+    else:
+        df = spread_for_compute(df)
+        words = df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
+        ).select("doc_id", "__w", F.size("__w").alias("__dl"))
     stats = words.agg(
         F.count("*").alias("__n"),
         (F.sum("__dl").cast("double") / F.count("*")).alias("__avgdl"),
@@ -136,7 +144,10 @@ def _term_bucket(term: F.Column, n_buckets: int = II_BUCKETS) -> F.Column:
 
 
 def build_inverted_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The three frames of a text inverted index:
 
@@ -153,9 +164,12 @@ def build_inverted_index(
     per search. n/sum_dl come from the DOCUMENT frame (a zero-token
     document has no postings but still counts toward N and avgdl).
     """
-    words = df.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
-    ).select("doc_id", F.size("__w").alias("dl"), F.col("__w"))
+    if tokenized is not None:
+        words = tokenized.select("doc_id", F.size("__w").alias("dl"), F.col("__w"))
+    else:
+        words = df.select(
+            F.col(id_col).alias("doc_id"), tokens(text_col).alias("__w")
+        ).select("doc_id", F.size("__w").alias("dl"), F.col("__w"))
     postings = (
         words.select("doc_id", "dl", F.explode("__w").alias("term"))
         .groupBy("term", "doc_id", "dl")
@@ -267,6 +281,7 @@ def bm25_postings_search(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 through an in-flight inverted index: build the posting
     frames, then score only rows whose term is in the query. Returns
@@ -276,7 +291,9 @@ def bm25_postings_search(
     every document per query."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    postings, terms_df, meta = build_inverted_index(df, text_col, id_col)
+    postings, terms_df, meta = build_inverted_index(
+        df, text_col, id_col, tokenized=tokenized
+    )
     dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
     matched = postings.where(F.col("term").isin(terms))
     return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)

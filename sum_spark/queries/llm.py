@@ -879,16 +879,21 @@ _BM25_TERMS = ["spark", "window", "merge"]
     "tests/test_inverted_index.py.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.functions.text import tokens as _tokens
     from sum_spark.operators.search import bm25_postings_search
+    from sum_spark.plans.scale import release_with
 
     docs = load_table(spark, sf_dir, "documents")
-    scan = bm25_search(docs, _BM25_TERMS, k=10).select(
+    # ONE tokenize scan feeds both legs (the text_profile shared-scan
+    # contract); the persisted projection is released by the finalizer.
+    tok = docs.select("doc_id", _tokens("text").alias("__w")).persist()
+    scan = bm25_search(docs, _BM25_TERMS, k=10, tokenized=tok).select(
         F.lit("scan").alias("mode"), "rank", "doc_id", "score"
     )
-    idx = bm25_postings_search(docs, _BM25_TERMS, k=10).select(
+    idx = bm25_postings_search(docs, _BM25_TERMS, k=10, tokenized=tok).select(
         F.lit("idx").alias("mode"), "rank", "doc_id", "score"
     )
-    return idx.unionByName(scan).orderBy("mode", "rank")
+    return release_with(idx.unionByName(scan).orderBy("mode", "rank"), tok)
 
 
 @query(

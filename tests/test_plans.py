@@ -443,3 +443,20 @@ def test_q31_token_legs_share_one_documents_tokenize(spark, sf_smoke):
     locs = Counter(re.findall(r"Location:.*?(\w+)\.parquet", p))
     assert locs["documents"] <= 2
     assert locs["events"] <= 5
+
+
+def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
+    """Both bm25_search legs (scan-path scoring, posting-list scoring)
+    must read ONE persisted tokenized projection: the only documents
+    leaf left in the consumer plan is the cache read — neither leg
+    re-tokenizes the corpus (two tokenize scans where one suffices was
+    the entry's dominant avoidable cost, the text_profile pattern)."""
+    from sum_spark.queries import REGISTRY
+
+    out = REGISTRY["bm25_search"].fn(spark, sf_smoke)
+    lp = out._jdf.queryExecution().optimizedPlan()
+    leaves = lp.collectLeaves()
+    names = [leaves.apply(i).getClass().getSimpleName() for i in range(leaves.size())]
+    scans = [n for n in names if "LogicalRelation" in n or "DataSourceV2" in n]
+    assert not scans, f"direct source scans in consumer plan: {names}"
+    assert any("InMemoryRelation" in n for n in names), names
