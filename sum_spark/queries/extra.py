@@ -781,16 +781,35 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q39_asof_join",
     oracle="""
-    SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
-    FROM events e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-      ON e.user_id = p.user_id AND e.ts >= p.ts
-    ORDER BY e.event_id
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+      FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+    ),
+    fwd AS (
+      SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+      FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+    )
+    SELECT 'back' AS mode, * FROM back
+    UNION ALL
+    SELECT 'fwd', * FROM fwd
+    UNION ALL
+    SELECT 'tol', event_id, user_id, ts,
+           CASE WHEN purchase_ts >= ts - INTERVAL 12 HOURS THEN purchase_ts END,
+           CASE WHEN purchase_ts >= ts - INTERVAL 12 HOURS THEN purchase_value END
+    FROM back
+    ORDER BY mode, event_id
     """,
-    doc="As-of join: each event annotated with the user's most recent "
-    "purchase at or before it. Spark lacks ASOF JOIN (DuckDB's native one "
-    "is the oracle); implemented with the union-sort-window trick "
-    "(operators/asof.py) — one shuffle, no row amplification.",
+    doc="As-of join, the full merge_asof surface: 'back' — each event "
+    "annotated with the user's most recent purchase at or before it; "
+    "'fwd' — the earliest purchase at or after it (DuckDB ASOF flips "
+    "the inequality; the engine flips the window sort); 'tol' — "
+    "backward bounded by a 12-hour tolerance (the as-of pick is the "
+    "closest qualifying row, so out-of-tolerance carries null out — "
+    "same plan, one more projection; the oracle post-CASEs DuckDB's "
+    "unbounded ASOF identically). Spark lacks ASOF JOIN; all three run "
+    "the union-sort-window trick (operators/asof.py) — one shuffle, no "
+    "row amplification.",
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators.asof import asof_join
@@ -801,11 +820,20 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("user_id", "ts", "value")
     )
-    out = asof_join(
-        events, purchases, on="user_id", ts_col="ts",
-        values={"purchase_ts": "ts", "purchase_value": "value"},
+    vals = {"purchase_ts": "ts", "purchase_value": "value"}
+    legs = [
+        asof_join(events, purchases, on="user_id", ts_col="ts", values=vals,
+                  direction=d, tolerance=tol)
+        .select(F.lit(tag).alias("mode"), "*")
+        for tag, d, tol in (
+            ("back", "backward", None),
+            ("fwd", "forward", None),
+            ("tol", "backward", "12 HOURS"),
+        )
+    ]
+    return legs[0].unionByName(legs[1]).unionByName(legs[2]).orderBy(
+        "mode", "event_id"
     )
-    return out.orderBy("event_id")
 
 
 @query(

@@ -101,3 +101,62 @@ def test_asof_null_value_on_newest_right_row_propagates(spark):
     ).collect()[0]
     assert row["t"] == "new"
     assert row["v"] is None  # NOT 100.0 from the older row
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward picks the earliest right at-or-after (ties visible);
+    tolerance nulls carries farther than the interval in either
+    direction; a NULL carried value still comes from the matched row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(0)), (2, "u", ts(50)), (3, "u", ts(100)), (4, "v", ts(0))],
+        "event_id long, user_id string, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(10), 1.0), ("u", ts(60), None), ("v", ts(300), 9.0)],
+        "user_id string, ts timestamp_ntz, value double",
+    )
+    vals = {"r_ts": "ts", "r_v": "value"}
+
+    fwd = {
+        r["event_id"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, on="user_id", values=vals, direction="forward"
+        ).collect()
+    }
+    assert fwd[1] == (ts(10), 1.0)       # earliest at-or-after
+    assert fwd[2] == (ts(60), None)      # matched row's NULL value carried
+    assert fwd[3] == (None, None)        # nothing after -> left-join nulls
+    assert fwd[4] == (ts(300), 9.0)
+
+    tol = {
+        r["event_id"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, on="user_id", values=vals,
+            direction="forward", tolerance="15 MINUTES",
+        ).collect()
+    }
+    assert tol[1] == (ts(10), 1.0)       # 10 min <= 15 min
+    assert tol[2] == (ts(60), None)      # 10 min gap, NULL value kept
+    assert tol[4] == (None, None)        # 300 min > tolerance -> nulled
+
+    back_tol = {
+        r["event_id"]: (r["r_ts"], r["r_v"])
+        for r in asof_join(
+            left, right, on="user_id", values=vals, tolerance="30 MINUTES"
+        ).collect()
+    }
+    assert back_tol[1] == (None, None)   # nothing before
+    assert back_tol[2] == (None, None)   # latest is 40 min back > 30 -> nulled
+    assert back_tol[3] == (None, None)   # latest is 40 min back > 30 -> nulled
+    assert back_tol[4] == (None, None)
