@@ -53,20 +53,50 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT w0 - INTERVAL '30 minutes' AS ws, event_type, value FROM g
     )
-    SELECT ws, event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS s
-    FROM e GROUP BY ws, event_type ORDER BY ws, event_type
+    SELECT 'slide' AS mode, ws, event_type, COUNT(*) AS c,
+           ROUND(SUM(value), 2) AS s
+    FROM e GROUP BY ws, event_type
+    UNION ALL
+    SELECT 'trail', ts, event_type,
+           COUNT(*) OVER w,
+           ROUND(SUM(value) OVER w, 2)
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    ORDER BY mode, ws, event_type
     """,
-    doc="1-hour window sliding every 30 minutes: each event lands in 2 "
-    "windows. Oracle = union of the two offset tumbling grids.",
+    doc="Sliding aggregation, both grains. 'slide' leg: 1-hour window "
+    "every 30 minutes — each event lands in 2 windows; oracle = union "
+    "of the two offset tumbling grids. 'trail' leg: the PER-EVENT "
+    "trailing-hour aggregate (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING "
+    "AND CURRENT ROW over the NTZ timestamp order — a value-range "
+    "window frame, a different physical operator from the groupBy "
+    "grids: Spark's WindowExec with a range frame, timezone-free "
+    "because the order column stays TIMESTAMP_NTZ end-to-end).",
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events")
+    slide = (
+        events
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s"))
-        .select(F.col("w.start").alias("ws"), "event_type", "c", "s")
-        .orderBy("ws", "event_type")
+        .select(
+            F.lit("slide").alias("mode"),
+            F.col("w.start").alias("ws"), "event_type", "c", "s",
+        )
     )
+    over = (
+        "OVER (PARTITION BY event_type ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    )
+    trail = events.select(
+        F.lit("trail").alias("mode"),
+        F.col("ts").alias("ws"),
+        "event_type",
+        F.expr(f"COUNT(*) {over}").alias("c"),
+        F.expr(f"ROUND(SUM(value) {over}, 2)").alias("s"),
+    )
+    return slide.unionByName(trail).orderBy("mode", "ws", "event_type")
 
 
 @query(

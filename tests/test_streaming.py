@@ -42,7 +42,9 @@ def test_sliding_matches_batch(spark, sf_smoke):
     stream = S.run_to_memory(
         S.sliding_counts(S.read_event_stream(spark, sf_smoke)), "t_sliding"
     )
-    batch = REGISTRY["q28_sliding_window"].fn(spark, sf_smoke)
+    # the entry also carries the per-event 'trail' leg; the streaming
+    # twin is the 30-minute sliding grid = the 'slide' leg
+    batch = REGISTRY["q28_sliding_window"].fn(spark, sf_smoke).where("mode = 'slide'")
     cols = ["ws", "event_type", "c", "s"]
     assert _pdf(stream, cols).equals(_pdf(batch, cols))
 
