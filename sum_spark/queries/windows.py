@@ -115,25 +115,17 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) g
     GROUP BY user_id, grp ORDER BY user_id, s
     """,
-    doc="30-minute-gap sessionization (gaps-and-islands). Streaming twin: "
+    doc="30-minute-gap sessionization (gaps-and-islands) via the public "
+    "operators/sessions.sessionize + session_bounds pair (per-event "
+    "session ids, per-session bounds — one shuffle). Streaming twin: "
     "F.session_window(ts, '30 minutes') in sum_spark.streaming.",
 )
 def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    brk = (
-        F.when(
-            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"), F.lit(1)
-        )
-        .otherwise(F.lit(0))
-        .alias("brk")
+    from sum_spark.operators.sessions import session_bounds, sessionize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
     )
-    grp = F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (
-        events.select("user_id", "ts", "event_id", brk)
-        .withColumn("grp", grp)
-        .groupBy("user_id", "grp")
-        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
-        .select("user_id", "s", "e", "n")
-        .orderBy("user_id", "s")
+    return session_bounds(sessionize(events, gap="30 minutes")).select(
+        "user_id", "s", "e", "n"
     )

@@ -160,3 +160,44 @@ def test_asof_forward_and_tolerance(spark):
     assert back_tol[2] == (None, None)   # latest is 40 min back > 30 -> nulled
     assert back_tol[3] == (None, None)   # latest is 40 min back > 30 -> nulled
     assert back_tol[4] == (None, None)
+
+
+def test_sessionize_ids_and_bounds(spark):
+    """Per-event session ids: dense 1-based per key in time order, a
+    new id exactly when the gap exceeds the threshold; bounds aggregate
+    back to the q29 shape."""
+    import datetime as dt
+
+    from sum_spark.operators.sessions import session_bounds, sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", ts(0), 1.0),
+            (2, "u", ts(10), 2.0),
+            (3, "u", ts(45), 4.0),   # 35 min gap -> new session
+            (4, "u", ts(46), 8.0),
+            (5, "v", ts(0), 1.0),
+        ],
+        "event_id long, user_id string, ts timestamp_ntz, value double",
+    )
+    sz = sessionize(ev, gap="30 minutes")
+    got = {r["event_id"]: r["session_id"] for r in sz.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+    # exactly-at-gap boundary: 30 min gap is SAME session (> not >=)
+    edge = spark.createDataFrame(
+        [(1, "u", ts(0), 0.0), (2, "u", ts(30), 0.0)],
+        "event_id long, user_id string, ts timestamp_ntz, value double",
+    )
+    ids = {r["event_id"]: r["session_id"] for r in sessionize(edge).collect()}
+    assert ids == {1: 1, 2: 1}
+
+    b = session_bounds(sz, value_col="value").collect()
+    rows = {(r["user_id"], r["session_id"]): (r["s"], r["e"], r["n"], r["v"]) for r in b}
+    assert rows[("u", 1)] == (ts(0), ts(10), 2, 3.0)
+    assert rows[("u", 2)] == (ts(45), ts(46), 2, 12.0)
+    assert rows[("v", 1)] == (ts(0), ts(0), 1, 1.0)
