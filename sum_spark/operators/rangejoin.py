@@ -61,3 +61,56 @@ def range_join(
     )
     out = f.join(iv, cond, how)
     return out.drop("__bucket", "__ibucket")
+
+
+def interval_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str = "lo",
+    a_hi: str = "hi",
+    b_lo: str = "lo",
+    b_hi: str = "hi",
+    step: float = 1.0,
+    broadcast_b: bool = False,
+) -> DataFrame:
+    """Interval-OVERLAP join: pairs where [a_lo, a_hi) ∩ [b_lo, b_hi) is
+    non-empty (a.lo < b.hi AND b.lo < a.hi) — the two-interval-table
+    generalization of range_join, same discretization strategy.
+
+    Both sides explode into the fixed-width buckets they cover and match
+    on bucket equality + the residual overlap predicate. An overlapping
+    pair shares MIN(span_a, span_b)/step + 1 buckets; emitting the pair
+    once per shared bucket would need a distinct over the full result.
+    Instead each candidate pair is claimed by exactly ONE bucket — the
+    first bucket both intervals cover, max(bucket(a_lo), bucket(b_lo)) —
+    a pure per-row predicate, no dedup shuffle. (The trick every
+    spatial-binning join uses; DuckDB/Postgres call it the 'reference
+    point' method.)
+
+    Work is O(|a| * spans_a/step + |b| * spans_b/step) with a
+    hash-partitionable key; choose ``step`` near the median span so each
+    interval explodes into O(1) buckets. Inner join only (an outer
+    interval row would surface once per exploded bucket).
+    """
+
+    def buckets(df: DataFrame, lo: str, hi: str, tag: str) -> DataFrame:
+        blo = F.floor(F.col(lo) / step).cast("long")
+        bhi = F.floor((F.col(hi) - 1e-12) / step).cast("long")
+        return (
+            df.where(F.col(hi) > F.col(lo))
+            .withColumn(f"__{tag}blo", blo)
+            .withColumn(f"__{tag}b", F.explode(F.sequence(blo, bhi)))
+        )
+    aa = buckets(a, a_lo, a_hi, "a")
+    bb = buckets(b, b_lo, b_hi, "b")
+    if broadcast_b:
+        bb = F.broadcast(bb)
+    cond = (
+        (aa["__ab"] == bb["__bb"])
+        # overlap residual
+        & (aa[a_lo] < bb[b_hi])
+        & (bb[b_lo] < aa[a_hi])
+        # reference-point claim: only the FIRST shared bucket emits
+        & (aa["__ab"] == F.greatest(aa["__ablo"], bb["__bblo"]))
+    )
+    return aa.join(bb, cond, "inner").drop("__ab", "__ablo", "__bb", "__bblo")

@@ -920,22 +920,42 @@ _TIER_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
 @query(
     "q44_range_join",
     oracle=f"""
-    SELECT e.event_id, t.tier
+    SELECT 'in' AS mode, e.event_id, t.tier
     FROM events e JOIN (VALUES {_TIER_VALUES}) AS t(tier, lo, hi)
       ON e.value >= t.lo AND e.value < t.hi
-    ORDER BY e.event_id
+    UNION ALL
+    SELECT 'over', e.event_id, t.tier
+    FROM events e JOIN (VALUES {_TIER_VALUES}) AS t(tier, lo, hi)
+      ON e.value < t.hi AND t.lo < e.value + 30
+    ORDER BY mode, event_id, tier
     """,
-    doc="Range join (value-in-interval) via bucket discretization "
-    "(operators/rangejoin.py): intervals explode into fixed-width buckets "
-    "and the match is an equi-join + residual filter — hash-partitionable "
-    "where the naive theta join is a nested loop.",
+    doc="Range joins via bucket discretization (operators/rangejoin.py), "
+    "both shapes. 'in' leg: value-in-interval (range_join) — intervals "
+    "explode into fixed-width buckets and the match is an equi-join + "
+    "residual filter, hash-partitionable where the naive theta join is "
+    "a nested loop. 'over' leg: interval-OVERLAP join (interval_join) "
+    "over the events' [value, value+30) spans vs the tier intervals — "
+    "both sides explode, and each overlapping pair is claimed by "
+    "exactly ONE shared bucket (the reference-point predicate "
+    "max(bucket(a_lo), bucket(b_lo))), so no dedup shuffle exists in "
+    "the plan; the oracle is the plain overlap theta join.",
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sum_spark.operators.rangejoin import range_join
+    from sum_spark.operators.rangejoin import interval_join, range_join
 
     events = load_table(spark, sf_dir, "events").select("event_id", "value")
     tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
-    out = range_join(
+    inn = range_join(
         events, tiers, value_col="value", step=50.0, broadcast_intervals=True
+    ).select(F.lit("in").alias("mode"), "event_id", "tier")
+    spans = events.select(
+        "event_id", F.col("value").alias("lo"), (F.col("value") + 30).alias("hi")
     )
-    return out.select("event_id", "tier").orderBy("event_id")
+    over = interval_join(
+        spans, tiers, step=50.0, broadcast_b=True,
+        b_lo="lo", b_hi="hi",
+    )
+    # both sides carry lo/hi; interval_join keeps each side's columns —
+    # select by frame to disambiguate
+    over = over.select(F.lit("over").alias("mode"), "event_id", "tier")
+    return inn.unionByName(over).orderBy("mode", "event_id", "tier")

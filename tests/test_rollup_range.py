@@ -87,3 +87,39 @@ def test_range_join_rejects_interval_preserving_how(spark):
 
     with pytest.raises(ValueError, match="facts-preserving"):
         range_join(facts, iv, "v", step=10.0, how="full")
+
+
+def test_interval_join_overlap_exact_no_duplicates(spark):
+    """interval_join == the naive overlap theta join, with each pair
+    emitted exactly once even when intervals share many buckets."""
+    from sum_spark.operators.rangejoin import interval_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 100.0, 300.0), (4, 9.9, 10.0)],
+        "a_id long, lo double, hi double",
+    )
+    b = spark.createDataFrame(
+        [(10, 9.0, 11.0), (11, 0.0, 1000.0), (12, 10.0, 20.0), (13, -5.0, 0.0)],
+        "b_id long, lo double, hi double",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_join(a, b, step=3.0).select("a_id", "b_id").collect()
+    )
+    naive = sorted(
+        (ra, rb)
+        for ra, alo, ahi in [(r["a_id"], r["lo"], r["hi"]) for r in a.collect()]
+        for rb, blo, bhi in [(r["b_id"], r["lo"], r["hi"]) for r in b.collect()]
+        if alo < bhi and blo < ahi
+    )
+    assert got == naive
+    # b_id=11 spans ~300 buckets of a_id=3's ~70 — still exactly one row
+    assert got.count((3, 11)) == 1
+
+
+def test_interval_join_empty_intervals_dropped(spark):
+    from sum_spark.operators.rangejoin import interval_join
+
+    a = spark.createDataFrame([(1, 5.0, 5.0)], "a_id long, lo double, hi double")
+    b = spark.createDataFrame([(2, 0.0, 10.0)], "b_id long, lo double, hi double")
+    assert interval_join(a, b, step=1.0).count() == 0  # [5,5) is empty
