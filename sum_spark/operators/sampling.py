@@ -182,27 +182,36 @@ def weighted_priorities(
     priorities are MERGEABLE (min is associative and per-row
     deterministic): per-shard/per-batch k-smallest priority sets union
     into the global draw without revisiting data — the basis of the
-    streaming weighted sample. Output: (doc_id, stratum, __pri)."""
+    streaming weighted sample. Output: (doc_id, stratum, __pri).
+
+    MAP-ONLY: the replica minimum folds inside one row via
+    array_min(transform(sequence(...))) — no explode, no aggregate, no
+    exchange (an explode + groupBy(doc_id) form would shuffle one
+    narrow row per document for a minimum whose inputs never leave the
+    row). The global top-k downstream is then the plan's ONLY exchange
+    (TakeOrderedAndProject's k-row merge)."""
     w_clamped = F.greatest(
         F.lit(1), F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
     )
-    reps = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(strat_col).alias("stratum"),
-        F.explode(F.sequence(F.lit(0), w_clamped - 1)).alias("__r"),
-    )
-    h = hash60(
-        F.concat(
-            F.lit(f"{seed}:"),
-            F.col("doc_id").cast("string"),
-            F.lit(":"),
-            F.col("__r").cast("string"),
+    # The lambda closes over seed/id_col as plain Python values (no
+    # default-arg capture — the HOF arity gotcha, functions/hashing.py).
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), (w_clamped - 1).cast("int")),
+            lambda r: hash60(
+                F.concat(
+                    F.lit(f"{seed}:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    r.cast("string"),
+                )
+            ),
         )
     )
-    return (
-        reps.select("doc_id", "stratum", h.alias("__h"))
-        .groupBy("doc_id", "stratum")
-        .agg(F.min("__h").alias("__pri"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("stratum"),
+        pri.alias("__pri"),
     )
 
 
