@@ -113,3 +113,26 @@ def test_append_then_query_equals_full_corpus_scan(spark, sf_smoke, tmp_path):
     got = bm25_from_index(spark, path, TERMS, k=10).collect()
     want = bm25_search(docs, TERMS, k=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_null_and_empty_text_parity_across_paths(spark, tmp_path):
+    """Documents with NULL or empty text must not break any path, and
+    all three paths (scan, in-flight postings, disk index) must agree
+    on corpora containing them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "data spark data"),
+            (2, None),
+            (3, ""),
+            (4, "the data"),
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["data", "the"]
+    scan = sorted(map(tuple, bm25_search(docs, terms, k=10).collect()))
+    mem = sorted(map(tuple, bm25_postings_search(docs, terms, k=10).collect()))
+    path = str(tmp_path / "ii_null")
+    write_inverted_index(docs, path)
+    disk = sorted(map(tuple, bm25_from_index(spark, path, terms, k=10).collect()))
+    assert scan == mem == disk
+    assert {r[1] for r in scan} == {1, 4}  # only real matches rank
