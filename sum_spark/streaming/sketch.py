@@ -253,6 +253,7 @@ def streaming_hll(
     path: str,
     checkpoint: str,
     seed: str = "hll",
+    group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
 ):
     """Accumulate HyperLogLog registers over a stream — per-batch/
@@ -267,7 +268,7 @@ def streaming_hll(
     from sum_spark.operators.sketch import hll_sketch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sk = hll_sketch(batch_df, item_col, seed=seed)
+        sk = hll_sketch(batch_df, item_col, group_cols, seed=seed)
         sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
@@ -278,14 +279,18 @@ def streaming_hll(
     )
 
 
-def read_hll(spark: SparkSession, path: str) -> DataFrame:
-    """The accumulated registers: per-idx MAX across every batch sketch
-    (== the registers of one batch build over all ingested rows)."""
+def read_hll(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The accumulated registers: per-(group, idx) MAX across every
+    batch sketch (== the registers of one batch build over all
+    ingested rows); pass the same ``group_cols`` as the writer for
+    per-domain cardinalities-so-far."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.parquet(path)
-        .groupBy("idx")
+        .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("rho"))
     )
 

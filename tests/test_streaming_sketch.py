@@ -385,3 +385,34 @@ def test_stream_weighted_sample_equals_batch_draw(spark, sf_smoke, tmp_path):
     acc = read_weighted_sample(spark, out_dir, k=9).collect()
     full = sample_weighted_k(docs, 9).collect()
     assert sorted(map(tuple, acc)) == sorted(map(tuple, full))
+
+
+def test_stream_hll_grouped_equals_batch(spark, sf_smoke, tmp_path):
+    from sum_spark.operators.sketch import hll_sketch
+    from sum_spark.streaming.sketch import read_hll, streaming_hll
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    drop_dir = str(tmp_path / "hg_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("source", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.col("doc_id").alias("x"), "source")
+    )
+    out_dir = str(tmp_path / "hg")
+    q = streaming_hll(
+        stream, "x", path=out_dir, checkpoint=str(tmp_path / "ckg"),
+        group_cols=("source",),
+    )
+    q.awaitTermination()
+    acc = read_hll(spark, out_dir, group_cols=("source",))
+    full = hll_sketch(docs.select(F.col("doc_id").alias("x"), "source"), "x", ("source",))
+    key = lambda df: sorted((r["source"], r["idx"], r["rho"]) for r in df.collect())
+    assert key(acc) == key(full)
