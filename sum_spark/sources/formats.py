@@ -104,3 +104,36 @@ def compact_parquet_dir(
     shutil.rmtree(path)
     os.rename(staged, path)
     return n_files
+
+
+def expire_partitions(
+    path: str,
+    partition_col: str,
+    keep: "callable",
+) -> list[str]:
+    """Retention for a directory-partitioned table: drop every
+    ``<partition_col>=<value>`` directory whose value fails ``keep`` —
+    the TTL delete of a rolling corpus (drop snapshots/days/shards past
+    the retention window) as pure directory removals, no rewrite, no
+    scan of surviving data. Returns the dropped partition values.
+
+    ``keep`` receives the partition value STRING (as encoded in the
+    directory name) and returns truthy to retain. Values are compared
+    as strings by the caller's function — dates in ISO form sort
+    lexically, so `lambda d: d >= "2026-01-01"` is a correct cutoff.
+    Deletion is per-directory and idempotent; a crash mid-run leaves a
+    table that is still valid (some partitions simply not yet expired).
+    """
+    import os
+    import shutil
+
+    prefix = partition_col + "="
+    dropped = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if not keep(value):
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped

@@ -118,6 +118,7 @@ def streaming_histogram(
     width: float,
     lo: float = 0.0,
     scale: int = 100,
+    group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
 ):
     """Maintain a fixed-bucket value histogram over a stream — the third
@@ -133,7 +134,10 @@ def streaming_histogram(
     from sum_spark.operators.sketch import histogram_fixed
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        h = histogram_fixed(batch_df, value_col, width=width, lo=lo, scale=scale)
+        h = histogram_fixed(
+            batch_df, value_col, width=width, lo=lo, scale=scale,
+            group_cols=group_cols,
+        )
         h.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
@@ -144,14 +148,18 @@ def streaming_histogram(
     )
 
 
-def read_histogram(spark: SparkSession, path: str) -> DataFrame:
+def read_histogram(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The accumulated histogram: cell-wise sum of every batch's cells —
-    identical to one batch build over all ingested rows."""
+    identical to one batch build over all ingested rows; pass the same
+    ``group_cols`` as the writer for per-domain distributions-so-far
+    (histogram_drift_by_group consumes these directly)."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.parquet(path)
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(
             F.sum("n").cast("long").alias("n"),
             F.sum("s_fixed").cast("long").alias("s_fixed"),

@@ -156,3 +156,27 @@ def test_compact_parquet_dir_recovers_interrupted_swap(spark, sf_smoke, tmp_path
     compact_parquet_dir(spark, path, target_mb=64)
     assert spark.read.parquet(path).count() == n_rows
     assert not os.path.isdir(staged)
+
+
+def test_expire_partitions_drops_only_failing_values(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sum_spark.sources.formats import expire_partitions
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").withColumn(
+        "day",
+        F.concat(F.lit("2026-01-0"), (F.col("doc_id") % 5 + 1).cast("string")),
+    )
+    path = str(tmp_path / "rolling")
+    docs.write.partitionBy("day").parquet(path)
+    before = spark.read.parquet(path).count()
+
+    dropped = expire_partitions(path, "day", keep=lambda d: d >= "2026-01-03")
+    assert dropped == ["2026-01-01", "2026-01-02"]
+    kept = spark.read.parquet(path)
+    assert kept.select("day").distinct().count() == 3
+    assert kept.count() < before
+    assert kept.where("day < '2026-01-03'").count() == 0
+    # idempotent
+    assert expire_partitions(path, "day", keep=lambda d: d >= "2026-01-03") == []

@@ -416,3 +416,39 @@ def test_stream_hll_grouped_equals_batch(spark, sf_smoke, tmp_path):
     full = hll_sketch(docs.select(F.col("doc_id").alias("x"), "source"), "x", ("source",))
     key = lambda df: sorted((r["source"], r["idx"], r["rho"]) for r in df.collect())
     assert key(acc) == key(full)
+
+
+def test_stream_histogram_grouped_equals_batch(spark, sf_smoke, tmp_path):
+    from pyspark.sql.types import DoubleType
+
+    from sum_spark.operators.sketch import histogram_fixed
+    from sum_spark.streaming.sketch import read_histogram, streaming_histogram
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "event_type", "value")
+    drop_dir = str(tmp_path / "gh_drops")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out_dir = str(tmp_path / "gh")
+    q = streaming_histogram(
+        stream, "value", path=out_dir, checkpoint=str(tmp_path / "ckgh"),
+        width=50.0, group_cols=("event_type",),
+    )
+    q.awaitTermination()
+    acc = read_histogram(spark, out_dir, group_cols=("event_type",))
+    full = histogram_fixed(ev, "value", width=50.0, group_cols=("event_type",))
+    key = lambda df: sorted(map(tuple, df.select("event_type", "bucket", "n", "s_fixed").collect()))
+    assert key(acc) == key(full)
