@@ -464,3 +464,18 @@ def extract_html(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return df.select(
         F.col(id_col).alias("doc_id"), html_to_text(text_col).alias("text")
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text normalization for dedup/fingerprint preprocessing:
+    lowercase, every non-alphanumeric run collapsed to a single space,
+    trimmed. Written in the RE2/Java common regex subset (no classes
+    DuckDB's RE2 lacks); the DuckDB twin is duck_normalize_text — note
+    DuckDB regexp_replace needs the explicit 'g' flag (CLAUDE.md), Spark
+    always replaces all."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+
+def duck_normalize_text(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"

@@ -681,7 +681,8 @@ _Q35_HTML_DUCK = _q35_html_duck()
            UPPER(SUBSTR(p_name, 1, 5)) AS u,
            CAST(LENGTH(p_type) AS BIGINT) AS l,
            ROUND(SQRT(p_retailprice), 2) AS r,
-           {_Q35_HTML_DUCK} AS html
+           {_Q35_HTML_DUCK} AS html,
+           trim(regexp_replace(lower(p_name || '/' || p_type), '[^a-z0-9]+', ' ', 'g')) AS nm
     FROM part ORDER BY p_partkey LIMIT 50
     """,
     doc="String/math scalar battery (consolidated q35_regex_string + "
@@ -690,10 +691,13 @@ _Q35_HTML_DUCK = _q35_html_duck()
     "beyond the vector kernels; Spark builtins cover this. The html "
     "column runs the web-ingest HTML->text extractor "
     "(textops.html_to_text: script/style removal, tag stripping, entity "
-    "decode, whitespace collapse) over deterministically wrapped HTML.",
+    "decode, whitespace collapse) over deterministically wrapped HTML; "
+    "the nm column runs textops.normalize_text — the canonical "
+    "dedup-preprocessing normalization (lowercase, non-alnum runs to "
+    "one space, trim) in the RE2/Java common regex subset.",
 )
 def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sum_spark.operators.textops import html_to_text
+    from sum_spark.operators.textops import html_to_text, normalize_text
 
     wrapped = F.concat(
         F.lit("<html><body><h1>"),
@@ -714,6 +718,9 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_type").cast("long").alias("l"),
             F.round(F.sqrt("p_retailprice"), 2).alias("r"),
             html_to_text(wrapped).alias("html"),
+            normalize_text(
+                F.concat(F.col("p_name"), F.lit("/"), F.col("p_type"))
+            ).alias("nm"),
         )
     )
 
