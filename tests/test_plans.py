@@ -471,3 +471,13 @@ def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
     scans = [n for n in names if "LogicalRelation" in n or "DataSourceV2" in n]
     assert not scans, f"direct source scans in consumer plan: {names}"
     assert any("InMemoryRelation" in n for n in names), names
+
+
+def test_q44_no_nested_loop_join(spark, sf_smoke):
+    """Both range-join legs must execute as hash joins on the bucket
+    key — a naive theta join would appear as BroadcastNestedLoopJoin /
+    CartesianProduct, the quadratic shape the discretization exists to
+    kill."""
+    p = plan_of(spark, sf_smoke, "q44_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
