@@ -81,7 +81,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q38_approx_count_distinct": ("mode", ["acd", "hll"]),
     "bm25_search": ("mode", ["scan", "idx"]),
     "global_shuffle": ("mode", ["shuf", "zord"]),
-    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv"]),
+    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv", "mg"]),
     "q08_semi_join": ("op", ["exists", "in"]),
     # the three diff_* statuses are one union child (one full-outer
     # join); diff_changed times that child once for all three.

@@ -878,3 +878,130 @@ def duck_hll_sql(
       SELECT {gsel}CAST(SUM(idx * 64 + rho) AS BIGINT) AS regsum
       FROM hllreg_{name} {gby}
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: bounded-state approximate top-k
+# ---------------------------------------------------------------------------
+#
+# The gap this fills: the 'vocab' exact heavy-hitters pass shuffles one
+# row per DISTINCT key (fine for word vocabularies, ruinous for URLs or
+# n-grams with billions of distinct values), and the count-min sketch
+# answers point queries but cannot LIST the heavy items without a
+# candidate set. A Misra-Gries summary keeps at most k counters per
+# partition — state bounded by k, not by the key cardinality — and the
+# only exchange moves <= k rows per partition. Summaries are mergeable
+# (sum matching counters, then subtract the (k+1)-th largest from all
+# and drop the non-positive — Agarwal et al., "Mergeable Summaries",
+# PODS 2012), and the merged summary keeps the sequential guarantee:
+# every estimate UNDER-counts by at most n/(k+1) of the total weight n,
+# so every item with true weight > n/(k+1) is present. The dual of the
+# count-min bound (which only ever over-counts).
+#
+# Counter values depend on partition layout (which prunes fired), so
+# they are not oracle-reproducible; what IS checkable — and what q31's
+# 'mg' leg checks — is the guarantee itself against exact counts:
+# est <= true and true - est <= n DIV k for the exact top tokens.
+#
+# No reference analog (like the rest of this module); the per-partition
+# fold is an Arrow mapInPandas whose inner loop is vectorized
+# value_counts/groupby-sum, never a per-row Python loop.
+
+MG_K = 64
+
+
+def mg_partials(
+    items: DataFrame,
+    item_col: str,
+    k: int = MG_K,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: an (item, est) frame with at
+    most ``k`` rows per input partition, built map-only (no shuffle).
+
+    Each Arrow batch is counted vectorized (value_counts, or groupby-sum
+    when ``weight_col`` carries pre-aggregated weights) and folded into
+    the partition's running summary; whenever the summary exceeds ``k``
+    counters, the (k+1)-th largest value is subtracted from every
+    counter and non-positive counters are dropped. Every prune removes
+    at least (k+1) x subtracted weight from the pool, which is what
+    bounds the total undercount of any single item by n/(k+1)."""
+    has_w = weight_col is not None
+    src = items.where(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("item"),
+        *([F.col(weight_col).cast("long").alias("w")] if has_w else []),
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if has_w:
+                cnt = pdf.groupby("item", sort=False)["w"].sum()
+            else:
+                cnt = pdf["item"].value_counts(sort=False)
+            acc = cnt if acc is None else acc.add(cnt, fill_value=0).astype("int64")
+            if len(acc) > k:
+                t = int(acc.nlargest(k + 1).iloc[-1])
+                acc = acc[acc > t] - t
+        if acc is None or len(acc) == 0:
+            return
+        yield pd.DataFrame(
+            {"item": acc.index.astype(str), "est": acc.astype("int64").values}
+        )
+
+    return src.mapInPandas(fold, schema="item string, est long")
+
+
+def _mg_prune(summary: DataFrame, k: int) -> DataFrame:
+    """Restore capacity ``k`` after a merge: subtract the (k+1)-th
+    largest counter from all counters, keep the strictly positive. The
+    threshold row is found with orderBy+limit (TakeOrdered — a k-row
+    per-partition heap merge, never a global sort) and broadcast."""
+    top = summary.orderBy(F.col("est").desc(), F.col("item")).limit(k + 1)
+    thr = top.agg(F.count("*").alias("__c"), F.min("est").alias("__m")).select(
+        F.when(F.col("__c") == k + 1, F.col("__m"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__t")
+    )
+    return (
+        summary.join(F.broadcast(thr))
+        .where(F.col("est") > F.col("__t"))
+        .select("item", (F.col("est") - F.col("__t")).cast("long").alias("est"))
+    )
+
+
+def mg_summary(
+    items: DataFrame,
+    item_col: str,
+    k: int = MG_K,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitter summary: at most ``k``
+    (item, est) rows for the whole input, with the mergeable-summaries
+    guarantee est <= true and true - est <= n/(k+1) (n = total weight).
+
+    Plan shape: map-only per-partition fold (state <= k counters each),
+    one aggregation over the <= k x partitions partial rows, one
+    TakeOrdered prune — the corpus itself never shuffles."""
+    merged = (
+        mg_partials(items, item_col, k=k, weight_col=weight_col)
+        .groupBy("item")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    return _mg_prune(merged, k)
+
+
+def mg_merge(*summaries: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge summaries of disjoint corpus parts (same ``k``) into the
+    summary of the union: sum matching counters, prune to capacity. The
+    undercount bound degrades to the COMBINED n/(k+1) — merging never
+    breaks the guarantee (Agarwal et al. 2012)."""
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return _mg_prune(
+        out.groupBy("item").agg(F.sum("est").cast("long").alias("est")), k
+    )

@@ -189,6 +189,17 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     UNION ALL
     SELECT 'kmv', 'event_type', NULL, est, NULL, n_vals, NULL, NULL
     FROM kmvest_etype
+    UNION ALL
+    SELECT 'mg', w, NULL, tf, CAST(1 AS BIGINT), b.n_div, NULL, NULL
+    FROM (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY tf DESC, w LIMIT 30
+    )
+    CROSS JOIN (
+      SELECT CAST(COUNT(*) // 64 AS BIGINT) AS n_div
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    ) b
     ORDER BY mode, col_a, col_b
     """,
     doc="Tagged triple: 'distinct' = DISTINCT on a projection (the "
@@ -237,7 +248,18 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     "md5-60 hashes — the MERGEABLE, engine-portable form of "
     "approx_count_distinct, estimator (k-1)*2^60/h_k in exact integer "
     "arithmetic) over user_id (estimator path) and event_type (<k "
-    "values: exact-fallback path), both value-checked.",
+    "values: exact-fallback path), both value-checked; 'mg' = "
+    "Misra-Gries heavy hitters (sketch.mg_summary, k=64): the "
+    "bounded-STATE top-k path — per-partition summaries capped at k "
+    "counters fold map-only, the exchange moves <= k rows per "
+    "partition, and the merged summary under-counts any item by at "
+    "most n/(k+1) — the listing dual of the CMS (which over-counts "
+    "and needs a candidate set). Counter values depend on partition "
+    "layout, so — q38 pattern — the CHECKED claim is the guarantee: "
+    "for each exact top-30 token, est <= tf and tf - est <= n DIV 64 "
+    "(emitted as a flag plus the oracle-reproducible bound itself); "
+    "built from the persisted per-token aggregate (weight_col), so "
+    "the leg adds no corpus scan.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -461,6 +483,36 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in ["user_id", "event_type"]
     ]
+    # Misra-Gries guarantee check: build the k=64 bounded-state summary
+    # from the SAME persisted per-token aggregate (weight_col=tf — no
+    # extra corpus scan; the raw-token path is property-tested), then
+    # assert the mergeable-summaries bound against the exact top-30:
+    # est never exceeds tf, undercount never exceeds n DIV 64 (integer
+    # DIV on both engines — the bound column itself is oracle-checked,
+    # the flag must come out 1).
+    from sum_spark.operators.sketch import mg_summary
+
+    mg_sk = mg_summary(vc, "__w", k=64, weight_col="tf").withColumnRenamed(
+        "item", "__w"
+    )
+    n_tot = vc.agg(F.sum("tf").cast("long").alias("__n"))
+    mg_est = F.coalesce(F.col("est"), F.lit(0))
+    mg = (
+        top.join(mg_sk, "__w", "left")
+        .join(F.broadcast(n_tot))
+        .select(
+            F.lit("mg").alias("mode"),
+            F.col("__w").alias("col_a"),
+            ns.alias("col_b"),
+            F.col("tf").alias("n_rows"),
+            ((mg_est <= F.col("tf")) & (F.col("tf") - mg_est <= F.expr("__n DIV 64")))
+            .cast("long")
+            .alias("n_nulls"),
+            F.expr("__n DIV 64").alias("n_distinct"),
+            ns.alias("min_str"),
+            ns.alias("max_str"),
+        )
+    )
     return release_with(
         distinct.unionByName(prof)
         .unionByName(fp)
@@ -472,6 +524,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])
+        .unionByName(mg)
         .orderBy("mode", "col_a", "col_b"),
         dvc,
         vc,

@@ -370,3 +370,52 @@ def read_weighted_sample(spark: SparkSession, path: str, k: int) -> DataFrame:
         .cast("long")
         .alias("pick"),
     ).orderBy("doc_id")
+
+
+def streaming_mg(
+    stream_df: DataFrame,
+    item_col: str,
+    path: str,
+    checkpoint: str,
+    k: int = 64,
+    weight_col: str | None = None,
+    trigger: dict | None = None,
+):
+    """Accumulate a Misra-Gries heavy-hitter summary over a stream —
+    per-batch partial / merge-at-read like streaming_hll: each
+    micro-batch folds to its own <= k (item, est) summary under
+    ``path/batch_id=N`` (operators/sketch.mg_summary — bounded state no
+    matter the batch size), and the summary-so-far is the counter-sum +
+    capacity prune across batch files (``read_mg`` ==
+    operators/sketch.mg_merge). Mergeable summaries keep the sequential
+    guarantee — any item's undercount stays <= n/(k+1) of the TOTAL
+    ingested weight n — so heavy items can never disappear as the
+    stream grows. Redelivery overwrites the batch's own directory."""
+    from sum_spark.operators.sketch import mg_summary
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = mg_summary(batch_df, item_col, k=k, weight_col=weight_col)
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_mg(spark: SparkSession, path: str, k: int = 64) -> DataFrame:
+    """The accumulated heavy-hitter summary: sum matching counters
+    across batch partials, then one capacity prune — exactly
+    operators/sketch.mg_merge over the batch summaries."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sketch import _mg_prune
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("item")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    return _mg_prune(merged, k)

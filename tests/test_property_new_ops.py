@@ -93,3 +93,35 @@ def test_hll_registers_match_python_reference(spark, values):
         rho = rem_bits + 1 if rem == 0 else rem_bits + 1 - rem.bit_length()
         regs[idx] = max(regs.get(idx, 0), rho)
     assert got == sorted(regs.items())
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.sampled_from([2, 4, 8]),
+    st.sampled_from([1, 7]),
+)
+def test_mg_summary_guarantee_randomized(spark, stream, k, parts):
+    """Misra-Gries bound under randomized streams, capacities, and
+    layouts: est <= true, undercount <= n/(k+1), size <= k, and every
+    item above the bound is present."""
+    from collections import Counter
+
+    from sum_spark.operators.sketch import mg_summary
+
+    df = spark.createDataFrame(
+        [(f"v{x}",) for x in stream], "item string"
+    ).repartition(parts)
+    got = {
+        r["item"]: r["est"] for r in mg_summary(df, "item", k=k).collect()
+    }
+    exact = Counter(f"v{x}" for x in stream)
+    n = len(stream)
+    bound = n // (k + 1)
+    assert len(got) <= k
+    for w, true in exact.items():
+        e = got.get(w, 0)
+        assert e <= true
+        assert true - e <= bound
+        if true > bound:
+            assert w in got

@@ -472,3 +472,108 @@ def test_hll_grouped_layout_invariant(spark, sf_smoke):
     )
     assert key(sk1) == key(sk2)
     assert key(hll_sketch(docs, "x", ("source",))) == key(sk1)  # NULL skipped
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_check_guarantee(exact_rows, summary_rows, n, k):
+    """The mergeable-summaries guarantee against exact counts: est never
+    exceeds true, any item's undercount <= n/(k+1), summary size <= k,
+    and every item heavier than the bound is present."""
+    bound = n // (k + 1)
+    est = dict(summary_rows)
+    assert len(est) <= k
+    for w, true in exact_rows:
+        e = est.get(w, 0)
+        assert e <= true, (w, e, true)
+        assert true - e <= bound, (w, e, true, bound)
+        if true > bound:
+            assert w in est, (w, true, bound)
+
+
+def test_mg_guarantee_on_corpus_tokens(spark, sf_smoke):
+    from sum_spark.operators.sketch import mg_summary
+
+    toks = _tok(spark, sf_smoke)
+    k = 16  # small capacity so prunes genuinely fire at smoke scale
+    summary = [
+        (r["item"], r["est"]) for r in mg_summary(toks, "w", k=k).collect()
+    ]
+    exact = [
+        (r["w"], r["n"])
+        for r in toks.groupBy("w").agg(F.count("*").alias("n")).collect()
+    ]
+    n = sum(c for _, c in exact)
+    _mg_check_guarantee(exact, summary, n, k)
+
+
+def test_mg_layout_invariant_guarantee(spark):
+    """The guarantee must hold under ANY partition layout (which prunes
+    fire differs; the bound may not)."""
+    from sum_spark.operators.sketch import mg_summary
+
+    rows = [(f"hot{i % 3}",) for i in range(600)] + [
+        (f"tail{i}",) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "item string")
+    exact = [
+        (r["item"], r["n"])
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    ]
+    n = 1000
+    for parts in (1, 13):
+        got = [
+            (r["item"], r["est"])
+            for r in mg_summary(df.repartition(parts), "item", k=8).collect()
+        ]
+        _mg_check_guarantee(exact, got, n, 8)
+        # the hot items dominate the tail and must always surface
+        items = {w for w, _ in got}
+        assert {"hot0", "hot1", "hot2"} <= items
+
+
+def test_mg_merge_keeps_combined_guarantee(spark):
+    from sum_spark.operators.sketch import mg_merge, mg_summary
+
+    a = spark.createDataFrame(
+        [(f"a{i % 5}",) for i in range(300)] + [(f"t{i}",) for i in range(100)],
+        "item string",
+    )
+    b = spark.createDataFrame(
+        [(f"a{i % 5}",) for i in range(200)] + [(f"u{i}",) for i in range(100)],
+        "item string",
+    )
+    k = 8
+    merged = [
+        (r["item"], r["est"])
+        for r in mg_merge(
+            mg_summary(a, "item", k=k), mg_summary(b, "item", k=k), k=k
+        ).collect()
+    ]
+    exact = [
+        (r["item"], r["n"])
+        for r in a.unionByName(b)
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    _mg_check_guarantee(exact, merged, 700, k)
+
+
+def test_mg_weighted_build_equals_guarantee_on_weights(spark):
+    """weight_col folds pre-aggregated counts: the bound is over total
+    WEIGHT, and a <= k-distinct input reproduces counts exactly (no
+    prune ever fires)."""
+    from sum_spark.operators.sketch import mg_summary
+
+    pre = spark.createDataFrame(
+        [(f"w{i}", (i + 1) * 10) for i in range(6)], "item string, tf long"
+    )
+    got = {
+        r["item"]: r["est"]
+        for r in mg_summary(pre, "item", k=8, weight_col="tf").collect()
+    }
+    assert got == {f"w{i}": (i + 1) * 10 for i in range(6)}

@@ -452,3 +452,52 @@ def test_stream_histogram_grouped_equals_batch(spark, sf_smoke, tmp_path):
     full = histogram_fixed(ev, "value", width=50.0, group_cols=("event_type",))
     key = lambda df: sorted(map(tuple, df.select("event_type", "bucket", "n", "s_fixed").collect()))
     assert key(acc) == key(full)
+
+
+def test_stream_mg_keeps_guarantee_over_batches(spark, sf_smoke, tmp_path):
+    """Stream-accumulated Misra-Gries: the merged summary over >= 2
+    micro-batches keeps the mergeable-summaries guarantee against exact
+    counts of the full ingested corpus (counter values legitimately
+    differ from a one-shot batch build — the GUARANTEE is the parity
+    claim, exactly as for the batch operator)."""
+    from sum_spark.streaming.sketch import read_mg, streaming_mg
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    drop_dir = str(tmp_path / "drops_mg")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.explode(tokens("text")).alias("w"))
+    )
+    out = str(tmp_path / "mg")
+    k = 16
+    q = streaming_mg(stream, "w", path=out, checkpoint=str(tmp_path / "ckpt_mg"), k=k)
+    q.awaitTermination()
+
+    import glob
+
+    assert len(glob.glob(out + "/batch_id=*")) >= 2
+
+    got = {r["item"]: r["est"] for r in read_mg(spark, out, k=k).collect()}
+    tok = docs.select(F.explode(tokens("text")).alias("w"))
+    exact = {
+        r["w"]: r["n"]
+        for r in tok.groupBy("w").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    bound = n // (k + 1)
+    assert len(got) <= k
+    for w, true in exact.items():
+        e = got.get(w, 0)
+        assert e <= true
+        assert true - e <= bound
+        if true > bound:
+            assert w in got
