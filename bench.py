@@ -2,8 +2,14 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "legs": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The harness that records this line keeps only the LAST ~2,000 characters
+of stdout, so the printed line MUST stay well under that (tested at
+<1,800 chars by tests/test_bench_contract.py). Per-leg timings therefore
+do NOT go to stdout: they are written to the committed sidecar file
+``BENCH_LEGS.json`` next to this script (and echoed on stderr for
+interactive runs).
 
 Workload selection mirrors BASELINE.md: the findSimilar family (the
 reference's flagship), the relational suite's heaviest shapes, windowed
@@ -129,6 +135,25 @@ def _text_profile_component_legs():
     }
 
 
+def format_stdout_line(timings: dict[str, float], sf) -> str:
+    """The ONE stdout JSON line the external harness parses. Compact
+    separators and NO legs dict — the harness's capture window keeps only
+    the last ~2,000 chars of output, and round 5's legs-inclusive line
+    (3.2 KB) overflowed it. Legs live in BENCH_LEGS.json instead.
+    tests/test_bench_contract.py pins the length budget."""
+    total = round(sum(timings.values()), 3)
+    return json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+
+
 def _best_of(fn_make_df, max_runs: int, time_build: bool = True) -> float:
     """Best of up to ``max_runs`` executions of the plan ``fn_make_df``
     returns: the first run pays per-plan codegen/JIT and any transient
@@ -210,19 +235,18 @@ def main() -> None:
                     time_build=False,
                 )
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "legs": legs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    if legs:
+        # Sidecar, not stdout: the harness's stdout capture window is
+        # ~2,000 chars and the legs dict alone exceeds it (VERDICT r5 #1).
+        legs_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LEGS.json"
         )
-    )
+        with open(legs_path, "w") as fh:
+            json.dump({"sf": sf_val, "legs": legs}, fh, indent=1, sort_keys=True)
+        print(f"per-leg timings -> {legs_path}", file=sys.stderr)
+        print(json.dumps(legs, sort_keys=True), file=sys.stderr)
+    print(format_stdout_line(timings, sf_val))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,45 @@
+"""bench.py stdout contract: the harness that records the benchmark keeps
+only the last ~2,000 characters of output, so the single JSON line bench.py
+prints must stay comfortably under that. Round 5 broke this by inlining the
+per-leg timings dict (3.2 KB line -> BENCH_r05 unparseable); legs now go to
+the BENCH_LEGS.json sidecar and this test pins the stdout budget so a future
+widening can't silently regress the contract again."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _fake_timings() -> dict[str, float]:
+    # Worst-case realistic widths: three-digit seconds with 3 decimals.
+    return {name: 999.999 for name in bench.HEADLINE}
+
+
+def test_stdout_line_under_capture_window():
+    line = bench.format_stdout_line(_fake_timings(), 0.1)
+    assert len(line) < 1800, (
+        f"bench stdout line is {len(line)} chars; the harness tail capture "
+        "is ~2000 — move data to BENCH_LEGS.json, don't widen this line"
+    )
+    assert "\n" not in line
+
+
+def test_stdout_line_is_parseable_json_with_required_keys():
+    line = bench.format_stdout_line(_fake_timings(), 0.1)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_total"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert parsed["value"] == round(sum(parsed["queries"].values()), 3)
+    assert "legs" not in parsed  # legs belong to the sidecar file only
+
+
+def test_legs_do_not_fit_and_therefore_must_stay_off_stdout():
+    # Documents WHY the sidecar exists: the legs dict alone (round-5
+    # shape: ~67 entries) pushes the line past the capture window.
+    legs = {f"entry_name_{i:02d}.legtag": 999.999 for i in range(67)}
+    inline = json.dumps(dict(json.loads(bench.format_stdout_line(_fake_timings(), 0.1)), legs=legs))
+    assert len(inline) > 2000
