@@ -85,7 +85,8 @@ HEADLINE = [
 TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q02_lookup_topk": ("op", ["point", "topk"]),
     "q38_approx_count_distinct": ("mode", ["acd", "hll"]),
-    "bm25_search": ("mode", ["scan", "idx"]),
+    "bm25_search": ("mode", ["scan", "idx", "incr"]),
+    "dedup_incremental": ("mode", ["pair", "incr"]),
     "global_shuffle": ("mode", ["shuf", "zord"]),
     "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv", "mg"]),
     "q08_semi_join": ("op", ["exists", "in"]),

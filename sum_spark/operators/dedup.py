@@ -624,6 +624,77 @@ def dedup_incremental(
     return _release_with(out, *own)
 
 
+def incremental_pairs(
+    corpus_sig: DataFrame,
+    stored_pairs: DataFrame,
+    delta_docs: DataFrame,
+    retired_ids: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maintain the FULL near-dup pair set across a snapshot transition
+    from the previous snapshot's stored artifacts plus the delta only —
+    the incremental twin of dedup_minhash_lsh over the new snapshot.
+
+    Inputs are the pieces a versioned 100 TB corpus already has on disk:
+
+    - ``corpus_sig``: the old snapshot's minhash_signatures table,
+    - ``stored_pairs``: the old snapshot's verified (doc_a, doc_b,
+      jaccard) pairs,
+    - ``delta_docs``: added+changed docs WITH THE NEW SNAPSHOT'S TEXT
+      (snapshot_diff's delta_ids semi-joined against the new snapshot),
+    - ``retired_ids``: one id column of removed+changed ids.
+
+    The plan scans text ONLY for ``delta_docs``; everything else is
+    projections/joins over the stored tables. The result is exactly
+    dedup_minhash_lsh(new_snapshot): stored pairs between surviving
+    unchanged docs are reused verbatim (their signatures are identical
+    in both snapshots, so candidates and verified Jaccards are too),
+    cross delta-vs-retained pairs come from the dedup_incremental band
+    join, within-delta pairs from an LSH pass over the delta signatures
+    alone — the three sets are disjoint by construction.
+    """
+    t = float(threshold)
+    retired = retired_ids.select(F.col(retired_ids.columns[0]).alias("__rid"))
+    # 1. Stored pairs with NEITHER endpoint retired survive as-is.
+    kept = stored_pairs.join(
+        retired, F.col("doc_a") == F.col("__rid"), "left_anti"
+    ).join(retired, F.col("doc_b") == F.col("__rid"), "left_anti")
+    # 2. Delta signatures — the only text this plan reads.
+    sig_d = minhash_signatures(delta_docs, text_col, id_col).persist()
+    # 3. Retained corpus signatures: projection of the stored table.
+    sig_r = corpus_sig.join(retired, F.col("doc_id") == F.col("__rid"), "left_anti")
+    # 4. Cross pairs: delta bands vs retained bands, exact-verified
+    #    (the dedup_incremental shape, normalized to doc_a < doc_b).
+    cand = (
+        _bands_from_sig(sig_d)
+        .select(F.col("doc_id").alias("__di"), "band", "key")
+        .join(
+            _bands_from_sig(sig_r).select(
+                F.col("doc_id").alias("__ri"), "band", "key"
+            ),
+            ["band", "key"],
+        )
+        .select(
+            F.least("__di", "__ri").alias("doc_a"),
+            F.greatest("__di", "__ri").alias("doc_b"),
+        )
+        .distinct()
+    )
+    all_sig = sig_d.select("doc_id", "hh").unionByName(sig_r.select("doc_id", "hh"))
+    cross = _exact_jaccard_pairs(cand, all_sig, t, feat_col="hh")
+    # 5. Within-delta pairs.
+    within = minhash_lsh_from_sig(sig_d, t)
+    out = (
+        kept.select("doc_a", "doc_b", "jaccard")
+        .unionByName(cross)
+        .unionByName(within)
+        .orderBy("doc_a", "doc_b")
+    )
+    return _release_with(out, sig_d)
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     threshold: float = 0.8,

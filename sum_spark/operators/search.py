@@ -97,8 +97,9 @@ def bm25_search(
     ).orderBy("rank")
 
 
-def duck_bm25_sql(terms: list[str], k: int = 10) -> str:
-    """DuckDB twin of bm25_search over the ``documents`` view, generated
+def duck_bm25_sql(terms: list[str], k: int = 10, source: str = "documents") -> str:
+    """DuckDB twin of bm25_search over the ``documents`` view (or any
+    CTE/relation named by ``source`` exposing (doc_id, text)), generated
     from the same constants and the same expression structure (bare
     float literals CAST to DOUBLE — DuckDB parses them as DECIMAL)."""
     k1, b = f"CAST({BM25_K1} AS DOUBLE)", f"CAST({BM25_B} AS DOUBLE)"
@@ -115,7 +116,7 @@ def duck_bm25_sql(terms: list[str], k: int = 10) -> str:
         contribs.append(f"({idf} * ({tf} * ({k1} + 1)) / {denom})")
     score = " + ".join(contribs)
     return f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM {source}),
     d AS (SELECT doc_id, w, len(w) AS dl FROM t),
     st AS (SELECT COUNT(*) AS n,
              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
@@ -183,6 +184,33 @@ def build_inverted_index(
     return postings, terms, meta
 
 
+def _write_index_frames(
+    postings: DataFrame,
+    terms: DataFrame,
+    meta: DataFrame,
+    path: str,
+    n_buckets: int,
+    mode: str,
+) -> None:
+    """Common write path for build/append/retire: postings and terms go
+    out PARTITIONED BY the term-hash bucket (queries prune to their
+    terms' buckets via PartitionFilters), postings term-sorted within
+    partitions (row-group pruning via PushedFilters)."""
+    (
+        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/postings", mode=mode)
+    )
+    (
+        terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .write.partitionBy("bucket")
+        .parquet(f"{path}/terms", mode=mode)
+    )
+    meta.write.mode(mode).parquet(f"{path}/meta")
+
+
 def write_inverted_index(
     df: DataFrame,
     path: str,
@@ -198,19 +226,7 @@ def write_inverted_index(
     <path>/postings, <path>/terms (both bucketed), <path>/meta (1 row).
     """
     postings, terms, meta = build_inverted_index(df, text_col, id_col)
-    (
-        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-        .repartition("bucket")
-        .sortWithinPartitions("term", "doc_id")
-        .write.partitionBy("bucket")
-        .parquet(f"{path}/postings", mode="overwrite")
-    )
-    (
-        terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-        .write.partitionBy("bucket")
-        .parquet(f"{path}/terms", mode="overwrite")
-    )
-    meta.write.parquet(f"{path}/meta", mode="overwrite")
+    _write_index_frames(postings, terms, meta, path, n_buckets, "overwrite")
 
 
 def _bm25_over_postings(
@@ -322,7 +338,21 @@ def bm25_from_index(
         .collect()
     ]
     prune = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    matched = spark.read.parquet(f"{path}/postings").where(prune)
+    # Posting rows are MERGEABLE PARTIALS, same contract as terms/meta:
+    # append_to_inverted_index adds positive rows, retire_from_inverted_
+    # index adds negated ones. Summing per (term, doc_id) nets deletions
+    # out exactly; tf <= 0 means the doc no longer contains the term.
+    # The groupBy touches only the query terms' pruned rows.
+    matched = (
+        spark.read.parquet(f"{path}/postings")
+        .where(prune)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.sum("dl").cast("int").alias("dl"),
+        )
+        .where(F.col("tf") > 0)
+    )
     terms_df = spark.read.parquet(f"{path}/terms").where(prune)
     meta = spark.read.parquet(f"{path}/meta")
     dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
@@ -344,16 +374,41 @@ def append_to_inverted_index(
     rows per term, n/sum_dl sum across meta rows (_collect_stats).
     Callers own id uniqueness, exactly as with any parquet append."""
     postings, terms, meta = build_inverted_index(new_docs, text_col, id_col)
-    (
-        postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-        .repartition("bucket")
-        .sortWithinPartitions("term", "doc_id")
-        .write.partitionBy("bucket")
-        .parquet(f"{path}/postings", mode="append")
+    _write_index_frames(postings, terms, meta, path, n_buckets, "append")
+
+
+def retire_from_inverted_index(
+    old_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = II_BUCKETS,
+) -> None:
+    """O(delta) index DELETION: deletion as NEGATION of the mergeable
+    partials. ``old_docs`` must carry the retired documents with the
+    text that was indexed (the previous snapshot's rows — exactly what
+    snapshot_diff's 'removed'/'changed' ids select from the old
+    snapshot); their posting/df/meta partials are appended NEGATED, so
+    the read-side merge (bm25_from_index sums tf/dl per (term, doc_id),
+    _collect_stats sums df/n/sum_dl) cancels them exactly: a removed
+    doc's tf sums to 0 and is dropped, a changed doc re-appended via
+    append_to_inverted_index nets out to its new-text partials, and the
+    corpus stats equal a from-scratch rebuild bit-for-bit. The indexed
+    corpus is never re-read; a background compaction
+    (sources/shards.compact_parquet_dir pattern) can fold tombstone
+    partials into base files without changing any query result.
+    """
+    postings, terms, meta = build_inverted_index(old_docs, text_col, id_col)
+    _write_index_frames(
+        postings.select(
+            "term",
+            "doc_id",
+            (-F.col("tf")).alias("tf"),
+            (-F.col("dl")).alias("dl"),
+        ),
+        terms.select("term", (-F.col("df")).alias("df")),
+        meta.select((-F.col("n")).alias("n"), (-F.col("sum_dl")).alias("sum_dl")),
+        path,
+        n_buckets,
+        "append",
     )
-    (
-        terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-        .write.partitionBy("bucket")
-        .parquet(f"{path}/terms", mode="append")
-    )
-    meta.write.mode("append").parquet(f"{path}/meta")

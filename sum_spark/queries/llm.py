@@ -803,10 +803,45 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.unionByName(plan).unionByName(cap).orderBy("mode", "stratum")
 
 
+# The synthetic snapshot transition the incremental legs replay, defined
+# identically in both engines from the one documents table:
+#   old snapshot A = doc_id % 10 <> 0, original text
+#   new snapshot B = everything except A-members with doc_id % 13 = 2
+#                    (removed), with ' rev2' appended where doc_id % 13 = 1
+# so diff(A, B) = added (% 10 = 0), changed (% 10 <> 0 and % 13 = 1),
+# removed (% 10 <> 0 and % 13 = 2).
+_SNAPSHOT_B_DUCK = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 1 THEN text || ' rev2' ELSE text END AS text
+      FROM documents
+      WHERE doc_id % 10 = 0 OR doc_id % 13 <> 2
+"""
+
+
+def _snapshot_a(docs: DataFrame) -> DataFrame:
+    return docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+
+
+def _snapshot_b(docs: DataFrame) -> DataFrame:
+    return docs.where(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 13 != 2)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1, F.concat("text", F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
 @query(
     "dedup_incremental",
-    # Ground truth: exact all-pairs Jaccard restricted to new-vs-corpus
-    # (new batch = doc_id % 10 = 0); recall argument as dedup_minhash_lsh.
+    # Ground truth per leg: 'pair' = exact all-pairs Jaccard restricted to
+    # new-vs-corpus (new batch = doc_id % 10 = 0); 'incr' = exact all-pairs
+    # Jaccard over the FULL new snapshot B — the full-rebuild oracle the
+    # delta-maintained pair set must equal. Recall argument as
+    # dedup_minhash_lsh.
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (
@@ -814,26 +849,98 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS i
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
       FROM sh a JOIN sh b ON a.s = b.s
       WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
       GROUP BY 1, 2
+    ),
+    pair AS (
+      SELECT 'pair' AS mode, id_a, id_b,
+             ROUND(i / (na.n + nb.n - i), 4) AS jaccard
+      FROM common
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE i / (na.n + nb.n - i) >= 0.8
+    ),
+    bdocs AS ({_SNAPSHOT_B_DUCK}),
+    bd AS (SELECT doc_id, string_split(text, ' ') AS w FROM bdocs),
+    bsh AS (
+      SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS s FROM bd
+    ),
+    bsizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+    bcommon AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM bsh a JOIN bsh b ON a.s = b.s
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    incr AS (
+      SELECT 'incr' AS mode, id_a, id_b,
+             ROUND(i / (na.n + nb.n - i), 4) AS jaccard
+      FROM bcommon
+      JOIN bsizes na ON na.doc_id = id_a
+      JOIN bsizes nb ON nb.doc_id = id_b
+      WHERE i / (na.n + nb.n - i) >= 0.8
     )
-    SELECT new_id, corpus_id, ROUND(i / (na.n + nb.n - i), 4) AS jaccard
-    FROM common
-    JOIN sizes na ON na.doc_id = new_id
-    JOIN sizes nb ON nb.doc_id = corpus_id
-    WHERE i / (na.n + nb.n - i) >= 0.8
-    ORDER BY new_id, corpus_id
+    SELECT * FROM pair UNION ALL SELECT * FROM incr
+    ORDER BY mode, id_a, id_b
     """,
-    doc="O(delta) ingestion dedup: MinHash band join of a NEW batch "
-    "(doc_id%10=0) against the existing corpus only, exact-verified.",
+    doc="Incremental dedup, tagged: 'pair' = O(delta) ingestion dedup — "
+    "MinHash band join of a NEW batch (doc_id%10=0) against the existing "
+    "corpus only, exact-verified. 'incr' = the END-TO-END incremental "
+    "maintenance path: snapshot_diff(A, B) finds added/changed/removed, "
+    "incremental_pairs reuses the OLD snapshot's stored signature + pair "
+    "artifacts, scans text for the delta only, and emits the full "
+    "near-dup pair set of snapshot B — hash-checked against the "
+    "full-rebuild oracle (exact all-pairs Jaccard over B), which is the "
+    "delta-path ≡ full-rebuild equivalence a versioned 100 TB corpus "
+    "relies on. ONE corpus signature pass (persisted minhash_signatures "
+    "over A) feeds both legs.",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sum_spark.operators.diff import delta_ids, snapshot_diff
+    from sum_spark.plans.scale import release_with
+
     docs = load_table(spark, sf_dir, "documents")
+    a = _snapshot_a(docs)
+    b = _snapshot_b(docs)
+
+    # The old snapshot's stored artifacts (computed once here; on a real
+    # deployment these are the previous run's parquet outputs).
+    a_sig = dedup.minhash_signatures(a).persist()
+    a_pairs = dedup.minhash_lsh_from_sig(a_sig, threshold=0.8)
+
+    # 'pair' leg: new-batch-vs-corpus only, sharing the corpus signatures.
     new = docs.where(F.col("doc_id") % 10 == 0)
-    corpus = docs.where(F.col("doc_id") % 10 != 0)
-    return dedup.dedup_incremental(new, corpus, threshold=0.8)
+    pair_raw = dedup.dedup_incremental(new, corpus_sig=a_sig, threshold=0.8)
+    pair = pair_raw.select(
+        F.lit("pair").alias("mode"),
+        F.col("new_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "jaccard",
+    )
+
+    # 'incr' leg: diff-driven delta processing over the stored artifacts.
+    d = snapshot_diff(a, b).persist()
+    delta = b.join(
+        delta_ids(d).select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    retired = d.where(F.col("status").isin("removed", "changed")).select("id")
+    incr_raw = dedup.incremental_pairs(
+        a_sig, a_pairs, delta, retired, threshold=0.8
+    )
+    incr = incr_raw.select(
+        F.lit("incr").alias("mode"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "jaccard",
+    )
+
+    out = pair.unionByName(incr).orderBy("mode", "id_a", "id_b")
+    # The operator finalizers live on pair_raw/incr_raw; the result must
+    # hold them (and the shared artifacts) until its action runs.
+    out = carry_caches(out, pair_raw, incr_raw)
+    return release_with(out, a_sig, d)
 
 
 @query(
@@ -859,10 +966,14 @@ _BM25_TERMS = ["spark", "window", "merge"]
 @query(
     "bm25_search",
     oracle=f"""
-    WITH base AS ({duck_bm25_sql(_BM25_TERMS, k=10)})
+    WITH base AS ({duck_bm25_sql(_BM25_TERMS, k=10)}),
+    bdocs AS ({_SNAPSHOT_B_DUCK}),
+    ibase AS ({duck_bm25_sql(_BM25_TERMS, k=10, source="bdocs")})
     SELECT 'idx' AS mode, rank, doc_id, score FROM base
     UNION ALL
     SELECT 'scan', rank, doc_id, score FROM base
+    UNION ALL
+    SELECT 'incr', rank, doc_id, score FROM ibase
     ORDER BY mode, rank
     """,
     doc="BM25(k1=1.2, b=0.75) top-10 keyword retrieval, two execution "
@@ -876,16 +987,34 @@ _BM25_TERMS = ["spark", "window", "merge"]
     "bit-for-bit and the oracle checks both against one SQL body. The "
     "write-time half (write_inverted_index / bm25_from_index, "
     "PartitionFilters on the term bucket) round-trips in "
-    "tests/test_inverted_index.py.",
+    "tests/test_inverted_index.py. 'incr' leg: the same query served "
+    "from an ON-DISK index maintained INCREMENTALLY across the A->B "
+    "snapshot transition — build on A, retire_from_inverted_index the "
+    "changed+removed docs (deletion as NEGATED mergeable partials), "
+    "append_to_inverted_index the added+changed delta with B's text; "
+    "the read-side partial merge makes the result equal a from-scratch "
+    "rebuild over B bit-for-bit, which is what the oracle's ibase body "
+    "checks. The indexed corpus is never re-read: only delta text is "
+    "tokenized at maintenance time.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+
     from sum_spark.functions.text import tokens as _tokens
-    from sum_spark.operators.search import bm25_postings_search
+    from sum_spark.operators.search import (
+        append_to_inverted_index,
+        bm25_from_index,
+        bm25_postings_search,
+        retire_from_inverted_index,
+        write_inverted_index,
+    )
     from sum_spark.plans.scale import release_with
 
     docs = load_table(spark, sf_dir, "documents")
-    # ONE tokenize scan feeds both legs (the text_profile shared-scan
-    # contract); the persisted projection is released by the finalizer.
+    # ONE tokenize scan feeds the in-flight legs (the text_profile
+    # shared-scan contract); the persisted projection is released by the
+    # finalizer.
     tok = docs.select("doc_id", _tokens("text").alias("__w")).persist()
     scan = bm25_search(docs, _BM25_TERMS, k=10, tokenized=tok).select(
         F.lit("scan").alias("mode"), "rank", "doc_id", "score"
@@ -893,7 +1022,36 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = bm25_postings_search(docs, _BM25_TERMS, k=10, tokenized=tok).select(
         F.lit("idx").alias("mode"), "rank", "doc_id", "score"
     )
-    return release_with(idx.unionByName(scan).orderBy("mode", "rank"), tok)
+
+    # 'incr' leg: replay the A->B snapshot transition against a disk
+    # index. The base write is mode=overwrite, so re-running the query
+    # function rebuilds the maintenance state deterministically. The
+    # delta sets are the ids snapshot_diff(A, B) yields — materialized
+    # here by the equivalent literal predicates (the diff operator
+    # itself is exercised end-to-end in dedup_incremental's 'incr' leg)
+    # so the entry's construction cost stays one index write + two
+    # delta-sized appends.
+    a = _snapshot_a(docs)
+    b = _snapshot_b(docs)
+    idx_dir = _os.path.join(
+        _tempfile.gettempdir(),
+        f"sum_spark_ii_incr_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_inverted_index(a, idx_dir)
+    retired_old = a.where(
+        (F.col("doc_id") % 13 == 1) | (F.col("doc_id") % 13 == 2)
+    )
+    retire_from_inverted_index(retired_old, idx_dir)
+    delta_new = b.where(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 13 == 1)
+    )
+    append_to_inverted_index(delta_new, idx_dir)
+    incr = bm25_from_index(spark, idx_dir, _BM25_TERMS, k=10).select(
+        F.lit("incr").alias("mode"), "rank", "doc_id", "score"
+    )
+
+    out = idx.unionByName(scan).unionByName(incr).orderBy("mode", "rank")
+    return release_with(out, tok)
 
 
 @query(

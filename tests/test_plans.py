@@ -457,19 +457,29 @@ def test_q31_token_legs_share_one_documents_tokenize(spark, sf_smoke):
 
 
 def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
-    """Both bm25_search legs (scan-path scoring, posting-list scoring)
-    must read ONE persisted tokenized projection: the only documents
-    leaf left in the consumer plan is the cache read — neither leg
+    """The in-flight bm25_search legs (scan-path scoring, posting-list
+    scoring) must read ONE persisted tokenized projection: neither leg
     re-tokenizes the corpus (two tokenize scans where one suffices was
-    the entry's dominant avoidable cost, the text_profile pattern)."""
+    the entry's dominant avoidable cost, the text_profile pattern). The
+    'incr' leg reads the maintained ON-DISK index — those parquet leaves
+    are the point of that leg, so source scans are allowed only if they
+    point at the index dir, never at the documents table."""
     from sum_spark.queries import REGISTRY
 
     out = REGISTRY["bm25_search"].fn(spark, sf_smoke)
     lp = out._jdf.queryExecution().optimizedPlan()
     leaves = lp.collectLeaves()
+    scans = [
+        leaves.apply(i).toString()
+        for i in range(leaves.size())
+        if "Relation" in leaves.apply(i).getClass().getSimpleName()
+        and "InMemory" not in leaves.apply(i).getClass().getSimpleName()
+    ]
+    # Index reads expose posting/stat columns only; any raw-text scan
+    # (the documents table) would surface a text column in the leaf.
+    offenders = [s for s in scans if "text#" in s]
+    assert not offenders, f"raw-text source scans in consumer plan: {offenders}"
     names = [leaves.apply(i).getClass().getSimpleName() for i in range(leaves.size())]
-    scans = [n for n in names if "LogicalRelation" in n or "DataSourceV2" in n]
-    assert not scans, f"direct source scans in consumer plan: {names}"
     assert any("InMemoryRelation" in n for n in names), names
 
 
