@@ -562,6 +562,216 @@ def duck_histogram_sql(
     )"""
 
 
+# ---------------------------------------------------------------------------
+# Log-bucketed digest — mergeable quantiles WITHOUT a known value range
+# ---------------------------------------------------------------------------
+
+LOG_HIST_BITS = 7
+
+
+def log_histogram(
+    df: DataFrame,
+    value_col: str,
+    bits: int = LOG_HIST_BITS,
+    scale: int = 100,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HDR-style log2-bucketed mergeable histogram: (group..., bucket, n)
+    with bounded RELATIVE error 2^-bits per bucket and NO range
+    parameter — the unknown-range complement to histogram_fixed, whose
+    cell space a caller must bound with lo/width.
+
+    Bucketing is PURE INTEGER BIT ARITHMETIC on the fixed-point image
+    ``fx = round(v*scale)``: with ``p = length(bin(fx)) - 1`` (both
+    engines print minimal-width binary — the HLL rho idiom) and
+    ``s = max(p - bits, 0)``,
+
+        bucket = s * 2^bits + (fx >> s)        for fx >= 1
+        bucket = -1                            for fx <= 0 (no relative-
+                                               error claim; counted so
+                                               ranks stay exact)
+
+    which is monotone in fx, exact below 2^bits, and maps all of BIGINT
+    to at most ``(63 - bits) * 2^bits`` cells — bounded by the TYPE, not
+    the data. No log()/ceil() appears anywhere, so there is no float
+    boundary to disagree on: a t-digest/KLL compaction is
+    insertion-order-dependent and engine-private, while these cells are
+    layout-independent, ORACLE-REPRODUCIBLE, and merge by cell-wise sum
+    (``log_histogram_merge``) exactly like the CMS/KMV/histogram family.
+
+    Plan shape: one map-side staged projection (fx, then s — each
+    referenced twice, so both are staged to keep Catalyst from
+    re-inlining) + an aggregation onto the bounded cell space; partial
+    combine collapses the corpus before the exchange. ``group_cols``
+    builds per-group digests that REAGGREGATE into the global one.
+    """
+    groups = list(group_cols or [])
+    fixed = F.expr(f"CAST(ROUND({value_col} * {scale}) AS BIGINT)")
+    shift = F.expr(f"GREATEST(CAST(length(bin(__fx)) AS INT) - 1 - {bits}, 0)")
+    bucket = F.expr(
+        f"CASE WHEN __fx <= 0 THEN CAST(-1 AS BIGINT)"
+        f" ELSE __s * {1 << bits} + shiftright(__fx, CAST(__s AS INT)) END"
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, fixed.alias("__fx"))
+        .select(*groups, "__fx", shift.alias("__s"))
+        .select(*groups, bucket.alias("bucket"))
+        .groupBy(*groups, "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def log_histogram_merge(*hists: DataFrame) -> DataFrame:
+    """Merge log digests built with the SAME bits/scale: cell-wise sum
+    over whatever key columns the cells carry. Dropping group columns
+    first collapses grouped digests into the global one —
+    merge(parts) == build(whole) exactly (property-tested)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    keys = [c for c in out.columns if c != "n"]
+    return out.groupBy(*keys).agg(F.sum("n").cast("long").alias("n"))
+
+
+def _log_bucket_bounds_sql(bits: int) -> tuple[str, str]:
+    """(lo, hi) SQL expressions (shared Spark/DuckDB integer subset) for
+    the inclusive fixed-point value range of a bucket: the guarantee is
+    exact-rank-value ∈ [lo, hi] with (hi-lo)/lo <= 2^-bits."""
+    s = f"GREATEST(bucket DIV {1 << bits} - 1, CAST(0 AS BIGINT))"
+    lo = f"shiftleft(bucket - ({s}) * {1 << bits}, CAST({s} AS INT))"
+    hi = f"({lo}) + shiftleft(CAST(1 AS BIGINT), CAST({s} AS INT)) - 1"
+    return lo, hi
+
+
+def log_histogram_quantile(
+    hist: DataFrame,
+    ps: list[tuple[int, int]],
+    bits: int = LOG_HIST_BITS,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile BOUNDS from a log digest: (group..., p_num, p_den,
+    lo_fp, hi_fp) where the exact rank-``ceil(n*p)`` value (integer
+    rank (n*p_num + p_den - 1) DIV p_den — never float p*n) is
+    guaranteed to lie in [lo_fp, hi_fp], an interval of relative width
+    <= 2^-bits. A quantile landing in the nonpositive bucket yields
+    (NULL, 0): the value is known only to be <= 0.
+
+    Same bounded-cell cumulative-window shape as
+    histogram_quantile_fixed; every op is integer, so the bounds are
+    bit-identical across engines and the accuracy claim is CHECKABLE,
+    not asserted."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    gcols = [F.col(c) for c in groups]
+    cum_w = Window.partitionBy(*gcols).orderBy("bucket")
+    tot_w = cum_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = hist.select(
+        *groups,
+        "bucket",
+        F.sum("n").over(cum_w).alias("__cum"),
+        F.sum("n").over(tot_w).alias("__total"),
+    )
+    probes = hist.sparkSession.createDataFrame(
+        [(int(pn), int(pd)) for pn, pd in ps], "p_num long, p_den long"
+    )
+    # Integer target rank r = ceil(p_num*total/p_den): for integer cum,
+    # cum >= ceil(a/b) is exactly b*cum >= a — no float p*n anywhere.
+    j = cum.crossJoin(F.broadcast(probes)).where(
+        F.col("p_den") * F.col("__cum") >= F.col("p_num") * F.col("__total")
+    )
+    first = j.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(*gcols, "p_num", "p_den").orderBy("bucket")
+        ),
+    ).where(F.col("__rk") == 1)
+    lo, hi = _log_bucket_bounds_sql(bits)
+    return first.select(
+        *groups,
+        "p_num",
+        "p_den",
+        F.expr(f"CASE WHEN bucket < 0 THEN NULL ELSE {lo} END")
+        .cast("long")
+        .alias("lo_fp"),
+        F.expr(f"CASE WHEN bucket < 0 THEN 0 ELSE {hi} END")
+        .cast("long")
+        .alias("hi_fp"),
+    )
+
+
+def duck_log_histogram_sql(
+    value_sql: str,
+    bits: int = LOG_HIST_BITS,
+    scale: int = 100,
+    grouped: bool = False,
+) -> str:
+    """DuckDB CTE rebuilding log_histogram for ``value_sql`` (a FROM-able
+    subquery with column ``v``, plus ``g`` when grouped): yields ``ldig``
+    (bucket, n) — and ``ldigg`` (g, bucket, n) with ``ldig`` reaggregated
+    from it when grouped, mirroring the one-grouped-pass engine side."""
+    inner = f"""
+        SELECT {"g, " if grouped else ""}CASE WHEN fx <= 0 THEN CAST(-1 AS BIGINT)
+                    ELSE gs * {1 << bits} + (fx >> gs) END AS bucket
+        FROM (
+          SELECT {"g, " if grouped else ""}fx,
+                 GREATEST(CAST(length(bin(fx)) AS BIGINT) - 1 - {bits},
+                          CAST(0 AS BIGINT)) AS gs
+          FROM (
+            SELECT {"g, " if grouped else ""}CAST(ROUND(v * {scale}) AS BIGINT) AS fx
+            FROM ({value_sql}) WHERE v IS NOT NULL
+          )
+        )"""
+    if not grouped:
+        return f"""
+    ldig AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({inner})
+      GROUP BY 1
+    )"""
+    return f"""
+    ldigg AS (
+      SELECT g, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ({inner})
+      GROUP BY 1, 2
+    ),
+    ldig AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS n FROM ldigg GROUP BY 1
+    )"""
+
+
+def duck_log_histogram_quantile_sql(
+    ps: list[tuple[int, int]], bits: int = LOG_HIST_BITS
+) -> str:
+    """DuckDB CTEs rebuilding log_histogram_quantile from the ``ldig``
+    CTE: yields ``ldigq`` (p_num, p_den, lo_fp, hi_fp)."""
+    values = ", ".join(f"({pn}, {pd})" for pn, pd in ps)
+    s = f"GREATEST(bucket // {1 << bits} - 1, CAST(0 AS BIGINT))"
+    lo = f"((bucket - ({s}) * {1 << bits}) << ({s}))"
+    hi = f"({lo}) + (CAST(1 AS BIGINT) << ({s})) - 1"
+    return f"""
+    ldigc AS (
+      SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
+             SUM(n) OVER () AS total
+      FROM ldig
+    ),
+    ldigq AS (
+      SELECT p_num, p_den,
+             CAST(CASE WHEN bucket < 0 THEN NULL ELSE {lo} END AS BIGINT) AS lo_fp,
+             CAST(CASE WHEN bucket < 0 THEN 0 ELSE {hi} END AS BIGINT) AS hi_fp
+      FROM (
+        SELECT pr.p_num, pr.p_den, c.bucket,
+               ROW_NUMBER() OVER (PARTITION BY pr.p_num, pr.p_den
+                                  ORDER BY c.bucket) AS rk
+        FROM (VALUES {values}) pr(p_num, p_den)
+        CROSS JOIN ldigc c
+        WHERE pr.p_den * c.cum >= pr.p_num * c.total
+      )
+      WHERE rk = 1
+    )"""
+
+
 def histogram_drift(a: DataFrame, b: DataFrame) -> DataFrame:
     """Distribution drift between two histograms built with the SAME
     width/lo/scale (two corpus snapshots, two crawls, two days of a

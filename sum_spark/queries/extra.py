@@ -15,6 +15,8 @@ from sum_spark.operators.sketch import (
     duck_count_min_sql,
     duck_histogram_quantile_sql,
     duck_histogram_sql,
+    duck_log_histogram_quantile_sql,
+    duck_log_histogram_sql,
     duck_hll_sql,
     duck_kmv_sql,
 )
@@ -85,6 +87,16 @@ _HIST_CTE = duck_histogram_sql(
 )
 _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
 
+# Log-digest oracle: the DIRECT (ungrouped) build — the Spark side merges
+# per-event_type cells, so the oracle match IS the merge(parts)==build(whole)
+# property, checked on real data.
+_LDIG_PS = [(1, 2), (9, 10), (99, 100)]
+_LDIG_CTES = (
+    duck_log_histogram_sql("SELECT value AS v FROM events").strip()
+    + ","
+    + duck_log_histogram_quantile_sql(_LDIG_PS)
+)
+
 
 @query(
     "q31_distinct_projection",
@@ -96,6 +108,22 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     {_KMV_CTES.strip()},
     {_HIST_CTE.strip()},
     {_HISTQ_CTES.strip()},
+    {_LDIG_CTES.strip()},
+    ldigr AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS fx FROM events
+      WHERE value IS NOT NULL
+    ),
+    ldigw AS (
+      SELECT fx, ROW_NUMBER() OVER (ORDER BY fx) AS rn,
+             COUNT(*) OVER () AS n
+      FROM ldigr
+    ),
+    ldige AS (
+      SELECT pr.p_num, pr.p_den, MIN(w.fx) AS e
+      FROM (VALUES (1, 2), (9, 10), (99, 100)) pr(p_num, p_den)
+      JOIN ldigw w ON w.rn = (w.n * pr.p_num + pr.p_den - 1) // pr.p_den
+      GROUP BY 1, 2
+    ),
     prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
       ('ts', false), ('user_id', true), ('value', false)
@@ -183,6 +211,14 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
       GROUP BY gt.g, gt.ng, t.nc
     ) d
     UNION ALL
+    SELECT 'ldig', CAST(bucket AS VARCHAR), NULL, n, NULL, NULL, NULL, NULL
+    FROM ldig
+    UNION ALL
+    SELECT 'ldigq',
+           CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR), NULL,
+           q.lo_fp, q.hi_fp, e.e, 'true', NULL
+    FROM ldigq q JOIN ldige e USING (p_num, p_den)
+    UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
     SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
@@ -238,7 +274,19 @@ _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
     "drift (sketch.histogram_drift_by_group: each event_type's TV "
     "distance vs the corpus distribution in integer ppm — "
     "DECIMAL/HUGEINT cross-products, final integer DIV — from the same "
-    "persisted cells, zero extra data passes); 'cms' = the same "
+    "persisted cells, zero extra data passes); 'ldig'/'ldigq' = the "
+    "UNKNOWN-RANGE mergeable quantile digest (sketch.log_histogram: "
+    "HDR-style log2 buckets via pure integer bit arithmetic — no "
+    "log()/ceil() float boundary to disagree on, cell space bounded by "
+    "the TYPE at (63-bits)*2^bits, relative error <= 2^-7; a "
+    "t-digest/KLL compaction would be insertion-order-dependent and "
+    "engine-private, this is layout-independent and "
+    "oracle-reproducible). Spark builds GROUPED by event_type and "
+    "MERGES; the oracle builds the global digest DIRECTLY, so the hash "
+    "match proves merge(parts)==build(whole) on real data. 'ldigq' "
+    "rows carry the quantile interval [lo_fp, hi_fp], the exact "
+    "integer-rank value, and a CHECKED containment flag (min_str must "
+    "come out 'true'); 'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -464,6 +512,78 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
+    # Log-bucketed digest (sketch.log_histogram): mergeable quantiles
+    # with NO range parameter — the unknown-range complement to the
+    # fixed-width histogram above. Built GROUPED by event_type and
+    # MERGED into the global cells, while the ORACLE builds the global
+    # digest directly — the hash match is therefore the
+    # merge(parts)==build(whole) property checked on real data. 'ldigq'
+    # emits quantile BOUNDS (relative width <= 2^-7) plus the exact
+    # rank value and a CHECKED containment flag (the q32 med_ok
+    # pattern): the exact value must land inside the digest's interval.
+    from sum_spark.operators.sketch import (
+        log_histogram,
+        log_histogram_merge,
+        log_histogram_quantile,
+    )
+
+    ldig_g = log_histogram(ev, "value", group_cols=["event_type"]).persist()
+    ldig_cells = log_histogram_merge(ldig_g.drop("event_type"))
+    ldig = ldig_cells.select(
+        F.lit("ldig").alias("mode"),
+        F.col("bucket").cast("string").alias("col_a"),
+        ns.alias("col_b"),
+        F.col("n").alias("n_rows"),
+        nl.alias("n_nulls"),
+        nl.alias("n_distinct"),
+        ns.alias("min_str"),
+        ns.alias("max_str"),
+    )
+    # Exact integer-rank values (the verification column, q32 pattern):
+    # one rank window over the fixed-point image.
+    fxw = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx")
+    )
+    rw = fxw.select(
+        "__fx",
+        F.row_number().over(W.orderBy("__fx")).alias("__rn"),
+        F.count("*")
+        .over(
+            W.orderBy("__fx").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("__n"),
+    )
+    ldig_probes = spark.createDataFrame(_LDIG_PS, "p_num long, p_den long")
+    exact = (
+        rw.crossJoin(F.broadcast(ldig_probes))
+        .where(
+            F.col("__rn")
+            == F.expr("(__n * p_num + p_den - 1) DIV p_den")
+        )
+        .groupBy("p_num", "p_den")
+        .agg(F.min("__fx").alias("__e"))
+    )
+    ldig_ok = F.when(
+        F.col("lo_fp").isNull(), F.col("__e") <= F.col("hi_fp")
+    ).otherwise((F.col("__e") >= F.col("lo_fp")) & (F.col("__e") <= F.col("hi_fp")))
+    ldigq = (
+        log_histogram_quantile(ldig_cells, _LDIG_PS)
+        .join(exact, ["p_num", "p_den"])
+        .select(
+            F.lit("ldigq").alias("mode"),
+            F.concat_ws(
+                "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
+            ).alias("col_a"),
+            ns.alias("col_b"),
+            F.col("lo_fp").alias("n_rows"),
+            F.col("hi_fp").alias("n_nulls"),
+            F.col("__e").alias("n_distinct"),
+            ldig_ok.cast("string").alias("min_str"),
+            ns.alias("max_str"),
+        )
+    )
     # KMV approximate-distinct over two events columns: user_id exercises
     # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the
     # exact-fallback path. The profile leg's n_distinct rows are the
@@ -521,6 +641,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hist)
         .unionByName(histq)
         .unionByName(drift)
+        .unionByName(ldig)
+        .unionByName(ldigq)
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])
@@ -529,6 +651,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         dvc,
         vc,
         hist_gcells,
+        ldig_g,
     )
 
 

@@ -577,3 +577,110 @@ def test_mg_weighted_build_equals_guarantee_on_weights(spark):
         for r in mg_summary(pre, "item", k=8, weight_col="tf").collect()
     }
     assert got == {f"w{i}": (i + 1) * 10 for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# Log-bucketed digest (unknown-range mergeable quantiles)
+# ---------------------------------------------------------------------------
+
+
+def _py_log_bucket(fx: int, bits: int) -> int:
+    """Pure-Python reference for the log2 bucket mapping."""
+    if fx <= 0:
+        return -1
+    s = max(fx.bit_length() - 1 - bits, 0)
+    return s * (1 << bits) + (fx >> s)
+
+
+def _py_bucket_bounds(bucket: int, bits: int) -> tuple[int, int]:
+    s = max(bucket // (1 << bits) - 1, 0)
+    lo = (bucket - s * (1 << bits)) << s
+    return lo, lo + (1 << s) - 1
+
+
+def test_log_histogram_matches_python_reference(spark):
+    """Bucket mapping equals the bit-arithmetic reference over a torture
+    domain: exact small region, powers of two, boundary +/-1, huge
+    magnitudes, zero and negatives."""
+    from sum_spark.operators.sketch import log_histogram
+
+    vals = sorted(
+        {v for p in range(0, 50) for v in (2**p - 1, 2**p, 2**p + 1)}
+        | set(range(0, 300))
+        | {-5, -1, 10**14, 3**20}
+    )
+    df = spark.createDataFrame([(float(v),) for v in vals], "value double")
+    got = {
+        r["bucket"]: r["n"]
+        for r in log_histogram(df, "value", bits=7, scale=1).collect()
+    }
+    from collections import Counter
+
+    want = Counter(_py_log_bucket(v, 7) for v in vals)
+    assert got == dict(want)
+    # monotone: bucket order equals value order on positives
+    pos = [v for v in vals if v > 0]
+    bks = [_py_log_bucket(v, 7) for v in pos]
+    assert bks == sorted(bks)
+    # every positive value lies inside its bucket's bounds, and the
+    # bounds are relative-error-tight
+    for v in pos:
+        lo, hi = _py_bucket_bounds(_py_log_bucket(v, 7), 7)
+        assert lo <= v <= hi, v
+        assert (hi - lo) <= lo / (1 << 7) or hi == lo, v
+
+
+def test_log_histogram_merge_equals_direct_build(spark, sf_smoke):
+    """merge(build(A), build(B)) == build(A ∪ B) cell-for-cell — the
+    mergeability contract, on real data split three ways."""
+    from sum_spark.operators.sketch import log_histogram, log_histogram_merge
+    from sum_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    parts = [ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    merged = sorted(
+        map(
+            tuple,
+            log_histogram_merge(
+                *[log_histogram(p, "value") for p in parts]
+            ).collect(),
+        )
+    )
+    direct = sorted(map(tuple, log_histogram(ev, "value").collect()))
+    assert merged == direct and merged
+
+
+def test_log_quantile_bounds_contain_exact_rank_value(spark):
+    """For adversarial distributions (heavy skew, ties, 12 orders of
+    magnitude, nonpositives) every quantile interval contains the exact
+    integer-rank value and honors the relative-width bound."""
+    import random
+
+    from sum_spark.operators.sketch import log_histogram, log_histogram_quantile
+
+    rng = random.Random(7)
+    vals = (
+        [0.0] * 5
+        + [-3.5] * 4
+        + [rng.lognormvariate(0, 4) for _ in range(500)]
+        + [10.0**9] * 3
+        + [1e-2] * 50
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    ps = [(1, 100), (1, 4), (1, 2), (3, 4), (99, 100)]
+    cells = log_histogram(df, "value", scale=100).persist()
+    got = {
+        (r["p_num"], r["p_den"]): (r["lo_fp"], r["hi_fp"])
+        for r in log_histogram_quantile(cells, ps).collect()
+    }
+    fx = sorted(round(v * 100) for v in vals)
+    n = len(fx)
+    for pn, pd in ps:
+        e = fx[(n * pn + pd - 1) // pd - 1]  # exact integer-rank value
+        lo, hi = got[(pn, pd)]
+        if lo is None:  # nonpositive bucket: value known only as <= 0
+            assert e <= 0 and hi == 0, (pn, pd, e)
+        else:
+            assert lo <= e <= hi, (pn, pd, e, lo, hi)
+            assert hi - lo <= max(lo >> 7, 0) + 1, (pn, pd)
+    cells.unpersist()
