@@ -44,7 +44,15 @@ FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"sf{FACTOR}x"
 )
+OUT_DIR_SKEW = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".benchdata", f"sf{FACTOR}x_skew"
+)
 STRIDE = 1_000_000
+# Planted boilerplate length (tokens) for the skew corpus: comparable to
+# the ~54-token average document, so hot docs' shingle sets are ~half
+# shared — hot LSH band buckets without pushing any pair past the 0.8
+# verify threshold (shared/union ≈ 0.33).
+BP_TOKENS = 54
 
 # The heaviest entries of BENCH_r04/r05 that read only documents/embeddings
 # (the TPC-H-shaped entries are Catalyst-native scans+joins whose scaling
@@ -136,6 +144,226 @@ def build_scaled(spark) -> None:
     e.repartition(32).write.mode("overwrite").parquet(os.path.join(OUT_DIR, "embeddings.parquet"))
 
 
+def build_skewed(spark) -> None:
+    """Skew-AMPLIFYING variant of the 10x corpus: same content-disjoint
+    replication, but half the documents (doc_id even) are planted into
+    ONE hot key per skew axis —
+
+    - domain: their ``source`` is rewritten to 'src0', so one stratum
+      holds ~52% of the corpus (vs 5% in the uniform table): the
+      cap_domain_tokens prefix-sum, per-stratum sampling, and any
+      groupBy-source aggregation all see a hot key;
+    - LSH band: a per-replica BP_TOKENS-token boilerplate is prepended,
+      so hot docs within a replica share ~half their shingles — their
+      MinHash bands collide far above the uniform rate (hot band
+      buckets, the salted-join case) while exact Jaccard stays ~0.33,
+      far under the 0.8 verify threshold: candidate explosion with NO
+      output explosion, the adversarial case line-dedup normally
+      removes first.
+
+    Embeddings are reused from the uniform scaled dir — the semantic
+    hot-cluster axis is planted via CENTROIDS at measure time (6 of 8
+    centroids moved to infinity), which skews assignment without
+    touching pairwise similarities (shifting vectors toward a common
+    center would manufacture above-threshold pairs and measure output
+    explosion, not skew handling)."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.sources.tables import load_table
+
+    docs = load_table(spark, BASE_SF_DIR, "documents")
+    parts = []
+    for k in range(FACTOR):
+        if k == 0:
+            text = F.col("text")
+        else:
+            text = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "), lambda t: F.concat(t, F.lit(f"_r{k}"))
+                ),
+                " ",
+            )
+        bp = " ".join(f"bp{j}_r{k}" for j in range(BP_TOKENS))
+        hot = F.pmod(F.col("doc_id"), F.lit(2)) == 0
+        text = F.when(hot, F.concat(F.lit(bp + " "), text)).otherwise(text)
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * STRIDE)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                F.when(hot, F.lit("src0")).otherwise(F.col("source")).alias("source"),
+                F.length(text).cast("long").alias("n_chars"),
+            )
+        )
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionAll(p)
+    d.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR_SKEW, "documents.parquet")
+    )
+    # embeddings: symlink-equivalent copy of the uniform scaled table.
+    spark.read.parquet(os.path.join(OUT_DIR, "embeddings.parquet")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(OUT_DIR_SKEW, "embeddings.parquet"))
+
+
+def skew_block(spark) -> dict:
+    """The planted-skew ratio table (VERDICT r5 #4): registry entries
+    whose hot key lives in the table (domain skew), plus direct
+    operator timings for the axes that need a knob (salted vs unsalted
+    MinHash on the hot-band corpus; SemDeDup under a 50% cluster)."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators import clustering, dedup
+    from sum_spark.queries import REGISTRY
+    from sum_spark.sources.tables import load_table
+
+    out: dict[str, dict] = {}
+    for name in ("corpus_mixture", "sample_stratified"):
+        fn = REGISTRY[name].fn
+        base = _time(fn, spark, BASE_SF_DIR)
+        skew = _time(fn, spark, OUT_DIR_SKEW)
+        out[name] = {
+            "base": base,
+            "skew": skew,
+            "ratio": round(skew / base, 2) if base else None,
+        }
+
+    docs_skew = load_table(spark, OUT_DIR_SKEW, "documents")
+    base_mh = _time(REGISTRY["dedup_minhash_lsh"].fn, spark, BASE_SF_DIR)
+    t_uns = _time(lambda s, d: dedup.dedup_minhash_lsh(docs_skew, 0.8), spark, None)
+    t_salt = _time(
+        lambda s, d: dedup.dedup_minhash_lsh(docs_skew, 0.8, salt_bands=8),
+        spark,
+        None,
+    )
+    out["dedup_minhash_lsh"] = {
+        "base": base_mh,
+        "skew_unsalted": t_uns,
+        "skew_salted": t_salt,
+        "ratio_salted": round(t_salt / base_mh, 2) if base_mh else None,
+    }
+
+    # Semantic hot cluster: 6 of 8 hash-init centroids moved to
+    # "infinity" — the survivors split the corpus ~50/50, so one cluster
+    # holds ~10k vectors and the blocked within-cluster GEMM is the
+    # stress. Similarities are untouched: output stays real-sized.
+    emb10 = load_table(spark, OUT_DIR, "embeddings")
+    emb1 = load_table(spark, BASE_SF_DIR, "embeddings")
+
+    def cents_for(emb):
+        return clustering._centroids_from_sums(
+            clustering.centroid_sums(
+                clustering.hash_init_assign(emb, 8), "cluster", "embedding",
+                fixed_point=6,
+            ).collect(),
+            6,
+        )
+
+    c10, c1 = cents_for(emb10), cents_for(emb1)
+    far = {
+        i: ([1e9] * len(v) if i >= 2 else v) for i, v in c10.items()
+    }
+
+    def sem(emb, cents):
+        return lambda s, d: clustering.semantic_dedup(
+            emb, threshold=0.45, centroids=cents, assign_backend="catalyst"
+        )
+
+    base_sem = _time(sem(emb1, c1), spark, None)
+    uni_sem = _time(sem(emb10, c10), spark, None)
+    skew_sem = _time(sem(emb10, far), spark, None)
+    out["semantic_dedup"] = {
+        "base": base_sem,
+        "scaled_uniform": uni_sem,
+        "scaled_hot_cluster": skew_sem,
+        "ratio_hot": round(skew_sem / base_sem, 2) if base_sem else None,
+    }
+    return out
+
+
+def recall_block(spark, sf_dir: str, k: int = 10) -> dict:
+    """Measured ANN recall@k vs the brute-force ground truth (VERDICT r5
+    #5): sign-bit IVF at n_probes 1/2/4 and IVF-PQ at m 4/8, over ~20
+    deterministic probes."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.similarity import knn_bruteforce, knn_ivf, knn_ivfpq
+    from sum_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Scale-independent probe set (20 vectors from replica 0, present at
+    # every factor): probe count is the bounded-small-side contract of
+    # the PQ LUT-literal path, so it must not grow with the corpus.
+    probes = emb.where(
+        (F.col("vec_id") < 2000) & (F.pmod(F.col("vec_id"), F.lit(100)) == 0)
+    )
+
+    def topk_sets(df):
+        sets: dict = {}
+        for r in df.collect():
+            sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        return sets
+
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    brute_rows = knn_bruteforce(emb, probes, k=k, **kw).collect()
+    truth: dict = {}
+    near: dict = {}
+    for r in brute_rows:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        # the operational task: retrieve the probe's actual near-dups
+        # (sim >= the dedup threshold), not arbitrary rank-10 noise
+        if r["sim"] >= 0.45 and r["vec_id"] != r["probe_id"]:
+            near.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    def recall(df) -> float:
+        got = topk_sets(df)
+        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
+        return round(hits / sum(len(t) for t in truth.values()), 3)
+
+    def near_recall(df) -> float | None:
+        n_true = sum(len(t) for t in near.values())
+        if not n_true:
+            return None
+        got = topk_sets(df)
+        hits = sum(len(got.get(p, set()) & t) for p, t in near.items())
+        return round(hits / n_true, 3)
+
+    out = {
+        "n_probes": len(truth),
+        "k": k,
+        "n_neardup_truth": sum(len(t) for t in near.values()),
+    }
+    for np_ in (1, 2, 4):
+        df = knn_ivf(emb, probes, k=k, n_probes=np_, **kw)
+        out[f"ivf_p{np_}"] = recall(df)
+        out[f"ivf_p{np_}_nd"] = near_recall(df)
+    for m in (4, 8):
+        df = knn_ivfpq(emb, probes, k=k, m=m, n_codes=8, **kw)
+        out[f"ivfpq_m{m}"] = recall(df)
+        out[f"ivfpq_m{m}_nd"] = near_recall(df)
+    # Trained coarse quantizer (FAISS-IVFFlat shape): one-step
+    # fixed-point k-means fit on the data, 64 cells — the index path a
+    # 100 TB deployment should use for generic top-k (the data-oblivious
+    # sign-bit buckets above are cheap but near-random for non-duplicate
+    # neighbors at d=64; the table quantifies that trade).
+    from sum_spark.operators import clustering
+    from sum_spark.operators.similarity import knn_ivf_kmeans
+
+    cents = clustering._centroids_from_sums(
+        clustering.centroid_sums(
+            clustering.hash_init_assign(emb, 64), "cluster", "embedding",
+            fixed_point=6,
+        ).collect(),
+        6,
+    )
+    for np_ in (1, 2, 4, 8):
+        df = knn_ivf_kmeans(emb, probes, k=k, centroids=cents, n_probes=np_, **kw)
+        out[f"ivfk64_p{np_}"] = recall(df)
+        out[f"ivfk64_p{np_}_nd"] = near_recall(df)
+    return out
+
+
 def _time(fn, spark, sf_dir, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -159,26 +387,39 @@ def main() -> None:
     # Warm-up.
     REGISTRY["dedup_exact"].fn(spark, BASE_SF_DIR).count()
 
-    entries: dict[str, dict[str, float]] = {}
-    for name in ENTRIES:
-        fn = REGISTRY[name].fn
-        base = _time(fn, spark, BASE_SF_DIR)
-        scaled = _time(fn, spark, OUT_DIR)
-        entries[name] = {
-            "base": base,
-            "scaled": scaled,
-            "ratio": round(scaled / base, 2) if base > 0 else None,
-        }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_curve",
-                "factor": FACTOR,
-                "base_sf_dir": BASE_SF_DIR,
-                "entries": entries,
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")  # '', 'entries',
+    # 'skew', 'recall' — or comma-combinations; empty runs everything.
+    want = set(only.split(",")) if only else {"entries", "skew", "recall"}
+
+    result: dict = {
+        "metric": "scale_curve",
+        "factor": FACTOR,
+        "base_sf_dir": BASE_SF_DIR,
+    }
+    if "entries" in want:
+        entries: dict[str, dict[str, float]] = {}
+        for name in ENTRIES:
+            fn = REGISTRY[name].fn
+            base = _time(fn, spark, BASE_SF_DIR)
+            scaled = _time(fn, spark, OUT_DIR)
+            entries[name] = {
+                "base": base,
+                "scaled": scaled,
+                "ratio": round(scaled / base, 2) if base > 0 else None,
             }
-        )
-    )
+        result["entries"] = entries
+    if "skew" in want:
+        if rebuild and os.path.isdir(OUT_DIR_SKEW):
+            shutil.rmtree(OUT_DIR_SKEW)
+        if not os.path.isdir(os.path.join(OUT_DIR_SKEW, "documents.parquet")):
+            build_skewed(spark)
+        result["skew"] = skew_block(spark)
+    if "recall" in want:
+        result["recall"] = {
+            "base": recall_block(spark, BASE_SF_DIR),
+            "scaled": recall_block(spark, OUT_DIR),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

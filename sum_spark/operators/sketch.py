@@ -46,20 +46,28 @@ def count_min_build(
     width: int = 256,
     depth: int = 4,
     weight_col: str | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Build the sketch grid: (depth, bucket, c) with c = total weight of
-    items hashing into that cell (count when ``weight_col`` is None).
+    """Build the sketch grid: (group..., depth, bucket, c) with c = total
+    weight of items hashing into that cell (count when ``weight_col`` is
+    None).
 
     Two-level aggregate: per-item totals first (the natural partial
     combine — duplicate occurrences of a hot item collapse map-side),
     then the scatter onto depth*width cells. NULL items are skipped (a
     NULL hashes to NULL and would silently pool into one cell).
+
+    ``group_cols`` keeps one grid per group (per-domain/per-language hot
+    items) on a key space bounded by groups x depth x width; grouped
+    grids SUM into the ungrouped grid (CMS linearity — the same
+    one-grouped-pass-serves-both contract as histogram_fixed).
     """
+    groups = list(group_cols)
     it = F.col(item_col)
     w = F.col(weight_col).cast("long") if weight_col else F.count("*").cast("long")
     per_item = (
         items.where(it.isNotNull())
-        .groupBy(it.alias("__item"))
+        .groupBy(*groups, it.alias("__item"))
         .agg((F.sum(w) if weight_col else w).alias("__n"))
     )
     cells = F.array(
@@ -72,9 +80,11 @@ def count_min_build(
         ]
     )
     return (
-        per_item.select(F.explode(cells).alias("__c"), "__n")
+        per_item.select(*groups, F.explode(cells).alias("__c"), "__n")
         .groupBy(
-            F.col("__c.depth").alias("depth"), F.col("__c.bucket").alias("bucket")
+            *groups,
+            F.col("__c.depth").alias("depth"),
+            F.col("__c.bucket").alias("bucket"),
         )
         .agg(F.sum("__n").alias("c"))
     )
@@ -882,10 +892,16 @@ KMV_SPACE = 1 << 60  # hash60 range
 
 
 def kmv_sketch(
-    items: DataFrame, item_col: str, k: int = KMV_K, seed: str = "kmv"
+    items: DataFrame,
+    item_col: str,
+    k: int = KMV_K,
+    seed: str = "kmv",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The KMV sketch of a column: the ``k`` smallest DISTINCT 60-bit
-    hashes of its values, as a (h BIGINT) frame of <= k rows.
+    hashes of its values, as a (h BIGINT) frame of <= k rows —
+    per group with ``group_cols`` (<= k rows per group, the per-domain
+    distinct-cardinality rollup).
 
     This is the mergeable form of approximate COUNT(DISTINCT): sketches
     of two corpus parts union into the sketch of the whole
@@ -905,32 +921,59 @@ def kmv_sketch(
     instead of rebuilding (the point of mergeability).
     """
     h = hash60(F.concat(F.lit(f"{seed}:"), F.col(item_col).cast("string")))
-    return (
-        items.where(F.col(item_col).isNotNull())
-        .select(h.alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
+    return _kmv_topk(
+        items.where(F.col(item_col).isNotNull()).select(
+            *group_cols, h.alias("h")
+        ),
+        k,
+        group_cols,
     )
 
 
-def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
-    """Union two KMV sketches (same seed/k) into the sketch of the
-    combined data: distinct-union of the value sets, k smallest kept."""
-    return a.unionByName(b).distinct().orderBy("h").limit(k)
+def _kmv_topk(
+    hashes: DataFrame, k: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """k smallest distinct hashes — globally (TakeOrderedAndProject,
+    never a full sort) or per group (rank filter compiling to
+    WindowGroupLimit: pre-shuffle local top-k per partition, so the
+    exchange carries <= partitions x groups x k rows)."""
+    distinct = hashes.distinct()
+    if not group_cols:
+        return distinct.orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        distinct.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
-def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
-    """One-row (n_vals, est) estimate from a sketch: with fewer than
+def kmv_merge(
+    a: DataFrame, b: DataFrame, k: int = KMV_K, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two KMV sketches (same seed/k/groups) into the sketch of
+    the combined data: distinct-union of the value sets, k smallest
+    kept (per group when grouped)."""
+    return _kmv_topk(a.unionByName(b), k, group_cols)
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = KMV_K, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(group..., n_vals, est) estimate from a sketch: with fewer than
     ``k`` values the sketch IS the exact distinct set (est = n_vals);
     otherwise the classic unbiased estimator (k-1) * SPACE / h_k with
     h_k the k-th smallest hash — in DECIMAL(38,0) integer arithmetic
     ((k-1) * 2^60 overflows BIGINT) so the oracle reproduces it
     exactly. Relative error ~ 1/sqrt(k-2)."""
-    return sketch.agg(
+    groups = list(group_cols)
+    return sketch.groupBy(*groups).agg(
         F.count("*").cast("long").alias("n_vals"),
         F.max("h").alias("__hk"),
     ).select(
+        *groups,
         "n_vals",
         F.when(F.col("n_vals") < F.lit(k), F.col("n_vals"))
         .otherwise(

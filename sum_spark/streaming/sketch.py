@@ -32,14 +32,19 @@ def streaming_count_min(
     checkpoint: str,
     width: int = 256,
     depth: int = 4,
+    group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
 ):
     """Accumulate a CMS over a stream: one grid parquet per micro-batch
     under ``path/batch_id=N``. Batch ids are checkpoint-scoped (path and
-    checkpoint live and die together)."""
+    checkpoint live and die together). ``group_cols`` keeps one grid per
+    group (pass the same to ``read_count_min``) — the streaming_hll
+    grouped-read shape."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        grid = count_min_build(batch_df, item_col, width=width, depth=depth)
+        grid = count_min_build(
+            batch_df, item_col, width=width, depth=depth, group_cols=group_cols
+        )
         grid.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
@@ -50,15 +55,20 @@ def streaming_count_min(
     )
 
 
-def read_count_min(spark: SparkSession, path: str) -> DataFrame:
+def read_count_min(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The accumulated sketch: cell-wise sum of every batch grid —
     identical to the grid a single batch build over all ingested rows
-    would produce (CMS linearity; parity-tested)."""
+    would produce (CMS linearity; parity-tested). Pass the writer's
+    ``group_cols`` to keep the per-group grids; omitting them for a
+    grouped writer ALSO works (grouped cells sum into the global grid —
+    linearity again)."""
     from pyspark.sql import functions as F
 
     return (
         spark.read.parquet(path)
-        .groupBy("depth", "bucket")
+        .groupBy(*group_cols, "depth", "bucket")
         .agg(F.sum("c").alias("c"))
     )
 
@@ -70,6 +80,7 @@ def streaming_kmv(
     checkpoint: str,
     k: int = 32,
     seed: str = "kmv",
+    group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
 ):
     """Accumulate a KMV distinct sketch over a stream — the same
@@ -81,11 +92,13 @@ def streaming_kmv(
     <= batches * k rows). A value arriving in several batches
     deduplicates in the read-side distinct; a redelivered batch
     overwrites its own file. The answer to "how many distinct
-    users/domains/tokens so far" in k rows of state."""
+    users/domains/tokens so far" in k rows of state — per group with
+    ``group_cols`` (per-domain distinct-so-far; <= k rows per group per
+    batch)."""
     from sum_spark.operators.sketch import kmv_sketch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sk = kmv_sketch(batch_df, item_col, k=k, seed=seed)
+        sk = kmv_sketch(batch_df, item_col, k=k, seed=seed, group_cols=group_cols)
         sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
@@ -96,17 +109,18 @@ def streaming_kmv(
     )
 
 
-def read_kmv(spark: SparkSession, path: str, k: int = 32) -> DataFrame:
+def read_kmv(
+    spark: SparkSession, path: str, k: int = 32, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """The accumulated KMV sketch: k smallest distinct hashes across
-    every batch sketch (== the sketch of all ingested rows)."""
-    from pyspark.sql import functions as F
+    every batch sketch (== the sketch of all ingested rows). Pass the
+    writer's ``group_cols`` for the per-group sketches — the read is
+    the _kmv_topk shape (WindowGroupLimit per group) over
+    <= batches x groups x k stored rows."""
+    from sum_spark.operators.sketch import _kmv_topk
 
-    return (
-        spark.read.parquet(path)
-        .select("h")
-        .distinct()
-        .orderBy(F.col("h"))
-        .limit(k)
+    return _kmv_topk(
+        spark.read.parquet(path).select(*group_cols, "h"), k, group_cols
     )
 
 
@@ -313,6 +327,7 @@ def streaming_weighted_sample(
     strat_col: str = "source",
     seed: str = "wk",
     max_weight: int = 64,
+    per_stratum: bool = False,
     trigger: dict | None = None,
 ):
     """Maintain a weighted random sample (without replacement) over a
@@ -324,19 +339,31 @@ def streaming_weighted_sample(
     duplicated row carries the SAME priority and collapses in the
     read-side distinct). This is a weighted reservoir in k rows of
     state per batch, with exact batch parity: stream-accumulated ==
-    one batch draw over all ingested rows."""
+    one batch draw over all ingested rows.
+
+    ``per_stratum=True`` maintains k rows PER STRATUM (the per-domain
+    weighted reservoir): each batch keeps its local per-stratum top-k
+    (rank filter -> WindowGroupLimit) and the read side re-ranks across
+    batches — parity with sample_weighted_k(per_stratum=True) holds by
+    the same argument, per stratum."""
     from sum_spark.operators.sampling import weighted_priorities
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        top = (
-            weighted_priorities(
-                batch_df, weight_col, id_col, strat_col, seed, max_weight
-            )
-            .orderBy("__pri", "doc_id")
-            .limit(k)
+        pri = weighted_priorities(
+            batch_df, weight_col, id_col, strat_col, seed, max_weight
         )
+        if per_stratum:
+            w = Window.partitionBy("stratum").orderBy("__pri", "doc_id")
+            top = (
+                pri.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= k)
+                .drop("__rk")
+            )
+        else:
+            top = pri.orderBy("__pri", "doc_id").limit(k)
         top.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return (
@@ -347,21 +374,28 @@ def streaming_weighted_sample(
     )
 
 
-def read_weighted_sample(spark: SparkSession, path: str, k: int) -> DataFrame:
+def read_weighted_sample(
+    spark: SparkSession, path: str, k: int, per_stratum: bool = False
+) -> DataFrame:
     """The accumulated draw: k smallest distinct priorities across every
     batch's top-k (== sample_weighted_k over all ingested rows, because
-    any globally-top-k priority is top-k within its own batch).
-    Output: (doc_id, stratum, pick)."""
+    any globally-top-k priority is top-k within its own batch — and per
+    stratum with ``per_stratum``, matching the writer's setting).
+    Output: (doc_id, stratum, pick), pick ranked within the whole draw
+    or within each stratum respectively."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    top = (
-        spark.read.parquet(path)
-        .select("doc_id", "stratum", "__pri")
-        .distinct()
-        .orderBy("__pri", "doc_id")
-        .limit(k)
-    )
+    rows = spark.read.parquet(path).select("doc_id", "stratum", "__pri").distinct()
+    if per_stratum:
+        w = Window.partitionBy("stratum").orderBy("__pri", "doc_id")
+        return (
+            rows.withColumn("pick", F.row_number().over(w).cast("long"))
+            .where(F.col("pick") <= k)
+            .select("doc_id", "stratum", "pick")
+            .orderBy("doc_id")
+        )
+    top = rows.orderBy("__pri", "doc_id").limit(k)
     return top.select(
         "doc_id",
         "stratum",

@@ -501,3 +501,140 @@ def test_stream_mg_keeps_guarantee_over_batches(spark, sf_smoke, tmp_path):
         assert true - e <= bound
         if true > bound:
             assert w in got
+
+
+def test_stream_cms_grouped_equals_batch_and_collapses(spark, sf_smoke, tmp_path):
+    """Grouped streaming CMS == grouped batch build per group, and an
+    UNGROUPED read over the grouped writer's files equals the global
+    grid (CMS linearity across groups)."""
+    from sum_spark.streaming.sketch import read_count_min, streaming_count_min
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source", "text")
+    drop_dir = str(tmp_path / "gcms_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select("source", F.explode(tokens("text")).alias("w"))
+    )
+    out_dir = str(tmp_path / "gcms")
+    q = streaming_count_min(
+        stream, "w", path=out_dir, checkpoint=str(tmp_path / "ckgcms"),
+        group_cols=("source",),
+    )
+    q.awaitTermination()
+
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    acc = read_count_min(spark, out_dir, group_cols=("source",))
+    full = count_min_build(tok, "w", group_cols=("source",))
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(acc) == key(full)
+    # collapsed read == the global ungrouped grid
+    acc_flat = read_count_min(spark, out_dir)
+    full_flat = count_min_build(tok, "w")
+    assert key(acc_flat) == key(full_flat)
+
+
+def test_stream_kmv_grouped_equals_batch(spark, sf_smoke, tmp_path):
+    from sum_spark.operators.sketch import kmv_estimate, kmv_sketch
+    from sum_spark.streaming.sketch import read_kmv, streaming_kmv
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "source")
+    drop_dir = str(tmp_path / "gkmv_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("source", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+        .select(F.col("doc_id").alias("x"), "source")
+    )
+    out_dir = str(tmp_path / "gkmv")
+    q = streaming_kmv(
+        stream, "x", path=out_dir, checkpoint=str(tmp_path / "ckgkmv"),
+        k=16, group_cols=("source",),
+    )
+    q.awaitTermination()
+
+    acc = read_kmv(spark, out_dir, k=16, group_cols=("source",))
+    full = kmv_sketch(
+        docs.select(F.col("doc_id").alias("x"), "source"), "x", k=16,
+        group_cols=("source",),
+    )
+    key = lambda df: sorted(map(tuple, df.select("source", "h").collect()))
+    assert key(acc) == key(full)
+    # grouped estimates carry one row per group with sane counts
+    est = {
+        r["source"]: r["est"]
+        for r in kmv_estimate(acc, k=16, group_cols=("source",)).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(
+            F.countDistinct("doc_id").alias("n")
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for s, n in exact.items():
+        if n < 16:
+            assert est[s] == n  # below k the sketch is exact
+        else:
+            assert est[s] > 0
+
+
+def test_stream_weighted_sample_per_stratum_equals_batch(spark, sf_smoke, tmp_path):
+    from sum_spark.operators.sampling import sample_weighted_k
+    from sum_spark.streaming.sketch import (
+        read_weighted_sample,
+        streaming_weighted_sample,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "source", (1 + F.col("doc_id") % 5).alias("weight")
+    )
+    drop_dir = str(tmp_path / "gws_drops")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    docs.where(F.col("doc_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("weight", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out_dir = str(tmp_path / "gws")
+    q = streaming_weighted_sample(
+        stream, k=5, path=out_dir, checkpoint=str(tmp_path / "ckgws"),
+        weight_col="weight", strat_col="source", per_stratum=True,
+    )
+    q.awaitTermination()
+
+    acc = read_weighted_sample(spark, out_dir, k=5, per_stratum=True)
+    full = sample_weighted_k(
+        docs, k=5, weight_col="weight", strat_col="source", per_stratum=True
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(acc) == key(full) and acc.count() > 0
