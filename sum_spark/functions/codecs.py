@@ -209,3 +209,566 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch > 1:
         samples = samples.reshape(-1, n_ch).mean(axis=1)
     return samples, rate
+
+
+# ---------------------------------------------------------------------------
+# Baseline JFIF (JPEG) — ITU-T T.81 baseline sequential DCT, dependency-free
+# ---------------------------------------------------------------------------
+#
+# Decoder: baseline SOF0 only (the overwhelming majority of corpus JPEGs),
+# 8-bit samples, greyscale or YCbCr with any h/v sampling factors up to 2
+# (4:4:4, 4:2:2, 4:2:0), restart markers honored. Quant/Huffman tables come
+# from the FILE (DQT/DHT), so decode correctness never depends on the
+# encoder below. Progressive (SOF2) and arithmetic coding raise ValueError
+# — a DECODE error, distinct from the codec-missing NotImplementedError.
+#
+# Encoder: baseline, 4:4:4 (no subsampling), Annex K quant tables scaled by
+# the libjpeg quality rule and Annex K Huffman tables — enough to round-trip
+# the multimodal tests and to re-encode thumbnails without PIL.
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZZ = [
+    r * 8 + c
+    for (r, c) in sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else -rc[0]),
+    )
+]
+
+_Q_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+_Q_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Annex K Huffman specs: (BITS[1..16], HUFFVAL)
+_H_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_H_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_H_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:3] == JPEG_MAGIC
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(-1, 1).astype(np.float64)
+    n = np.arange(8).reshape(1, -1).astype(np.float64)
+    d = np.cos((2 * n + 1) * k * np.pi / 16.0) * np.sqrt(2.0 / 8.0)
+    d[0, :] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the reader."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (stuffing still applies)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (size category, appended bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _scale_q(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _box_half(p: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge replication for odd dims."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:, :]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) / (H, W, 1) greyscale or (H, W, 3) RGB uint8 -> baseline
+    JFIF bytes (Annex K tables scaled by the libjpeg quality rule).
+    ``subsample`` emits 4:2:0 chroma (2x2 Y blocks per MCU);
+    ``restart_interval`` emits a DRI segment and RSTn markers every N
+    MCUs. Deterministic pure function of its arguments."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.dtype != np.uint8 or a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError("encode_jpeg wants uint8 (H, W[, 1|3])")
+    h, w, n_comp = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if n_comp == 3:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        if subsample:
+            planes = [planes[0], _box_half(planes[1]), _box_half(planes[2])]
+    else:
+        planes = [a[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+
+    qt = [_scale_q(_Q_LUM, quality)]
+    if n_comp == 3:
+        qt.append(_scale_q(_Q_CHR, quality))
+
+    enc_dc = [_canonical_codes(*_H_DC_LUM), _canonical_codes(*_H_DC_CHR)]
+    enc_ac = [_canonical_codes(*_H_AC_LUM), _canonical_codes(*_H_AC_CHR)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.empty((ph, pw), dtype=np.float64)
+        ah, aw = min(p.shape[0], ph), min(p.shape[1], pw)
+        pp[:ah, :aw] = p[:ah, :aw]
+        pp[ah:, :aw] = pp[ah - 1 : ah, :aw]  # edge replicate
+        pp[:, aw:] = pp[:, aw - 1 : aw]
+        padded.append(pp)
+
+    wtr = _BitWriter()
+    pred = [0] * n_comp
+    mcu_count = 0
+    rst = 0
+
+    def emit_block(ci: int, y0: int, x0: int) -> None:
+        t = 0 if ci == 0 else 1
+        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = _DCT @ block @ _DCT.T
+        q = np.round(coef / qt[t].reshape(8, 8)).astype(np.int32)
+        zz = q.reshape(-1)[_ZZ]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        code, length = enc_dc[t][size]
+        wtr.put(code, length)
+        wtr.put(bits, size)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = enc_ac[t][0xF0]  # ZRL
+                wtr.put(code, length)
+                run -= 16
+            size, bits = _magnitude(v)
+            code, length = enc_ac[t][(run << 4) | size]
+            wtr.put(code, length)
+            wtr.put(bits, size)
+            run = 0
+        if last_nz < 63:
+            code, length = enc_ac[t][0x00]  # EOB
+            wtr.put(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # close the entropy segment, emit RSTn, reset predictors
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * n_comp
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        emit_block(ci, (my * sv + by) * 8, (mx * sh + bx) * 8)
+            mcu_count += 1
+    scan = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, t in enumerate(qt):
+        out += seg(0xDB, bytes([tid]) + bytes(int(t.reshape(-1)[i]) for i in _ZZ))
+    comps = b""
+    for ci in range(n_comp):
+        sh, sv = samp[ci]
+        comps += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, n_comp) + comps)
+    for cls, tid, spec in (
+        (0, 0, _H_DC_LUM),
+        (1, 0, _H_AC_LUM),
+        (0, 1, _H_DC_CHR),
+        (1, 1, _H_AC_CHR),
+    ):
+        if tid == 1 and n_comp == 1:
+            continue
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        t = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment reader with FF00 unstuffing; restart markers are
+    consumed by ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG scan")
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: stop filling, sync_restart eats it
+                else:
+                    break  # EOI or other marker: pad with zeros below
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        while self.nbits <= 24:  # marker reached: zero-pad (legal tail)
+            self.acc <<= 8
+            self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Discard pad bits and consume the RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing restart marker")
+
+
+def _huff_decode(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | rd.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W, C) uint8 with C in {1, 3} (RGB for
+    color). Tables and sampling factors come from the file; progressive
+    and arithmetic-coded streams raise ValueError."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        if ln < 2 or pos + 2 + ln > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    t[_ZZ[k]] = body[i + 1 + k]
+                qt[tid] = t
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0/1) supported")
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_sel = {}
+            for si in range(ns):
+                cid, tt = body[1 + si * 2 : 3 + si * 2]
+                scan_sel[cid] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(data, pos, frame, scan_sel, qt, huff, restart)
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in comps
+    ]
+    rd = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    idt = _DCT.T
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                rd.sync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = scan_sel[c["id"]]
+                dtab = huff.get((0, dc_t))
+                atab = huff.get((1, ac_t))
+                q = qt[c["tq"]]
+                if dtab is None or atab is None:
+                    raise ValueError("missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = _huff_decode(rd, dtab)
+                        pred[ci] += _extend(rd.bits(size), size)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(rd, atab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(rd.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZZ] = zz * q[_ZZ]
+                        block = idt @ coef.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        out = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

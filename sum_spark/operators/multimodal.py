@@ -97,6 +97,10 @@ def _real_feature(modality: str, payload: bytes, dim: int) -> np.ndarray | None:
             grey = codecs.png_to_grey(codecs.decode_png(data))
             small = codecs.resize_nearest(grey, dim, dim)
             return small.mean(axis=0).astype(np.float32)
+        if codecs.is_jpeg(data):
+            grey = codecs.png_to_grey(codecs.decode_jpeg(data))
+            small = codecs.resize_nearest(grey, dim, dim)
+            return small.mean(axis=0).astype(np.float32)
         return None
     if modality == "audio":
         sf = _try_import("soundfile")
@@ -192,9 +196,16 @@ def resize_images(
             # engine-own PNG path: real decode -> nearest resample -> re-encode
             arr = codecs.decode_png(content)
             return codecs.encode_png(codecs.resize_nearest(arr, width, height))
+        if codecs.is_jpeg(content or b""):
+            # engine-own JFIF path: real baseline decode -> nearest
+            # resample -> re-encode (quality 90 keeps thumbnails crisp)
+            arr = codecs.decode_jpeg(content)
+            return codecs.encode_jpeg(
+                codecs.resize_nearest(arr, width, height), quality=90
+            )
         if decoder == "strict":
             raise NotImplementedError(
-                "no codec for this payload (PIL absent and not a PNG); "
+                "no codec for this payload (PIL absent and not a PNG/JPEG); "
                 "use decoder='auto'/'fake'"
             )
         return hashlib.md5((content or b"") + f"{width}x{height}".encode()).digest()

@@ -129,3 +129,121 @@ def test_strict_resize_roundtrips_png(spark):
     out = codecs.decode_png(bytes(r["content"]))
     assert out.shape == (6, 5, 3)
     assert r["meta"]["w"] == "5" and r["meta"]["h"] == "6" and r["meta"]["k"] == "v"
+
+
+# ---------------------------------------------------------------------------
+# Baseline JFIF (JPEG)
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w, ch):
+    """Low-frequency content a lossy codec reproduces closely."""
+    y = np.outer(np.linspace(0, 255, h), np.ones(w))
+    x = np.outer(np.ones(h), np.linspace(0, 128, w))
+    if ch == 1:
+        return (0.6 * y + 0.4 * x).clip(0, 255).astype(np.uint8)
+    return np.stack(
+        [(0.6 * y + 0.4 * x), (255 - 0.5 * y), np.full((h, w), 90.0)], axis=2
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("restart", [0, 3])
+def test_jpeg_roundtrip_variants(ch, subsample, restart):
+    """Encode->decode across greyscale/color, 4:4:4/4:2:0, and restart
+    intervals: lossy, so assert closeness, plus exact dims/magic."""
+    if ch == 1 and subsample:
+        pytest.skip("subsampling applies to color only")
+    img = _smooth(41, 57, ch)
+    data = codecs.encode_jpeg(img, quality=90, subsample=subsample,
+                              restart_interval=restart)
+    assert codecs.is_jpeg(data) and not codecs.is_png(data)
+    out = codecs.decode_jpeg(data)
+    want = img[:, :, None] if ch == 1 else img
+    assert out.shape == want.shape
+    mae = float(np.abs(out.astype(np.float64) - want.astype(np.float64)).mean())
+    assert mae < 8.0, mae
+
+
+def test_jpeg_flat_image_exact_and_tiny_sizes():
+    # flat blocks quantize to DC-only and survive exactly
+    flat = np.full((16, 24), 200, dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(flat))
+    assert int(np.abs(out[:, :, 0].astype(int) - 200).max()) == 0
+    # non-multiple-of-8 and 1-pixel edges
+    for h, w in ((1, 1), (3, 9), (8, 8), (9, 17)):
+        img = _smooth(h, w, 3)
+        out = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=95))
+        assert out.shape == (h, w, 3)
+
+
+def test_jpeg_rejects_garbage_progressive_and_truncated():
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(b"not a jpeg at all")
+    good = codecs.encode_jpeg(_smooth(16, 16, 1))
+    # flip SOF0 -> SOF2 (progressive): marker bytes FF C0 -> FF C2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(good[: len(good) // 2])  # truncated scan
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg(np.zeros((0, 4), dtype=np.uint8))
+
+
+def test_jpeg_pil_parity_if_available():
+    """When PIL exists, our decoder must agree with it on our encoder's
+    output (and vice versa) to within JPEG rounding. Skipped in this
+    environment — the round-trip tests above carry the coverage here."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    img = _smooth(32, 48, 3)
+    ours = codecs.encode_jpeg(img, quality=90)
+    theirs_arr = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert (
+        float(np.abs(theirs_arr.astype(float) - codecs.decode_jpeg(ours).astype(float)).mean())
+        < 2.0
+    )
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    assert (
+        float(np.abs(codecs.decode_jpeg(buf.getvalue()).astype(float) - img.astype(float)).mean())
+        < 8.0
+    )
+
+
+def test_strict_mode_real_jpeg_decode_without_libraries(spark):
+    """The last formerly-fake-only strict path: extract_features and
+    resize_images must REALLY decode JPEG payloads via the engine-own
+    baseline codec in this PIL-free environment."""
+    import importlib.util
+
+    assert importlib.util.find_spec("PIL") is None  # the premise
+    from sum_spark.operators.multimodal import extract_features, resize_images
+
+    dark = codecs.encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))
+    light = codecs.encode_jpeg(np.full((8, 8), 245, dtype=np.uint8))
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(dark), "image/jpeg", {}),
+            (2, "image", bytearray(light), "image/jpeg", {}),
+        ],
+        "asset_id long, modality string, content binary, mime string, meta map<string,string>",
+    )
+    rows = {r["asset_id"]: np.array(r["feature"])
+            for r in extract_features(assets, decoder="strict").collect()}
+    assert float(rows[1].mean()) < 0.1 < 0.8 < float(rows[2].mean())
+
+    src = codecs.encode_jpeg(_smooth(20, 30, 3), quality=95)
+    assets2 = spark.createDataFrame(
+        [(7, "image", bytearray(src), "image/jpeg", {})],
+        "asset_id long, modality string, content binary, mime string, meta map<string,string>",
+    )
+    [r] = resize_images(assets2, 10, 6, decoder="strict").collect()
+    out = codecs.decode_jpeg(bytes(r["content"]))
+    assert out.shape == (6, 10, 3)
+    assert r["meta"]["w"] == "10" and r["meta"]["h"] == "6"
