@@ -12,6 +12,43 @@ from sum_spark.session import get_spark  # noqa: E402
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
+# Heavy integration modules (multi-batch streaming, full-pipeline runs,
+# oracle side-by-sides, stress suites). `-m "not slow"` runs the fast
+# unit/plan tier (~4 min); the full suite is ~13 min on a quiet host
+# (measured 2026-08, 483 tests) and stays the pre-commit gate.
+SLOW_TEST_MODULES = (
+    "test_streaming",  # prefix: all streaming parity modules
+    "test_skew_stress",
+    "test_pipeline",
+    "test_partition_invariance",
+    "test_events_shapes",
+    "test_queries_oracle",
+    "test_incremental_pipeline",
+    # property/parity suites: broad randomized coverage, minutes of
+    # Spark actions — regressions they catch are algebraic, not plumbing
+    "test_vector_properties",
+    "test_gram_properties",
+    "test_property_new_ops",
+    "test_asof_and_stateful",
+    "test_payload_and_scale",
+    "test_clustering",
+    "test_similarity_ops",
+    "test_sketch",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy integration tests (opt out with -m 'not slow')"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.basename(item.nodeid.split("::")[0])
+        if any(mod.startswith(p) for p in SLOW_TEST_MODULES):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
