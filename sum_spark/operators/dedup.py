@@ -627,11 +627,12 @@ def dedup_incremental(
 def incremental_pairs(
     corpus_sig: DataFrame,
     stored_pairs: DataFrame,
-    delta_docs: DataFrame,
+    delta_docs: DataFrame | None,
     retired_ids: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    delta_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Maintain the FULL near-dup pair set across a snapshot transition
     from the previous snapshot's stored artifacts plus the delta only —
@@ -661,8 +662,14 @@ def incremental_pairs(
     kept = stored_pairs.join(
         retired, F.col("doc_a") == F.col("__rid"), "left_anti"
     ).join(retired, F.col("doc_b") == F.col("__rid"), "left_anti")
-    # 2. Delta signatures — the only text this plan reads.
-    sig_d = minhash_signatures(delta_docs, text_col, id_col).persist()
+    # 2. Delta signatures — the only text this plan reads. A caller that
+    #    already holds them (the incremental prepare path shares ONE
+    #    delta signature pass across dedup/decontam/state-advance)
+    #    passes delta_sig and owns its persistence.
+    if delta_sig is not None:
+        sig_d = delta_sig
+    else:
+        sig_d = minhash_signatures(delta_docs, text_col, id_col).persist()
     # 3. Retained corpus signatures: projection of the stored table.
     sig_r = corpus_sig.join(retired, F.col("doc_id") == F.col("__rid"), "left_anti")
     # 4. Cross pairs: delta bands vs retained bands, exact-verified
@@ -692,7 +699,7 @@ def incremental_pairs(
         .unionByName(within)
         .orderBy("doc_a", "doc_b")
     )
-    return _release_with(out, sig_d)
+    return out if delta_sig is not None else _release_with(out, sig_d)
 
 
 def dedup_minhash_lsh(

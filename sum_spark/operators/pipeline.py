@@ -261,3 +261,230 @@ def prepare_training_data(
         .orderBy("shuffle_pos")
     )
     return release_with(result, survivors, sig)
+
+
+# ---------------------------------------------------------------------------
+# Incremental preparation — reprocess the DELTA between snapshots only
+# ---------------------------------------------------------------------------
+#
+# The cost model of a versioned 100 TB corpus: each new snapshot changes a
+# sliver of documents, and every stage of prepare_training_data above is
+# either per-document (digest, token count, quality, contamination,
+# sampling — pure functions of one row, stored at ingest and reused while
+# the text is unchanged) or graph/metadata-sized (exact-dup groups over
+# stored digests, near-dup clusters over the maintained pair set, packing
+# and shuffling over survivor metadata). So the only TEXT the incremental
+# run reads is the delta's — everything else is joins over stored
+# artifacts, and the output equals a full rebuild over the new snapshot
+# bit-for-bit (tests/test_incremental_pipeline.py).
+#
+# Out of scope for the incremental path (documented, not silently wrong):
+# the opt-in corpus-global stages — line/span dedup (cross-document df
+# thresholds), SemDeDup, self-trained LM and classifier gates — change
+# their statistics with ANY corpus change and need their own stored-state
+# design; prepare_incremental raises if asked for them implicitly by the
+# caller composing around it.
+
+
+def _doc_meta(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """Per-document stored metadata, one map-side pass over text:
+    (doc_id, source, md5h, n_tokens, score). md5h matches dedup_exact's
+    grouping hash; n_tokens matches pack_sequences' split-on-space
+    count; score is textops.quality_score's heuristic."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strat_col).alias("source"),
+        F.col(text_col).alias("__text"),
+    )
+    q = textops.quality_score(base, text_col="__text").select("doc_id", "score")
+    return (
+        base.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("__text")).alias("md5h"),
+            F.coalesce(
+                F.size(F.split(F.col("__text"), " ")).cast("long"), F.lit(0)
+            ).alias("n_tokens"),
+        )
+        .join(q, "doc_id")
+    )
+
+
+def corpus_state(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> dict[str, DataFrame]:
+    """The stored artifacts one snapshot leaves behind for the next
+    incremental run: per-doc metadata, MinHash signatures, the verified
+    near-dup pair set over the WHOLE snapshot (restricting to any
+    survivor subset is a filter, never a recompute), and the
+    contaminated-id set against ``benchmark``. In production each frame
+    is a parquet table (write_corpus_state/read_corpus_state)."""
+    meta = _doc_meta(docs, text_col, id_col, strat_col)
+    sig = dedup.minhash_signatures(docs, text_col, id_col).persist()
+    pairs = dedup.minhash_lsh_from_sig(sig, threshold=near_dup_threshold)
+    state = {"meta": meta, "sig": sig, "pairs": pairs}
+    if benchmark is not None:
+        state["contaminated"] = decontaminate(
+            None,
+            benchmark,
+            corpus_hashes=sig.select("doc_id", F.explode("hh").alias("__h")),
+        ).select("doc_id")
+    return state
+
+
+def write_corpus_state(state: dict[str, DataFrame], path: str) -> None:
+    """Materialize a corpus_state to parquet (one dir per frame) — the
+    ingest-time artifact an incremental run reads back."""
+    for name, df in state.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def read_corpus_state(spark, path: str) -> dict[str, DataFrame]:
+    import os
+
+    out = {}
+    for name in ("meta", "sig", "pairs", "contaminated"):
+        p = f"{path}/{name}"
+        if os.path.isdir(p):
+            out[name] = spark.read.parquet(p)
+    return out
+
+
+def prepare_training_data_incremental(
+    state_a: dict[str, DataFrame],
+    b_docs: DataFrame,
+    delta_docs: DataFrame,
+    retired_ids: DataFrame,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.8,
+    min_quality: float = 0.0,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    pack_budget: int = 2048,
+    shuffle_seed: str = "epoch-0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """prepare_training_data for snapshot B, computed from snapshot A's
+    ``corpus_state`` plus the delta only — and the advanced state for
+    the NEXT transition.
+
+    ``delta_docs`` = added+changed rows WITH B's text (snapshot_diff's
+    delta_ids semi-joined against B); ``retired_ids`` = removed+changed
+    ids. ``benchmark`` must be the same eval corpus the stored
+    contaminated set was built against (contamination verdicts are
+    per-doc and text-keyed, so they stay valid exactly as long as both
+    the doc and the benchmark are unchanged).
+
+    Text access: ONE pass over delta text (metadata + signatures) plus
+    the final text fetch for surviving docs (a storage column read, not
+    a recompute). Output is identical to
+    ``prepare_training_data(b_docs, ...)`` with the same options —
+    property-tested, not assumed.
+
+    Returns (result, state_b).
+    """
+    retired = retired_ids.select(F.col(retired_ids.columns[0]).alias("__rid"))
+
+    def _anti(df: DataFrame, col: str = "doc_id") -> DataFrame:
+        return df.join(retired, F.col(col) == F.col("__rid"), "left_anti")
+
+    # --- advance the stored per-doc artifacts (the only delta text pass)
+    delta_meta = _doc_meta(delta_docs, text_col, id_col, strat_col)
+    meta_b = _anti(state_a["meta"]).unionByName(delta_meta)
+    sig_delta = dedup.minhash_signatures(delta_docs, text_col, id_col).persist()
+    sig_b = _anti(state_a["sig"]).unionByName(sig_delta)
+    state_b: dict[str, DataFrame] = {"meta": meta_b, "sig": sig_b}
+
+    pairs_b = dedup.incremental_pairs(
+        state_a["sig"],
+        state_a["pairs"],
+        None,
+        retired_ids,
+        threshold=near_dup_threshold,
+        delta_sig=sig_delta,
+    )
+    state_b["pairs"] = pairs_b
+
+    cont_b = None
+    if benchmark is not None:
+        if "contaminated" not in state_a:
+            raise ValueError(
+                "state_a lacks a contaminated set; build corpus_state with "
+                "the same benchmark"
+            )
+        cont_delta = decontaminate(
+            None,
+            benchmark,
+            corpus_hashes=sig_delta.select(
+                "doc_id", F.explode("hh").alias("__h")
+            ),
+        ).select("doc_id")
+        cont_b = _anti(state_a["contaminated"]).unionByName(cont_delta)
+        state_b["contaminated"] = cont_b
+
+    # --- the B prepare, over metadata only from here on
+    # 1. exact dedup: keeper = min doc_id per stored digest group.
+    keepers = meta_b.groupBy("md5h").agg(F.min("doc_id").alias("doc_id"))
+    surv = meta_b.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+    # 2. near-dup: the maintained pair set restricted to exact-survivors
+    #    (signatures are per-doc, so restriction IS the survivor-built
+    #    pair set), clustered; drop non-keepers.
+    surv_ids = surv.select("doc_id")
+    pairs_surv = (
+        pairs_b.join(
+            surv_ids.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        ).join(
+            surv_ids.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+        )
+    )
+    clusters = dedup.dedup_clusters(pairs_surv)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    surv = surv.join(losers, "doc_id", "left_anti")
+
+    # 3. decontamination (stored verdicts + delta verdicts).
+    if cont_b is not None:
+        surv = surv.join(cont_b, "doc_id", "left_anti")
+
+    # 4. quality floor over the stored score.
+    if min_quality > 0.0:
+        surv = surv.where(F.col("score") >= F.lit(float(min_quality)))
+
+    # 5. stratified sampling — a pure (source, doc_id) hash.
+    if rates is not None or default_rate < 1.0:
+        picked = sampling.sample_stratified(
+            surv, rates or {}, default_rate=default_rate
+        ).select("doc_id")
+        surv = surv.join(picked, "doc_id", "left_semi")
+
+    surv = surv.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # 6/7. pack + shuffle over survivor METADATA (stored token counts).
+    packed = sampling.pack_sequences(surv, pack_budget, n_tokens_col="n_tokens")
+    shuffled = sampling.global_shuffle(surv, seed=shuffle_seed)
+
+    # final assembly: fetch surviving text from the B snapshot (storage
+    # column read — the only non-delta text access).
+    text_src = b_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    result = (
+        surv.join(text_src, "doc_id")
+        .join(packed.select("doc_id", "pack_id"), "doc_id")
+        .join(shuffled, "doc_id")
+        .select("doc_id", "text", "source", "n_tokens", "pack_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
+    return release_with(result, surv, sig_delta), state_b

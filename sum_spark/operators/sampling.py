@@ -527,6 +527,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     token_base: int = 0,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing: lay documents (in id order) into fixed
     token-budget packs — the step that turns a filtered corpus into
@@ -548,17 +549,20 @@ def pack_sequences(
     n = num_partitions or spark.sparkContext.defaultParallelism
     # Materialized for the same reason as assign_contiguous_ids: __pid
     # must be evaluated once, not per branch (AQE coalescing can differ).
-    d = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            # NULL text packs as 0 tokens: packing must assign EVERY input
-            # row a pack (a NULL pack_id would silently drop the doc from
-            # pack-grouped training assembly); a no-token doc rides along
-            # in whatever pack the budget is currently filling.
-            F.coalesce(
-                F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
-            ).alias("n_tokens"),
+    # NULL text packs as 0 tokens: packing must assign EVERY input row a
+    # pack (a NULL pack_id would silently drop the doc from pack-grouped
+    # training assembly); a no-token doc rides along in whatever pack the
+    # budget is currently filling. ``n_tokens_col`` supplies precomputed
+    # counts (the incremental path's stored per-doc metadata) — packing
+    # then never touches text at all.
+    if n_tokens_col is not None:
+        nt = F.coalesce(F.col(n_tokens_col).cast("long"), F.lit(0))
+    else:
+        nt = F.coalesce(
+            F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
         )
+    d = (
+        df.select(F.col(id_col).alias("doc_id"), nt.alias("n_tokens"))
         .repartitionByRange(n, F.col("doc_id"))
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()

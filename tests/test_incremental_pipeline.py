@@ -174,3 +174,64 @@ def test_full_incremental_composition_pq_leg(spark, sf_smoke, tmp_path):
         map(tuple, knn_ivfpq_from_index(spark, p2, probes, k=5, round_to=4).collect())
     )
     assert s1 == s2 and s1
+
+
+def test_prepare_incremental_equals_full_rebuild(spark, sf_smoke, tmp_path):
+    """The headline composition: snapshot A's corpus_state (round-tripped
+    through parquet — the real stored artifact), advanced with the diff
+    delta, must produce EXACTLY prepare_training_data(B) with the same
+    options — and the advanced state must equal corpus_state(B)."""
+    from sum_spark.operators.pipeline import (
+        corpus_state,
+        prepare_training_data,
+        prepare_training_data_incremental,
+        read_corpus_state,
+        write_corpus_state,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "source"
+    )
+    a, b = _snapshots(docs)
+    a = a.join(docs.select("doc_id", "source"), "doc_id")
+    b = b.join(docs.select("doc_id", "source"), "doc_id")
+    bench = docs.where(F.col("doc_id") % 41 == 3).select("doc_id", "text")
+
+    opts = dict(
+        near_dup_threshold=0.8,
+        min_quality=0.3,
+        rates={"src0": 1.0, "src1": 0.5},
+        default_rate=0.7,
+        pack_budget=256,
+        shuffle_seed="epoch-7",
+    )
+
+    # ingest-time artifact for A, persisted like production would
+    sp = str(tmp_path / "state_a")
+    write_corpus_state(corpus_state(a, benchmark=bench), sp)
+    state_a = read_corpus_state(spark, sp)
+
+    d = snapshot_diff(a, b)
+    delta = b.join(
+        delta_ids(d).select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    retired = d.where(F.col("status").isin("removed", "changed")).select("id")
+
+    got_df, state_b = prepare_training_data_incremental(
+        state_a, b, delta, retired, benchmark=bench, **opts
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, prepare_training_data(b, benchmark=bench, **opts).collect()))
+    assert got == want and got
+
+    # the advanced state equals a from-scratch state over B
+    fresh = corpus_state(b, benchmark=bench)
+    for name in ("meta", "pairs", "contaminated"):
+        sa = sorted(map(tuple, state_b[name].collect()))
+        sb = sorted(map(tuple, fresh[name].collect()))
+        assert sa == sb and (sa or name == "contaminated"), name
+    # signatures: compare per-doc hh arrays (sig arrays are derived)
+    key = lambda df: sorted(
+        (r["doc_id"], tuple(r["hh"])) for r in df.select("doc_id", "hh").collect()
+    )
+    assert key(state_b["sig"]) == key(fresh["sig"])
