@@ -1,0 +1,134 @@
+"""Streaming maintenance of the incremental-prepare corpus state.
+
+pipeline.corpus_state is the artifact set a snapshot leaves behind for
+prepare_training_data_incremental (per-doc metadata, MinHash signatures,
+the verified near-dup pair set, contamination verdicts). On a live
+deployment those artifacts are not rebuilt per snapshot — they are
+MAINTAINED AT INGEST: each arriving micro-batch contributes its per-doc
+rows plus its pair-set increment, written under idempotent batch-id
+directories (the engine's standard redelivery-safe sink layout), and the
+state "so far" is assembled at read time.
+
+The pair increment is the only cross-batch piece: within-batch pairs come
+from the batch's own LSH pass, and cross-batch pairs from a band join of
+the batch's signatures against all PRIOR batches' stored signatures (a
+stream-static read filtered on the batch_id partition column — which also
+makes redelivery exact: a redelivered batch overwrites its own increment
+and never sees its own previous write as "prior"). Every pair is produced
+exactly once — by the batch holding its LATER document — so the
+assembled pair set equals dedup_minhash_lsh over everything ingested
+(parity-tested in tests/test_streaming_state.py).
+
+Streams are append-only; retirement (removed/changed docs) is a SNAPSHOT
+operation handled by the batch transition path
+(prepare_training_data_incremental's retired_ids), not by the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sum_spark.operators.dedup import (
+    _bands_from_sig,
+    _exact_jaccard_pairs,
+    minhash_lsh_from_sig,
+    minhash_signatures,
+)
+from sum_spark.operators.pipeline import _doc_meta
+
+
+def streaming_corpus_state(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    benchmark: DataFrame | None = None,
+    near_dup_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+    trigger: dict | None = None,
+):
+    """Maintain corpus_state over a document stream: per batch, write
+    meta/sig rows and the pair-set increment (and contamination verdicts
+    when ``benchmark`` is given) under ``path/<frame>/batch_id=N``."""
+    t = float(near_dup_threshold)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig = minhash_signatures(batch_df, text_col, id_col).persist()
+
+        _doc_meta(batch_df, text_col, id_col, strat_col).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta/batch_id={batch_id}")
+
+        # pair increment: within-batch ∪ batch-vs-prior (prior = stored
+        # signature batches with a strictly smaller batch_id).
+        pairs = minhash_lsh_from_sig(sig, threshold=t)
+        sig_dir = f"{path}/sig"
+        if os.path.isdir(sig_dir):
+            prior = spark.read.parquet(sig_dir).where(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            cand = (
+                _bands_from_sig(sig)
+                .select(F.col("doc_id").alias("__ni"), "band", "key")
+                .join(
+                    _bands_from_sig(prior).select(
+                        F.col("doc_id").alias("__pi"), "band", "key"
+                    ),
+                    ["band", "key"],
+                )
+                .select(
+                    F.least("__ni", "__pi").alias("doc_a"),
+                    F.greatest("__ni", "__pi").alias("doc_b"),
+                )
+                .distinct()
+            )
+            all_sig = sig.select("doc_id", "hh").unionByName(
+                prior.select("doc_id", "hh")
+            )
+            pairs = pairs.unionByName(
+                _exact_jaccard_pairs(cand, all_sig, t, feat_col="hh")
+            )
+        pairs.write.mode("overwrite").parquet(f"{path}/pairs/batch_id={batch_id}")
+
+        if benchmark is not None:
+            from sum_spark.operators.decontam import decontaminate
+
+            decontaminate(
+                None,
+                benchmark,
+                corpus_hashes=sig.select("doc_id", F.explode("hh").alias("__h")),
+            ).select("doc_id").write.mode("overwrite").parquet(
+                f"{path}/contaminated/batch_id={batch_id}"
+            )
+
+        # signatures last is not required for correctness (the prior
+        # read filters on batch_id), but keeps a crash mid-sink from
+        # leaving a sig batch whose pair increment never ran.
+        sig.write.mode("overwrite").parquet(f"{path}/sig/batch_id={batch_id}")
+        sig.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_streaming_corpus_state(
+    spark: SparkSession, path: str
+) -> dict[str, DataFrame]:
+    """Assemble the state-so-far from the batch directories — the same
+    dict shape corpus_state / read_corpus_state produce, usable directly
+    by prepare_training_data_incremental as the A-side state."""
+    out: dict[str, DataFrame] = {}
+    for name in ("meta", "sig", "pairs", "contaminated"):
+        p = f"{path}/{name}"
+        if os.path.isdir(p):
+            out[name] = spark.read.parquet(p).drop("batch_id")
+    return out
