@@ -661,11 +661,15 @@ def log_histogram_quantile(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile BOUNDS from a log digest: (group..., p_num, p_den,
-    lo_fp, hi_fp) where the exact rank-``ceil(n*p)`` value (integer
-    rank (n*p_num + p_den - 1) DIV p_den — never float p*n) is
+    rank, lo_fp, hi_fp) where the exact rank-``ceil(n*p)`` value
+    (``rank`` = (n*p_num + p_den - 1) DIV p_den — never float p*n) is
     guaranteed to lie in [lo_fp, hi_fp], an interval of relative width
     <= 2^-bits. A quantile landing in the nonpositive bucket yields
-    (NULL, 0): the value is known only to be <= 0.
+    (NULL, 0): the value is known only to be <= 0. ``rank`` is emitted
+    so a caller that wants the EXACT order statistic can fetch it as
+    the (rank - count(v < lo))-th value WITHIN the interval — a
+    candidate set bounded at n * 2^-bits rows by construction, which is
+    how q31's verification column avoids any global sort.
 
     Same bounded-cell cumulative-window shape as
     histogram_quantile_fixed; every op is integer, so the bounds are
@@ -702,6 +706,9 @@ def log_histogram_quantile(
         *groups,
         "p_num",
         "p_den",
+        F.expr("(p_num * __total + p_den - 1) DIV p_den")
+        .cast("long")
+        .alias("rank"),
         F.expr(f"CASE WHEN bucket < 0 THEN NULL ELSE {lo} END")
         .cast("long")
         .alias("lo_fp"),

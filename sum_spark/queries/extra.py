@@ -539,29 +539,38 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
-    # Exact integer-rank values (the verification column, q32 pattern):
-    # one rank window over the fixed-point image.
+    # Exact integer-rank values (the verification column, q32 pattern) —
+    # computed WITHOUT a global sort: the digest's own interval already
+    # brackets each rank-r value, so the exact value is order statistic
+    # (r - count(fx < lo)) WITHIN the interval's rows, a set bounded at
+    # n * 2^-bits by construction. Two more pruned single-column scans
+    # (a conditional-count aggregate and the interval filter) replace
+    # the single-partition ORDER BY over the whole table; the only
+    # window runs over the tiny bracketed candidate set.
     fxw = ev.where(F.col("value").isNotNull()).select(
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx")
     )
-    rw = fxw.select(
-        "__fx",
-        F.row_number().over(W.orderBy("__fx")).alias("__rn"),
-        F.count("*")
-        .over(
-            W.orderBy("__fx").rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        )
-        .alias("__n"),
+    qb = log_histogram_quantile(ldig_cells, _LDIG_PS).withColumnRenamed(
+        "rank", "__r"
     )
-    ldig_probes = spark.createDataFrame(_LDIG_PS, "p_num long, p_den long")
+    in_interval = F.when(
+        F.col("lo_fp").isNull(), F.col("__fx") <= F.col("hi_fp")
+    ).otherwise(F.col("__fx").between(F.col("lo_fp"), F.col("hi_fp")))
+    below = F.when(
+        F.col("lo_fp").isNull(), F.lit(False)
+    ).otherwise(F.col("__fx") < F.col("lo_fp"))
+    joined = fxw.crossJoin(F.broadcast(qb))
+    before = (
+        joined.groupBy("p_num", "p_den")
+        .agg(F.sum(below.cast("long")).alias("__before"))
+    )
+    iw = W.partitionBy("p_num", "p_den").orderBy("__fx")
     exact = (
-        rw.crossJoin(F.broadcast(ldig_probes))
-        .where(
-            F.col("__rn")
-            == F.expr("(__n * p_num + p_den - 1) DIV p_den")
-        )
+        joined.where(in_interval)
+        .select("p_num", "p_den", "__fx", F.col("__r"))
+        .join(before, ["p_num", "p_den"])
+        .withColumn("__rk", F.row_number().over(iw))
+        .where(F.col("__rk") == F.col("__r") - F.col("__before"))
         .groupBy("p_num", "p_den")
         .agg(F.min("__fx").alias("__e"))
     )
@@ -569,8 +578,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo_fp").isNull(), F.col("__e") <= F.col("hi_fp")
     ).otherwise((F.col("__e") >= F.col("lo_fp")) & (F.col("__e") <= F.col("hi_fp")))
     ldigq = (
-        log_histogram_quantile(ldig_cells, _LDIG_PS)
-        .join(exact, ["p_num", "p_den"])
+        qb.join(exact, ["p_num", "p_den"])
         .select(
             F.lit("ldigq").alias("mode"),
             F.concat_ws(
