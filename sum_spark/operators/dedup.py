@@ -707,7 +707,7 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    salt_bands: int | None = None,
+    salt_bands: int | str | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup detection, exact-verified.
 
@@ -728,8 +728,38 @@ def dedup_minhash_lsh(
     return _release_with(out, sig)
 
 
+# A band bucket above this many docs funnels ~AUTO_SALT_TARGET^2 candidate
+# pairs through one reducer of the self-join; "auto" salting measures the
+# hottest bucket and splits it to roughly this per-reducer size.
+AUTO_SALT_TARGET = 50_000
+AUTO_SALT_MAX = 32
+
+
+def _auto_band_salt(bands: DataFrame) -> int | None:
+    """Measured salt decision for the band self-join (the dedup_lines
+    auto-broadcast pattern: measure, then pick the plan): one bounded
+    aggregation finds the hottest band bucket; buckets under
+    AUTO_SALT_TARGET docs need no salt (the common case — the aggregate
+    is the only cost), a hotter one is split to ~AUTO_SALT_TARGET docs
+    of probe input per reducer, capped at AUTO_SALT_MAX replicas of the
+    build side. The verified pair set is identical either way
+    (tests/test_skew_stress.py); only reducer placement changes."""
+    top = (
+        bands.groupBy("key")
+        .agg(F.count("*").alias("__c"))
+        .agg(F.max("__c").alias("__m"))
+        .first()
+    )
+    hottest = top["__m"] or 0
+    if hottest <= AUTO_SALT_TARGET:
+        return None
+    return int(min(AUTO_SALT_MAX, -(-hottest // AUTO_SALT_TARGET)))
+
+
 def minhash_lsh_from_sig(
-    sig: DataFrame, threshold: float = 0.8, salt_bands: int | None = None
+    sig: DataFrame,
+    threshold: float = 0.8,
+    salt_bands: int | str | None = None,
 ) -> DataFrame:
     """The band-join + exact-verify tail of dedup_minhash_lsh over an
     existing ``minhash_signatures`` table (caller-persisted: the band
@@ -741,7 +771,10 @@ def minhash_lsh_from_sig(
     ``salt_bands``: a corpus with a HOT band bucket (mass-duplicated
     boilerplate documents share every band key) funnels that bucket's
     whole build side through one reducer of the candidate self-join.
-    Passing a salt count routes the join through plans.scale.salted_join
+    ``"auto"`` measures the hottest bucket with one bounded aggregation
+    and salts only when it exceeds AUTO_SALT_TARGET docs (the
+    measured-plan pattern of dedup_lines' broadcast sizing). Passing a
+    salt count routes the join through plans.scale.salted_join
     on the band key — the hot bucket's probe rows split across
     ``salt_bands`` reducers (per-task input bounded at ~1/salt of the hot
     key), the build side replicates, and the verified pair set is
@@ -752,6 +785,8 @@ def minhash_lsh_from_sig(
     bands = _bands_from_sig(sig)
     left = bands.select(F.col("doc_id").alias("doc_a"), "key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "key")
+    if salt_bands == "auto":
+        salt_bands = _auto_band_salt(bands)
     if salt_bands:
         from sum_spark.plans.scale import salted_join
 

@@ -168,3 +168,34 @@ def test_semantic_dedup_hot_cluster_blocks_stay_bounded(spark):
     for r in out:
         if r["cluster"] == 1:
             assert r["id_a"] >= 2000 and r["id_b"] >= 2000
+
+
+def test_minhash_auto_salt_measures_and_splits_only_when_hot(spark, monkeypatch):
+    """salt_bands='auto' must (a) measure the hottest band bucket and
+    leave the common cool corpus UNSALTED, (b) salt a hot corpus once
+    the bucket exceeds the threshold — with the identical verified pair
+    set either way (the measured-plan contract of the dedup_lines
+    broadcast sizing, applied to the band self-join)."""
+    from pyspark.sql import functions as F
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, hot) for i in range(90)]
+    rows += [
+        (100 + i, f"unique u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    # cool decision: the 90-doc hot bucket is under the production
+    # threshold, so auto must pick the plain join
+    auto_cool = dedup.dedup_minhash_lsh(docs, threshold=0.8, salt_bands="auto")
+    assert "__salt" not in auto_cool._jdf.queryExecution().optimizedPlan().toString()
+
+    # hot decision: drop the threshold under the bucket size — auto must
+    # salt, split to ceil(90/32) past the cap logic, and stay exact
+    monkeypatch.setattr(dedup, "AUTO_SALT_TARGET", 32)
+    auto_hot = dedup.dedup_minhash_lsh(docs, threshold=0.8, salt_bands="auto")
+    assert "__salt" in auto_hot._jdf.queryExecution().optimizedPlan().toString()
+    want = sorted(map(tuple, dedup.dedup_minhash_lsh(docs, threshold=0.8).collect()))
+    got = sorted(map(tuple, auto_hot.collect()))
+    assert got == want and len(got) == 90 * 89 // 2
