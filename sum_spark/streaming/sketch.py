@@ -453,3 +453,55 @@ def read_mg(spark: SparkSession, path: str, k: int = 64) -> DataFrame:
         .agg(F.sum("est").cast("long").alias("est"))
     )
     return _mg_prune(merged, k)
+
+
+def streaming_log_histogram(
+    stream_df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint: str,
+    bits: int = 7,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+    trigger: dict | None = None,
+):
+    """Maintain the UNKNOWN-RANGE log digest over a stream — the
+    per-batch/merge-at-read shape of operators/sketch.log_histogram:
+    each micro-batch writes its own (group..., bucket, n) cells (space
+    bounded by the TYPE, not the data — no range parameter to get wrong
+    before the data arrives, which is exactly the streaming case) under
+    ``path/batch_id=N``; the digest of everything ingested so far is
+    the cell-wise sum at read time, and log_histogram_quantile answers
+    rank-bracketing quantile intervals from it without revisiting any
+    data. stream-accumulated == batch-built exactly (integer cells,
+    parity-tested)."""
+    from sum_spark.operators.sketch import log_histogram
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = log_histogram(
+            batch_df, value_col, bits=bits, scale=scale,
+            group_cols=list(group_cols),
+        )
+        cells.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_log_histogram(
+    spark: SparkSession, path: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The accumulated log digest: cell-wise sum over batch files — ==
+    one batch build over all ingested rows; omitting a grouped writer's
+    ``group_cols`` collapses to the global digest (cells sum)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

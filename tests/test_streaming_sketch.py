@@ -638,3 +638,53 @@ def test_stream_weighted_sample_per_stratum_equals_batch(spark, sf_smoke, tmp_pa
     )
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(acc) == key(full) and acc.count() > 0
+
+
+def test_stream_log_digest_equals_batch_and_answers_quantiles(
+    spark, sf_smoke, tmp_path
+):
+    from pyspark.sql.types import DoubleType
+
+    from sum_spark.operators.sketch import log_histogram, log_histogram_quantile
+    from sum_spark.streaming.sketch import (
+        read_log_histogram,
+        streaming_log_histogram,
+    )
+
+    ev = load_table(spark, sf_smoke, "events").select(
+        "event_id", "event_type", "value"
+    )
+    drop_dir = str(tmp_path / "ld_drops")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
+    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out_dir = str(tmp_path / "ld")
+    q = streaming_log_histogram(
+        stream, "value", path=out_dir, checkpoint=str(tmp_path / "ckld"),
+        group_cols=("event_type",),
+    )
+    q.awaitTermination()
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    acc_g = read_log_histogram(spark, out_dir, group_cols=("event_type",))
+    full_g = log_histogram(ev, "value", group_cols=["event_type"])
+    assert key(acc_g) == key(full_g)
+    # collapsed read == global digest, and it answers quantiles
+    acc = read_log_histogram(spark, out_dir)
+    full = log_histogram(ev, "value")
+    assert key(acc) == key(full)
+    qi = key(log_histogram_quantile(acc, [(1, 2), (9, 10)]))
+    assert qi == key(log_histogram_quantile(full, [(1, 2), (9, 10)])) and qi
