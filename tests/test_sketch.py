@@ -684,3 +684,36 @@ def test_log_quantile_bounds_contain_exact_rank_value(spark):
             assert lo <= e <= hi, (pn, pd, e, lo, hi)
             assert hi - lo <= max(lo >> 7, 0) + 1, (pn, pd)
     cells.unpersist()
+
+
+def test_log_quantile_grouped_bounds_per_group(spark, sf_smoke):
+    """Grouped digests answer per-group quantile intervals: each group's
+    bounds bracket that group's own exact integer-rank value (the
+    per-domain length/score-quantile view of curation)."""
+    from sum_spark.operators.sketch import log_histogram, log_histogram_quantile
+    from sum_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_smoke, "events")
+    cells = log_histogram(ev, "value", group_cols=["event_type"]).persist()
+    ps = [(1, 2), (9, 10)]
+    got = {
+        (r["event_type"], r["p_num"], r["p_den"]): (r["rank"], r["lo_fp"], r["hi_fp"])
+        for r in log_histogram_quantile(
+            cells, ps, group_cols=["event_type"]
+        ).collect()
+    }
+    rows = ev.select("event_type", "value").collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    assert set(g for g, _, _ in got) == set(by_g)
+    for (g, pn, pd), (rank, lo, hi) in got.items():
+        fx = sorted(by_g[g])
+        r = (len(fx) * pn + pd - 1) // pd
+        assert rank == r
+        e = fx[r - 1]
+        if lo is None:
+            assert e <= 0 and hi == 0
+        else:
+            assert lo <= e <= hi, (g, pn, pd, e, lo, hi)
+    cells.unpersist()
