@@ -772,3 +772,97 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
             axis=2,
         )
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Minimal AVI (MJPEG) — the dependency-free video strict path
+# ---------------------------------------------------------------------------
+#
+# Motion-JPEG in a RIFF/AVI container: every video frame is a complete
+# baseline JPEG in its own '00dc' chunk, so the JFIF decoder above does all
+# the real work and the container layer is pure struct walking. This is the
+# one video format a dependency-free engine can honestly decode end-to-end;
+# anything else (H.26x, VP9, AV1) requires a real codec library and stays
+# behind the PyAV import gate in operators/multimodal.sample_frames.
+
+AVI_MAGIC = b"RIFF"
+
+
+def is_avi(data: bytes) -> bool:
+    return data[:4] == AVI_MAGIC and data[8:12] == b"AVI "
+
+
+def _riff_chunks(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF chunk
+    run; descends into LIST chunks."""
+    pos = start
+    while pos + 8 <= end:
+        cc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body0 = pos + 8
+        if body0 + size > end:
+            raise ValueError("truncated AVI chunk")
+        if cc in (b"LIST", b"RIFF"):
+            yield from _riff_chunks(data, body0 + 4, body0 + size)
+        else:
+            yield cc, body0, size
+        pos = body0 + size + (size & 1)  # chunks pad to even
+
+
+def decode_avi_frames(data: bytes) -> list[np.ndarray]:
+    """MJPEG AVI bytes -> list of decoded (H, W, C) uint8 frames.
+    Frames live in '00dc' (stream-0 compressed) chunks; each payload is
+    a complete baseline JPEG handled by decode_jpeg. Non-MJPEG payloads
+    fail its SOI check — a DECODE error, not a silent fake."""
+    if not is_avi(data):
+        raise ValueError("not an AVI (bad RIFF/AVI header)")
+    frames = []
+    for cc, off, size in _riff_chunks(data, 12, len(data)):
+        if cc == b"00dc" and size > 0:
+            frames.append(decode_jpeg(data[off : off + size]))
+    if not frames:
+        raise ValueError("AVI contains no stream-0 video frames")
+    return frames
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, quality: int = 90
+) -> bytes:
+    """Encode uint8 frames (consistent (H, W[, C])) as a minimal MJPEG
+    AVI: RIFF('AVI ' LIST hdrl(avih, LIST strl(strh, strf)) LIST
+    movi('00dc' JPEG ...)). Deterministic; enough structure for this
+    decoder and common players."""
+    if not frames:
+        raise ValueError("no frames")
+    jpgs = [encode_jpeg(f, quality=quality) for f in frames]
+    h, w = frames[0].shape[0], frames[0].shape[1]
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = 1_000_000 // max(1, int(fps))
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0x10, len(jpgs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII",  # flags, prio, lang, init, scale, rate, start,
+            0, 0, 0, 0, 1, max(1, int(fps)), 0,  # length, bufsize, quality,
+            len(jpgs), 0, 0xFFFFFFFF, 0,  # samplesize
+        )
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpgs))
+    inner = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
