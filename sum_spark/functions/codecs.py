@@ -1,8 +1,8 @@
-"""Dependency-free image/audio codecs for the multimodal operators.
+"""Dependency-free image/audio/video codecs for the multimodal operators.
 
-The environment may lack PIL/soundfile; these engine-own decoders make
-``decoder='strict'`` a REAL decode path anyway for the two formats a
-training pipeline can rely on everywhere:
+The environment may lack PIL/soundfile/PyAV; these engine-own decoders
+make ``decoder='strict'`` a REAL decode path anyway, one format per
+modality that a training pipeline can rely on everywhere:
 
 - PNG (RFC 2083): signature check, IHDR parse, IDAT concat + zlib
   inflate, scanline unfilter (all five filter types), for 8-bit
@@ -10,8 +10,13 @@ training pipeline can rely on everywhere:
   virtually all corpus PNGs use. Unsupported shapes raise ValueError
   (a DECODE error, distinct from the codec-missing NotImplementedError).
 - WAV via the stdlib ``wave`` module: 8/16/32-bit PCM to float32 mono.
+- Baseline JFIF (JPEG, ITU-T T.81): full Huffman/DCT decode with
+  file-supplied tables, subsampling and restart markers; encoder with
+  Annex K tables (see the JPEG section below).
+- MJPEG AVI: RIFF container walk + per-frame baseline JPEG — the one
+  video format honestly decodable without a codec library.
 
-Both are deterministic pure functions of the payload bytes — the
+All are deterministic pure functions of the payload bytes — the
 property the multimodal tests and the fake-decode stand-in already
 depend on — and run inside Arrow batches on executors (numpy only).
 """
