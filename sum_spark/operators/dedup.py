@@ -655,13 +655,25 @@ def incremental_pairs(
     cross delta-vs-retained pairs come from the dedup_incremental band
     join, within-delta pairs from an LSH pass over the delta signatures
     alone — the three sets are disjoint by construction.
+
+    ``threshold`` must be >= the threshold ``stored_pairs`` was built
+    with: kept pairs are re-filtered at ``threshold`` here (so a HIGHER
+    threshold than the stored build is exact), but a LOWER one cannot
+    be served from stored pairs — the sub-threshold pairs were never
+    stored — and requires a rebuild at the lower threshold.
     """
+    if delta_docs is None and delta_sig is None:
+        raise ValueError("incremental_pairs needs delta_docs or delta_sig")
     t = float(threshold)
     retired = retired_ids.select(F.col(retired_ids.columns[0]).alias("__rid"))
-    # 1. Stored pairs with NEITHER endpoint retired survive as-is.
-    kept = stored_pairs.join(
-        retired, F.col("doc_a") == F.col("__rid"), "left_anti"
-    ).join(retired, F.col("doc_b") == F.col("__rid"), "left_anti")
+    # 1. Stored pairs with NEITHER endpoint retired survive, re-filtered
+    #    at the requested threshold (exact for threshold >= stored
+    #    build's; see docstring for the lower-threshold direction).
+    kept = (
+        stored_pairs.where(F.col("jaccard") >= t)
+        .join(retired, F.col("doc_a") == F.col("__rid"), "left_anti")
+        .join(retired, F.col("doc_b") == F.col("__rid"), "left_anti")
+    )
     # 2. Delta signatures — the only text this plan reads. A caller that
     #    already holds them (the incremental prepare path shares ONE
     #    delta signature pass across dedup/decontam/state-advance)

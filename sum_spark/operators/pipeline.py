@@ -292,26 +292,38 @@ def _doc_meta(
     id_col: str = "doc_id",
     strat_col: str = "source",
 ) -> DataFrame:
-    """Per-document stored metadata, one map-side pass over text:
-    (doc_id, source, md5h, n_tokens, score). md5h matches dedup_exact's
+    """Per-document stored metadata, ONE map-side pass over text —
+    (doc_id, source, md5h, n_tokens, score): md5h matches dedup_exact's
     grouping hash; n_tokens matches pack_sequences' split-on-space
-    count; score is textops.quality_score's heuristic."""
-    base = docs.select(
+    count; score is textops.quality_score's heuristic, written with the
+    IDENTICAL expression tree (same functions, same order, same ROUND)
+    so the delta path's stored scores equal a full rebuild's freshly
+    computed ones bit-for-bit. No joins, no second scan: at delta scale
+    the text read is the cost that matters."""
+    from sum_spark.functions.text import LANG_STOPWORDS, tokens
+    from sum_spark.functions.text import stopword_hits
+
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(strat_col).alias("source"),
         F.col(text_col).alias("__text"),
+        tokens(text_col).alias("__w"),
     )
-    q = textops.quality_score(base, text_col="__text").select("doc_id", "score")
-    return (
-        base.select(
-            "doc_id",
-            "source",
-            F.md5(F.col("__text")).alias("md5h"),
-            F.coalesce(
-                F.size(F.split(F.col("__text"), " ")).cast("long"), F.lit(0)
-            ).alias("n_tokens"),
-        )
-        .join(q, "doc_id")
+    n_words = F.size("__w").cast("long")
+    en_hits = stopword_hits(F.col("__w"), LANG_STOPWORDS[0][1]).cast("double")
+    score = F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+        + (en_hits / n_words.cast("double")) * 0.5,
+        4,
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("__text")).alias("md5h"),
+        F.coalesce(
+            F.size(F.split(F.col("__text"), " ")).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
+        score.alias("score"),
     )
 
 
@@ -331,7 +343,13 @@ def corpus_state(
     is a parquet table (write_corpus_state/read_corpus_state)."""
     meta = _doc_meta(docs, text_col, id_col, strat_col)
     sig = dedup.minhash_signatures(docs, text_col, id_col).persist()
-    pairs = dedup.minhash_lsh_from_sig(sig, threshold=near_dup_threshold)
+    # The persisted signature cache lives as long as the pair frame (its
+    # only multi-read consumer): release_with ties the unpersist to the
+    # pairs object the returned dict holds — dropping the state dict
+    # frees the cache (the repo's finalizer convention).
+    pairs = release_with(
+        dedup.minhash_lsh_from_sig(sig, threshold=near_dup_threshold), sig
+    )
     state = {"meta": meta, "sig": sig, "pairs": pairs}
     if benchmark is not None:
         state["contaminated"] = decontaminate(

@@ -643,6 +643,22 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _II_INCR_BUILT: set[str] = set()
 _INCR_STATE_BUILT: set[str] = set()
 
+
+def _artifact_dir(kind: str, sf_dir: str) -> str:
+    """Per-process artifact dir for a corpus: keyed by a hash of the
+    FULL sf_dir path (two corpora sharing a basename must not share
+    artifacts) plus the pid (each process owns and rebuilds its own
+    copy — no cross-process read/overwrite races, no trusting a stale
+    dir left by older code)."""
+    import hashlib as _hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    h = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return _os.path.join(
+        _tempfile.gettempdir(), f"sum_spark_{kind}_{h}_{_os.getpid()}"
+    )
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 
 
@@ -906,9 +922,6 @@ def _snapshot_b(docs: DataFrame) -> DataFrame:
     "snapshot's outputs per query).",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
-
     from sum_spark.operators.diff import delta_ids, snapshot_diff
     from sum_spark.plans.scale import release_with
 
@@ -920,10 +933,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process (the q_bm25 'incr' serving contract — on a real deployment
     # these are the previous run's outputs on disk, not recomputed per
     # query), read back for both legs.
-    state_dir = _os.path.join(
-        _tempfile.gettempdir(),
-        f"sum_spark_incr_state_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    state_dir = _artifact_dir("incr_state", sf_dir)
     if state_dir not in _INCR_STATE_BUILT:
         a_sig_build = dedup.minhash_signatures(a).persist()
         a_sig_build.write.mode("overwrite").parquet(f"{state_dir}/sig")
@@ -1023,9 +1033,6 @@ _BM25_TERMS = ["spark", "window", "merge"]
     "tokenized at maintenance time.",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
-
     from sum_spark.functions.text import tokens as _tokens
     from sum_spark.operators.search import (
         append_to_inverted_index,
@@ -1062,10 +1069,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_incremental's 'incr' leg).
     a = _snapshot_a(docs)
     b = _snapshot_b(docs)
-    idx_dir = _os.path.join(
-        _tempfile.gettempdir(),
-        f"sum_spark_ii_incr_{_os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    idx_dir = _artifact_dir("ii_incr", sf_dir)
     if idx_dir not in _II_INCR_BUILT:
         write_inverted_index(a, idx_dir)
         retired_old = a.where(

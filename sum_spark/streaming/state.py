@@ -81,6 +81,11 @@ def streaming_corpus_state(
                     ),
                     ["band", "key"],
                 )
+                # a doc_id re-ingested in a LATER batch (an at-least-once
+                # producer outside Spark's own checkpoint redelivery, which
+                # the batch_id filter already handles) would band-match its
+                # earlier self: never emit self-pairs
+                .where(F.col("__ni") != F.col("__pi"))
                 .select(
                     F.least("__ni", "__pi").alias("doc_a"),
                     F.greatest("__ni", "__pi").alias("doc_b"),
@@ -125,10 +130,16 @@ def read_streaming_corpus_state(
 ) -> dict[str, DataFrame]:
     """Assemble the state-so-far from the batch directories — the same
     dict shape corpus_state / read_corpus_state produce, usable directly
-    by prepare_training_data_incremental as the A-side state."""
+    by prepare_training_data_incremental as the A-side state.
+
+    Id uniqueness across batches is the caller's contract (exactly as
+    with append_to_inverted_index); the pair frame is nevertheless
+    deduplicated here, so a violating producer degrades to duplicate
+    meta/sig rows rather than duplicated cluster edges."""
     out: dict[str, DataFrame] = {}
     for name in ("meta", "sig", "pairs", "contaminated"):
         p = f"{path}/{name}"
         if os.path.isdir(p):
-            out[name] = spark.read.parquet(p).drop("batch_id")
+            df = spark.read.parquet(p).drop("batch_id")
+            out[name] = df.distinct() if name == "pairs" else df
     return out

@@ -27,18 +27,14 @@ TERMS = ["data", "model", "learning"]
 
 
 def _snapshots(docs):
-    """The synthetic A->B transition also used by the dedup_incremental /
-    bm25_search 'incr' registry legs: removed = A-members with
-    doc_id%13=2, changed = doc_id%13=1 (' rev2' appended), added =
-    doc_id%10=0."""
-    a = docs.where(F.col("doc_id") % 10 != 0).select("doc_id", "text")
-    b = docs.where((F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 13 != 2)).select(
-        "doc_id",
-        F.when(F.col("doc_id") % 13 == 1, F.concat("text", F.lit(" rev2")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    return a, b
+    """The synthetic A->B transition — the SAME helpers the
+    dedup_incremental / bm25_search 'incr' registry legs use (imported,
+    not re-implemented, so the test and the oracle-checked legs cannot
+    drift apart): removed = A-members with doc_id%13=2, changed =
+    doc_id%13=1 (' rev2' appended), added = doc_id%10=0."""
+    from sum_spark.queries.llm import _snapshot_a, _snapshot_b
+
+    return _snapshot_a(docs), _snapshot_b(docs)
 
 
 def test_snapshot_diff_statuses_match_construction(spark, sf_smoke):
@@ -235,3 +231,23 @@ def test_prepare_incremental_equals_full_rebuild(spark, sf_smoke, tmp_path):
         (r["doc_id"], tuple(r["hh"])) for r in df.select("doc_id", "hh").collect()
     )
     assert key(state_b["sig"]) == key(fresh["sig"])
+
+
+def test_incremental_pairs_refilters_stored_pairs_at_higher_threshold(spark):
+    """Raising the threshold above the stored build's must drop stored
+    sub-threshold pairs (they are re-filtered, not trusted); and the
+    call validates its delta inputs."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(docs)
+    stored = spark.createDataFrame(
+        [(1, 2, 0.85), (1, 3, 0.95)], "doc_a long, doc_b long, jaccard double"
+    )
+    empty_delta = docs.where(F.lit(False))
+    retired = spark.createDataFrame([], "id long")
+    out = dedup.incremental_pairs(sig, stored, empty_delta, retired, threshold=0.9)
+    assert [tuple(r) for r in out.collect()] == [(1, 3, 0.95)]
+    with pytest.raises(ValueError):
+        dedup.incremental_pairs(sig, stored, None, retired, threshold=0.9)

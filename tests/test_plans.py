@@ -476,6 +476,8 @@ def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
     point at the index dir, never at the documents table."""
     from sum_spark.queries import REGISTRY
 
+    import re
+
     out = REGISTRY["bm25_search"].fn(spark, sf_smoke)
     lp = out._jdf.queryExecution().optimizedPlan()
     leaves = lp.collectLeaves()
@@ -485,10 +487,14 @@ def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
         if "Relation" in leaves.apply(i).getClass().getSimpleName()
         and "InMemory" not in leaves.apply(i).getClass().getSimpleName()
     ]
-    # Index reads expose posting/stat columns only; any raw-text scan
-    # (the documents table) would surface a text column in the leaf.
-    offenders = [s for s in scans if "text#" in s]
-    assert not offenders, f"raw-text source scans in consumer plan: {offenders}"
+    # WHITELIST by leaf schema: the only allowed direct source scans are
+    # the maintained index's frames (postings/terms/meta columns). Any
+    # other attribute set — text, doc metadata, anything — is a
+    # documents-table scan that lost the shared tokenized cache.
+    allowed = {"term", "doc_id", "dl", "tf", "df", "n", "sum_dl", "bucket"}
+    for s in scans:
+        attrs = set(re.findall(r"(\w+)#\d+", s))
+        assert attrs <= allowed, f"non-index source scan in consumer plan: {s}"
     names = [leaves.apply(i).getClass().getSimpleName() for i in range(leaves.size())]
     assert any("InMemoryRelation" in n for n in names), names
 

@@ -650,6 +650,16 @@ def test_log_histogram_merge_equals_direct_build(spark, sf_smoke):
     assert merged == direct and merged
 
 
+def _round_half_away(x: float, scale: int = 100) -> int:
+    """Spark ROUND semantics (half away from zero) — Python's round()
+    is banker's and diverges on .5 midpoints, which would make the
+    reference disagree with the engine's fixed-point image."""
+    import math
+
+    m = abs(x) * scale
+    return int(math.floor(m + 0.5)) * (1 if x >= 0 else -1)
+
+
 def test_log_quantile_bounds_contain_exact_rank_value(spark):
     """For adversarial distributions (heavy skew, ties, 12 orders of
     magnitude, nonpositives) every quantile interval contains the exact
@@ -673,7 +683,7 @@ def test_log_quantile_bounds_contain_exact_rank_value(spark):
         (r["p_num"], r["p_den"]): (r["lo_fp"], r["hi_fp"])
         for r in log_histogram_quantile(cells, ps).collect()
     }
-    fx = sorted(round(v * 100) for v in vals)
+    fx = sorted(_round_half_away(v) for v in vals)
     n = len(fx)
     for pn, pd in ps:
         e = fx[(n * pn + pd - 1) // pd - 1]  # exact integer-rank value
@@ -705,7 +715,7 @@ def test_log_quantile_grouped_bounds_per_group(spark, sf_smoke):
     rows = ev.select("event_type", "value").collect()
     by_g: dict = {}
     for r in rows:
-        by_g.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+        by_g.setdefault(r["event_type"], []).append(_round_half_away(r["value"]))
     assert set(g for g, _, _ in got) == set(by_g)
     for (g, pn, pd), (rank, lo, hi) in got.items():
         fx = sorted(by_g[g])
