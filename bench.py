@@ -88,7 +88,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "bm25_search": ("mode", ["scan", "idx", "incr"]),
     "dedup_incremental": ("mode", ["pair", "incr"]),
     "global_shuffle": ("mode", ["shuf", "zord"]),
-    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv", "mg", "ldig", "ldigq"]),
+    "q31_distinct_projection": ("mode", ["distinct", "profile", "fingerprint", "vocab", "dvocab", "hist", "histq", "drift", "cms", "kmv", "mg", "ldig", "ldigq", "ldigg"]),
     "q08_semi_join": ("op", ["exists", "in"]),
     # the three diff_* statuses are one union child (one full-outer
     # join); diff_changed times that child once for all three.

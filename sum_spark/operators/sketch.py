@@ -726,8 +726,11 @@ def duck_log_histogram_sql(
 ) -> str:
     """DuckDB CTE rebuilding log_histogram for ``value_sql`` (a FROM-able
     subquery with column ``v``, plus ``g`` when grouped): yields ``ldig``
-    (bucket, n) — and ``ldigg`` (g, bucket, n) with ``ldig`` reaggregated
-    from it when grouped, mirroring the one-grouped-pass engine side."""
+    (bucket, n), or ``ldigg`` (g, bucket, n) when grouped. The grouped
+    form deliberately does NOT emit a reaggregated global ``ldig`` — a
+    caller pairing both legs builds the global digest DIRECTLY (one
+    ungrouped call), so the engine-side merge of grouped cells is checked
+    against an independent build, not against its own structure."""
     inner = f"""
         SELECT {"g, " if grouped else ""}CASE WHEN fx <= 0 THEN CAST(-1 AS BIGINT)
                     ELSE gs * {1 << bits} + (fx >> gs) END AS bucket
@@ -752,37 +755,42 @@ def duck_log_histogram_sql(
       SELECT g, bucket, CAST(COUNT(*) AS BIGINT) AS n
       FROM ({inner})
       GROUP BY 1, 2
-    ),
-    ldig AS (
-      SELECT bucket, CAST(SUM(n) AS BIGINT) AS n FROM ldigg GROUP BY 1
     )"""
 
 
 def duck_log_histogram_quantile_sql(
-    ps: list[tuple[int, int]], bits: int = LOG_HIST_BITS
+    ps: list[tuple[int, int]], bits: int = LOG_HIST_BITS, grouped: bool = False
 ) -> str:
-    """DuckDB CTEs rebuilding log_histogram_quantile from the ``ldig``
-    CTE: yields ``ldigq`` (p_num, p_den, lo_fp, hi_fp)."""
+    """DuckDB CTEs rebuilding log_histogram_quantile: from the ``ldig``
+    CTE yielding ``ldigq`` (p_num, p_den, lo_fp, hi_fp), or — grouped —
+    from the ``ldigg`` CTE yielding ``ldigqg`` (g, p_num, p_den, lo_fp,
+    hi_fp), one interval per group per p (the per-domain quantile view,
+    cum/total windows partitioned by g)."""
     values = ", ".join(f"({pn}, {pd})" for pn, pd in ps)
     s = f"GREATEST(bucket // {1 << bits} - 1, CAST(0 AS BIGINT))"
     lo = f"((bucket - ({s}) * {1 << bits}) << ({s}))"
     hi = f"({lo}) + (CAST(1 AS BIGINT) << ({s})) - 1"
+    g_sel = "g, " if grouped else ""
+    g_part = "PARTITION BY g " if grouped else ""
+    g_rk = "c.g, " if grouped else ""
+    sfx = "g" if grouped else ""
+    src = "ldigg" if grouped else "ldig"
     return f"""
-    ldigc AS (
-      SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum,
-             SUM(n) OVER () AS total
-      FROM ldig
+    ldigc{sfx} AS (
+      SELECT {g_sel}bucket, SUM(n) OVER ({g_part}ORDER BY bucket) AS cum,
+             SUM(n) OVER ({g_part.rstrip()}) AS total
+      FROM {src}
     ),
-    ldigq AS (
-      SELECT p_num, p_den,
+    ldigq{sfx} AS (
+      SELECT {g_sel}p_num, p_den,
              CAST(CASE WHEN bucket < 0 THEN NULL ELSE {lo} END AS BIGINT) AS lo_fp,
              CAST(CASE WHEN bucket < 0 THEN 0 ELSE {hi} END AS BIGINT) AS hi_fp
       FROM (
-        SELECT pr.p_num, pr.p_den, c.bucket,
-               ROW_NUMBER() OVER (PARTITION BY pr.p_num, pr.p_den
+        SELECT {g_rk}pr.p_num, pr.p_den, c.bucket,
+               ROW_NUMBER() OVER (PARTITION BY {g_rk}pr.p_num, pr.p_den
                                   ORDER BY c.bucket) AS rk
         FROM (VALUES {values}) pr(p_num, p_den)
-        CROSS JOIN ldigc c
+        CROSS JOIN ldigc{sfx} c
         WHERE pr.p_den * c.cum >= pr.p_num * c.total
       )
       WHERE rk = 1

@@ -87,14 +87,21 @@ _HIST_CTE = duck_histogram_sql(
 )
 _HISTQ_CTES = duck_histogram_quantile_sql([(1, 2), (9, 10)], width=50.0)
 
-# Log-digest oracle: the DIRECT (ungrouped) build — the Spark side merges
-# per-event_type cells, so the oracle match IS the merge(parts)==build(whole)
-# property, checked on real data.
+# Log-digest oracle: the GLOBAL cells are a DIRECT (ungrouped) build — the
+# Spark side merges per-event_type cells, so the oracle match IS the
+# merge(parts)==build(whole) property, checked on real data. The grouped
+# CTEs (ldigg/ldigqg) serve the per-group quantile leg.
 _LDIG_PS = [(1, 2), (9, 10), (99, 100)]
 _LDIG_CTES = (
     duck_log_histogram_sql("SELECT value AS v FROM events").strip()
     + ","
+    + duck_log_histogram_sql(
+        "SELECT event_type AS g, value AS v FROM events", grouped=True
+    ).strip()
+    + ","
     + duck_log_histogram_quantile_sql(_LDIG_PS)
+    + ","
+    + duck_log_histogram_quantile_sql(_LDIG_PS, grouped=True)
 )
 
 
@@ -123,6 +130,18 @@ _LDIG_CTES = (
       FROM (VALUES (1, 2), (9, 10), (99, 100)) pr(p_num, p_den)
       JOIN ldigw w ON w.rn = (w.n * pr.p_num + pr.p_den - 1) // pr.p_den
       GROUP BY 1, 2
+    ),
+    ldigwg AS (
+      SELECT g, fx, ROW_NUMBER() OVER (PARTITION BY g ORDER BY fx) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM (SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS fx
+            FROM events WHERE value IS NOT NULL)
+    ),
+    ldigeg AS (
+      SELECT w.g, pr.p_num, pr.p_den, MIN(w.fx) AS e
+      FROM (VALUES (1, 2), (9, 10), (99, 100)) pr(p_num, p_den)
+      JOIN ldigwg w ON w.rn = (w.n * pr.p_num + pr.p_den - 1) // pr.p_den
+      GROUP BY 1, 2, 3
     ),
     prof(col, mm) AS (VALUES
       ('event_id', true), ('event_type', true), ('props', true),
@@ -219,6 +238,11 @@ _LDIG_CTES = (
            q.lo_fp, q.hi_fp, e.e, 'true', NULL
     FROM ldigq q JOIN ldige e USING (p_num, p_den)
     UNION ALL
+    SELECT 'ldigg',
+           CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR), q.g,
+           q.lo_fp, q.hi_fp, e.e, 'true', NULL
+    FROM ldigqg q JOIN ldigeg e USING (g, p_num, p_den)
+    UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
     SELECT 'kmv', 'user_id', NULL, est, NULL, n_vals, NULL, NULL FROM kmvest_uid
@@ -286,7 +310,12 @@ _LDIG_CTES = (
     "match proves merge(parts)==build(whole) on real data. 'ldigq' "
     "rows carry the quantile interval [lo_fp, hi_fp], the exact "
     "integer-rank value, and a CHECKED containment flag (min_str must "
-    "come out 'true'); 'cms' = the same "
+    "come out 'true'); 'ldigg' = the PER-GROUP quantile view from the "
+    "SAME persisted grouped cells (one interval per event_type per p, "
+    "col_b = the group) with the identical exact-rank verification "
+    "applied per group — the per-domain latency/size-distribution "
+    "report, answered from kilobyte cell frames while the oracle "
+    "rebuilds each group's digest from scratch; 'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -592,6 +621,51 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             ns.alias("max_str"),
         )
     )
+    # 'ldigg' = the PER-GROUP quantile view answered from the SAME
+    # persisted grouped cells (ldig_g — zero extra digest passes): one
+    # interval per (event_type, p), each verified exactly like the
+    # global leg (per-group order statistic within the digest's own
+    # bracket — the window runs over n_g * 2^-bits candidates per group,
+    # never a per-group sort). The interval/containment expressions are
+    # the ungrouped Column trees reused verbatim; the grouped exact-rank
+    # pass costs two more pruned (event_type, value) events scans, the
+    # same scan-twice-not-cache trade the global verification makes — a
+    # raw fx projection of events is O(data) and must not be persisted.
+    qbg = log_histogram_quantile(
+        ldig_g, _LDIG_PS, group_cols=["event_type"]
+    ).withColumnRenamed("rank", "__r")
+    fxg = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx"),
+    )
+    jg = fxg.join(F.broadcast(qbg), "event_type")
+    gkeys = ["event_type", "p_num", "p_den"]
+    before_g = jg.groupBy(*gkeys).agg(F.sum(below.cast("long")).alias("__before"))
+    iwg = W.partitionBy(*gkeys).orderBy("__fx")
+    exact_g = (
+        jg.where(in_interval)
+        .select(*gkeys, "__fx", F.col("__r"))
+        .join(before_g, gkeys)
+        .withColumn("__rk", F.row_number().over(iwg))
+        .where(F.col("__rk") == F.col("__r") - F.col("__before"))
+        .groupBy(*gkeys)
+        .agg(F.min("__fx").alias("__e"))
+    )
+    ldigg = (
+        qbg.join(exact_g, gkeys)
+        .select(
+            F.lit("ldigg").alias("mode"),
+            F.concat_ws(
+                "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
+            ).alias("col_a"),
+            F.col("event_type").alias("col_b"),
+            F.col("lo_fp").alias("n_rows"),
+            F.col("hi_fp").alias("n_nulls"),
+            F.col("__e").alias("n_distinct"),
+            ldig_ok.cast("string").alias("min_str"),
+            ns.alias("max_str"),
+        )
+    )
     # KMV approximate-distinct over two events columns: user_id exercises
     # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the
     # exact-fallback path. The profile leg's n_distinct rows are the
@@ -651,6 +725,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(drift)
         .unionByName(ldig)
         .unionByName(ldigq)
+        .unionByName(ldigg)
         .unionByName(cms)
         .unionByName(kmv_legs[0])
         .unionByName(kmv_legs[1])
