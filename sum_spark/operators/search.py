@@ -394,9 +394,8 @@ def retire_from_inverted_index(
     doc's tf sums to 0 and is dropped, a changed doc re-appended via
     append_to_inverted_index nets out to its new-text partials, and the
     corpus stats equal a from-scratch rebuild bit-for-bit. The indexed
-    corpus is never re-read; a background compaction
-    (sources/shards.compact_parquet_dir pattern) can fold tombstone
-    partials into base files without changing any query result.
+    corpus is never re-read; compact_inverted_index folds tombstone
+    partials into base files offline without changing any query result.
     """
     postings, terms, meta = build_inverted_index(old_docs, text_col, id_col)
     _write_index_frames(
@@ -412,3 +411,103 @@ def retire_from_inverted_index(
         n_buckets,
         "append",
     )
+
+
+_II_FAMILIES = ("postings", "terms", "meta")
+
+
+def _finish_index_swap(path: str, tmp: str) -> None:
+    """Swap the compacted family dirs into place. Idempotent: a family
+    whose ``tmp`` copy is gone was already swapped by an earlier
+    (crashed) attempt and is skipped, so re-running after a crash at
+    ANY point of the loop completes the remaining renames. The ``tmp``
+    dir (with its ``_DONE`` marker) is removed only at the very end —
+    its presence is what tells a re-run the merged data is durable."""
+    import os
+    import shutil
+
+    for fam in _II_FAMILIES:
+        src = os.path.join(tmp, fam)
+        dst = os.path.join(path, fam)
+        if not os.path.isdir(src):
+            continue  # already swapped before a crash
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+    shutil.rmtree(tmp)
+
+
+def compact_inverted_index(spark, path: str, n_buckets: int = II_BUCKETS) -> dict:
+    """Fold an index's accumulated partials into canonical base files —
+    the background compaction retire_from_inverted_index's contract
+    defers to. Query results are UNCHANGED by construction: the read
+    side already nets partials per key (bm25_from_index sums tf/dl per
+    (term, doc_id), _collect_stats sums df/n/sum_dl), and compaction
+    materializes exactly those sums — positive appends net against
+    negated tombstones, rows netting to tf <= 0 / df <= 0 disappear,
+    and the meta collapses to one row. What changes is the COST: a
+    long-lived index accumulates one file set per append/retire (or,
+    for streaming_index_documents, one ``batch_id=N`` directory per
+    micro-batch), so every query's pruned scan opens ever more files;
+    after compaction the layout is exactly write_inverted_index's —
+    one bucketed, term-sorted file set.
+
+    This is also the SNAPSHOT-BOUNDARY step of the streaming story
+    (streaming/state.py): the stream itself is append-only; at a
+    snapshot boundary, stop the stream, compact (normalizing the
+    nested batch_id layout into the flat bucketed one), then apply
+    snapshot_diff's retirements with retire_from_inverted_index and
+    resume — batch maintenance and the stream never interleave
+    layouts. Run OFFLINE (no concurrent writer). Crash-safe the same
+    way as streaming/compact.compact_batches: the netted frames land
+    under ``<path>/_compacted`` (an underscore dir — invisible to
+    readers) with a ``_DONE`` marker before anything is deleted, so a
+    re-run after a crash mid-swap just finishes the renames.
+
+    Returns {"n_docs", "postings_rows"} of the compacted index.
+    """
+    import os
+    import shutil
+
+    tmp = os.path.join(path, "_compacted")
+    done = os.path.join(tmp, "_DONE")
+    if os.path.isfile(done):
+        # Crash happened mid-swap: merged data is durable (the marker is
+        # written strictly after it), some old dirs may already be gone —
+        # finishing the renames is the only safe move.
+        _finish_index_swap(path, tmp)
+    elif os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # incomplete earlier attempt; merged data not
+        # yet durable, old partials untouched — safe to redo from scratch
+        return compact_inverted_index(spark, path, n_buckets)
+    else:
+        drop = ["batch_id", "bucket"]
+        raw_p = spark.read.parquet(f"{path}/postings")
+        postings = (
+            raw_p.drop(*[c for c in drop if c in raw_p.columns])
+            .groupBy("term", "doc_id")
+            .agg(
+                F.sum("tf").cast("long").alias("tf"),
+                F.sum("dl").cast("int").alias("dl"),
+            )
+            .where(F.col("tf") > 0)
+        )
+        raw_t = spark.read.parquet(f"{path}/terms")
+        terms = (
+            raw_t.drop(*[c for c in drop if c in raw_t.columns])
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .where(F.col("df") > 0)
+        )
+        raw_m = spark.read.parquet(f"{path}/meta")
+        meta = raw_m.drop(*[c for c in drop if c in raw_m.columns]).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        _write_index_frames(postings, terms, meta, tmp, n_buckets, "overwrite")
+        with open(done, "w") as fh:
+            fh.write("1")
+        _finish_index_swap(path, tmp)
+    out_p = spark.read.parquet(f"{path}/postings")
+    [m] = spark.read.parquet(f"{path}/meta").collect()
+    return {"n_docs": m["n"], "postings_rows": out_p.count()}

@@ -33,9 +33,12 @@ def streaming_index_documents(
 ):
     """Accumulate the inverted index over a document stream. Query the
     result at any time with ``bm25_from_index(spark, path, terms, k)``
-    — no rebuild, no compaction required for correctness (compact
-    batch dirs with streaming/compact.compact_batches when file counts
-    grow)."""
+    — no rebuild, no compaction required for correctness. At a snapshot
+    boundary (stream stopped), operators/search.compact_inverted_index
+    folds the batch directories into the flat bucketed layout — after
+    which batch retire_from_inverted_index / append_to_inverted_index
+    apply snapshot_diff's retirements and additions (the streaming
+    retirement story: the stream itself stays append-only)."""
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -22,6 +22,10 @@ assembled pair set equals dedup_minhash_lsh over everything ingested
 Streams are append-only; retirement (removed/changed docs) is a SNAPSHOT
 operation handled by the batch transition path
 (prepare_training_data_incremental's retired_ids), not by the stream.
+The same boundary rule serves the streaming inverted index: stop the
+stream, compact (operators/search.compact_inverted_index normalizes the
+batch_id layout into the flat bucketed one), apply batch retirements,
+resume — tested end-to-end in tests/test_streaming_search.py.
 """
 
 from __future__ import annotations

@@ -136,3 +136,99 @@ def test_null_and_empty_text_parity_across_paths(spark, tmp_path):
     disk = sorted(map(tuple, bm25_from_index(spark, path, terms, k=10).collect()))
     assert scan == mem == disk
     assert {r[1] for r in scan} == {1, 4}  # only real matches rank
+
+
+def _parquet_files(root):
+    import os
+
+    return [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(root)
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_folds_appends_and_tombstones(spark, sf_smoke, tmp_path):
+    """Build, append, retire, compact: queries are unchanged through
+    compaction AND equal a from-scratch rebuild over the surviving
+    corpus; the compacted postings hold no netted-out (tf <= 0) rows,
+    the meta is one row, and the file count actually shrinks — the
+    whole point of folding three partial generations into base files."""
+    from sum_spark.operators.search import (
+        append_to_inverted_index,
+        compact_inverted_index,
+        retire_from_inverted_index,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    extra = docs.where(F.col("doc_id") % 3 == 0)
+    retired = base.where(F.col("doc_id") % 5 == 0)
+    surviving = docs.where((F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 5 != 0))
+
+    path = str(tmp_path / "ii_cmp")
+    write_inverted_index(base, path)
+    append_to_inverted_index(extra, path)
+    retire_from_inverted_index(retired, path)
+
+    before = sorted(map(tuple, bm25_from_index(spark, path, TERMS, k=10).collect()))
+    n_files_before = len(_parquet_files(f"{path}/postings"))
+    stats = compact_inverted_index(spark, path)
+    after = sorted(map(tuple, bm25_from_index(spark, path, TERMS, k=10).collect()))
+    want = sorted(map(tuple, bm25_search(surviving, TERMS, k=10).collect()))
+    assert before == after == want
+
+    assert stats["n_docs"] == surviving.count()
+    pp = spark.read.parquet(f"{path}/postings")
+    assert pp.where(F.col("tf") <= 0).count() == 0
+    assert spark.read.parquet(f"{path}/meta").count() == 1
+    assert len(_parquet_files(f"{path}/postings")) < n_files_before
+    # idempotent: compacting a compacted index is a no-op for queries
+    compact_inverted_index(spark, path)
+    again = sorted(map(tuple, bm25_from_index(spark, path, TERMS, k=10).collect()))
+    assert again == want
+
+
+def test_compact_crash_mid_swap_recovers(spark, tmp_path, monkeypatch):
+    """A crash between old-dir removal and rename must be recoverable by
+    re-running: the _DONE marker (written strictly after the merged data
+    is durable) tells the re-run to finish the remaining renames instead
+    of discarding the merge."""
+    import os
+    import shutil
+
+    import pytest
+
+    import sum_spark.operators.search as S
+
+    docs = spark.createDataFrame(
+        [(1, "data spark data"), (2, "the data"), (3, "spark engine")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ii_crash")
+    write_inverted_index(docs.where(F.col("doc_id") < 3), path)
+    S.append_to_inverted_index(docs.where(F.col("doc_id") == 3), path)
+
+    real = S._finish_index_swap
+
+    def crash_after_first_family(p, tmp):
+        fam = S._II_FAMILIES[0]
+        src, dst = os.path.join(tmp, fam), os.path.join(p, fam)
+        shutil.rmtree(dst)
+        os.rename(src, dst)
+        raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(S, "_finish_index_swap", crash_after_first_family)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        S.compact_inverted_index(spark, path)
+    # merged data durable under _compacted, marker present, postings
+    # already swapped, terms/meta not yet
+    assert os.path.isfile(os.path.join(path, "_compacted", "_DONE"))
+    monkeypatch.setattr(S, "_finish_index_swap", real)
+
+    S.compact_inverted_index(spark, path)  # recovery run
+    assert not os.path.isdir(os.path.join(path, "_compacted"))
+    got = sorted(map(tuple, bm25_from_index(spark, path, ["data", "spark"], k=10).collect()))
+    want = sorted(map(tuple, bm25_search(docs, ["data", "spark"], k=10).collect()))
+    assert got == want

@@ -10,7 +10,12 @@ import io
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from sum_spark.operators.search import bm25_from_index, bm25_search
+from sum_spark.operators.search import (
+    bm25_from_index,
+    bm25_search,
+    compact_inverted_index,
+    retire_from_inverted_index,
+)
 from sum_spark.sources.tables import load_table
 from sum_spark.streaming.search import streaming_index_documents
 
@@ -48,3 +53,27 @@ def test_stream_indexed_bm25_equals_scan(spark, sf_smoke, tmp_path):
     assert "PartitionFilters: [" in p
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in pf
+
+    # --- the snapshot-boundary story (streaming/state.py): stream is
+    # append-only; with it stopped, compaction normalizes the nested
+    # batch_id layout into write_inverted_index's flat bucketed one
+    # (query results unchanged), after which BATCH retirement applies —
+    # the retire partials would conflict with batch_id directories.
+    import os
+
+    stats = compact_inverted_index(spark, idx)
+    assert stats["n_docs"] == docs.count()
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(f"{idx}/postings")
+    )
+    after = bm25_from_index(spark, idx, TERMS, k=10)
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, want))
+
+    retired = docs.where(F.col("doc_id") % 7 == 0)
+    retire_from_inverted_index(retired, idx)
+    survived = docs.where(F.col("doc_id") % 7 != 0)
+    got = bm25_from_index(spark, idx, TERMS, k=10)
+    want2 = bm25_search(survived, TERMS, k=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want2.collect())
+    )
