@@ -542,6 +542,7 @@ def write_pq_index(
     (
         coarse.select(F.col(id_col), "coarse")
         .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+        .withColumn("w", F.lit(1))
         .write.partitionBy("coarse")
         .parquet(path, mode="overwrite")
     )
@@ -591,7 +592,7 @@ def knn_ivfpq_from_index(
             acc = acc + (x - y) * (x - y)
         return acc
 
-    idx = spark.read.parquet(path)
+    idx = pq_index_rows(spark, path, id_col)
     legs = []
     n_probes = max(1, min(int(n_probes), len(items)))
     for row in probe_rows:
@@ -643,6 +644,34 @@ def knn_ivfpq_from_index(
     )
 
 
+def _encode_with_stored_book(
+    records: DataFrame, path: str, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, coarse, codes) for ``records`` encoded with the index's
+    STORED codebook (reloaded from ``<path>/_codebook`` — immutable once
+    written; re-training it would silently invalidate every previously
+    stored code). Encoding is DETERMINISTIC given the codebook, which is
+    what makes deletion-as-negation exact: re-encoding a vector later
+    reproduces its stored row bit-for-bit."""
+    from sum_spark.operators.clustering import assign_clusters
+    from sum_spark.operators.embeddings import product_quantize
+
+    spark = records.sparkSession
+    book = {
+        int(r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(path + "/_codebook").collect()
+    }
+    coarse = assign_clusters(
+        records, book, id_col, vec_col, cluster_col="coarse", backend="catalyst"
+    )
+    codes, _ = product_quantize(
+        records, m=m, k=len(book), id_col=id_col, vec_col=vec_col, centroids=book
+    )
+    return coarse.select(F.col(id_col), "coarse").join(
+        codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+    )
+
+
 def append_to_pq_index(
     new_records: DataFrame,
     path: str,
@@ -651,34 +680,113 @@ def append_to_pq_index(
     vec_col: str = "data",
 ) -> None:
     """O(delta) index maintenance: encode ONLY the arriving vectors with
-    the index's STORED codebook (reloaded from ``<path>/_codebook`` — the
-    codebook is immutable once written; re-training it would silently
-    invalidate every previously stored code) and append their (id, codes)
-    rows to the existing coarse-list partitions. The corpus is never
-    re-read, never re-encoded — the same delta contract as
-    dedup_incremental's stored-signature path. Callers own id uniqueness
-    (appending an existing id creates a duplicate row, exactly like
-    appending to any parquet table)."""
-    from sum_spark.operators.clustering import assign_clusters
-    from sum_spark.operators.embeddings import product_quantize
-
-    spark = new_records.sparkSession
-    book = {
-        int(r["cluster"]): [float(x) for x in r["centroid"]]
-        for r in spark.read.parquet(path + "/_codebook").collect()
-    }
-    coarse = assign_clusters(
-        new_records, book, id_col, vec_col, cluster_col="coarse", backend="catalyst"
-    )
-    codes, _ = product_quantize(
-        new_records, m=m, k=len(book), id_col=id_col, vec_col=vec_col, centroids=book
-    )
+    the stored codebook and append their (id, codes, w=+1) rows to the
+    existing coarse-list partitions. The corpus is never re-read, never
+    re-encoded — the same delta contract as dedup_incremental's
+    stored-signature path. Callers own id uniqueness (appending a LIVE
+    id creates a duplicate row, exactly like appending to any parquet
+    table; re-appending a RETIRED id is fine — its tombstone cancelled
+    the old row, see retire_from_pq_index)."""
     (
-        coarse.select(F.col(id_col), "coarse")
-        .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+        _encode_with_stored_book(new_records, path, m, id_col, vec_col)
+        .withColumn("w", F.lit(1))
         .write.partitionBy("coarse")
         .parquet(path, mode="append")
     )
+
+
+def retire_from_pq_index(
+    old_records: DataFrame,
+    path: str,
+    m: int = 2,
+    id_col: str = "id",
+    vec_col: str = "data",
+) -> None:
+    """O(delta) index DELETION — deletion as NEGATION, the
+    retire_from_inverted_index design applied to the vector index.
+    ``old_records`` must carry the retired vectors as they were indexed
+    (the previous snapshot's rows — what snapshot_diff's 'removed'/
+    'changed' ids select); they re-encode against the stored immutable
+    codebook into rows BIT-IDENTICAL to the stored ones (deterministic
+    encoding) and append with w=-1. The read side (pq_index_rows) sums
+    w per (coarse, id, codes) and keeps only positive rows, so a
+    retired vector nets to 0 and disappears, and a CHANGED vector
+    (retire old + append new under the same id) nets to exactly its new
+    row — different codes never collide in the grouping. The indexed
+    corpus is never re-read; compact_pq_index folds tombstones into
+    base files offline without changing any search result."""
+    (
+        _encode_with_stored_book(old_records, path, m, id_col, vec_col)
+        .withColumn("w", F.lit(-1))
+        .write.partitionBy("coarse")
+        .parquet(path, mode="append")
+    )
+
+
+def pq_index_rows(spark, path: str, id_col: str = "id") -> DataFrame:
+    """The LIVE (id, coarse, codes) view of a stored PQ index: rows are
+    mergeable partials (build/append write w=+1, retire writes the
+    bit-identical row with w=-1), netted here per (coarse, id, codes).
+    Probe-list predicates applied on top still prune the scan: every
+    grouping key includes the coarse partition column, so Catalyst
+    pushes the filter below the aggregate to the parquet scan
+    (PartitionFilters — plan-tested). Pre-w indexes (no retire ever ran,
+    no w column) pass through un-netted."""
+    idx = spark.read.parquet(path)
+    if "w" not in idx.columns:
+        return idx
+    return (
+        idx.groupBy("coarse", id_col, "codes")
+        .agg(F.sum("w").alias("__w"))
+        .where(F.col("__w") > 0)
+        .drop("__w")
+    )
+
+
+def compact_pq_index(spark, path: str, id_col: str = "id") -> dict:
+    """Fold a PQ index's accumulated append/retire partials into base
+    files: materializes exactly pq_index_rows' netting (w summed per
+    (coarse, id, codes), nonpositive rows dropped) back into the
+    canonical coarse-partitioned layout, with w reset to +1 so later
+    appends/retires keep composing. Search results are unchanged by
+    construction; what shrinks is file count and the per-query netting
+    work. The codebook is immutable and untouched. Run OFFLINE (no
+    concurrent writer). Crash-safe: the netted rows land under
+    ``<path>/_compacted`` (underscore dir — invisible to readers) with
+    a ``_DONE`` marker before any old partition directory is deleted;
+    the swap (delete old ``coarse=*`` dirs, COPY the compacted ones in,
+    drop the staging dir last) is idempotent, so a re-run after a crash
+    at any point just replays it. Returns {"n_rows"} of the compacted
+    index."""
+    import os
+    import shutil
+
+    tmp = os.path.join(path, "_compacted")
+    done = os.path.join(tmp, "_DONE")
+    if not os.path.isfile(done):
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)  # merge wasn't durable; partials untouched
+        (
+            pq_index_rows(spark, path, id_col)
+            .withColumn("w", F.lit(1))
+            .write.partitionBy("coarse")
+            .parquet(os.path.join(tmp, "rows"), mode="overwrite")
+        )
+        with open(done, "w") as fh:
+            fh.write("1")
+    # Idempotent swap: from here the merged data is durable. Old and
+    # already-copied partition dirs are indistinguishable by name, so the
+    # replay-safe move is delete-all-then-copy-all (copytree, not rename,
+    # keeps the staging copy intact until the final rmtree).
+    for name in os.listdir(path):
+        if name.startswith("coarse="):
+            shutil.rmtree(os.path.join(path, name))
+    rows_dir = os.path.join(tmp, "rows")
+    for name in os.listdir(rows_dir):
+        if name.startswith("coarse="):
+            shutil.copytree(os.path.join(rows_dir, name), os.path.join(path, name))
+    shutil.rmtree(tmp)
+    return {"n_rows": spark.read.parquet(path).count()}
 
 
 def knn_filtered(

@@ -53,10 +53,12 @@ def streaming_ann_scores(
     index_id_col: str = "id",
 ) -> DataFrame:
     """Score every streaming probe against its coarse list of the PQ
-    index. ``index`` is the (id, coarse, codes) table (read back from
-    ``write_pq_index``'s parquet — static side, re-read per micro-batch
-    with partition pruning on the joined coarse keys); ``codebook`` is
-    the driver-held dict (reload from ``<path>/_codebook``).
+    index. ``index`` is the (id, coarse, codes) table — pass
+    ``operators.similarity.pq_index_rows(spark, path)`` so retired
+    vectors (w=-1 tombstone partials) are netted out; the static side is
+    re-read per micro-batch with partition pruning on the joined coarse
+    keys. ``codebook`` is the driver-held dict (reload from
+    ``<path>/_codebook``).
 
     Returns a STREAMING (probe_id, id, adc) frame — every candidate in
     the probe's coarse list with its approximate squared distance, the

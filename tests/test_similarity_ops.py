@@ -193,7 +193,9 @@ def test_pq_index_roundtrip_matches_inflight(spark, tmp_path):
 
     write_pq_index(df, path, m=2, n_codes=4)
     stored = spark.read.parquet(path)
-    assert sorted(stored.columns) == ["coarse", "codes", "id"]  # no vectors
+    # codes + the mergeable-partial weight (w=+1 here; retire writes -1),
+    # never vectors
+    assert sorted(stored.columns) == ["coarse", "codes", "id", "w"]
 
     from_idx = knn_ivfpq_from_index(spark, path, probes, k=7, m=2, round_to=4)
     inflight = knn_ivfpq(df, probes, k=7, m=2, n_codes=4, round_to=4)
@@ -430,3 +432,155 @@ def test_pq_index_multiprobe_expands_candidates(spark, tmp_path):
     assert "PartitionFilters: [" in p
     pf = p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "coarse" in pf  # pruned to the probed lists even when several
+
+
+def test_retire_from_pq_index_nets_out_including_changed_vectors(spark, tmp_path):
+    """Deletion as negation on the vector index: retiring vectors (and
+    changing one — retire old embedding, append new under the SAME id)
+    must make searches equal an index rebuilt from the surviving corpus
+    with the same codebook. The netting is exact because encoding
+    against the immutable stored codebook is deterministic."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        append_to_pq_index,
+        knn_ivfpq_from_index,
+        pq_index_rows,
+        retire_from_pq_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(91)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    changed_new = (7, rng.standard_normal(8).tolist())
+    corpus = spark.createDataFrame(rows, "id long, data array<double>")
+
+    p1 = str(tmp_path / "maintained")
+    book = write_pq_index(corpus, p1, m=2, n_codes=4)
+    # retire ids 0-4 outright, plus id 7's OLD vector; re-append id 7 new
+    retired = corpus.where("id < 5 or id = 7")
+    retire_from_pq_index(retired, p1, m=2)
+    newrow = spark.createDataFrame([changed_new], "id long, data array<double>")
+    append_to_pq_index(newrow, p1, m=2)
+
+    survivors = corpus.where("id >= 5 and id != 7").unionAll(newrow)
+    p2 = str(tmp_path / "rebuilt")
+    write_pq_index(survivors, p2, m=2, n_codes=4, centroids=book)
+
+    live = {
+        tuple([r["id"], r["coarse"]] + list(r["codes"]))
+        for r in pq_index_rows(spark, p1).collect()
+    }
+    want_rows = {
+        tuple([r["id"], r["coarse"]] + list(r["codes"]))
+        for r in pq_index_rows(spark, p2).collect()
+    }
+    assert live == want_rows and len(live) == 55
+
+    probes = corpus.where("id = 20")
+    s1 = sorted(
+        map(
+            tuple,
+            knn_ivfpq_from_index(
+                spark, p1, probes, k=10, round_to=4, n_probes=4
+            ).collect(),
+        )
+    )
+    s2 = sorted(
+        map(
+            tuple,
+            knn_ivfpq_from_index(
+                spark, p2, probes, k=10, round_to=4, n_probes=4
+            ).collect(),
+        )
+    )
+    assert s1 == s2 and s1
+    # no retired id may surface at any k
+    assert not {r[1] for r in s1} & {0, 1, 2, 3, 4}
+
+
+def test_compact_pq_index_folds_tombstones_and_recovers_from_crash(
+    spark, tmp_path, monkeypatch
+):
+    """Compaction materializes the netting (no w<=0 residue, fewer
+    files), leaves searches unchanged, and a crash mid-swap is repaired
+    by re-running (the staged copy stays durable until the final
+    cleanup)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pytest
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "idx")
+    S.write_pq_index(corpus, p, m=2, n_codes=4)
+    S.retire_from_pq_index(corpus.where("id % 4 = 0"), p, m=2)
+
+    probes = corpus.where("id = 21")
+    want = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=8, round_to=4, n_probes=4
+            ).collect(),
+        )
+    )
+
+    def _files(root):
+        return [
+            os.path.join(dp, f)
+            for dp, _, fns in os.walk(root)
+            for f in fns
+            if f.endswith(".parquet") and "_codebook" not in dp
+        ]
+
+    n_before = len(_files(p))
+
+    # crash on the SECOND partition-dir copy of the swap
+    real_copytree = shutil.copytree
+    calls = {"n": 0}
+
+    def crashing(src, dst, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-swap")
+        return real_copytree(src, dst, **kw)
+
+    monkeypatch.setattr(shutil, "copytree", crashing)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        S.compact_pq_index(spark, p)
+    assert os.path.isfile(os.path.join(p, "_compacted", "_DONE"))
+    monkeypatch.undo()
+
+    stats = S.compact_pq_index(spark, p)  # recovery run
+    assert not os.path.isdir(os.path.join(p, "_compacted"))
+    assert stats["n_rows"] == 45
+    idx = spark.read.parquet(p)
+    assert idx.where("w <= 0").count() == 0
+    assert len(_files(p)) < n_before
+
+    got = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=8, round_to=4, n_probes=4
+            ).collect(),
+        )
+    )
+    assert got == want
+    # idempotent: compacting again changes nothing
+    S.compact_pq_index(spark, p)
+    again = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=8, round_to=4, n_probes=4
+            ).collect(),
+        )
+    )
+    assert again == want
