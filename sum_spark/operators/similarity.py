@@ -183,7 +183,71 @@ def write_ivf_index(
     more (each widens every row)."""
     records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
-    ).write.partitionBy("bucket").parquet(path, mode="overwrite")
+    ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
+        path, mode="overwrite"
+    )
+
+
+def append_to_ivf_index(
+    new_records: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "data",
+    n_bits: int = 8,
+    attr_cols: list[str] | None = None,
+) -> None:
+    """O(delta) growth: bucket ONLY the arriving rows (the bucket
+    function is deterministic and parameter-free beyond n_bits, so no
+    stored state is even needed) and append them with w=+1. Callers own
+    id uniqueness among LIVE rows; pass the same attr_cols the index was
+    built with."""
+    new_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
+        "bucket", ivf_bucket(vec_col, n_bits)
+    ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
+        path, mode="append"
+    )
+
+
+def retire_from_ivf_index(
+    old_records: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "data",
+    n_bits: int = 8,
+    attr_cols: list[str] | None = None,
+) -> None:
+    """O(delta) DELETION as negation (the retire_from_pq_index design on
+    the raw-vector index): ``old_records`` must carry the retired rows
+    AS INDEXED (the previous snapshot's vectors/attrs — re-reading them
+    from parquet reproduces the stored doubles bit-for-bit); they bucket
+    to the same partition and append with w=-1, and the read side
+    (ivf_index_rows) nets per full row so they cancel exactly. A changed
+    vector (retire old + append new under the same id) nets to its new
+    row even across buckets. compact_ivf_index folds tombstones into
+    base files offline."""
+    old_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
+        "bucket", ivf_bucket(vec_col, n_bits)
+    ).withColumn("w", F.lit(-1)).write.partitionBy("bucket").parquet(
+        path, mode="append"
+    )
+
+
+def ivf_index_rows(spark, path: str) -> DataFrame:
+    """The LIVE view of a stored IVF index: rows net per full row
+    content (every column except the weight — id, vector, attrs, bucket
+    are all grouping keys), keeping positive sums. Probe-bucket and
+    attribute predicates are grouping-key filters, so they push below
+    the netting aggregate to the parquet scan (PartitionFilters /
+    PushedFilters — plan-tested). Pre-w indexes pass through
+    un-netted."""
+    idx = spark.read.parquet(path)
+    if "w" not in idx.columns:
+        return idx
+    keys = [c for c in idx.columns if c != "w"]
+    return (
+        idx.groupBy(*keys).agg(F.sum("w").alias("__w")).where(F.col("__w") > 0)
+        .drop("__w")
+    )
 
 
 def knn_ivf_from_index(
@@ -231,7 +295,7 @@ def knn_ivf_from_index(
         F.explode(probe_buckets_col).alias("bucket"),
     )
     probe_buckets = [r["bucket"] for r in p.select("bucket").distinct().collect()]
-    idx = spark.read.parquet(path).where(F.col("bucket").isin(probe_buckets))
+    idx = ivf_index_rows(spark, path).where(F.col("bucket").isin(probe_buckets))
     if predicate is not None:
         idx = idx.where(predicate)
     sim = cosine(F.col(vec_col), F.col("__pv"))
@@ -758,6 +822,31 @@ def compact_pq_index(spark, path: str, id_col: str = "id") -> dict:
     drop the staging dir last) is idempotent, so a re-run after a crash
     at any point just replays it. Returns {"n_rows"} of the compacted
     index."""
+    _stage_and_swap(
+        path,
+        lambda staged: (
+            pq_index_rows(spark, path, id_col)
+            .withColumn("w", F.lit(1))
+            .write.partitionBy("coarse")
+            .parquet(staged, mode="overwrite")
+        ),
+        "coarse=",
+    )
+    return {"n_rows": spark.read.parquet(path).count()}
+
+
+def _stage_and_swap(path: str, write_staged, part_prefix: str) -> None:
+    """Crash-safe rewrite of a partitioned index table in place:
+    ``write_staged(<path>/_compacted/rows)`` materializes the compacted
+    rows (underscore dir — invisible to readers), a ``_DONE`` marker
+    records durability, then the swap deletes every old
+    ``<part_prefix>*`` dir and COPIES the staged ones in. Old and
+    already-copied partition dirs are indistinguishable by name, so the
+    replay-safe move is delete-all-then-copy-all (copytree, not rename,
+    keeps the staging copy intact until the final rmtree): a re-run
+    after a crash at ANY point — marker present — just replays the
+    idempotent swap; a crash BEFORE the marker leaves the old partials
+    untouched and the next run redoes the merge from scratch."""
     import os
     import shutil
 
@@ -766,26 +855,35 @@ def compact_pq_index(spark, path: str, id_col: str = "id") -> dict:
     if not os.path.isfile(done):
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)  # merge wasn't durable; partials untouched
-        (
-            pq_index_rows(spark, path, id_col)
-            .withColumn("w", F.lit(1))
-            .write.partitionBy("coarse")
-            .parquet(os.path.join(tmp, "rows"), mode="overwrite")
-        )
+        write_staged(os.path.join(tmp, "rows"))
         with open(done, "w") as fh:
             fh.write("1")
-    # Idempotent swap: from here the merged data is durable. Old and
-    # already-copied partition dirs are indistinguishable by name, so the
-    # replay-safe move is delete-all-then-copy-all (copytree, not rename,
-    # keeps the staging copy intact until the final rmtree).
     for name in os.listdir(path):
-        if name.startswith("coarse="):
+        if name.startswith(part_prefix):
             shutil.rmtree(os.path.join(path, name))
     rows_dir = os.path.join(tmp, "rows")
     for name in os.listdir(rows_dir):
-        if name.startswith("coarse="):
+        if name.startswith(part_prefix):
             shutil.copytree(os.path.join(rows_dir, name), os.path.join(path, name))
     shutil.rmtree(tmp)
+
+
+def compact_ivf_index(spark, path: str) -> dict:
+    """compact_pq_index for the raw-vector IVF index: materializes
+    ivf_index_rows' netting back into the canonical bucket-partitioned
+    layout (w reset to +1), crash-safe via the same staged idempotent
+    swap. Search results unchanged; file count and per-query netting
+    work shrink. Run OFFLINE. Returns {"n_rows"}."""
+    _stage_and_swap(
+        path,
+        lambda staged: (
+            ivf_index_rows(spark, path)
+            .withColumn("w", F.lit(1))
+            .write.partitionBy("bucket")
+            .parquet(staged, mode="overwrite")
+        ),
+        "bucket=",
+    )
     return {"n_rows": spark.read.parquet(path).count()}
 
 

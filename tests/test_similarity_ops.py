@@ -584,3 +584,85 @@ def test_compact_pq_index_folds_tombstones_and_recovers_from_crash(
         )
     )
     assert again == want
+
+
+def test_ivf_index_retire_append_compact_full_loop(spark, tmp_path):
+    """The raw-vector IVF index's maintenance loop (append / retire /
+    compact), including a changed vector that hops buckets: searches
+    against the maintained index must equal an index rebuilt from the
+    surviving corpus, before AND after compaction."""
+    import os
+
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        append_to_ivf_index,
+        compact_ivf_index,
+        ivf_index_rows,
+        knn_ivf_from_index,
+        retire_from_ivf_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.standard_normal(8).tolist(), i % 3) for i in range(50)]
+    extra = [(100 + i, rng.standard_normal(8).tolist(), i % 3) for i in range(10)]
+    changed_new = (7, (-np.array(rows[7][1])).tolist(), 1)  # flips every sign bit
+    corpus = spark.createDataFrame(rows, "id long, data array<double>, label long")
+    delta = spark.createDataFrame(extra, "id long, data array<double>, label long")
+    newrow = spark.createDataFrame(
+        [changed_new], "id long, data array<double>, label long"
+    )
+
+    p1 = str(tmp_path / "maintained")
+    write_ivf_index(corpus, p1, n_bits=4, attr_cols=["label"])
+    append_to_ivf_index(delta, p1, n_bits=4, attr_cols=["label"])
+    retire_from_ivf_index(
+        corpus.where("id < 5 or id = 7"), p1, n_bits=4, attr_cols=["label"]
+    )
+    append_to_ivf_index(newrow, p1, n_bits=4, attr_cols=["label"])
+
+    survivors = (
+        corpus.where("id >= 5 and id != 7").unionAll(delta).unionAll(newrow)
+    )
+    p2 = str(tmp_path / "rebuilt")
+    write_ivf_index(survivors, p2, n_bits=4, attr_cols=["label"])
+
+    live = {
+        (r["id"], tuple(r["data"]), r["label"], r["bucket"])
+        for r in ivf_index_rows(spark, p1).collect()
+    }
+    want_rows = {
+        (r["id"], tuple(r["data"]), r["label"], r["bucket"])
+        for r in ivf_index_rows(spark, p2).collect()
+    }
+    assert live == want_rows and len(live) == 55
+
+    probes = corpus.where("id = 20")
+
+    def search(path):
+        return sorted(
+            map(
+                tuple,
+                knn_ivf_from_index(
+                    spark,
+                    path,
+                    probes,
+                    k=8,
+                    round_to=4,
+                    n_bits=4,
+                    n_probes=4,
+                    predicate=F.col("label") % 2 == 0,
+                ).collect(),
+            )
+        )
+
+    want = search(p2)
+    assert search(p1) == want and want
+    assert not {r[1] for r in want} & {0, 1, 2, 3, 4}
+
+    stats = compact_ivf_index(spark, p1)
+    assert stats["n_rows"] == 55
+    assert not os.path.isdir(os.path.join(p1, "_compacted"))
+    assert spark.read.parquet(p1).where("w <= 0").count() == 0
+    assert search(p1) == want
