@@ -191,24 +191,29 @@ def _write_index_frames(
     path: str,
     n_buckets: int,
     mode: str,
+    sub: str = "",
 ) -> None:
     """Common write path for build/append/retire: postings and terms go
     out PARTITIONED BY the term-hash bucket (queries prune to their
     terms' buckets via PartitionFilters), postings term-sorted within
-    partitions (row-group pruning via PushedFilters)."""
+    partitions (row-group pruning via PushedFilters). ``sub`` nests the
+    frames one level down (e.g. ``/batch_id=-1`` for maintenance writes
+    into a batch-laid-out index — parquet partition discovery requires
+    every leaf at the same depth, so flat and batch layouts must never
+    mix under one family dir)."""
     (
         postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
         .repartition("bucket")
         .sortWithinPartitions("term", "doc_id")
         .write.partitionBy("bucket")
-        .parquet(f"{path}/postings", mode=mode)
+        .parquet(f"{path}/postings{sub}", mode=mode)
     )
     (
         terms.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
         .write.partitionBy("bucket")
-        .parquet(f"{path}/terms", mode=mode)
+        .parquet(f"{path}/terms{sub}", mode=mode)
     )
-    meta.write.mode(mode).parquet(f"{path}/meta")
+    meta.write.mode(mode).parquet(f"{path}/meta{sub}")
 
 
 def write_inverted_index(
@@ -359,12 +364,28 @@ def bm25_from_index(
     return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)
 
 
+def _maint_sub(batch_dir: int | None) -> tuple[str, str]:
+    """(sub-path, write mode) for a maintenance write. ``batch_dir``
+    targets a BATCH-LAID-OUT index (one written by the streaming sinks,
+    or compacted with keep_batch_layout=True): partials land under
+    ``batch_id=<batch_dir>`` so every parquet leaf stays at the same
+    depth (flat and batch layouts must never mix — the read fails).
+    Use a NEGATIVE id unique to the operation: stream checkpoints only
+    ever commit ids >= 0, so no future micro-batch can collide, and the
+    overwrite mode makes RE-RUNNING the same operation idempotent
+    (distinct operations need distinct ids)."""
+    if batch_dir is None:
+        return "", "append"
+    return f"/batch_id={int(batch_dir)}", "overwrite"
+
+
 def append_to_inverted_index(
     new_docs: DataFrame,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = II_BUCKETS,
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) index maintenance: tokenize ONLY the arriving documents
     and append their posting/df/meta rows — the indexed corpus is never
@@ -372,9 +393,12 @@ def append_to_inverted_index(
     lexical index). Correct without any rewrite because the read side
     treats terms and meta as mergeable partials: df sums across appended
     rows per term, n/sum_dl sum across meta rows (_collect_stats).
-    Callers own id uniqueness, exactly as with any parquet append."""
+    Callers own id uniqueness, exactly as with any parquet append.
+    ``batch_dir`` (negative, per-operation) targets a batch-laid-out
+    index — see _maint_sub."""
     postings, terms, meta = build_inverted_index(new_docs, text_col, id_col)
-    _write_index_frames(postings, terms, meta, path, n_buckets, "append")
+    sub, mode = _maint_sub(batch_dir)
+    _write_index_frames(postings, terms, meta, path, n_buckets, mode, sub)
 
 
 def retire_from_inverted_index(
@@ -383,6 +407,7 @@ def retire_from_inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = II_BUCKETS,
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) index DELETION: deletion as NEGATION of the mergeable
     partials. ``old_docs`` must carry the retired documents with the
@@ -396,8 +421,11 @@ def retire_from_inverted_index(
     corpus stats equal a from-scratch rebuild bit-for-bit. The indexed
     corpus is never re-read; compact_inverted_index folds tombstone
     partials into base files offline without changing any query result.
+    ``batch_dir`` (negative, per-operation) targets a batch-laid-out
+    index — see _maint_sub.
     """
     postings, terms, meta = build_inverted_index(old_docs, text_col, id_col)
+    sub, mode = _maint_sub(batch_dir)
     _write_index_frames(
         postings.select(
             "term",
@@ -409,7 +437,8 @@ def retire_from_inverted_index(
         meta.select((-F.col("n")).alias("n"), (-F.col("sum_dl")).alias("sum_dl")),
         path,
         n_buckets,
-        "append",
+        mode,
+        sub,
     )
 
 
@@ -437,7 +466,9 @@ def _finish_index_swap(path: str, tmp: str) -> None:
     shutil.rmtree(tmp)
 
 
-def compact_inverted_index(spark, path: str, n_buckets: int = II_BUCKETS) -> dict:
+def compact_inverted_index(
+    spark, path: str, n_buckets: int = II_BUCKETS, keep_batch_layout: bool = False
+) -> dict:
     """Fold an index's accumulated partials into canonical base files —
     the background compaction retire_from_inverted_index's contract
     defers to. Query results are UNCHANGED by construction: the read
@@ -454,15 +485,28 @@ def compact_inverted_index(spark, path: str, n_buckets: int = II_BUCKETS) -> dic
 
     This is also the SNAPSHOT-BOUNDARY step of the streaming story
     (streaming/state.py): the stream itself is append-only; at a
-    snapshot boundary, stop the stream, compact (normalizing the
-    nested batch_id layout into the flat bucketed one), then apply
-    snapshot_diff's retirements with retire_from_inverted_index and
-    resume — batch maintenance and the stream never interleave
-    layouts. Run OFFLINE (no concurrent writer). Crash-safe the same
-    way as streaming/compact.compact_batches: the netted frames land
-    under ``<path>/_compacted`` (an underscore dir — invisible to
-    readers) with a ``_DONE`` marker before anything is deleted, so a
-    re-run after a crash mid-swap just finishes the renames.
+    snapshot boundary, stop the stream, compact, apply snapshot_diff's
+    retirements with retire_from_inverted_index, resume. Parquet
+    partition discovery rejects MIXED layouts (flat ``bucket=`` dirs
+    next to ``batch_id=N/bucket=`` dirs fail to read), so the two
+    endgames are:
+
+    - ``keep_batch_layout=False`` (default): normalize into the flat
+      write_inverted_index layout — the HANDOFF to pure batch
+      maintenance (plain retire/append). The stream must NOT resume on
+      this path afterwards.
+    - ``keep_batch_layout=True``: fold everything into
+      ``batch_id=<max committed id>`` (the compact_batches id rule —
+      a restarted checkpoint only commits strictly higher ids, so no
+      collision), manual-maintenance dirs (negative ids) included. The
+      stream CAN resume, and snapshot retirements/appends target the
+      batch layout via their ``batch_dir`` (negative id) parameter.
+
+    Run OFFLINE (no concurrent writer). Crash-safe the same way as
+    streaming/compact.compact_batches: the netted frames land under
+    ``<path>/_compacted`` (an underscore dir — invisible to readers)
+    with a ``_DONE`` marker before anything is deleted, so a re-run
+    after a crash mid-swap just finishes the renames.
 
     Returns {"n_docs", "postings_rows"} of the compacted index.
     """
@@ -479,7 +523,7 @@ def compact_inverted_index(spark, path: str, n_buckets: int = II_BUCKETS) -> dic
     elif os.path.isdir(tmp):
         shutil.rmtree(tmp)  # incomplete earlier attempt; merged data not
         # yet durable, old partials untouched — safe to redo from scratch
-        return compact_inverted_index(spark, path, n_buckets)
+        return compact_inverted_index(spark, path, n_buckets, keep_batch_layout)
     else:
         drop = ["batch_id", "bucket"]
         raw_p = spark.read.parquet(f"{path}/postings")
@@ -504,7 +548,15 @@ def compact_inverted_index(spark, path: str, n_buckets: int = II_BUCKETS) -> dic
             F.sum("n").cast("long").alias("n"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
-        _write_index_frames(postings, terms, meta, tmp, n_buckets, "overwrite")
+        sub = ""
+        if keep_batch_layout:
+            ids = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(f"{path}/postings")
+                if n.startswith("batch_id=")
+            ]
+            sub = f"/batch_id={max(ids, default=0)}"
+        _write_index_frames(postings, terms, meta, tmp, n_buckets, "overwrite", sub)
         with open(done, "w") as fh:
             fh.write("1")
         _finish_index_swap(path, tmp)

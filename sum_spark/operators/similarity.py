@@ -195,16 +195,21 @@ def append_to_ivf_index(
     vec_col: str = "data",
     n_bits: int = 8,
     attr_cols: list[str] | None = None,
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) growth: bucket ONLY the arriving rows (the bucket
     function is deterministic and parameter-free beyond n_bits, so no
     stored state is even needed) and append them with w=+1. Callers own
     id uniqueness among LIVE rows; pass the same attr_cols the index was
-    built with."""
+    built with. ``batch_dir`` (negative, per-operation) targets a
+    batch-laid-out index — see append_to_pq_index."""
+    sub, mode = ("", "append") if batch_dir is None else (
+        f"/batch_id={int(batch_dir)}", "overwrite"
+    )
     new_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
-        path, mode="append"
+        path + sub, mode=mode
     )
 
 
@@ -215,6 +220,7 @@ def retire_from_ivf_index(
     vec_col: str = "data",
     n_bits: int = 8,
     attr_cols: list[str] | None = None,
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) DELETION as negation (the retire_from_pq_index design on
     the raw-vector index): ``old_records`` must carry the retired rows
@@ -224,11 +230,15 @@ def retire_from_ivf_index(
     (ivf_index_rows) nets per full row so they cancel exactly. A changed
     vector (retire old + append new under the same id) nets to its new
     row even across buckets. compact_ivf_index folds tombstones into
-    base files offline."""
+    base files offline. ``batch_dir`` targets a batch-laid-out index —
+    see append_to_pq_index."""
+    sub, mode = ("", "append") if batch_dir is None else (
+        f"/batch_id={int(batch_dir)}", "overwrite"
+    )
     old_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(-1)).write.partitionBy("bucket").parquet(
-        path, mode="append"
+        path + sub, mode=mode
     )
 
 
@@ -243,7 +253,9 @@ def ivf_index_rows(spark, path: str) -> DataFrame:
     idx = spark.read.parquet(path)
     if "w" not in idx.columns:
         return idx
-    keys = [c for c in idx.columns if c != "w"]
+    # batch_id (present on stream-written / batch-laid-out indexes) is
+    # bookkeeping, not content: partials for one row may span batch dirs.
+    keys = [c for c in idx.columns if c not in ("w", "batch_id")]
     return (
         idx.groupBy(*keys).agg(F.sum("w").alias("__w")).where(F.col("__w") > 0)
         .drop("__w")
@@ -584,19 +596,11 @@ def write_pq_index(
     stored (that's the point — join back on id when payloads are
     needed). Same one-step fixed-point codebook as knn_ivfpq, so
     in-flight and from-index searches return identical neighbors."""
-    from sum_spark.operators.clustering import (
-        _centroids_from_sums,
-        assign_clusters,
-        centroid_sums,
-        hash_init_assign,
-    )
+    from sum_spark.operators.clustering import assign_clusters
     from sum_spark.operators.embeddings import product_quantize
 
     if centroids is None:
-        init = hash_init_assign(records, n_codes, id_col)
-        centroids = _centroids_from_sums(
-            centroid_sums(init, "cluster", vec_col, 6).collect(), 6
-        )
+        centroids = train_pq_codebook(records, n_codes, id_col, vec_col)
     coarse = assign_clusters(
         records, centroids, id_col, vec_col, cluster_col="coarse", backend="catalyst"
     )
@@ -610,12 +614,39 @@ def write_pq_index(
         .write.partitionBy("coarse")
         .parquet(path, mode="overwrite")
     )
-    spark = records.sparkSession
+    write_pq_codebook(records.sparkSession, centroids, path)
+    return centroids
+
+
+def train_pq_codebook(
+    records: DataFrame,
+    n_codes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "data",
+) -> dict[int, list[float]]:
+    """The shared one-step fixed-point codebook (the knn_ivfpq recipe:
+    hash-init partition -> integer centroid means at fixed point 6) —
+    exposed so a codebook can be trained and persisted BEFORE any rows
+    are indexed (the bootstrap of a stream-grown index, streaming/ann.
+    streaming_index_vectors: the codebook must exist first and is
+    immutable after)."""
+    from sum_spark.operators.clustering import (
+        _centroids_from_sums,
+        centroid_sums,
+        hash_init_assign,
+    )
+
+    init = hash_init_assign(records, n_codes, id_col)
+    return _centroids_from_sums(centroid_sums(init, "cluster", vec_col, 6).collect(), 6)
+
+
+def write_pq_codebook(spark, centroids: dict[int, list[float]], path: str) -> None:
+    """Persist the (immutable) codebook at ``<path>/_codebook`` — an
+    underscore dir, invisible to the row readers."""
     book_rows = [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())]
     spark.createDataFrame(book_rows, "cluster long, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(path + "/_codebook")
-    return centroids
 
 
 def knn_ivfpq_from_index(
@@ -742,6 +773,7 @@ def append_to_pq_index(
     m: int = 2,
     id_col: str = "id",
     vec_col: str = "data",
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) index maintenance: encode ONLY the arriving vectors with
     the stored codebook and append their (id, codes, w=+1) rows to the
@@ -750,12 +782,21 @@ def append_to_pq_index(
     stored-signature path. Callers own id uniqueness (appending a LIVE
     id creates a duplicate row, exactly like appending to any parquet
     table; re-appending a RETIRED id is fine — its tombstone cancelled
-    the old row, see retire_from_pq_index)."""
+    the old row, see retire_from_pq_index). ``batch_dir`` (negative,
+    per-operation) targets a BATCH-LAID-OUT index (stream-grown or
+    compacted with keep_batch_layout=True): partials land under
+    ``batch_id=<batch_dir>`` so every parquet leaf stays at one depth —
+    flat and batch layouts must never mix, the read fails. Stream
+    checkpoints only commit ids >= 0, so negative ids never collide;
+    overwrite mode makes re-running the same operation idempotent."""
+    sub, mode = ("", "append") if batch_dir is None else (
+        f"/batch_id={int(batch_dir)}", "overwrite"
+    )
     (
         _encode_with_stored_book(new_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(1))
         .write.partitionBy("coarse")
-        .parquet(path, mode="append")
+        .parquet(path + sub, mode=mode)
     )
 
 
@@ -765,6 +806,7 @@ def retire_from_pq_index(
     m: int = 2,
     id_col: str = "id",
     vec_col: str = "data",
+    batch_dir: int | None = None,
 ) -> None:
     """O(delta) index DELETION — deletion as NEGATION, the
     retire_from_inverted_index design applied to the vector index.
@@ -778,36 +820,46 @@ def retire_from_pq_index(
     (retire old + append new under the same id) nets to exactly its new
     row — different codes never collide in the grouping. The indexed
     corpus is never re-read; compact_pq_index folds tombstones into
-    base files offline without changing any search result."""
+    base files offline without changing any search result. ``batch_dir``
+    targets a batch-laid-out index (see append_to_pq_index)."""
+    sub, mode = ("", "append") if batch_dir is None else (
+        f"/batch_id={int(batch_dir)}", "overwrite"
+    )
     (
         _encode_with_stored_book(old_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(-1))
         .write.partitionBy("coarse")
-        .parquet(path, mode="append")
+        .parquet(path + sub, mode=mode)
     )
 
 
 def pq_index_rows(spark, path: str, id_col: str = "id") -> DataFrame:
     """The LIVE (id, coarse, codes) view of a stored PQ index: rows are
     mergeable partials (build/append write w=+1, retire writes the
-    bit-identical row with w=-1), netted here per (coarse, id, codes).
-    Probe-list predicates applied on top still prune the scan: every
-    grouping key includes the coarse partition column, so Catalyst
-    pushes the filter below the aggregate to the parquet scan
-    (PartitionFilters — plan-tested). Pre-w indexes (no retire ever ran,
-    no w column) pass through un-netted."""
+    bit-identical row with w=-1), netted here per full row content —
+    every column except the weight and the ``batch_id`` bookkeeping of
+    stream-grown indexes is a grouping key, so the id column's NAME is
+    irrelevant (``id_col`` is kept for call-site readability only).
+    Probe-list predicates applied on top still prune the scan: the
+    coarse partition column is a grouping key, so Catalyst pushes the
+    filter below the aggregate to the parquet scan (PartitionFilters —
+    plan-tested). Pre-w indexes (no retire ever ran, no w column) pass
+    through un-netted."""
     idx = spark.read.parquet(path)
     if "w" not in idx.columns:
         return idx
+    keys = [c for c in idx.columns if c not in ("w", "batch_id")]
     return (
-        idx.groupBy("coarse", id_col, "codes")
+        idx.groupBy(*keys)
         .agg(F.sum("w").alias("__w"))
         .where(F.col("__w") > 0)
         .drop("__w")
     )
 
 
-def compact_pq_index(spark, path: str, id_col: str = "id") -> dict:
+def compact_pq_index(
+    spark, path: str, id_col: str = "id", keep_batch_layout: bool = False
+) -> dict:
     """Fold a PQ index's accumulated append/retire partials into base
     files: materializes exactly pq_index_rows' netting (w summed per
     (coarse, id, codes), nonpositive rows dropped) back into the
@@ -820,33 +872,50 @@ def compact_pq_index(spark, path: str, id_col: str = "id") -> dict:
     a ``_DONE`` marker before any old partition directory is deleted;
     the swap (delete old ``coarse=*`` dirs, COPY the compacted ones in,
     drop the staging dir last) is idempotent, so a re-run after a crash
-    at any point just replays it. Returns {"n_rows"} of the compacted
+    at any point just replays it. ``keep_batch_layout=True`` folds a
+    batch-laid-out (stream-grown) index into ``batch_id=<max committed
+    id>`` instead of flattening, so the stream can RESUME afterwards
+    (the compact_batches id rule: a restarted checkpoint only commits
+    strictly higher ids) — flat and batch layouts must never mix under
+    one root, the read fails. Returns {"n_rows"} of the compacted
     index."""
-    _stage_and_swap(
-        path,
-        lambda staged: (
+    import os
+
+    def _write(staged: str) -> None:
+        sub = ""
+        if keep_batch_layout:
+            ids = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(path)
+                if n.startswith("batch_id=")
+            ]
+            sub = f"/batch_id={max(ids, default=0)}"
+        (
             pq_index_rows(spark, path, id_col)
             .withColumn("w", F.lit(1))
             .write.partitionBy("coarse")
-            .parquet(staged, mode="overwrite")
-        ),
-        "coarse=",
-    )
+            .parquet(staged + sub, mode="overwrite")
+        )
+
+    _stage_and_swap(path, _write, ("coarse=", "batch_id="))
     return {"n_rows": spark.read.parquet(path).count()}
 
 
-def _stage_and_swap(path: str, write_staged, part_prefix: str) -> None:
+def _stage_and_swap(path: str, write_staged, delete_prefixes: tuple[str, ...]) -> None:
     """Crash-safe rewrite of a partitioned index table in place:
     ``write_staged(<path>/_compacted/rows)`` materializes the compacted
     rows (underscore dir — invisible to readers), a ``_DONE`` marker
-    records durability, then the swap deletes every old
-    ``<part_prefix>*`` dir and COPIES the staged ones in. Old and
-    already-copied partition dirs are indistinguishable by name, so the
-    replay-safe move is delete-all-then-copy-all (copytree, not rename,
-    keeps the staging copy intact until the final rmtree): a re-run
-    after a crash at ANY point — marker present — just replays the
-    idempotent swap; a crash BEFORE the marker leaves the old partials
-    untouched and the next run redoes the merge from scratch."""
+    records durability, then the swap deletes every old dir matching a
+    ``delete_prefixes`` entry and COPIES the staged partition dirs in.
+    Old and already-copied partition dirs are indistinguishable by
+    name, so the replay-safe move is delete-all-then-copy-all
+    (copytree, not rename, keeps the staging copy intact until the
+    final rmtree): a re-run after a crash at ANY point — marker present
+    — just replays the idempotent swap; a crash BEFORE the marker
+    leaves the old partials untouched and the next run redoes the merge
+    from scratch. ``delete_prefixes`` must cover every partition-dir
+    name the STAGED layout can produce (it always includes the staged
+    dirs' own prefixes, so replays re-delete partially copied dirs)."""
     import os
     import shutil
 
@@ -859,31 +928,42 @@ def _stage_and_swap(path: str, write_staged, part_prefix: str) -> None:
         with open(done, "w") as fh:
             fh.write("1")
     for name in os.listdir(path):
-        if name.startswith(part_prefix):
+        if any(name.startswith(p) for p in delete_prefixes):
             shutil.rmtree(os.path.join(path, name))
     rows_dir = os.path.join(tmp, "rows")
     for name in os.listdir(rows_dir):
-        if name.startswith(part_prefix):
-            shutil.copytree(os.path.join(rows_dir, name), os.path.join(path, name))
+        full = os.path.join(rows_dir, name)
+        if os.path.isdir(full):
+            shutil.copytree(full, os.path.join(path, name))
     shutil.rmtree(tmp)
 
 
-def compact_ivf_index(spark, path: str) -> dict:
+def compact_ivf_index(spark, path: str, keep_batch_layout: bool = False) -> dict:
     """compact_pq_index for the raw-vector IVF index: materializes
     ivf_index_rows' netting back into the canonical bucket-partitioned
     layout (w reset to +1), crash-safe via the same staged idempotent
-    swap. Search results unchanged; file count and per-query netting
-    work shrink. Run OFFLINE. Returns {"n_rows"}."""
-    _stage_and_swap(
-        path,
-        lambda staged: (
+    swap; ``keep_batch_layout`` as in compact_pq_index. Search results
+    unchanged; file count and per-query netting work shrink. Run
+    OFFLINE. Returns {"n_rows"}."""
+    import os
+
+    def _write(staged: str) -> None:
+        sub = ""
+        if keep_batch_layout:
+            ids = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(path)
+                if n.startswith("batch_id=")
+            ]
+            sub = f"/batch_id={max(ids, default=0)}"
+        (
             ivf_index_rows(spark, path)
             .withColumn("w", F.lit(1))
             .write.partitionBy("bucket")
-            .parquet(staged, mode="overwrite")
-        ),
-        "bucket=",
-    )
+            .parquet(staged + sub, mode="overwrite")
+        )
+
+    _stage_and_swap(path, _write, ("bucket=", "batch_id="))
     return {"n_rows": spark.read.parquet(path).count()}
 
 

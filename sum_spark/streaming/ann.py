@@ -42,6 +42,49 @@ def read_embedding_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EMB_SCHEMA).parquet(path)
 
 
+def streaming_index_vectors(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+):
+    """Accumulate the PQ index over an embedding stream — vectors become
+    searchable as they arrive (the vector twin of streaming/search.
+    streaming_index_documents). Each micro-batch encodes ONLY its own
+    vectors against the STORED immutable codebook and writes its
+    (id, codes, w=+1) rows under an idempotent ``batch_id=N`` directory
+    (redelivery overwrites, never double-counts); the read side
+    (similarity.pq_index_rows / knn_ivfpq_from_index) nets across batch
+    dirs, so the accumulated index answers searches exactly as one
+    batch build over everything ingested — parity-tested.
+
+    Bootstrap: ``<path>/_codebook`` must exist BEFORE the stream starts
+    (similarity.train_pq_codebook + write_pq_codebook over a training
+    sample); it is immutable after. Snapshot-boundary maintenance with
+    the stream stopped: retire/append with a NEGATIVE ``batch_dir``,
+    compact with ``compact_pq_index(keep_batch_layout=True)`` — both
+    preserve the batch layout, so the stream can resume."""
+    from sum_spark.operators.similarity import _encode_with_stored_book
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _encode_with_stored_book(batch_df, path, m, id_col, vec_col)
+            .withColumn("w", F.lit(1))
+            .write.partitionBy("coarse")
+            .parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
 def streaming_ann_scores(
     probe_stream: DataFrame,
     index: DataFrame,

@@ -34,11 +34,14 @@ def streaming_index_documents(
     """Accumulate the inverted index over a document stream. Query the
     result at any time with ``bm25_from_index(spark, path, terms, k)``
     — no rebuild, no compaction required for correctness. At a snapshot
-    boundary (stream stopped), operators/search.compact_inverted_index
-    folds the batch directories into the flat bucketed layout — after
-    which batch retire_from_inverted_index / append_to_inverted_index
-    apply snapshot_diff's retirements and additions (the streaming
-    retirement story: the stream itself stays append-only)."""
+    boundary (stream stopped), apply snapshot_diff's retirements and
+    additions with retire_from_inverted_index / append_to_inverted_index
+    using a NEGATIVE ``batch_dir`` (checkpoints only commit ids >= 0 —
+    no collision), and fold partials with compact_inverted_index. Flat
+    and batch_id layouts must never mix (the read fails), so choose the
+    compaction endgame: keep_batch_layout=True to RESUME the stream
+    afterwards, default False to hand off to pure batch maintenance
+    (stream retired). The stream itself stays append-only either way."""
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -22,10 +22,13 @@ assembled pair set equals dedup_minhash_lsh over everything ingested
 Streams are append-only; retirement (removed/changed docs) is a SNAPSHOT
 operation handled by the batch transition path
 (prepare_training_data_incremental's retired_ids), not by the stream.
-The same boundary rule serves the streaming inverted index: stop the
-stream, compact (operators/search.compact_inverted_index normalizes the
-batch_id layout into the flat bucketed one), apply batch retirements,
-resume — tested end-to-end in tests/test_streaming_search.py.
+The same boundary rule serves the stream-grown indexes (inverted index,
+PQ vector index): stop the stream, apply batch retirements/appends into
+NEGATIVE batch_id dirs (checkpoints only commit ids >= 0), compact —
+keep_batch_layout=True to resume the stream, default False to hand off
+to flat batch maintenance (flat and batch layouts must never mix; the
+read fails). Tested end-to-end in tests/test_streaming_search.py and
+tests/test_streaming_ann.py.
 """
 
 from __future__ import annotations

@@ -47,3 +47,103 @@ def test_streaming_ann_matches_batch(spark, tmp_path):
     want = {(r["probe_id"], r["vec_id"]): r["adc"] for r in want_rows}
     assert got == want
     assert got, "expected scored candidates"
+
+
+def test_streaming_index_vectors_full_lifecycle(spark, tmp_path):
+    """Stream-grown PQ index: ingest in micro-batches, search == the
+    in-flight IVF-PQ over everything ingested; snapshot-boundary retire
+    (negative batch_dir) + compact(keep_batch_layout=True); then RESUME
+    the stream with the same checkpoint and search again — the layout
+    survives every phase (mixed flat/batch layouts would fail to read,
+    which is exactly what the batch_dir/keep_batch_layout machinery
+    prevents)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.similarity import (
+        compact_pq_index,
+        knn_ivfpq,
+        retire_from_pq_index,
+        train_pq_codebook,
+        write_pq_codebook,
+    )
+    from sum_spark.streaming.ann import read_embedding_stream, streaming_index_vectors
+
+    rng = np.random.default_rng(67)
+    d = 8
+    all_rows = [(i, rng.standard_normal(d).tolist()) for i in range(90)]
+    corpus = spark.createDataFrame(
+        all_rows, "vec_id long, embedding array<double>"
+    )
+    wave1 = corpus.where("vec_id < 60")
+    wave2 = corpus.where("vec_id >= 60")
+
+    # Bootstrap: codebook trained on wave1 (the training sample), stored
+    # BEFORE any rows; immutable afterwards.
+    idx = str(tmp_path / "pq_stream")
+    book = train_pq_codebook(wave1, 4, id_col="vec_id", vec_col="embedding")
+    write_pq_codebook(spark, book, idx)
+
+    drops = str(tmp_path / "vec_drops")
+    ck = str(tmp_path / "ck")
+    wave1.where("vec_id % 2 = 0").coalesce(1).write.parquet(drops)
+    wave1.where("vec_id % 2 != 0").coalesce(1).write.mode("append").parquet(drops)
+    stream = read_embedding_stream(spark, drops)
+    q = streaming_index_vectors(stream, idx, checkpoint=ck, m=2)
+    q.awaitTermination()
+
+    probes = corpus.where("vec_id <= 2")
+
+    def from_idx():
+        from sum_spark.operators.similarity import knn_ivfpq_from_index
+
+        return sorted(
+            map(
+                tuple,
+                knn_ivfpq_from_index(
+                    spark, idx, probes, k=6, m=2, id_col="vec_id",
+                    vec_col="embedding", round_to=4,
+                ).collect(),
+            )
+        )
+
+    def inflight(df):
+        return sorted(
+            map(
+                tuple,
+                knn_ivfpq(
+                    df, probes, k=6, m=2, id_col="vec_id", vec_col="embedding",
+                    round_to=4, centroids=book,
+                ).collect(),
+            )
+        )
+
+    assert from_idx() == inflight(wave1) and from_idx()
+
+    # Snapshot boundary (stream stopped): retire vec_id%7==5 into a
+    # manual NEGATIVE batch dir, then fold everything, KEEPING the
+    # batch layout so the stream can resume.
+    retire_from_pq_index(
+        wave1.where("vec_id % 7 = 5"), idx, m=2, id_col="vec_id",
+        vec_col="embedding", batch_dir=-1,
+    )
+    survivors1 = wave1.where("vec_id % 7 != 5")
+    assert from_idx() == inflight(survivors1)
+
+    stats = compact_pq_index(spark, idx, keep_batch_layout=True)
+    assert stats["n_rows"] == survivors1.count()
+    batch_dirs = [n for n in os.listdir(idx) if n.startswith("batch_id=")]
+    assert len(batch_dirs) == 1 and not any(
+        n.startswith("coarse=") for n in os.listdir(idx)
+    )
+    assert from_idx() == inflight(survivors1)
+
+    # Resume: new files, SAME checkpoint — only the new wave is read,
+    # and its batch ids land strictly above the compacted dir's id.
+    wave2.coalesce(1).write.mode("append").parquet(drops)
+    q2 = streaming_index_vectors(
+        read_embedding_stream(spark, drops), idx, checkpoint=ck, m=2
+    )
+    q2.awaitTermination()
+    assert from_idx() == inflight(survivors1.unionAll(wave2))

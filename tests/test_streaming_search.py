@@ -77,3 +77,66 @@ def test_stream_indexed_bm25_equals_scan(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want2.collect())
     )
+
+
+def test_stream_index_retire_compact_resume(spark, sf_smoke, tmp_path):
+    """The RESUMABLE snapshot boundary: retire into a negative batch_id
+    dir (stream stopped), compact with keep_batch_layout=True, then
+    resume the stream with the SAME checkpoint over newly dropped files
+    — queries stay exact at every phase. (The default flat compaction is
+    the no-resume handoff, covered by the previous test.)"""
+    import os
+
+    from sum_spark.operators.search import (
+        compact_inverted_index as _compact,
+    )
+    from sum_spark.operators.search import (
+        retire_from_inverted_index as _retire,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    wave1 = docs.where(F.col("doc_id") % 2 == 0)
+    wave2 = docs.where(F.col("doc_id") % 2 != 0)
+    drop_dir = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    wave1.coalesce(1).write.parquet(drop_dir)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run_stream(idx):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        streaming_index_documents(stream, idx, checkpoint=ck).awaitTermination()
+
+    idx = str(tmp_path / "ii")
+    run_stream(idx)
+
+    def q(path):
+        return sorted(map(tuple, bm25_from_index(spark, path, TERMS, k=10).collect()))
+
+    assert q(idx) == sorted(map(tuple, bm25_search(wave1, TERMS, k=10).collect()))
+
+    # snapshot boundary: retire wave1's doc_id%6==0 into batch_id=-1
+    retired = wave1.where(F.col("doc_id") % 6 == 0)
+    _retire(retired, idx, batch_dir=-1)
+    survivors1 = wave1.where(F.col("doc_id") % 6 != 0)
+    assert q(idx) == sorted(map(tuple, bm25_search(survivors1, TERMS, k=10).collect()))
+
+    stats = _compact(spark, idx, keep_batch_layout=True)
+    assert stats["n_docs"] == survivors1.count()
+    post_dirs = os.listdir(f"{idx}/postings")
+    assert all(d.startswith("batch_id=") or d.startswith("_") for d in post_dirs)
+    assert len([d for d in post_dirs if d.startswith("batch_id=")]) == 1
+    assert q(idx) == sorted(map(tuple, bm25_search(survivors1, TERMS, k=10).collect()))
+
+    # resume: new files, same checkpoint — batch ids continue above the
+    # folded one, the layout stays consistent, queries stay exact
+    wave2.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_stream(idx)
+    full = survivors1.unionByName(wave2)
+    assert q(idx) == sorted(map(tuple, bm25_search(full, TERMS, k=10).collect()))
