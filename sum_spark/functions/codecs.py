@@ -220,16 +220,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 # Baseline JFIF (JPEG) — ITU-T T.81 baseline sequential DCT, dependency-free
 # ---------------------------------------------------------------------------
 #
-# Decoder: baseline SOF0 only (the overwhelming majority of corpus JPEGs),
-# 8-bit samples, greyscale or YCbCr with any h/v sampling factors up to 2
-# (4:4:4, 4:2:2, 4:2:0), restart markers honored. Quant/Huffman tables come
-# from the FILE (DQT/DHT), so decode correctness never depends on the
-# encoder below. Progressive (SOF2) and arithmetic coding raise ValueError
-# — a DECODE error, distinct from the codec-missing NotImplementedError.
+# Decoder: baseline sequential (SOF0/1) AND progressive (SOF2) — together
+# the overwhelming majority of corpus JPEGs. 8-bit samples, greyscale or
+# YCbCr with any h/v sampling factors up to 2 (4:4:4, 4:2:2, 4:2:0),
+# restart markers honored. Progressive handles every scan kind of T.81
+# Annex G.2 Huffman coding: interleaved/single-component DC first and
+# refinement, per-band AC first and refinement with EOB-run coding and
+# buffered correction bits (the IJG successive-approximation semantics).
+# Quant/Huffman tables come from the FILE (DQT/DHT), so decode correctness
+# never depends on the encoders below. Lossless/hierarchical/arithmetic
+# coding raise ValueError — a DECODE error, distinct from the
+# codec-missing NotImplementedError.
 #
-# Encoder: baseline, 4:4:4 (no subsampling), Annex K quant tables scaled by
-# the libjpeg quality rule and Annex K Huffman tables — enough to round-trip
-# the multimodal tests and to re-encode thumbnails without PIL.
+# Encoders: baseline (optionally 4:2:0 + restart intervals) and a
+# progressive encoder (encode_jpeg_progressive: DC+AC successive
+# approximation with spectral-selection bands and EOB runs) — enough to
+# round-trip the multimodal tests, to re-encode thumbnails without PIL,
+# and to exercise every progressive decode path self-contained. Both are
+# lossy only in the shared quantization step, so progressive(decode) ==
+# baseline(decode) EXACTLY for the same input/quality — the round-trip
+# equality the tests pin.
 
 JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -424,17 +434,11 @@ def _box_half(p: np.ndarray) -> np.ndarray:
     return (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 75,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(H, W) / (H, W, 1) greyscale or (H, W, 3) RGB uint8 -> baseline
-    JFIF bytes (Annex K tables scaled by the libjpeg quality rule).
-    ``subsample`` emits 4:2:0 chroma (2x2 Y blocks per MCU);
-    ``restart_interval`` emits a DRI segment and RSTn markers every N
-    MCUs. Deterministic pure function of its arguments."""
+def _encode_prep(arr, quality: int, subsample: bool):
+    """Shared encoder front (baseline + progressive): color transform,
+    optional 4:2:0 chroma downsample, quality-scaled Annex K quant
+    tables, MCU-grid padding with edge replication. Returns
+    (h, w, n_comp, samp, qt, padded_planes, mcux, mcuy)."""
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -462,9 +466,6 @@ def encode_jpeg(
     if n_comp == 3:
         qt.append(_scale_q(_Q_CHR, quality))
 
-    enc_dc = [_canonical_codes(*_H_DC_LUM), _canonical_codes(*_H_DC_CHR)]
-    enc_ac = [_canonical_codes(*_H_AC_LUM), _canonical_codes(*_H_AC_CHR)]
-
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -478,6 +479,27 @@ def encode_jpeg(
         pp[ah:, :aw] = pp[ah - 1 : ah, :aw]  # edge replicate
         pp[:, aw:] = pp[:, aw - 1 : aw]
         padded.append(pp)
+    return h, w, n_comp, samp, qt, padded, mcux, mcuy
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) / (H, W, 1) greyscale or (H, W, 3) RGB uint8 -> baseline
+    JFIF bytes (Annex K tables scaled by the libjpeg quality rule).
+    ``subsample`` emits 4:2:0 chroma (2x2 Y blocks per MCU);
+    ``restart_interval`` emits a DRI segment and RSTn markers every N
+    MCUs. Deterministic pure function of its arguments."""
+    h, w, n_comp, samp, qt, padded, mcux, mcuy = _encode_prep(arr, quality, subsample)
+
+    enc_dc = [_canonical_codes(*_H_DC_LUM), _canonical_codes(*_H_DC_CHR)]
+    enc_ac = [_canonical_codes(*_H_AC_LUM), _canonical_codes(*_H_AC_CHR)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
     wtr = _BitWriter()
     pred = [0] * n_comp
@@ -565,6 +587,261 @@ def encode_jpeg(
     return bytes(out)
 
 
+# Progressive AC scans need EOBn symbols ((r << 4) | 0 for r in 1..14),
+# which the Annex K sequential AC tables don't carry. Correctness-only
+# fixed-length table: all 176 possible AC-scan symbols at length 8 —
+# canonical codes 0..175, the all-ones code unused (so 1-padding never
+# decodes), Kraft-valid. Compression is irrelevant here; being able to
+# code EVERY symbol (and thus exercise every decoder path) is the point.
+_H_AC_PROG_SYMS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(16)}
+)
+_H_AC_PROG = ([0] * 7 + [len(_H_AC_PROG_SYMS)] + [0] * 8, _H_AC_PROG_SYMS)
+
+
+class _ProgAC:
+    """Cross-block AC-scan state: the pending EOB run and the correction
+    bits buffered inside it (emitted right after the EOBn symbol — the
+    order the decoder's EOB-run tail consumes them in)."""
+
+    def __init__(self, wtr: _BitWriter, codes: dict) -> None:
+        self.wtr = wtr
+        self.codes = codes
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.codes[r << 4]
+            self.wtr.put(code, length)
+            if r:
+                self.wtr.put(self.eobrun - (1 << r), r)
+            for b in self.corr:
+                self.wtr.put(b, 1)
+        self.eobrun = 0
+        self.corr = []
+
+
+def _emit_ac_first(st: _ProgAC, zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC first pass: point-transformed values
+    (sign * (|v| >> al)), zero-run/magnitude coding, trailing zeros and
+    all-zero blocks joining the cross-block EOB run."""
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        vals.append(-a if v < 0 else a)
+    nz = [i for i, v in enumerate(vals) if v]
+    if not nz:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+        return
+    st.flush_eob()
+    last = nz[-1]
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = st.codes[0xF0]
+            st.wtr.put(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = st.codes[(run << 4) | size]
+        st.wtr.put(code, length)
+        st.wtr.put(bits, size)
+        run = 0
+    if last < se - ss:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush_eob()
+
+
+def _emit_ac_refine(st: _ProgAC, zz, ss: int, se: int, al: int) -> None:
+    """One block of an AC refinement pass (IJG encode_mcu_AC_refine
+    semantics): runs count zero-HISTORY positions; nonzero-history
+    coefficients buffer their bit-al correction bit, flushed right after
+    the next symbol; newly-nonzero (|v| >> al == 1) coefficients emit
+    (run, 1) + sign; trailing state joins the cross-block EOB run."""
+    absv = []
+    sign = []
+    eobpos = -1
+    for i, k in enumerate(range(ss, se + 1)):
+        v = int(zz[k])
+        a = abs(v) >> al
+        absv.append(a)
+        sign.append(v < 0)
+        if a == 1:
+            eobpos = i
+    r = 0
+    pend: list[int] = []
+    for i, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eobpos:
+            st.flush_eob()
+            code, length = st.codes[0xF0]
+            st.wtr.put(code, length)
+            r -= 16
+            for b in pend:
+                st.wtr.put(b, 1)
+            pend = []
+        if a > 1:
+            pend.append(a & 1)
+            continue
+        st.flush_eob()
+        code, length = st.codes[(r << 4) | 1]
+        st.wtr.put(code, length)
+        st.wtr.put(0 if sign[i] else 1, 1)
+        for b in pend:
+            st.wtr.put(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        st.eobrun += 1
+        st.corr.extend(pend)
+        if st.eobrun == 0x7FFF or len(st.corr) > 900:
+            st.flush_eob()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsample: bool = False,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """(H, W[, 1|3]) uint8 -> PROGRESSIVE JFIF bytes (SOF2) with a
+    successive-approximation scan script: interleaved DC first at Al=1,
+    per-band per-component AC first at Al=1, a DC refinement scan, then
+    per-band AC refinement — every Huffman scan kind of T.81 G.2, so a
+    round-trip exercises the whole progressive decoder. Quantization is
+    IDENTICAL to encode_jpeg (same tables, same rounding) and successive
+    approximation is a lossless re-coding of those integers, so
+    decode(progressive) == decode(baseline) EXACTLY at equal arguments.
+    Restart intervals are not emitted (the decoder honors them; corpus
+    files that use them decode fine)."""
+    h, w, n_comp, samp, qt, padded, mcux, mcuy = _encode_prep(arr, quality, subsample)
+    for lo, hi in bands:
+        if not (1 <= lo <= hi <= 63):
+            raise ValueError("bands must tile within 1..63")
+
+    # Quantized zigzag coefficients over the padded MCU grid.
+    qblocks = []
+    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+        t = 0 if ci == 0 else 1
+        qdiv = qt[t].reshape(8, 8)
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = np.zeros((bh, bw, 64), dtype=np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT @ block @ _DCT.T
+                blocks[by, bx] = (
+                    np.round(coef / qdiv).astype(np.int32).reshape(-1)[_ZZ]
+                )
+        qblocks.append(blocks)
+
+    enc_dc = [_canonical_codes(*_H_DC_LUM), _canonical_codes(*_H_DC_CHR)]
+    enc_ac_prog = _canonical_codes(*_H_AC_PROG)
+    # Non-interleaved AC scan grids (padding blocks are never coded).
+    frame_like = {
+        "h": h,
+        "w": w,
+        "hmax": max(s[0] for s in samp),
+        "vmax": max(s[1] for s in samp),
+        "comps": [{"h": sh, "v": sv} for sh, sv in samp],
+    }
+    nids = [_nid(frame_like, ci) for ci in range(n_comp)]
+
+    def dc_first_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = [0] * n_comp
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    t = 0 if ci == 0 else 1
+                    for by in range(sv):
+                        for bx in range(sh):
+                            v = int(qblocks[ci][my * sv + by, mx * sh + bx, 0]) >> al
+                            size, bits = _magnitude(v - pred[ci])
+                            pred[ci] = v
+                            code, length = enc_dc[t][size]
+                            wtr.put(code, length)
+                            wtr.put(bits, size)
+        return wtr.flush()
+
+    def dc_refine_scan(al: int) -> bytes:
+        wtr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            wtr.put(
+                                (int(qblocks[ci][my * sv + by, mx * sh + bx, 0]) >> al)
+                                & 1,
+                                1,
+                            )
+        return wtr.flush()
+
+    def ac_scan(ci: int, lo: int, hi: int, al: int, refine: bool) -> bytes:
+        wtr = _BitWriter()
+        st = _ProgAC(wtr, enc_ac_prog)
+        bh, bw = nids[ci]
+        emit = _emit_ac_refine if refine else _emit_ac_first
+        for by in range(bh):
+            for bx in range(bw):
+                emit(st, qblocks[ci][by, bx], lo, hi, al)
+        st.flush_eob()
+        return wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(scomps: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(scomps)])
+        for cid, dt, at in scomps:
+            body += bytes([cid, (dt << 4) | at])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, t in enumerate(qt):
+        out += seg(0xDB, bytes([tid]) + bytes(int(t.reshape(-1)[i]) for i in _ZZ))
+    comps = b""
+    for ci in range(n_comp):
+        sh, sv = samp[ci]
+        comps += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, n_comp) + comps)
+    out += seg(0xC4, bytes([0x00]) + bytes(_H_DC_LUM[0]) + bytes(_H_DC_LUM[1]))
+    if n_comp == 3:
+        out += seg(0xC4, bytes([0x01]) + bytes(_H_DC_CHR[0]) + bytes(_H_DC_CHR[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(_H_AC_PROG[0]) + bytes(_H_AC_PROG[1]))
+
+    all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)]
+    out += sos(all_comps, 0, 0, 0, 1)
+    out += dc_first_scan(1)
+    for lo, hi in bands:
+        for ci in range(n_comp):
+            out += sos([(ci + 1, 0, 0)], lo, hi, 0, 1)
+            out += ac_scan(ci, lo, hi, 1, refine=False)
+    out += sos(all_comps, 0, 0, 1, 0)
+    out += dc_refine_scan(0)
+    for lo, hi in bands:
+        for ci in range(n_comp):
+            out += sos([(ci + 1, 0, 0)], lo, hi, 1, 0)
+            out += ac_scan(ci, lo, hi, 0, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment reader with FF00 unstuffing; restart markers are
     consumed by ``sync_restart``."""
@@ -641,14 +918,16 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, C) uint8 with C in {1, 3} (RGB for
-    color). Tables and sampling factors come from the file; progressive
-    and arithmetic-coded streams raise ValueError."""
+    """Baseline or progressive JFIF bytes -> (H, W, C) uint8 with C in
+    {1, 3} (RGB for color). Tables and sampling factors come from the
+    file; lossless/hierarchical/arithmetic-coded streams raise
+    ValueError."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    store = None  # progressive: per-component coefficient accumulators
     restart = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -682,29 +961,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit samples supported")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0/1) supported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors beyond 2 unsupported")
+            frame = {
+                "h": fh,
+                "w": fw,
+                "comps": comps,
+                "prog": marker == 0xC2,
+                "hmax": hmax,
+                "vmax": vmax,
+                "mcux": (fw + 8 * hmax - 1) // (8 * hmax),
+                "mcuy": (fh + 8 * vmax - 1) // (8 * vmax),
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only DCT Huffman JPEG (SOF0/1/2) supported")
         elif marker == 0xDD:
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
-            ns = body[0]
-            scan_sel = {}
-            for si in range(ns):
-                cid, tt = body[1 + si * 2 : 3 + si * 2]
-                scan_sel[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(data, pos, frame, scan_sel, qt, huff, restart)
+            if not frame["prog"]:
+                ns = body[0]
+                scan_sel = {}
+                for si in range(ns):
+                    cid, tt = body[1 + si * 2 : 3 + si * 2]
+                    scan_sel[cid] = (tt >> 4, tt & 0x0F)
+                return _decode_scan(data, pos, frame, scan_sel, qt, huff, restart)
+            if store is None:
+                store = [
+                    np.zeros(
+                        (frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64),
+                        dtype=np.int32,
+                    )
+                    for c in frame["comps"]
+                ]
+            pos = _decode_prog_scan(data, pos, body, frame, store, huff, restart)
+    if store is not None:
+        return _reconstruct_progressive(frame, store, qt)
     raise ValueError("no scan data found")
+
+
+def _nid(frame: dict, ci: int) -> tuple[int, int]:
+    """(block rows, block cols) of component ``ci`` in a NON-interleaved
+    scan: ceil of the component's own sample dimensions — smaller than
+    the MCU-padded grid whenever the image ends inside a partial MCU
+    (T.81 A.2.2: single-component scans never code the padding blocks)."""
+    c = frame["comps"][ci]
+    cw = -(-(frame["w"] * c["h"]) // frame["hmax"])
+    ch = -(-(frame["h"] * c["v"]) // frame["vmax"])
+    return -(-ch // 8), -(-cw // 8)
 
 
 def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
@@ -762,6 +1077,11 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    return _assemble(planes, comps, hmax, vmax, h, w)
+
+
+def _assemble(planes, comps, hmax, vmax, h, w) -> np.ndarray:
+    """Upsample subsampled planes, crop to the frame, YCbCr->RGB."""
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -777,6 +1097,201 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
             axis=2,
         )
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(data, pos, body, frame, store, huff, restart) -> int:
+    """Decode ONE progressive scan into the coefficient accumulators and
+    return the position of the next marker. Covers all four Huffman scan
+    kinds of T.81 G.2: DC first (interleaved or single-component), DC
+    refinement (one raw bit per block), AC first per spectral band with
+    EOB-run coding, AC refinement (correction bits over zero-history
+    runs, IJG semantics). Restart intervals reset predictors/EOB runs."""
+    comps = frame["comps"]
+    ns = body[0]
+    sel = []
+    for si in range(ns):
+        cid, tt = body[1 + si * 2 : 3 + si * 2]
+        ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
+        sel.append((ci, tt >> 4, tt & 0x0F))
+    ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
+    ah, al = ahal >> 4, ahal & 0x0F
+    rd = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("bad progressive DC scan (Se != 0)")
+        if ns > 1:
+            # Interleaved DC scan: MCU order over the padded grid.
+            pred = [0] * len(comps)
+            n = 0
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    if restart and n and n % restart == 0:
+                        rd.sync_restart()
+                        pred = [0] * len(comps)
+                    for ci, dc_t, _a in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
+                                if ah == 0:
+                                    size = _huff_decode(rd, huff[(0, dc_t)])
+                                    pred[ci] += _extend(rd.bits(size), size)
+                                    blk[0] = pred[ci] << al
+                                elif rd.bit():
+                                    blk[0] |= 1 << al
+                    n += 1
+        else:
+            ci, dc_t, _a = sel[0]
+            bh, bw = _nid(frame, ci)
+            pred = 0
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and n and n % restart == 0:
+                        rd.sync_restart()
+                        pred = 0
+                    blk = store[ci][by, bx]
+                    if ah == 0:
+                        size = _huff_decode(rd, huff[(0, dc_t)])
+                        pred += _extend(rd.bits(size), size)
+                        blk[0] = pred << al
+                    elif rd.bit():
+                        blk[0] |= 1 << al
+                    n += 1
+    else:
+        if ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band")
+        ci, _d, ac_t = sel[0]
+        atab = huff.get((1, ac_t))
+        if atab is None:
+            raise ValueError("missing Huffman table")
+        bh, bw = _nid(frame, ci)
+        eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and n and n % restart == 0:
+                    rd.sync_restart()
+                    eobrun = 0
+                blk = store[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first(rd, blk, ss, se, al, eobrun, atab)
+                else:
+                    eobrun = _ac_refine(rd, blk, ss, se, al, eobrun, atab)
+                n += 1
+    # Skip any pad bits / trailing restart markers to the next marker.
+    p = max(rd.pos, pos)
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
+def _ac_first(rd, blk, ss, se, al, eobrun, atab) -> int:
+    """AC first pass for one block: values arrive point-transformed
+    (sign * (|coef| >> al)) and are stored shifted back up; an EOBn
+    symbol ends the block and skips the next (2^r - 1 + bits) blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(rd, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC index overflow")
+        blk[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(rd, blk, ss, se, al, eobrun, atab) -> int:
+    """AC successive-approximation refinement for one block (the IJG
+    decode_mcu_AC_refine semantics): runs count ZERO-HISTORY positions
+    only; every nonzero-history coefficient passed over spends one
+    correction bit (set -> magnitude grows by 1 << al, two's-complement
+    bitwise like the C reference); s==1 symbols insert a new +-1<<al
+    coefficient at the end of their run; inside an EOB run the block
+    still spends correction bits on its remaining nonzero history."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(rd, atab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                val = 0  # ZRL: 16 zero-history skips, nothing inserted
+            elif s == 1:
+                val = p1 if rd.bit() else m1
+            else:
+                raise ValueError("bad AC refinement symbol")
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and rd.bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficients (blocks no scan
+    ever touched are all-zero -> flat 128 after level shift) and
+    assemble exactly like the baseline path."""
+    comps = frame["comps"]
+    idt = _DCT.T
+    planes = []
+    for ci, c in enumerate(comps):
+        arr = store[ci]
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("missing quant table")
+        bh, bw = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZZ] = arr[by, bx] * q[_ZZ]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idt @ coef.reshape(8, 8) @ _DCT + 128.0
+                )
+        planes.append(plane)
+    return _assemble(
+        planes, comps, frame["hmax"], frame["vmax"], frame["h"], frame["w"]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -312,3 +312,47 @@ def test_strict_video_real_decode_without_libraries(spark):
     )
     with pytest.raises(Exception):
         sample_frames(bad, decoder="strict").collect()
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """decode(encode_jpeg_progressive(x)) == decode(encode_jpeg(x))
+    EXACTLY: quantization is shared and successive approximation
+    re-codes the same integers losslessly, so ANY pixel difference is a
+    codec bug. Cases cover grey/color, odd dims, 1x1, 4:2:0, flat images
+    (cross-block EOB runs with r>0 extension bits), sparse spikes (ZRL
+    in first and refinement passes), noise at low quality, and 1/2/3
+    spectral-selection bands."""
+    rng = np.random.default_rng(7)
+    flat = np.full((64, 64, 3), 130, dtype=np.uint8)
+    sparse = np.full((48, 56), 128, dtype=np.uint8)
+    sparse[::13, ::11] = 255
+    cases = [
+        (_smooth(8, 8, 1), 80, False),
+        (_smooth(9, 17, 3), 80, False),
+        (_smooth(23, 31, 3), 60, True),
+        (_smooth(1, 1, 1), 90, False),
+        (rng.integers(0, 256, (16, 24, 3), dtype=np.uint8), 30, True),
+        (flat, 5, False),
+        (sparse, 85, False),
+        (rng.integers(0, 256, (40, 40, 3), dtype=np.uint8), 15, True),
+    ]
+    for img, q, sub in cases:
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q, subsample=sub))
+        for bands in (((1, 63),), ((1, 5), (6, 63)), ((1, 2), (3, 9), (10, 63))):
+            prog_bytes = codecs.encode_jpeg_progressive(
+                img, quality=q, subsample=sub, bands=bands
+            )
+            assert codecs.is_jpeg(prog_bytes)
+            prog = codecs.decode_jpeg(prog_bytes)
+            assert np.array_equal(prog, base), (img.shape, q, sub, bands)
+
+
+def test_progressive_rejects_bad_bands_and_malformed_scans():
+    img = _smooth(8, 8, 1)
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg_progressive(img, bands=((0, 63),))
+    with pytest.raises(ValueError):
+        codecs.encode_jpeg_progressive(img, bands=((5, 1),))
+    # SOF0 stream relabeled SOF2: its SOS (Ss=0, Se=63) is an invalid
+    # progressive DC scan — still a ValueError, as the rejection test
+    # above pins for the mutant.
