@@ -205,8 +205,9 @@ def resize_images(
             arr = codecs.decode_png(content)
             return codecs.encode_png(codecs.resize_nearest(arr, width, height))
         if codecs.is_jpeg(content or b""):
-            # engine-own JFIF path: real baseline decode -> nearest
-            # resample -> re-encode (quality 90 keeps thumbnails crisp)
+            # engine-own JFIF path: real decode (baseline OR progressive)
+            # -> nearest resample -> re-encode (quality 90 keeps
+            # thumbnails crisp)
             arr = codecs.decode_jpeg(content)
             return codecs.encode_jpeg(
                 codecs.resize_nearest(arr, width, height), quality=90

@@ -167,3 +167,32 @@ def test_strict_resize_real_png_roundtrip(real_png_assets):
         img = Image.open(io.BytesIO(r["content"]))
         assert img.size == (3, 2)
         assert r["meta"]["w"] == "3" and r["meta"]["h"] == "2"
+
+
+def test_strict_resize_handles_progressive_jpeg(spark):
+    """The strict image path must decode PROGRESSIVE JPEG assets (SOF2)
+    with zero libraries, and — because progressive and baseline share
+    the quantization — resizing a progressive asset must produce the
+    BYTE-IDENTICAL thumbnail of its baseline twin."""
+    import numpy as np
+
+    from sum_spark.functions import codecs
+
+    img = (np.add.outer(np.arange(12), np.arange(20)) % 200).astype(np.uint8)
+    rows = [
+        Row(asset_id=20, modality="image",
+            content=codecs.encode_jpeg(img, quality=85),
+            mime="image/jpeg", meta={}),
+        Row(asset_id=21, modality="image",
+            content=codecs.encode_jpeg_progressive(img, quality=85),
+            mime="image/jpeg", meta={}),
+    ]
+    assets = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    out = {
+        r["asset_id"]: r["content"]
+        for r in M.resize_images(assets, 5, 4, decoder="strict").collect()
+    }
+    assert set(out) == {20, 21}
+    assert out[20] == out[21]
+    decoded = codecs.decode_jpeg(out[21])
+    assert decoded.shape[:2] == (4, 5)
