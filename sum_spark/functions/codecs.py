@@ -727,9 +727,15 @@ def encode_jpeg_progressive(
     Restart intervals are not emitted (the decoder honors them; corpus
     files that use them decode fine)."""
     h, w, n_comp, samp, qt, padded, mcux, mcuy = _encode_prep(arr, quality, subsample)
+    # True tiling check: a gap would silently drop coefficients and
+    # break the decode(progressive) == decode(baseline) guarantee.
+    expect = 1
     for lo, hi in bands:
-        if not (1 <= lo <= hi <= 63):
-            raise ValueError("bands must tile within 1..63")
+        if lo != expect or hi < lo or hi > 63:
+            raise ValueError("bands must tile 1..63 contiguously")
+        expect = hi + 1
+    if expect != 64:
+        raise ValueError("bands must tile 1..63 contiguously")
 
     # Quantized zigzag coefficients over the padded MCU grid.
     qblocks = []
@@ -1111,8 +1117,10 @@ def _decode_prog_scan(data, pos, body, frame, store, huff, restart) -> int:
     sel = []
     for si in range(ns):
         cid, tt = body[1 + si * 2 : 3 + si * 2]
-        ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
-        sel.append((ci, tt >> 4, tt & 0x0F))
+        cis = [i for i, c in enumerate(comps) if c["id"] == cid]
+        if not cis:
+            raise ValueError("scan references a component absent from SOF")
+        sel.append((cis[0], tt >> 4, tt & 0x0F))
     ss, se, ahal = body[1 + ns * 2 : 4 + ns * 2]
     ah, al = ahal >> 4, ahal & 0x0F
     rd = _BitReader(data, pos)
@@ -1130,11 +1138,14 @@ def _decode_prog_scan(data, pos, body, frame, store, huff, restart) -> int:
                         pred = [0] * len(comps)
                     for ci, dc_t, _a in sel:
                         c = comps[ci]
+                        dtab = huff.get((0, dc_t)) if ah == 0 else None
+                        if ah == 0 and dtab is None:
+                            raise ValueError("missing Huffman table")
                         for by in range(c["v"]):
                             for bx in range(c["h"]):
                                 blk = store[ci][my * c["v"] + by, mx * c["h"] + bx]
                                 if ah == 0:
-                                    size = _huff_decode(rd, huff[(0, dc_t)])
+                                    size = _huff_decode(rd, dtab)
                                     pred[ci] += _extend(rd.bits(size), size)
                                     blk[0] = pred[ci] << al
                                 elif rd.bit():
@@ -1142,6 +1153,9 @@ def _decode_prog_scan(data, pos, body, frame, store, huff, restart) -> int:
                     n += 1
         else:
             ci, dc_t, _a = sel[0]
+            dtab = huff.get((0, dc_t)) if ah == 0 else None
+            if ah == 0 and dtab is None:
+                raise ValueError("missing Huffman table")
             bh, bw = _nid(frame, ci)
             pred = 0
             n = 0
@@ -1152,7 +1166,7 @@ def _decode_prog_scan(data, pos, body, frame, store, huff, restart) -> int:
                         pred = 0
                     blk = store[ci][by, bx]
                     if ah == 0:
-                        size = _huff_decode(rd, huff[(0, dc_t)])
+                        size = _huff_decode(rd, dtab)
                         pred += _extend(rd.bits(size), size)
                         blk[0] = pred << al
                     elif rd.bit():

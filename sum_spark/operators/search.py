@@ -365,9 +365,11 @@ def bm25_from_index(
 
 
 def _maint_sub(batch_dir: int | None) -> tuple[str, str]:
-    """(sub-path, write mode) for a maintenance write. ``batch_dir``
-    targets a BATCH-LAID-OUT index (one written by the streaming sinks,
-    or compacted with keep_batch_layout=True): partials land under
+    """(sub-path, write mode) for a maintenance write — the ONE place
+    the batch-layout rule lives (similarity.py's index maintenance
+    imports it). ``batch_dir`` targets a BATCH-LAID-OUT index (one
+    written by the streaming sinks, or compacted with
+    keep_batch_layout=True): partials land under
     ``batch_id=<batch_dir>`` so every parquet leaf stays at the same
     depth (flat and batch layouts must never mix — the read fails).
     Use a NEGATIVE id unique to the operation: stream checkpoints only
@@ -377,6 +379,44 @@ def _maint_sub(batch_dir: int | None) -> tuple[str, str]:
     if batch_dir is None:
         return "", "append"
     return f"/batch_id={int(batch_dir)}", "overwrite"
+
+
+def _batch_fold_sub(scan_dir: str, checkpoint: str | None) -> str:
+    """The ``/batch_id=<fold id>`` sub-path a keep_batch_layout
+    compaction folds into: the highest batch id present under
+    ``scan_dir``. SAFETY: folding a batch the stream has WRITTEN but not
+    yet COMMITTED is silent data loss — on resume the checkpoint
+    redelivers that batch and the sink's idempotent overwrite replaces
+    the folded directory with one micro-batch's rows. At most the
+    highest-id batch can be in that state (commits are sequential), so
+    when ``checkpoint`` is given, the sink's commit log
+    (``<checkpoint>/commits``) is consulted and the compaction REFUSES
+    if any on-disk id exceeds the last committed one — resume the
+    stream (it re-runs and commits that batch), stop cleanly, compact
+    again. Without ``checkpoint`` the caller owns the guarantee that
+    the stream terminated cleanly (an availableNow query that returned
+    from awaitTermination has committed every batch it wrote)."""
+    import os
+
+    ids = [
+        int(n.split("=", 1)[1])
+        for n in os.listdir(scan_dir)
+        if n.startswith("batch_id=")
+    ]
+    if checkpoint is not None:
+        commits_dir = os.path.join(checkpoint, "commits")
+        committed = [
+            int(n) for n in os.listdir(commits_dir) if n.isdigit()
+        ] if os.path.isdir(commits_dir) else []
+        top = max(committed, default=-1)
+        pending = [i for i in ids if i > top]
+        if pending:
+            raise ValueError(
+                f"batch dirs {sorted(pending)} are newer than the last "
+                f"committed micro-batch ({top}): the stream stopped "
+                "mid-batch; resume it to commit, stop cleanly, then compact"
+            )
+    return f"/batch_id={max(ids, default=0)}"
 
 
 def append_to_inverted_index(
@@ -467,7 +507,11 @@ def _finish_index_swap(path: str, tmp: str) -> None:
 
 
 def compact_inverted_index(
-    spark, path: str, n_buckets: int = II_BUCKETS, keep_batch_layout: bool = False
+    spark,
+    path: str,
+    n_buckets: int = II_BUCKETS,
+    keep_batch_layout: bool = False,
+    checkpoint: str | None = None,
 ) -> dict:
     """Fold an index's accumulated partials into canonical base files —
     the background compaction retire_from_inverted_index's contract
@@ -496,11 +540,15 @@ def compact_inverted_index(
       maintenance (plain retire/append). The stream must NOT resume on
       this path afterwards.
     - ``keep_batch_layout=True``: fold everything into
-      ``batch_id=<max committed id>`` (the compact_batches id rule —
-      a restarted checkpoint only commits strictly higher ids, so no
-      collision), manual-maintenance dirs (negative ids) included. The
-      stream CAN resume, and snapshot retirements/appends target the
-      batch layout via their ``batch_dir`` (negative id) parameter.
+      ``batch_id=<max id>``, manual-maintenance dirs (negative ids)
+      included. The stream CAN resume — a restarted checkpoint only
+      redelivers batches it never COMMITTED, so pass the stream's
+      ``checkpoint`` and the compaction refuses if the stream stopped
+      mid-batch (folding an uncommitted batch would be silently
+      overwritten by its redelivery — see _batch_fold_sub); without it
+      the caller owns the clean-termination guarantee. Snapshot
+      retirements/appends target the batch layout via their
+      ``batch_dir`` (negative id) parameter.
 
     Run OFFLINE (no concurrent writer). Crash-safe the same way as
     streaming/compact.compact_batches: the netted frames land under
@@ -523,7 +571,9 @@ def compact_inverted_index(
     elif os.path.isdir(tmp):
         shutil.rmtree(tmp)  # incomplete earlier attempt; merged data not
         # yet durable, old partials untouched — safe to redo from scratch
-        return compact_inverted_index(spark, path, n_buckets, keep_batch_layout)
+        return compact_inverted_index(
+            spark, path, n_buckets, keep_batch_layout, checkpoint
+        )
     else:
         drop = ["batch_id", "bucket"]
         raw_p = spark.read.parquet(f"{path}/postings")
@@ -548,14 +598,19 @@ def compact_inverted_index(
             F.sum("n").cast("long").alias("n"),
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
-        sub = ""
-        if keep_batch_layout:
-            ids = [
-                int(n.split("=", 1)[1])
-                for n in os.listdir(f"{path}/postings")
-                if n.startswith("batch_id=")
-            ]
-            sub = f"/batch_id={max(ids, default=0)}"
+        sub = (
+            _batch_fold_sub(f"{path}/postings", checkpoint)
+            if keep_batch_layout
+            else ""
+        )
+        if not postings.head(1):
+            # An all-retired index nets to nothing; the swap would strand
+            # an unreadable empty layout. Deleting the index is the
+            # caller's explicit move, never a compaction side effect.
+            raise ValueError(
+                "index nets to empty — nothing to compact; delete the "
+                "index directory instead"
+            )
         _write_index_frames(postings, terms, meta, tmp, n_buckets, "overwrite", sub)
         with open(done, "w") as fh:
             fh.write("1")

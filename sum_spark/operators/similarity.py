@@ -203,9 +203,9 @@ def append_to_ivf_index(
     id uniqueness among LIVE rows; pass the same attr_cols the index was
     built with. ``batch_dir`` (negative, per-operation) targets a
     batch-laid-out index — see append_to_pq_index."""
-    sub, mode = ("", "append") if batch_dir is None else (
-        f"/batch_id={int(batch_dir)}", "overwrite"
-    )
+    from sum_spark.operators.search import _maint_sub
+
+    sub, mode = _maint_sub(batch_dir)
     new_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
@@ -232,9 +232,9 @@ def retire_from_ivf_index(
     row even across buckets. compact_ivf_index folds tombstones into
     base files offline. ``batch_dir`` targets a batch-laid-out index —
     see append_to_pq_index."""
-    sub, mode = ("", "append") if batch_dir is None else (
-        f"/batch_id={int(batch_dir)}", "overwrite"
-    )
+    from sum_spark.operators.search import _maint_sub
+
+    sub, mode = _maint_sub(batch_dir)
     old_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(-1)).write.partitionBy("bucket").parquet(
@@ -789,9 +789,9 @@ def append_to_pq_index(
     flat and batch layouts must never mix, the read fails. Stream
     checkpoints only commit ids >= 0, so negative ids never collide;
     overwrite mode makes re-running the same operation idempotent."""
-    sub, mode = ("", "append") if batch_dir is None else (
-        f"/batch_id={int(batch_dir)}", "overwrite"
-    )
+    from sum_spark.operators.search import _maint_sub
+
+    sub, mode = _maint_sub(batch_dir)
     (
         _encode_with_stored_book(new_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(1))
@@ -822,9 +822,9 @@ def retire_from_pq_index(
     corpus is never re-read; compact_pq_index folds tombstones into
     base files offline without changing any search result. ``batch_dir``
     targets a batch-laid-out index (see append_to_pq_index)."""
-    sub, mode = ("", "append") if batch_dir is None else (
-        f"/batch_id={int(batch_dir)}", "overwrite"
-    )
+    from sum_spark.operators.search import _maint_sub
+
+    sub, mode = _maint_sub(batch_dir)
     (
         _encode_with_stored_book(old_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(-1))
@@ -858,7 +858,11 @@ def pq_index_rows(spark, path: str, id_col: str = "id") -> DataFrame:
 
 
 def compact_pq_index(
-    spark, path: str, id_col: str = "id", keep_batch_layout: bool = False
+    spark,
+    path: str,
+    id_col: str = "id",
+    keep_batch_layout: bool = False,
+    checkpoint: str | None = None,
 ) -> dict:
     """Fold a PQ index's accumulated append/retire partials into base
     files: materializes exactly pq_index_rows' netting (w summed per
@@ -873,26 +877,28 @@ def compact_pq_index(
     the swap (delete old ``coarse=*`` dirs, COPY the compacted ones in,
     drop the staging dir last) is idempotent, so a re-run after a crash
     at any point just replays it. ``keep_batch_layout=True`` folds a
-    batch-laid-out (stream-grown) index into ``batch_id=<max committed
-    id>`` instead of flattening, so the stream can RESUME afterwards
-    (the compact_batches id rule: a restarted checkpoint only commits
-    strictly higher ids) — flat and batch layouts must never mix under
-    one root, the read fails. Returns {"n_rows"} of the compacted
-    index."""
-    import os
+    batch-laid-out (stream-grown) index into ``batch_id=<max id>``
+    instead of flattening, so the stream can RESUME afterwards; pass
+    the stream's ``checkpoint`` and the compaction refuses if the
+    stream stopped mid-batch (folding an uncommitted batch would be
+    silently overwritten by its redelivery — search._batch_fold_sub) —
+    without it the caller owns the clean-termination guarantee. Flat
+    and batch layouts must never mix under one root, the read fails.
+    An index whose rows all net out refuses to compact rather than
+    stranding an unreadable empty layout. Returns {"n_rows"} of the
+    compacted index."""
+    from sum_spark.operators.search import _batch_fold_sub
 
     def _write(staged: str) -> None:
-        sub = ""
-        if keep_batch_layout:
-            ids = [
-                int(n.split("=", 1)[1])
-                for n in os.listdir(path)
-                if n.startswith("batch_id=")
-            ]
-            sub = f"/batch_id={max(ids, default=0)}"
+        sub = _batch_fold_sub(path, checkpoint) if keep_batch_layout else ""
+        netted = pq_index_rows(spark, path, id_col)
+        if not netted.head(1):
+            raise ValueError(
+                "index nets to empty — nothing to compact; delete the "
+                "index directory instead"
+            )
         (
-            pq_index_rows(spark, path, id_col)
-            .withColumn("w", F.lit(1))
+            netted.withColumn("w", F.lit(1))
             .write.partitionBy("coarse")
             .parquet(staged + sub, mode="overwrite")
         )
@@ -938,27 +944,28 @@ def _stage_and_swap(path: str, write_staged, delete_prefixes: tuple[str, ...]) -
     shutil.rmtree(tmp)
 
 
-def compact_ivf_index(spark, path: str, keep_batch_layout: bool = False) -> dict:
+def compact_ivf_index(
+    spark, path: str, keep_batch_layout: bool = False, checkpoint: str | None = None
+) -> dict:
     """compact_pq_index for the raw-vector IVF index: materializes
     ivf_index_rows' netting back into the canonical bucket-partitioned
     layout (w reset to +1), crash-safe via the same staged idempotent
-    swap; ``keep_batch_layout`` as in compact_pq_index. Search results
-    unchanged; file count and per-query netting work shrink. Run
-    OFFLINE. Returns {"n_rows"}."""
-    import os
+    swap; ``keep_batch_layout``/``checkpoint`` and the all-netted-out
+    refusal as in compact_pq_index. Search results unchanged; file
+    count and per-query netting work shrink. Run OFFLINE. Returns
+    {"n_rows"}."""
+    from sum_spark.operators.search import _batch_fold_sub
 
     def _write(staged: str) -> None:
-        sub = ""
-        if keep_batch_layout:
-            ids = [
-                int(n.split("=", 1)[1])
-                for n in os.listdir(path)
-                if n.startswith("batch_id=")
-            ]
-            sub = f"/batch_id={max(ids, default=0)}"
+        sub = _batch_fold_sub(path, checkpoint) if keep_batch_layout else ""
+        netted = ivf_index_rows(spark, path)
+        if not netted.head(1):
+            raise ValueError(
+                "index nets to empty — nothing to compact; delete the "
+                "index directory instead"
+            )
         (
-            ivf_index_rows(spark, path)
-            .withColumn("w", F.lit(1))
+            netted.withColumn("w", F.lit(1))
             .write.partitionBy("bucket")
             .parquet(staged + sub, mode="overwrite")
         )

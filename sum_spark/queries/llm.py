@@ -662,16 +662,13 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'incr': the stored index is maintained incrementally — snapshot A,
     # O(delta) append, deletion-as-negation retire — and serves from the
     # netted live view. Codebook trained on the FULL corpus with the
-    # exact knn_ivfpq recipe so the oracle's ka/kc CTEs reproduce it.
-    from sum_spark.operators.clustering import (
-        _centroids_from_sums,
-        centroid_sums,
-        hash_init_assign,
-    )
+    # canonical knn_ivfpq recipe (train_pq_codebook — ONE implementation)
+    # so the oracle's ka/kc CTEs reproduce it.
     from sum_spark.operators.similarity import (
         append_to_pq_index,
         knn_ivfpq_from_index,
         retire_from_pq_index,
+        train_pq_codebook,
         write_pq_index,
     )
 
@@ -681,10 +678,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _shutil
 
         _shutil.rmtree(incr_path, ignore_errors=True)
-        init = hash_init_assign(emb, 8, "vec_id")
-        book = _centroids_from_sums(
-            centroid_sums(init, "cluster", "embedding", 6).collect(), 6
-        )
+        book = train_pq_codebook(emb, 8, id_col="vec_id", vec_col="embedding")
         write_pq_index(
             emb2.where("id % 3 != 0"), incr_path, m=2, n_codes=8, centroids=book
         )

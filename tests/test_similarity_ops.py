@@ -666,3 +666,30 @@ def test_ivf_index_retire_append_compact_full_loop(spark, tmp_path):
     assert not os.path.isdir(os.path.join(p1, "_compacted"))
     assert spark.read.parquet(p1).where("w <= 0").count() == 0
     assert search(p1) == want
+
+
+def test_compact_refuses_fully_netted_out_index(spark, tmp_path):
+    """Retiring EVERYTHING then compacting must refuse (ValueError)
+    rather than swap in an unreadable empty layout — deleting an index
+    is the caller's explicit move, never a compaction side effect. The
+    refusal happens before anything destructive: the index still reads."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        compact_pq_index,
+        pq_index_rows,
+        retire_from_pq_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "idx_all_gone")
+    write_pq_index(corpus, p, m=2, n_codes=4)
+    retire_from_pq_index(corpus, p, m=2)
+    with pytest.raises(ValueError, match="nets to empty"):
+        compact_pq_index(spark, p)
+    # nothing was deleted: the raw partials still read and net to zero
+    assert spark.read.parquet(p).count() == 40
+    assert pq_index_rows(spark, p).count() == 0

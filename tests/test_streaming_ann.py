@@ -131,7 +131,17 @@ def test_streaming_index_vectors_full_lifecycle(spark, tmp_path):
     survivors1 = wave1.where("vec_id % 7 != 5")
     assert from_idx() == inflight(survivors1)
 
-    stats = compact_pq_index(spark, idx, keep_batch_layout=True)
+    # uncommitted-batch guard: a batch dir newer than the checkpoint's
+    # last commit means the stream died mid-batch — folding it would be
+    # silently overwritten by its redelivery, so compaction must refuse
+    import pytest
+
+    os.makedirs(os.path.join(idx, "batch_id=999"))
+    with pytest.raises(ValueError, match="committed"):
+        compact_pq_index(spark, idx, keep_batch_layout=True, checkpoint=ck)
+    os.rmdir(os.path.join(idx, "batch_id=999"))
+
+    stats = compact_pq_index(spark, idx, keep_batch_layout=True, checkpoint=ck)
     assert stats["n_rows"] == survivors1.count()
     batch_dirs = [n for n in os.listdir(idx) if n.startswith("batch_id=")]
     assert len(batch_dirs) == 1 and not any(

@@ -127,7 +127,7 @@ def test_stream_index_retire_compact_resume(spark, sf_smoke, tmp_path):
     survivors1 = wave1.where(F.col("doc_id") % 6 != 0)
     assert q(idx) == sorted(map(tuple, bm25_search(survivors1, TERMS, k=10).collect()))
 
-    stats = _compact(spark, idx, keep_batch_layout=True)
+    stats = _compact(spark, idx, keep_batch_layout=True, checkpoint=ck)
     assert stats["n_docs"] == survivors1.count()
     post_dirs = os.listdir(f"{idx}/postings")
     assert all(d.startswith("batch_id=") or d.startswith("_") for d in post_dirs)
