@@ -715,6 +715,7 @@ def encode_jpeg_progressive(
     quality: int = 75,
     subsample: bool = False,
     bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W[, 1|3]) uint8 -> PROGRESSIVE JFIF bytes (SOF2) with a
     successive-approximation scan script: interleaved DC first at Al=1,
@@ -724,8 +725,10 @@ def encode_jpeg_progressive(
     IDENTICAL to encode_jpeg (same tables, same rounding) and successive
     approximation is a lossless re-coding of those integers, so
     decode(progressive) == decode(baseline) EXACTLY at equal arguments.
-    Restart intervals are not emitted (the decoder honors them; corpus
-    files that use them decode fine)."""
+    ``restart_interval`` emits a DRI segment and RSTn markers every N
+    units in EVERY scan (T.81: the unit is an MCU in interleaved DC
+    scans, a block in single-component scans) — predictors, EOB runs,
+    and buffered correction bits never cross a restart."""
     h, w, n_comp, samp, qt, padded, mcux, mcuy = _encode_prep(arr, quality, subsample)
     # True tiling check: a gap would silently drop coefficients and
     # break the decode(progressive) == decode(baseline) guarantee.
@@ -765,11 +768,27 @@ def encode_jpeg_progressive(
     }
     nids = [_nid(frame_like, ci) for ci in range(n_comp)]
 
+    rst_n = [0]
+
+    def _restart(wtr: _BitWriter, unit: int) -> bool:
+        """Emit a RSTn boundary before unit ``unit`` when due (mirrors
+        the decoder's ``n and n % restart == 0`` check)."""
+        if restart_interval and unit and unit % restart_interval == 0:
+            wtr.align()
+            wtr.out += bytes([0xFF, 0xD0 + rst_n[0]])
+            rst_n[0] = (rst_n[0] + 1) % 8
+            return True
+        return False
+
     def dc_first_scan(al: int) -> bytes:
         wtr = _BitWriter()
+        rst_n[0] = 0
         pred = [0] * n_comp
+        n = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if _restart(wtr, n):
+                    pred = [0] * n_comp
                 for ci, (sh, sv) in enumerate(samp):
                     t = 0 if ci == 0 else 1
                     for by in range(sv):
@@ -780,12 +799,16 @@ def encode_jpeg_progressive(
                             code, length = enc_dc[t][size]
                             wtr.put(code, length)
                             wtr.put(bits, size)
+                n += 1
         return wtr.flush()
 
     def dc_refine_scan(al: int) -> bytes:
         wtr = _BitWriter()
+        rst_n[0] = 0
+        n = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                _restart(wtr, n)
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):
@@ -794,16 +817,24 @@ def encode_jpeg_progressive(
                                 & 1,
                                 1,
                             )
+                n += 1
         return wtr.flush()
 
     def ac_scan(ci: int, lo: int, hi: int, al: int, refine: bool) -> bytes:
         wtr = _BitWriter()
+        rst_n[0] = 0
         st = _ProgAC(wtr, enc_ac_prog)
         bh, bw = nids[ci]
         emit = _emit_ac_refine if refine else _emit_ac_first
+        n = 0
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and n and n % restart_interval == 0:
+                    # pending EOB run / correction bits must not cross
+                    st.flush_eob()
+                    _restart(wtr, n)
                 emit(st, qblocks[ci][by, bx], lo, hi, al)
+                n += 1
         st.flush_eob()
         return wtr.flush()
 
@@ -830,6 +861,8 @@ def encode_jpeg_progressive(
     if n_comp == 3:
         out += seg(0xC4, bytes([0x01]) + bytes(_H_DC_CHR[0]) + bytes(_H_DC_CHR[1]))
     out += seg(0xC4, bytes([0x10]) + bytes(_H_AC_PROG[0]) + bytes(_H_AC_PROG[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     all_comps = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)]
     out += sos(all_comps, 0, 0, 0, 1)

@@ -356,3 +356,24 @@ def test_progressive_rejects_bad_bands_and_malformed_scans():
     # SOF0 stream relabeled SOF2: its SOS (Ss=0, Se=63) is an invalid
     # progressive DC scan — still a ValueError, as the rejection test
     # above pins for the mutant.
+
+
+def test_progressive_restart_intervals_roundtrip():
+    """Progressive scans with DRI/RSTn boundaries (predictors, EOB runs
+    and buffered correction bits reset at every restart, in EVERY scan
+    kind) still decode EXACTLY equal to the baseline decode — including
+    restart_interval=1 (a boundary before every unit)."""
+    rng = np.random.default_rng(11)
+    flat = np.full((64, 64, 3), 130, dtype=np.uint8)
+    sparse = np.full((48, 56), 128, dtype=np.uint8)
+    sparse[::13, ::11] = 255
+    noise = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    for img, q, sub in ((flat, 75, True), (sparse, 85, False), (noise, 20, True)):
+        base = codecs.decode_jpeg(codecs.encode_jpeg(img, quality=q, subsample=sub))
+        for ri in (1, 2, 7):
+            prog = codecs.decode_jpeg(
+                codecs.encode_jpeg_progressive(
+                    img, quality=q, subsample=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(prog, base), (img.shape, q, sub, ri)
