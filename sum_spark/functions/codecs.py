@@ -23,10 +23,35 @@ depend on — and run inside Arrow batches on executors (numpy only).
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
+
+
+def _decode_guard(fn):
+    """Decoders consume UNTRUSTED corpus bytes: any parse-level escape —
+    IndexError from truncated tables/segments, KeyError from dangling
+    table ids, OverflowError from corrupt coefficients overflowing the
+    int32 cells, struct.error from short headers, zlib.error from
+    corrupt deflate streams — is a MALFORMED-INPUT condition and
+    surfaces as the documented ValueError, never an unclassified crash
+    in an executor decoding a 100 TB crawl (fuzz-tested in
+    test_codecs). ValueError and the codec-missing NotImplementedError
+    pass through untouched."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (IndexError, KeyError, OverflowError, struct.error, zlib.error) as e:
+            raise ValueError(
+                f"malformed input to {fn.__name__}: {type(e).__name__}"
+            ) from e
+
+    return wrapped
+
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -49,6 +74,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_decode_guard
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (height, width, channels) uint8 array."""
     if not is_png(data):
@@ -189,6 +215,7 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+@_decode_guard
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (float32 mono samples in [-1, 1], sample rate).
     Stdlib ``wave`` handles the RIFF parsing; 8/16/32-bit PCM."""
@@ -197,11 +224,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
 
     if not is_wav(data):
         raise ValueError("not a WAV (bad RIFF header)")
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        n_ch = wf.getnchannels()
-        rate = wf.getframerate()
-        depth = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
+    try:
+        # Bounded to the STDLIB parse only: wave/chunk raise wave.Error,
+        # EOFError, and RuntimeError on corrupt containers — all
+        # malformed-input conditions here (the module-wide _decode_guard
+        # deliberately excludes RuntimeError to avoid masking real bugs
+        # in our own code).
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            n_ch = wf.getnchannels()
+            rate = wf.getframerate()
+            depth = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        raise ValueError(f"malformed WAV: {type(e).__name__}") from e
     if depth == 1:  # unsigned 8-bit
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float32)
         samples = (samples - 128.0) / 128.0
@@ -956,6 +991,7 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+@_decode_guard
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline or progressive JFIF bytes -> (H, W, C) uint8 with C in
     {1, 3} (RGB for color). Tables and sampling factors come from the
@@ -1376,6 +1412,7 @@ def _riff_chunks(data: bytes, start: int, end: int):
         pos = body0 + size + (size & 1)  # chunks pad to even
 
 
+@_decode_guard
 def decode_avi_frames(data: bytes) -> list[np.ndarray]:
     """MJPEG AVI bytes -> list of decoded (H, W, C) uint8 frames.
     Frames live in '00dc' (stream-0 compressed) chunks; each payload is

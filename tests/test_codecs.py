@@ -377,3 +377,50 @@ def test_progressive_restart_intervals_roundtrip():
                 )
             )
             assert np.array_equal(prog, base), (img.shape, q, sub, ri)
+
+
+def test_decoders_never_escape_valueerror_on_corrupt_bytes():
+    """Decoders consume untrusted corpus bytes: under byte flips,
+    truncation, and zeroed spans, every decoder must raise the
+    documented ValueError (or NotImplementedError) — never KeyError /
+    IndexError / OverflowError / stdlib parser errors, which would
+    surface as unclassified executor crashes at corpus scale. Seeded,
+    bounded replica of the 10k-mutation fuzz that drove _decode_guard."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8) for _ in range(2)]
+    wbuf = io.BytesIO()
+    with wave.open(wbuf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(rng.integers(-1000, 1000, 500).astype("<i2").tobytes())
+    streams = [
+        (codecs.decode_jpeg, codecs.encode_jpeg(img, 60, True, 3)),
+        (codecs.decode_jpeg, codecs.encode_jpeg_progressive(
+            img, 60, True, restart_interval=3)),
+        (codecs.decode_png, codecs.encode_png(grey)),
+        (codecs.decode_wav, wbuf.getvalue()),
+        (codecs.decode_avi_frames, codecs.encode_avi_mjpeg(frames)),
+    ]
+    for dec, good in streams:
+        g = bytearray(good)
+        for trial in range(240):
+            data = bytearray(g)
+            kind = trial % 3
+            if kind == 0:
+                i = int(rng.integers(2, len(data)))
+                data[i] ^= int(rng.integers(1, 256))
+            elif kind == 1:
+                data = data[: int(rng.integers(4, len(data)))]
+            else:
+                i = int(rng.integers(2, max(3, len(data) - 4)))
+                data[i : i + 4] = b"\x00\x00\x00\x00"
+            try:
+                dec(bytes(data))
+            except (ValueError, NotImplementedError):
+                pass
