@@ -424,3 +424,64 @@ def test_decoders_never_escape_valueerror_on_corrupt_bytes():
                 dec(bytes(data))
             except (ValueError, NotImplementedError):
                 pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @st.composite
+    def _band_split(draw):
+        """A random contiguous tiling of 1..63."""
+        cuts = sorted(
+            draw(
+                st.lists(
+                    st.integers(min_value=2, max_value=63),
+                    max_size=3,
+                    unique=True,
+                )
+            )
+        )
+        edges = [1] + cuts + [64]
+        return tuple((edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1))
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=24),
+        w=st.integers(min_value=1, max_value=24),
+        color=st.booleans(),
+        sub=st.booleans(),
+        quality=st.integers(min_value=3, max_value=97),
+        bands=_band_split(),
+        restart=st.sampled_from([0, 1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def test_progressive_equals_baseline_property(
+        h, w, color, sub, quality, bands, restart, seed
+    ):
+        """For ARBITRARY content/size/quality/band-split/restart, the
+        progressive round-trip equals the baseline round-trip exactly —
+        the invariant that makes the whole successive-approximation
+        implementation checkable without a reference decoder."""
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if color else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = codecs.decode_jpeg(
+            codecs.encode_jpeg(img, quality=quality, subsample=sub)
+        )
+        prog = codecs.decode_jpeg(
+            codecs.encode_jpeg_progressive(
+                img,
+                quality=quality,
+                subsample=sub,
+                bands=bands,
+                restart_interval=restart,
+            )
+        )
+        assert np.array_equal(prog, base)
