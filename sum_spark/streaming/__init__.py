@@ -1,4 +1,9 @@
-from sum_spark.streaming.ann import read_embedding_stream, streaming_ann_scores
+from sum_spark.streaming.ann import (
+    read_embedding_stream,
+    streaming_ann_scores,
+    streaming_index_vectors,
+)
+from sum_spark.streaming.search import streaming_index_documents
 from sum_spark.streaming.joins import (
     enrich_stream,
     make_parquet_batch_sink,
@@ -19,6 +24,8 @@ __all__ = [
     "dedup_events",
     "read_embedding_stream",
     "streaming_ann_scores",
+    "streaming_index_documents",
+    "streaming_index_vectors",
     "enrich_stream",
     "make_parquet_batch_sink",
     "purchases_after_signup",
