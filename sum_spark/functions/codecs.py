@@ -459,6 +459,34 @@ def _scale_q(table: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
 
 
+def _quantize_plane(p: np.ndarray, qdiv: np.ndarray) -> np.ndarray:
+    """(H, W) padded float plane -> (H//8, W//8, 64) int32 ZIGZAG-ordered
+    quantized DCT coefficients — every block in one batched matmul pass
+    (the per-block Python loop was the encoder's hot spot on real
+    corpus images). ``qdiv`` is the (8, 8) natural-order quant table."""
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0).reshape(
+        -1, 8, 8
+    )
+    coef = np.matmul(_DCT, np.matmul(blocks, _DCT.T))
+    qz = np.round(coef / qdiv).astype(np.int32).reshape(bh, bw, 64)
+    return qz[:, :, _ZZ]
+
+
+def _idct_plane(zz: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(bh, bw, 64) int32 zigzag coefficients + natural-order flat quant
+    table -> (bh*8, bw*8) float plane (level-shifted) — the decoder-side
+    batched twin of _quantize_plane, shared by the baseline and
+    progressive reconstruction paths."""
+    bh, bw = zz.shape[0], zz.shape[1]
+    nat = np.zeros((bh * bw, 64), dtype=np.float64)
+    nat[:, _ZZ] = zz.reshape(-1, 64) * q[_ZZ]
+    blocks = np.matmul(_DCT.T, np.matmul(nat.reshape(-1, 8, 8), _DCT)) + 128.0
+    return (
+        blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )
+
+
 def _box_half(p: np.ndarray) -> np.ndarray:
     """2x2 box-average downsample with edge replication for odd dims."""
     h, w = p.shape
@@ -540,13 +568,14 @@ def encode_jpeg(
     pred = [0] * n_comp
     mcu_count = 0
     rst = 0
+    qarrs = [
+        _quantize_plane(p, qt[0 if ci == 0 else 1].reshape(8, 8))
+        for ci, p in enumerate(padded)
+    ]
 
     def emit_block(ci: int, y0: int, x0: int) -> None:
         t = 0 if ci == 0 else 1
-        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-        coef = _DCT @ block @ _DCT.T
-        q = np.round(coef / qt[t].reshape(8, 8)).astype(np.int32)
-        zz = q.reshape(-1)[_ZZ]
+        zz = qarrs[ci][y0 // 8, x0 // 8]
         diff = int(zz[0]) - pred[ci]
         pred[ci] = int(zz[0])
         size, bits = _magnitude(diff)
@@ -775,21 +804,13 @@ def encode_jpeg_progressive(
     if expect != 64:
         raise ValueError("bands must tile 1..63 contiguously")
 
-    # Quantized zigzag coefficients over the padded MCU grid.
-    qblocks = []
-    for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
-        t = 0 if ci == 0 else 1
-        qdiv = qt[t].reshape(8, 8)
-        bh, bw = p.shape[0] // 8, p.shape[1] // 8
-        blocks = np.zeros((bh, bw, 64), dtype=np.int32)
-        for by in range(bh):
-            for bx in range(bw):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _DCT @ block @ _DCT.T
-                blocks[by, bx] = (
-                    np.round(coef / qdiv).astype(np.int32).reshape(-1)[_ZZ]
-                )
-        qblocks.append(blocks)
+    # Quantized zigzag coefficients over the padded MCU grid — the same
+    # batched pass the baseline encoder uses, so the two encoders share
+    # quantization EXACTLY (the decode-equality guarantee rests on it).
+    qblocks = [
+        _quantize_plane(p, qt[0 if ci == 0 else 1].reshape(8, 8))
+        for ci, p in enumerate(padded)
+    ]
 
     enc_dc = [_canonical_codes(*_H_DC_LUM), _canonical_codes(*_H_DC_CHR)]
     enc_ac_prog = _canonical_codes(*_H_AC_PROG)
@@ -918,7 +939,10 @@ def encode_jpeg_progressive(
 
 class _BitReader:
     """Entropy-segment reader with FF00 unstuffing; restart markers are
-    consumed by ``sync_restart``."""
+    consumed by ``sync_restart``. The accumulator is MASKED to the live
+    bits on every refill — without that it silently grows into a
+    scan-length bignum whose every shift costs O(bits consumed so far),
+    turning megapixel decodes quadratic."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -928,6 +952,7 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        self.acc &= (1 << self.nbits) - 1  # drop consumed high bits
         while self.nbits <= 24:
             if self.pos >= len(d):
                 raise ValueError("truncated JPEG scan")
@@ -957,10 +982,25 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
+        # Chunk reads wider than the refill window: valid streams never
+        # exceed 16, but a CORRUPT Huffman table can hand the scan loop a
+        # size symbol up to 255 — an unchunked wait-for-n-bits loop can
+        # then never be satisfied and spins forever (fuzz-caught).
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while n > 16:
+            v = (v << 16) | self.bits(16)
+            n -= 16
+        if n == 0:
+            return v
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        return (v << n) | ((self.acc >> self.nbits) & ((1 << n) - 1))
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
 
     def sync_restart(self) -> None:
         """Discard pad bits and consume the RSTn marker."""
@@ -975,14 +1015,25 @@ class _BitReader:
         raise ValueError("missing restart marker")
 
 
-def _huff_decode(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | rd.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+def _huff_lut(table: dict[tuple[int, int], int]) -> np.ndarray:
+    """16-bit-prefix lookup table for a canonical Huffman code: entry =
+    (symbol << 5) | code length, -1 for invalid prefixes. One array read
+    replaces up to 16 per-bit dict probes per symbol — with the masked
+    accumulator above, this is what makes Python-side entropy decoding
+    usable on real corpus images."""
+    lut = np.full(1 << 16, -1, dtype=np.int32)
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        lut[base : base + (1 << (16 - length))] = (sym << 5) | length
+    return lut
+
+
+def _huff_decode(rd: _BitReader, lut: np.ndarray) -> int:
+    v = int(lut[rd.peek16()])
+    if v < 0:
+        raise ValueError("bad Huffman code")
+    rd.nbits -= v & 31
+    return v >> 5
 
 
 def _extend(v: int, size: int) -> int:
@@ -1034,7 +1085,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17 : i + 17 + n])
-                huff[(cls, tid)] = _decode_table(bits, vals)
+                huff[(cls, tid)] = _huff_lut(_decode_table(bits, vals))
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -1105,13 +1156,15 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
         raise ValueError("sampling factors beyond 2 unsupported")
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+    store = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
         for c in comps
     ]
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("missing quant table")
     rd = _BitReader(data, pos)
     pred = [0] * len(comps)
-    idt = _DCT.T
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -1122,12 +1175,11 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
                 dc_t, ac_t = scan_sel[c["id"]]
                 dtab = huff.get((0, dc_t))
                 atab = huff.get((1, ac_t))
-                q = qt[c["tq"]]
                 if dtab is None or atab is None:
                     raise ValueError("missing Huffman table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
+                        zz = store[ci][my * c["v"] + by, mx * c["h"] + bx]
                         size = _huff_decode(rd, dtab)
                         pred[ci] += _extend(rd.bits(size), size)
                         zz[0] = pred[ci]
@@ -1145,13 +1197,12 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff, restart):
                                 raise ValueError("AC index overflow")
                             zz[k] = _extend(rd.bits(s), s)
                             k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZZ] = zz * q[_ZZ]
-                        block = idt @ coef.reshape(8, 8) @ _DCT + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
             mcu_count += 1
+    # Entropy decoding is inherently sequential; the IDCT is not — all
+    # blocks reconstruct in one batched pass (shared with progressive).
+    planes = [
+        _idct_plane(store[ci], qt[c["tq"]]) for ci, c in enumerate(comps)
+    ]
     return _assemble(planes, comps, hmax, vmax, h, w)
 
 
@@ -1355,23 +1406,12 @@ def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
     ever touched are all-zero -> flat 128 after level shift) and
     assemble exactly like the baseline path."""
     comps = frame["comps"]
-    idt = _DCT.T
     planes = []
     for ci, c in enumerate(comps):
-        arr = store[ci]
         q = qt.get(c["tq"])
         if q is None:
             raise ValueError("missing quant table")
-        bh, bw = arr.shape[0], arr.shape[1]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                coef = np.zeros(64, dtype=np.float64)
-                coef[_ZZ] = arr[by, bx] * q[_ZZ]
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    idt @ coef.reshape(8, 8) @ _DCT + 128.0
-                )
-        planes.append(plane)
+        planes.append(_idct_plane(store[ci], q))
     return _assemble(
         planes, comps, frame["hmax"], frame["vmax"], frame["h"], frame["w"]
     )
