@@ -120,21 +120,28 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = line
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
-        else:  # Sub / Average / Paeth need the reconstructed left pixel
-            cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                x = line[i]
-                if f == 1:
-                    cur[i] = (x + a) & 0xFF
-                elif f == 3:
-                    cur[i] = (x + (a + b) // 2) & 0xFF
-                elif f == 4:
-                    cur[i] = (x + _paeth(int(a), int(b), int(c))) & 0xFF
-                else:
-                    raise ValueError(f"bad filter byte {f}")
+        elif f == 1:  # Sub: a per-channel-lane prefix sum mod 256
+            cur = (np.cumsum(line.reshape(-1, ch), axis=0) & 0xFF).reshape(-1)
+        elif f in (3, 4):
+            # Average/Paeth reconstruct sequentially (each pixel needs
+            # the DECODED left neighbor) — plain-list arithmetic, which
+            # runs several times faster than per-element numpy indexing
+            # on this genuinely serial recurrence.
+            xl = line.tolist()
+            pv = prev.tolist()
+            cl = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = cl[i - ch] if i >= ch else 0
+                    cl[i] = (xl[i] + ((a + pv[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = cl[i - ch] if i >= ch else 0
+                    c = pv[i - ch] if i >= ch else 0
+                    cl[i] = (xl[i] + _paeth(a, pv[i], c)) & 0xFF
+            cur = np.array(cl, dtype=np.int64)
+        else:
+            raise ValueError(f"bad filter byte {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
     return out.reshape(height, width, ch)
