@@ -240,19 +240,50 @@ def retire_from_ivf_index(
     ).withColumn("w", F.lit(-1)).write.partitionBy("bucket").parquet(
         path + sub, mode=mode
     )
+    _mark_tombstones(path)
 
 
-def ivf_index_rows(spark, path: str) -> DataFrame:
+def _tombstone_marker(path: str) -> str:
+    """Marker file recording that a retire ever wrote w=-1 partials to
+    this index (underscore name — invisible to parquet discovery). Its
+    ABSENCE lets the read side skip the netting aggregate entirely
+    (ADVICE r6: a never-retired index's rows are unique +1 partials, so
+    netting is the identity — pay the per-probed-bucket shuffle only
+    once a tombstone actually exists). Written by retire_from_*;
+    removed by compact_* after the fold (every surviving row is back to
+    one +1 partial)."""
+    import os
+
+    return os.path.join(path, "_tombstones")
+
+
+def _mark_tombstones(path: str) -> None:
+    with open(_tombstone_marker(path), "w") as fh:
+        fh.write("1")
+
+
+def ivf_index_rows(
+    spark, path: str, exclude_batch_ids: list[int] | None = None
+) -> DataFrame:
     """The LIVE view of a stored IVF index: rows net per full row
     content (every column except the weight — id, vector, attrs, bucket
     are all grouping keys), keeping positive sums. Probe-bucket and
     attribute predicates are grouping-key filters, so they push below
     the netting aggregate to the parquet scan (PartitionFilters /
-    PushedFilters — plan-tested). Pre-w indexes pass through
-    un-netted."""
+    PushedFilters — plan-tested). Pre-w indexes, and w-indexes no
+    retire ever touched (no tombstone marker), pass through un-netted.
+    ``exclude_batch_ids`` drops whole batch dirs before netting
+    (partition-pruned) — the partial-fold compaction's committed-prefix
+    read; serving reads never exclude."""
+    import os
+
     idx = spark.read.parquet(path)
     if "w" not in idx.columns:
         return idx
+    if exclude_batch_ids and "batch_id" in idx.columns:
+        idx = idx.where(~F.col("batch_id").isin([int(i) for i in exclude_batch_ids]))
+    if not os.path.isfile(_tombstone_marker(path)):
+        return idx.drop("w", "batch_id")
     # batch_id (present on stream-written / batch-laid-out indexes) is
     # bookkeeping, not content: partials for one row may span batch dirs.
     keys = [c for c in idx.columns if c not in ("w", "batch_id")]
@@ -739,6 +770,76 @@ def knn_ivfpq_from_index(
     )
 
 
+def knn_ivfpq_rerank(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    c: int = 100,
+    m: int = 2,
+    id_col: str = "id",
+    vec_col: str = "data",
+    round_to: int | None = None,
+    n_probes: int = 1,
+    adc_round_to: int | None = None,
+) -> DataFrame:
+    """Exact re-ranking over a stored PQ index — the standard two-stage
+    production ANN serve (scan compressed, re-rank few): stage 1 scores
+    the probed coarse lists by m-lookup ADC (knn_ivfpq_from_index) and
+    keeps the top ``c`` candidates per probe; stage 2 fetches ONLY those
+    candidates' RAW vectors from ``corpus`` (the PQ index stores codes,
+    not vectors — that's its point) and re-scores them with exact
+    cosine, returning the true top-``k`` of the candidate set. ADC
+    quantization error is thereby confined to the c-vs-corpus CUT; the
+    returned ordering is exact, so recall@k converges to the probed
+    lists' coverage ceiling as ``c`` grows — the measured curve lives in
+    BASELINE.md's recall table (VERDICT r6 #1; reference analog: the
+    findSimilar full-scan, README.md:147-166, which a 100 TB corpus
+    cannot afford).
+
+    Scale shape: the candidate frame is structurally bounded at
+    |probes| * c * n_probes rows by the stage-1 rank filter (that bound,
+    not a size estimate, justifies the broadcast hint — the
+    is_broadcastable concern applies to unbounded corpus-derived
+    frames); the corpus fetch is then a broadcast-hash join on id — one
+    map-side pass, no shuffle of the corpus — and on an id-bucketed
+    corpus layout it prunes to the candidates' buckets. The final top-k
+    window runs over |probes| * c rows, not the corpus.
+
+    ``adc_round_to`` rounds the stage-1 ADC scores BEFORE the candidate
+    cut (cross-engine-reproducible candidate sets for the oracle);
+    ``round_to`` rounds the exact cosine output. Output:
+    (probe_id, id_col, sim, rank) — sim is true cosine, rank descending
+    by it within the probe's candidate set."""
+    cand = knn_ivfpq_from_index(
+        spark,
+        path,
+        probes,
+        k=c,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=adc_round_to,
+        n_probes=n_probes,
+    ).select("probe_id", id_col)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
+    )
+    sim = cosine(F.col(vec_col), F.col("__pv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(p), "probe_id")
+        .select("probe_id", F.col(id_col), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("probe_id", "rank")
+    )
+
+
 def _encode_with_stored_book(
     records: DataFrame, path: str, m: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -831,9 +932,15 @@ def retire_from_pq_index(
         .write.partitionBy("coarse")
         .parquet(path + sub, mode=mode)
     )
+    _mark_tombstones(path)
 
 
-def pq_index_rows(spark, path: str, id_col: str = "id") -> DataFrame:
+def pq_index_rows(
+    spark,
+    path: str,
+    id_col: str = "id",
+    exclude_batch_ids: list[int] | None = None,
+) -> DataFrame:
     """The LIVE (id, coarse, codes) view of a stored PQ index: rows are
     mergeable partials (build/append write w=+1, retire writes the
     bit-identical row with w=-1), netted here per full row content —
@@ -843,11 +950,21 @@ def pq_index_rows(spark, path: str, id_col: str = "id") -> DataFrame:
     Probe-list predicates applied on top still prune the scan: the
     coarse partition column is a grouping key, so Catalyst pushes the
     filter below the aggregate to the parquet scan (PartitionFilters —
-    plan-tested). Pre-w indexes (no retire ever ran, no w column) pass
-    through un-netted."""
+    plan-tested). Pre-w indexes (no w column), and w-indexes no retire
+    ever touched (no tombstone marker), pass through un-netted — the
+    marker short-circuit that spares a never-retired index the
+    per-query aggregate. ``exclude_batch_ids`` drops whole batch dirs
+    before netting (partition-pruned) — the partial-fold compaction's
+    committed-prefix read; serving reads never exclude."""
+    import os
+
     idx = spark.read.parquet(path)
     if "w" not in idx.columns:
         return idx
+    if exclude_batch_ids and "batch_id" in idx.columns:
+        idx = idx.where(~F.col("batch_id").isin([int(i) for i in exclude_batch_ids]))
+    if not os.path.isfile(_tombstone_marker(path)):
+        return idx.drop("w", "batch_id")
     keys = [c for c in idx.columns if c not in ("w", "batch_id")]
     return (
         idx.groupBy(*keys)
@@ -863,6 +980,7 @@ def compact_pq_index(
     id_col: str = "id",
     keep_batch_layout: bool = False,
     checkpoint: str | None = None,
+    partial: bool = False,
 ) -> dict:
     """Fold a PQ index's accumulated append/retire partials into base
     files: materializes exactly pq_index_rows' netting (w summed per
@@ -881,17 +999,26 @@ def compact_pq_index(
     instead of flattening, so the stream can RESUME afterwards; pass
     the stream's ``checkpoint`` and the compaction refuses if the
     stream stopped mid-batch (folding an uncommitted batch would be
-    silently overwritten by its redelivery — search._batch_fold_sub) —
-    without it the caller owns the clean-termination guarantee. Flat
+    silently overwritten by its redelivery — search._batch_fold_plan);
+    ``partial=True`` (VERDICT r6 #3) instead folds the COMMITTED PREFIX
+    and carries the uncommitted tail dirs through the swap untouched,
+    so a crash-prone long-lived stream can always compact — on resume
+    the redelivery overwrites exactly its own tail dir. Without a
+    checkpoint the caller owns the clean-termination guarantee. Flat
     and batch layouts must never mix under one root, the read fails.
     An index whose rows all net out refuses to compact rather than
     stranding an unreadable empty layout. Returns {"n_rows"} of the
-    compacted index."""
-    from sum_spark.operators.search import _batch_fold_sub
+    compacted index (tail partials included, as reads see them)."""
+    import os
+    import shutil
+
+    from sum_spark.operators.search import _batch_fold_plan
 
     def _write(staged: str) -> None:
-        sub = _batch_fold_sub(path, checkpoint) if keep_batch_layout else ""
-        netted = pq_index_rows(spark, path, id_col)
+        sub, pending = ("", [])
+        if keep_batch_layout:
+            sub, pending = _batch_fold_plan(path, checkpoint, partial)
+        netted = pq_index_rows(spark, path, id_col, exclude_batch_ids=pending)
         if not netted.head(1):
             raise ValueError(
                 "index nets to empty — nothing to compact; delete the "
@@ -902,8 +1029,18 @@ def compact_pq_index(
             .write.partitionBy("coarse")
             .parquet(staged + sub, mode="overwrite")
         )
+        # the uncommitted tail rides through the swap by value: staged
+        # BEFORE the durability marker, so a crash-replay restores it too
+        for i in pending:
+            shutil.copytree(
+                os.path.join(path, f"batch_id={i}"),
+                os.path.join(staged, f"batch_id={i}"),
+            )
 
     _stage_and_swap(path, _write, ("coarse=", "batch_id="))
+    marker = _tombstone_marker(path)
+    if os.path.isfile(marker):
+        os.remove(marker)  # folded: every surviving row is one +1 partial
     return {"n_rows": spark.read.parquet(path).count()}
 
 
@@ -945,20 +1082,32 @@ def _stage_and_swap(path: str, write_staged, delete_prefixes: tuple[str, ...]) -
 
 
 def compact_ivf_index(
-    spark, path: str, keep_batch_layout: bool = False, checkpoint: str | None = None
+    spark,
+    path: str,
+    keep_batch_layout: bool = False,
+    checkpoint: str | None = None,
+    partial: bool = False,
 ) -> dict:
     """compact_pq_index for the raw-vector IVF index: materializes
     ivf_index_rows' netting back into the canonical bucket-partitioned
     layout (w reset to +1), crash-safe via the same staged idempotent
-    swap; ``keep_batch_layout``/``checkpoint`` and the all-netted-out
-    refusal as in compact_pq_index. Search results unchanged; file
-    count and per-query netting work shrink. Run OFFLINE. Returns
-    {"n_rows"}."""
-    from sum_spark.operators.search import _batch_fold_sub
+    swap; ``keep_batch_layout``/``checkpoint``/``partial`` and the
+    all-netted-out refusal as in compact_pq_index (``partial=True``
+    folds the committed prefix, carrying uncommitted tail dirs through
+    the swap untouched; tombstones must target committed rows — the
+    retire contract already requires the previous SNAPSHOT's rows).
+    Search results unchanged; file count and per-query netting work
+    shrink. Run OFFLINE. Returns {"n_rows"}."""
+    import os
+    import shutil
+
+    from sum_spark.operators.search import _batch_fold_plan
 
     def _write(staged: str) -> None:
-        sub = _batch_fold_sub(path, checkpoint) if keep_batch_layout else ""
-        netted = ivf_index_rows(spark, path)
+        sub, pending = ("", [])
+        if keep_batch_layout:
+            sub, pending = _batch_fold_plan(path, checkpoint, partial)
+        netted = ivf_index_rows(spark, path, exclude_batch_ids=pending)
         if not netted.head(1):
             raise ValueError(
                 "index nets to empty — nothing to compact; delete the "
@@ -969,8 +1118,16 @@ def compact_ivf_index(
             .write.partitionBy("bucket")
             .parquet(staged + sub, mode="overwrite")
         )
+        for i in pending:
+            shutil.copytree(
+                os.path.join(path, f"batch_id={i}"),
+                os.path.join(staged, f"batch_id={i}"),
+            )
 
     _stage_and_swap(path, _write, ("bucket=", "batch_id="))
+    marker = _tombstone_marker(path)
+    if os.path.isfile(marker):
+        os.remove(marker)
     return {"n_rows": spark.read.parquet(path).count()}
 
 

