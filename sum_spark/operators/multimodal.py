@@ -146,11 +146,21 @@ def extract_features(
         for pdf in it:
             feats = []
             for modality, content in zip(pdf["modality"], pdf["content"]):
-                real = (
-                    _real_feature(modality, content, dim)
-                    if decoder in ("strict", "auto")
-                    else None
-                )
+                if decoder == "strict":
+                    # strict surfaces decode errors; only codec ABSENCE
+                    # falls through to the NotImplementedError below
+                    real = _real_feature(modality, content, dim)
+                elif decoder == "auto":
+                    # auto is the documented crawl-scale fallback: a
+                    # payload that LOOKS decodable but isn't (a non-MJPEG
+                    # AVI, truncated bytes) degrades to the deterministic
+                    # stand-in instead of failing the pipeline (ADVICE r6)
+                    try:
+                        real = _real_feature(modality, content, dim)
+                    except (ValueError, OSError):
+                        real = None
+                else:
+                    real = None
                 if real is not None:
                     feats.append(real.astype(np.float32))
                 elif decoder == "strict":
@@ -281,22 +291,41 @@ def sample_frames(
             ids, nos, frames = [], [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 data = content or b""
-                if decoder in ("strict", "auto") and have_av:
-                    gen = _real_frames(aid, data)
-                elif decoder in ("strict", "auto") and codecs.is_avi(data):
-                    gen = _avi_frames(aid, data)
-                elif decoder == "strict":
-                    # Strict mode refuses rather than silently faking.
-                    raise NotImplementedError(
-                        "no codec for this payload (PyAV absent and not an "
-                        "MJPEG AVI); use decoder='auto'/'fake'"
-                    )
-                else:
-                    gen = (
+
+                def chunked():
+                    return (
                         (aid, i // every_n_bytes, bytes(data[i : i + every_n_bytes]))
                         for i in range(0, max(len(data), 1), every_n_bytes)
                     )
-                for a, n, fr in gen:
+
+                rows = None
+                if decoder in ("strict", "auto"):
+                    gen = None
+                    if have_av:
+                        gen = _real_frames(aid, data)
+                    elif codecs.is_avi(data):
+                        gen = _avi_frames(aid, data)
+                    if gen is not None:
+                        if decoder == "strict":
+                            rows = list(gen)  # decode errors surface
+                        else:
+                            # auto: a RIFF container that isn't MJPEG
+                            # (XviD/DivX is common in a crawl) degrades to
+                            # the byte-chunker instead of failing the whole
+                            # pipeline (ADVICE r6)
+                            try:
+                                rows = list(gen)
+                            except (ValueError, OSError):
+                                rows = None
+                    elif decoder == "strict":
+                        # Strict mode refuses rather than silently faking.
+                        raise NotImplementedError(
+                            "no codec for this payload (PyAV absent and not "
+                            "an MJPEG AVI); use decoder='auto'/'fake'"
+                        )
+                if rows is None:
+                    rows = list(chunked())
+                for a, n, fr in rows:
                     ids.append(a)
                     nos.append(n)
                     frames.append(fr)

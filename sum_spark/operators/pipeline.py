@@ -300,8 +300,8 @@ def _doc_meta(
     so the delta path's stored scores equal a full rebuild's freshly
     computed ones bit-for-bit. No joins, no second scan: at delta scale
     the text read is the cost that matters."""
-    from sum_spark.functions.text import LANG_STOPWORDS, tokens
-    from sum_spark.functions.text import stopword_hits
+    from sum_spark.functions.text import tokens
+    from sum_spark.operators.textops import quality_score_expr
 
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -309,13 +309,9 @@ def _doc_meta(
         F.col(text_col).alias("__text"),
         tokens(text_col).alias("__w"),
     )
-    n_words = F.size("__w").cast("long")
-    en_hits = stopword_hits(F.col("__w"), LANG_STOPWORDS[0][1]).cast("double")
-    score = F.round(
-        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
-        + (en_hits / n_words.cast("double")) * 0.5,
-        4,
-    )
+    # the ONE score expression (textops.quality_score_expr): identical
+    # tree by construction, so stored scores == a full rebuild's
+    score = quality_score_expr(F.col("__w"))
     return staged.select(
         "doc_id",
         "source",

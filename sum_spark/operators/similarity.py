@@ -1131,6 +1131,85 @@ def compact_ivf_index(
     return {"n_rows": spark.read.parquet(path).count()}
 
 
+def retrain_pq_index(
+    spark,
+    path: str,
+    records: DataFrame,
+    m: int = 2,
+    n_codes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "data",
+    keep_batch_layout: bool = False,
+    checkpoint: str | None = None,
+) -> dict[int, list[float]]:
+    """Retrain the codebook on the SURVIVING corpus and re-encode the
+    whole index under it — the maintenance op that closes the drift
+    hole immutable codebooks leave (VERDICT r6 #4): append/retire keep
+    the bootstrap book forever (immutability is what makes
+    deletion-as-negation bit-exact), so over a drifting corpus the
+    quantization error grows unbounded; this op trains a FRESH book on
+    exactly the live ids, re-encodes them all, and swaps rows AND
+    codebook together through the crash-safe staged-swap machinery
+    (_stage_and_swap — the codebook is staged next to the rows, so a
+    crash at any point leaves either the complete old index or the
+    complete new one after a replay, never a rows/book mismatch).
+
+    ``records`` must carry the raw vectors of (at least) every live id
+    (the index stores only codes — the same corpus-join the rerank
+    serve makes); the live set is read from the index's netted view, so
+    retired ids are excluded without the caller repeating the retire
+    history. The result equals ``write_pq_index`` from scratch over the
+    survivors row-for-row (same one-step training recipe on the same
+    frame). After the swap the index has no tombstones (marker
+    removed) and every future append/retire/search uses the new stored
+    book — including a resumed stream's sink, which reloads the book
+    per micro-batch. ``keep_batch_layout=True`` folds into the highest
+    committed batch dir so the stream can resume; an uncommitted tail
+    REFUSES (no partial retrain: tail rows are encoded under the old
+    book, and mixing books in one index corrupts every ADC). Run
+    OFFLINE. Returns the new codebook."""
+    import os
+
+    from sum_spark.operators.clustering import assign_clusters
+    from sum_spark.operators.embeddings import product_quantize
+    from sum_spark.operators.search import _batch_fold_plan
+
+    def _write(staged: str) -> None:
+        sub = ""
+        if keep_batch_layout:
+            sub, _pending = _batch_fold_plan(path, checkpoint, partial=False)
+        live = pq_index_rows(spark, path, id_col).select(id_col)
+        survivors = records.join(live, id_col).select(id_col, vec_col)
+        book = train_pq_codebook(survivors, n_codes, id_col, vec_col)
+        coarse = assign_clusters(
+            survivors, book, id_col, vec_col, cluster_col="coarse",
+            backend="catalyst",
+        )
+        codes, _ = product_quantize(
+            survivors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+            centroids=book,
+        )
+        (
+            coarse.select(F.col(id_col), "coarse")
+            .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+            .withColumn("w", F.lit(1))
+            .write.partitionBy("coarse")
+            .parquet(staged + sub, mode="overwrite")
+        )
+        # stage the new book NEXT TO the rows: the swap replaces both or
+        # neither (the _codebook prefix is in the delete set below)
+        write_pq_codebook(spark, book, staged)
+
+    _stage_and_swap(path, _write, ("coarse=", "batch_id=", "_codebook"))
+    marker = _tombstone_marker(path)
+    if os.path.isfile(marker):
+        os.remove(marker)
+    return {
+        int(r["cluster"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(path + "/_codebook").collect()
+    }
+
+
 def knn_filtered(
     records: DataFrame,
     probes: DataFrame,

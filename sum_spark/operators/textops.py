@@ -47,6 +47,23 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     ).orderBy("doc_id")
 
 
+def quality_score_expr(toks) -> F.Column:
+    """THE quality-score Column over a token-array column — the single
+    expression both :func:`quality_score` and the incremental pipeline's
+    stored doc meta (operators/pipeline._doc_meta) derive from, so the
+    identical-expression-tree guarantee (stored scores == a full
+    rebuild's, bit-for-bit) is structural rather than by copy (ADVICE
+    r6): score = 0.5 * min(1, n_words/100) + 0.5 * (en_stopword_hits /
+    n_words), rounded to 4."""
+    n_words = F.size(toks).cast("long")
+    en_hits = stopword_hits(toks, LANG_STOPWORDS[0][1]).cast("double")
+    return F.round(
+        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
+        + (en_hits / n_words.cast("double")) * 0.5,
+        4,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality score: length saturation + stopword ratio.
 
@@ -58,11 +75,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     n_words = F.size(toks).cast("long")
     en_hits = stopword_hits(toks, LANG_STOPWORDS[0][1]).cast("double")
     stop_ratio = F.round(en_hits / n_words.cast("double"), 4)
-    score = F.round(
-        F.least(F.lit(1.0), n_words.cast("double") / 100.0) * 0.5
-        + (en_hits / n_words.cast("double")) * 0.5,
-        4,
-    )
+    score = quality_score_expr(toks)
     return df.select(
         F.col(id_col).alias("doc_id"),
         n_words.alias("n_words"),

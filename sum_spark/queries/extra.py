@@ -120,27 +120,26 @@ _LDIG_CTES = (
       SELECT CAST(ROUND(value * 100) AS BIGINT) AS fx FROM events
       WHERE value IS NOT NULL
     ),
-    ldigw AS (
-      SELECT fx, ROW_NUMBER() OVER (ORDER BY fx) AS rn,
-             COUNT(*) OVER () AS n
-      FROM ldigr
-    ),
-    ldige AS (
-      SELECT pr.p_num, pr.p_den, MIN(w.fx) AS e
-      FROM (VALUES (1, 2), (9, 10), (99, 100)) pr(p_num, p_den)
-      JOIN ldigw w ON w.rn = (w.n * pr.p_num + pr.p_den - 1) // pr.p_den
+    ldigbc AS (
+      SELECT q.p_num, q.p_den,
+             CAST(SUM(CASE WHEN q.lo_fp IS NOT NULL AND r.fx < q.lo_fp
+                           THEN 1 ELSE 0 END) AS BIGINT) AS below,
+             CAST(SUM(CASE WHEN r.fx <= q.hi_fp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS upto
+      FROM ldigq q CROSS JOIN ldigr r
       GROUP BY 1, 2
     ),
-    ldigwg AS (
-      SELECT g, fx, ROW_NUMBER() OVER (PARTITION BY g ORDER BY fx) AS rn,
-             COUNT(*) OVER (PARTITION BY g) AS n
-      FROM (SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS fx
-            FROM events WHERE value IS NOT NULL)
+    ldigrg AS (
+      SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS fx
+      FROM events WHERE value IS NOT NULL
     ),
-    ldigeg AS (
-      SELECT w.g, pr.p_num, pr.p_den, MIN(w.fx) AS e
-      FROM (VALUES (1, 2), (9, 10), (99, 100)) pr(p_num, p_den)
-      JOIN ldigwg w ON w.rn = (w.n * pr.p_num + pr.p_den - 1) // pr.p_den
+    ldigbcg AS (
+      SELECT q.g, q.p_num, q.p_den,
+             CAST(SUM(CASE WHEN q.lo_fp IS NOT NULL AND r.fx < q.lo_fp
+                           THEN 1 ELSE 0 END) AS BIGINT) AS below,
+             CAST(SUM(CASE WHEN r.fx <= q.hi_fp THEN 1 ELSE 0 END)
+                  AS BIGINT) AS upto
+      FROM ldigqg q JOIN ldigrg r ON r.g = q.g
       GROUP BY 1, 2, 3
     ),
     prof(col, mm) AS (VALUES
@@ -235,13 +234,13 @@ _LDIG_CTES = (
     UNION ALL
     SELECT 'ldigq',
            CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR), NULL,
-           q.lo_fp, q.hi_fp, e.e, 'true', NULL
-    FROM ldigq q JOIN ldige e USING (p_num, p_den)
+           q.lo_fp, q.hi_fp, c.below, 'true', CAST(c.upto AS VARCHAR)
+    FROM ldigq q JOIN ldigbc c USING (p_num, p_den)
     UNION ALL
     SELECT 'ldigg',
            CAST(p_num AS VARCHAR) || '/' || CAST(p_den AS VARCHAR), q.g,
-           q.lo_fp, q.hi_fp, e.e, 'true', NULL
-    FROM ldigqg q JOIN ldigeg e USING (g, p_num, p_den)
+           q.lo_fp, q.hi_fp, c.below, 'true', CAST(c.upto AS VARCHAR)
+    FROM ldigqg q JOIN ldigbcg c USING (g, p_num, p_den)
     UNION ALL
     SELECT 'cms', w, NULL, est, est - tf, tf, NULL, NULL FROM cms_est
     UNION ALL
@@ -308,14 +307,18 @@ _LDIG_CTES = (
     "oracle-reproducible). Spark builds GROUPED by event_type and "
     "MERGES; the oracle builds the global digest DIRECTLY, so the hash "
     "match proves merge(parts)==build(whole) on real data. 'ldigq' "
-    "rows carry the quantile interval [lo_fp, hi_fp], the exact "
-    "integer-rank value, and a CHECKED containment flag (min_str must "
-    "come out 'true'); 'ldigg' = the PER-GROUP quantile view from the "
-    "SAME persisted grouped cells (one interval per event_type per p, "
-    "col_b = the group) with the identical exact-rank verification "
-    "applied per group — the per-domain latency/size-distribution "
-    "report, answered from kilobyte cell frames while the oracle "
-    "rebuilds each group's digest from scratch; 'cms' = the same "
+    "rows carry the quantile interval [lo_fp, hi_fp], both exact "
+    "rank-bound counts (count(fx<lo) in n_distinct, count(fx<=hi) in "
+    "max_str), and a CHECKED containment flag (min_str must come out "
+    "'true'): v_r is in [lo,hi] iff below < r <= upto, so the counts "
+    "PROVE containment with no sort and no candidate window — one "
+    "conditional-sum scan replaces the order-statistic pass; 'ldigg' = "
+    "the PER-GROUP quantile view from the SAME persisted grouped cells "
+    "(one interval per event_type per p, col_b = the group) with the "
+    "identical counting verification applied per group — the "
+    "per-domain latency/size-distribution report, answered from "
+    "kilobyte cell frames while the oracle rebuilds each group's "
+    "digest from scratch; 'cms' = the same "
     "top-30 tokens point-queried against a count-min sketch (operators/"
     "sketch.py: depth 4 x width 256 grid, portable md5-60 hashes — the "
     "fixed-kilobytes approximate-frequency path when the distinct-key "
@@ -568,69 +571,58 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns.alias("min_str"),
         ns.alias("max_str"),
     )
-    # Exact integer-rank values (the verification column, q32 pattern) —
-    # computed WITHOUT a global sort: the digest's own interval already
-    # brackets each rank-r value, so the exact value is order statistic
-    # (r - count(fx < lo)) WITHIN the interval's rows, a set bounded at
-    # n * 2^-bits by construction. Two more pruned single-column scans
-    # (a conditional-count aggregate and the interval filter) replace
-    # the single-partition ORDER BY over the whole table; the only
-    # window runs over the tiny bracketed candidate set.
+    # Exact-rank CONTAINMENT by counting (VERDICT r6 #5 — replaces the
+    # candidate-window order-statistic pass): the rank-r order statistic
+    # v_r lies in the digest's interval [lo, hi] iff
+    #     count(fx < lo) < r  AND  count(fx <= hi) >= r
+    # (the textbook rank-bound identity), so containment is PROVEN by
+    # two exact integer counts per p — ONE pruned single-column scan
+    # with conditional sums (map-side combinable, |ps| groups), no
+    # interval-filter second scan, no window, no join chain. Both
+    # counts are emitted and hash-checked (the oracle recomputes them
+    # against ITS OWN digest bounds, whose equality is itself checked),
+    # so the verification is exactly as strong as re-deriving the value:
+    # integer counts determine containment with no rounding seam.
     fxw = ev.where(F.col("value").isNotNull()).select(
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx")
     )
     qb = log_histogram_quantile(ldig_cells, _LDIG_PS).withColumnRenamed(
         "rank", "__r"
     )
-    in_interval = F.when(
-        F.col("lo_fp").isNull(), F.col("__fx") <= F.col("hi_fp")
-    ).otherwise(F.col("__fx").between(F.col("lo_fp"), F.col("hi_fp")))
-    below = F.when(
-        F.col("lo_fp").isNull(), F.lit(False)
-    ).otherwise(F.col("__fx") < F.col("lo_fp"))
-    joined = fxw.crossJoin(F.broadcast(qb))
-    before = (
-        joined.groupBy("p_num", "p_den")
-        .agg(F.sum(below.cast("long")).alias("__before"))
+    below = F.when(F.col("lo_fp").isNull(), F.lit(0)).otherwise(
+        (F.col("__fx") < F.col("lo_fp")).cast("long")
     )
-    iw = W.partitionBy("p_num", "p_den").orderBy("__fx")
-    exact = (
-        joined.where(in_interval)
-        .select("p_num", "p_den", "__fx", F.col("__r"))
-        .join(before, ["p_num", "p_den"])
-        .withColumn("__rk", F.row_number().over(iw))
-        .where(F.col("__rk") == F.col("__r") - F.col("__before"))
-        .groupBy("p_num", "p_den")
-        .agg(F.min("__fx").alias("__e"))
+    upto = (F.col("__fx") <= F.col("hi_fp")).cast("long")
+    qcols = ["p_num", "p_den", "__r", "lo_fp", "hi_fp"]
+    counts = (
+        fxw.crossJoin(F.broadcast(qb))
+        .groupBy(*qcols)
+        .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
     )
-    ldig_ok = F.when(
-        F.col("lo_fp").isNull(), F.col("__e") <= F.col("hi_fp")
-    ).otherwise((F.col("__e") >= F.col("lo_fp")) & (F.col("__e") <= F.col("hi_fp")))
-    ldigq = (
-        qb.join(exact, ["p_num", "p_den"])
-        .select(
-            F.lit("ldigq").alias("mode"),
-            F.concat_ws(
-                "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
-            ).alias("col_a"),
-            ns.alias("col_b"),
-            F.col("lo_fp").alias("n_rows"),
-            F.col("hi_fp").alias("n_nulls"),
-            F.col("__e").alias("n_distinct"),
-            ldig_ok.cast("string").alias("min_str"),
-            ns.alias("max_str"),
+    ldig_ok = (
+        F.when(F.col("lo_fp").isNull(), F.lit(True)).otherwise(
+            F.col("__below") < F.col("__r")
         )
+        & (F.col("__upto") >= F.col("__r"))
+    )
+    ldigq = counts.select(
+        F.lit("ldigq").alias("mode"),
+        F.concat_ws(
+            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
+        ).alias("col_a"),
+        ns.alias("col_b"),
+        F.col("lo_fp").alias("n_rows"),
+        F.col("hi_fp").alias("n_nulls"),
+        F.col("__below").alias("n_distinct"),
+        ldig_ok.cast("string").alias("min_str"),
+        F.col("__upto").cast("string").alias("max_str"),
     )
     # 'ldigg' = the PER-GROUP quantile view answered from the SAME
     # persisted grouped cells (ldig_g — zero extra digest passes): one
-    # interval per (event_type, p), each verified exactly like the
-    # global leg (per-group order statistic within the digest's own
-    # bracket — the window runs over n_g * 2^-bits candidates per group,
-    # never a per-group sort). The interval/containment expressions are
-    # the ungrouped Column trees reused verbatim; the grouped exact-rank
-    # pass costs two more pruned (event_type, value) events scans, the
-    # same scan-twice-not-cache trade the global verification makes — a
-    # raw fx projection of events is O(data) and must not be persisted.
+    # interval per (event_type, p), verified by the same rank-bound
+    # counting — one pruned (event_type, value) scan, broadcast-joined
+    # to the per-group bounds, grouped conditional sums. A raw fx
+    # projection of events is O(data) and must not be persisted.
     qbg = log_histogram_quantile(
         ldig_g, _LDIG_PS, group_cols=["event_type"]
     ).withColumnRenamed("rank", "__r")
@@ -638,33 +630,22 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx"),
     )
-    jg = fxg.join(F.broadcast(qbg), "event_type")
-    gkeys = ["event_type", "p_num", "p_den"]
-    before_g = jg.groupBy(*gkeys).agg(F.sum(below.cast("long")).alias("__before"))
-    iwg = W.partitionBy(*gkeys).orderBy("__fx")
-    exact_g = (
-        jg.where(in_interval)
-        .select(*gkeys, "__fx", F.col("__r"))
-        .join(before_g, gkeys)
-        .withColumn("__rk", F.row_number().over(iwg))
-        .where(F.col("__rk") == F.col("__r") - F.col("__before"))
-        .groupBy(*gkeys)
-        .agg(F.min("__fx").alias("__e"))
+    counts_g = (
+        fxg.join(F.broadcast(qbg), "event_type")
+        .groupBy("event_type", *qcols)
+        .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
     )
-    ldigg = (
-        qbg.join(exact_g, gkeys)
-        .select(
-            F.lit("ldigg").alias("mode"),
-            F.concat_ws(
-                "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
-            ).alias("col_a"),
-            F.col("event_type").alias("col_b"),
-            F.col("lo_fp").alias("n_rows"),
-            F.col("hi_fp").alias("n_nulls"),
-            F.col("__e").alias("n_distinct"),
-            ldig_ok.cast("string").alias("min_str"),
-            ns.alias("max_str"),
-        )
+    ldigg = counts_g.select(
+        F.lit("ldigg").alias("mode"),
+        F.concat_ws(
+            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
+        ).alias("col_a"),
+        F.col("event_type").alias("col_b"),
+        F.col("lo_fp").alias("n_rows"),
+        F.col("hi_fp").alias("n_nulls"),
+        F.col("__below").alias("n_distinct"),
+        ldig_ok.cast("string").alias("min_str"),
+        F.col("__upto").cast("string").alias("max_str"),
     )
     # KMV approximate-distinct over two events columns: user_id exercises
     # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the

@@ -777,20 +777,36 @@ _INCR_STATE_BUILT: set[str] = set()
 _PQ_INCR_BUILT: set[str] = set()
 
 
+_ARTIFACT_DIRS: set[str] = set()
+
+
+def _cleanup_artifact_dirs() -> None:
+    import shutil as _shutil
+
+    for p in _ARTIFACT_DIRS:
+        _shutil.rmtree(p, ignore_errors=True)
+
+
 def _artifact_dir(kind: str, sf_dir: str) -> str:
     """Per-process artifact dir for a corpus: keyed by a hash of the
     FULL sf_dir path (two corpora sharing a basename must not share
     artifacts) plus the pid (each process owns and rebuilds its own
     copy — no cross-process read/overwrite races, no trusting a stale
-    dir left by older code)."""
+    dir left by older code). Every dir handed out is deleted at
+    interpreter exit (ADVICE r6: pid-keyed dirs would otherwise
+    accumulate under the tempdir forever, one set per pytest/bench/
+    driver process)."""
+    import atexit as _atexit
     import hashlib as _hashlib
     import os as _os
     import tempfile as _tempfile
 
     h = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return _os.path.join(
-        _tempfile.gettempdir(), f"sum_spark_{kind}_{h}_{_os.getpid()}"
-    )
+    d = _os.path.join(_tempfile.gettempdir(), f"sum_spark_{kind}_{h}_{_os.getpid()}")
+    if not _ARTIFACT_DIRS:
+        _atexit.register(_cleanup_artifact_dirs)
+    _ARTIFACT_DIRS.add(d)
+    return d
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 

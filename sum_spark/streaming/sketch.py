@@ -505,3 +505,26 @@ def read_log_histogram(
         .groupBy(*group_cols, "bucket")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+def read_log_histogram_quantiles(
+    spark: SparkSession,
+    path: str,
+    ps: list[tuple[int, int]],
+    group_cols: tuple[str, ...] = (),
+    bits: int = 7,
+) -> DataFrame:
+    """Quantile-interval ANSWERS from the accumulated stream digest —
+    the serving read the batch q31 'ldigg' leg runs, now available on
+    the stream-grown cells (VERDICT r6 #6): per group (or globally with
+    ``group_cols=()``), each p gets its digest rank and the bracketing
+    [lo_fp, hi_fp] interval (relative width <= 2^-bits), computed from
+    kilobyte cell frames without revisiting any ingested row. Because
+    the accumulated cells equal a batch build exactly (integer
+    cell-wise sums), these answers equal operators/sketch.
+    log_histogram_quantile over a one-shot batch digest of everything
+    ingested — property-tested across multi-batch ingests."""
+    from sum_spark.operators.sketch import log_histogram_quantile
+
+    cells = read_log_histogram(spark, path, group_cols)
+    return log_histogram_quantile(cells, ps, bits=bits, group_cols=list(group_cols))

@@ -43,3 +43,28 @@ def test_legs_do_not_fit_and_therefore_must_stay_off_stdout():
     legs = {f"entry_name_{i:02d}.legtag": 999.999 for i in range(67)}
     inline = json.dumps(dict(json.loads(bench.format_stdout_line(_fake_timings(), 0.1)), legs=legs))
     assert len(inline) > 2000
+
+
+def test_sidecar_leg_keys_map_to_declared_legs():
+    """Every leg key in the committed BENCH_LEGS.json sidecar must map to
+    a leg bench.py still declares (entry in HEADLINE x a tag value in
+    TAGGED_LEGS, or a text_profile component): a renamed/dropped leg tag
+    would otherwise silently orphan its row and its 2x-gate baseline
+    comparison (VERDICT r6 #8). Declared entries must also all be in
+    HEADLINE, or their legs never get timed at all."""
+    import os
+
+    declared = set()
+    for name, (_tag, values) in bench.TAGGED_LEGS.items():
+        assert name in bench.HEADLINE, f"{name} has legs but isn't timed"
+        declared |= {f"{name}.{v}" for v in values}
+    declared |= {
+        f"text_profile.{n}" for n in bench._text_profile_component_legs()
+    }
+
+    sidecar = os.path.join(os.path.dirname(bench.__file__), "BENCH_LEGS.json")
+    assert os.path.isfile(sidecar)
+    with open(sidecar) as fh:
+        legs = json.load(fh)["legs"]
+    orphans = set(legs) - declared
+    assert not orphans, f"sidecar legs no longer declared in bench.py: {sorted(orphans)}"

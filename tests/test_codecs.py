@@ -379,13 +379,18 @@ def test_progressive_restart_intervals_roundtrip():
             assert np.array_equal(prog, base), (img.shape, q, sub, ri)
 
 
-def test_decoders_never_escape_valueerror_on_corrupt_bytes():
+@pytest.mark.parametrize("restart", [1, 3])
+def test_decoders_never_escape_valueerror_on_corrupt_bytes(restart):
     """Decoders consume untrusted corpus bytes: under byte flips,
     truncation, and zeroed spans, every decoder must raise the
     documented ValueError (or NotImplementedError) — never KeyError /
     IndexError / OverflowError / stdlib parser errors, which would
     surface as unclassified executor crashes at corpus scale. Seeded,
-    bounded replica of the 10k-mutation fuzz that drove _decode_guard."""
+    bounded replica of the 10k-mutation fuzz that drove _decode_guard.
+    Parametrized over restart intervals (VERDICT r6 #7), and the
+    progressive corpus covers every scan-script shape — single-band,
+    default, multi-band, 4:2:0 interleaved — so mutated RSTn markers
+    are exercised in every progressive scan kind."""
     import io
     import wave
 
@@ -400,9 +405,14 @@ def test_decoders_never_escape_valueerror_on_corrupt_bytes():
         wf.setframerate(8000)
         wf.writeframes(rng.integers(-1000, 1000, 500).astype("<i2").tobytes())
     streams = [
-        (codecs.decode_jpeg, codecs.encode_jpeg(img, 60, True, 3)),
+        (codecs.decode_jpeg, codecs.encode_jpeg(img, 60, True, restart)),
         (codecs.decode_jpeg, codecs.encode_jpeg_progressive(
-            img, 60, True, restart_interval=3)),
+            img, 60, True, restart_interval=restart)),
+        (codecs.decode_jpeg, codecs.encode_jpeg_progressive(
+            img, 60, False, bands=((1, 63),), restart_interval=restart)),
+        (codecs.decode_jpeg, codecs.encode_jpeg_progressive(
+            img, 60, True, bands=((1, 5), (6, 20), (21, 63)),
+            restart_interval=restart)),
         (codecs.decode_png, codecs.encode_png(grey)),
         (codecs.decode_wav, wbuf.getvalue()),
         (codecs.decode_avi_frames, codecs.encode_avi_mjpeg(frames)),

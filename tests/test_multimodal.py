@@ -196,3 +196,31 @@ def test_strict_resize_handles_progressive_jpeg(spark):
     assert out[20] == out[21]
     decoded = codecs.decode_jpeg(out[21])
     assert decoded.shape[:2] == (4, 5)
+
+
+def test_auto_falls_back_on_non_mjpeg_avi(spark):
+    """ADVICE r6: auto mode is the documented crawl-scale fallback — a
+    RIFF/AVI container whose frames aren't MJPEG (XviD/DivX) must degrade
+    to the deterministic stand-in, not fail the pipeline; strict still
+    surfaces the decode error."""
+    import struct
+
+    from sum_spark.functions import codecs
+
+    body = b"00dc" + struct.pack("<I", 16) + b"XVIDnotajpeg!!!!"
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+    assert codecs.is_avi(payload)
+    rows = [Row(asset_id=9, modality="video", content=payload, mime="video/avi", meta={})]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+
+    with pytest.raises(Exception, match="ValueError|JPEG|SOI"):
+        M.sample_frames(df, every_n_bytes=8, decoder="strict").collect()
+    got = M.sample_frames(df, every_n_bytes=8, decoder="auto").collect()
+    want = M.sample_frames(df, every_n_bytes=8, decoder="fake").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    with pytest.raises(Exception, match="ValueError|JPEG|SOI"):
+        M.extract_features(df, decoder="strict").collect()
+    a = M.extract_features(df, decoder="auto").collect()[0]["feature"]
+    b = M.extract_features(df, decoder="fake").collect()[0]["feature"]
+    assert a == b

@@ -447,27 +447,22 @@ def test_q31_token_legs_share_one_documents_tokenize(spark, sf_smoke):
     and re-tokenizes the corpus. Events scans are likewise pinned (each
     remaining branch projects different columns, where parquet column
     pruning beats a shared full-width cache): 5 through round 5, +3 in
-    round 6 for the log-digest legs — the grouped digest build, the
-    below-interval count aggregate, and the bracketed-interval filter
-    each read ONLY the pruned value column — and +2 more for the
-    grouped-quantile (ldigg) leg's per-group exact-rank verification
-    (its own below-count and interval-filter scans, pruned to
-    event_type + value; the intervals themselves come from the already-
-    persisted grouped cells, zero extra digest passes). Cheap map-side
-    scans are the price of computing the exact-rank verification value
-    with NO global (or per-group) sort: the digest interval bounds the
-    candidate set at n * 2^-bits rows, so the only window is over that
-    sliver; persisting a corpus-sized per-row projection to save
-    one-column scans would invert the trade at scale. The ldig/ldigq/
-    ldigg consumer branches themselves feed from the persisted digest
-    cells, which is what this pin protects."""
+    round 7 for the log-digest legs — the grouped digest build plus ONE
+    rank-bound counting scan each for ldigq (value only) and ldigg
+    (event_type + value): containment of the rank-r value in the digest
+    interval is PROVEN by count(fx<lo) < r <= count(fx<=hi), a pair of
+    conditional sums, so the round-6 order-statistic machinery (a second
+    interval-filter scan and a candidate window per leg) is gone while
+    the check stays exact. The ldig/ldigq/ldigg consumer branches
+    themselves feed from the persisted digest cells, which is what this
+    pin protects."""
     import re
     from collections import Counter
 
     p = plan_of(spark, sf_smoke, "q31_distinct_projection")
     locs = Counter(re.findall(r"Location:.*?(\w+)\.parquet", p))
     assert locs["documents"] <= 2
-    assert locs["events"] <= 10
+    assert locs["events"] <= 8
 
 
 def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):

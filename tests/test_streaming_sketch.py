@@ -648,6 +648,7 @@ def test_stream_log_digest_equals_batch_and_answers_quantiles(
     from sum_spark.operators.sketch import log_histogram, log_histogram_quantile
     from sum_spark.streaming.sketch import (
         read_log_histogram,
+        read_log_histogram_quantiles,
         streaming_log_histogram,
     )
 
@@ -655,8 +656,11 @@ def test_stream_log_digest_equals_batch_and_answers_quantiles(
         "event_id", "event_type", "value"
     )
     drop_dir = str(tmp_path / "ld_drops")
-    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(drop_dir)
-    ev.where(F.col("event_id") % 2 != 0).coalesce(1).write.mode("append").parquet(
+    ev.where(F.col("event_id") % 3 == 0).coalesce(1).write.parquet(drop_dir)
+    ev.where(F.col("event_id") % 3 == 1).coalesce(1).write.mode("append").parquet(
+        drop_dir
+    )
+    ev.where(F.col("event_id") % 3 == 2).coalesce(1).write.mode("append").parquet(
         drop_dir
     )
     schema = StructType(
@@ -688,3 +692,14 @@ def test_stream_log_digest_equals_batch_and_answers_quantiles(
     assert key(acc) == key(full)
     qi = key(log_histogram_quantile(acc, [(1, 2), (9, 10)]))
     assert qi == key(log_histogram_quantile(full, [(1, 2), (9, 10)])) and qi
+    # the PER-GROUP quantile READ (the batch q31 'ldigg' serving shape,
+    # VERDICT r6 #6): interval answers straight from the accumulated
+    # stream cells == the batch grouped digest's answers, every group
+    ps = [(1, 2), (9, 10), (99, 100)]
+    qg_stream = key(
+        read_log_histogram_quantiles(
+            spark, out_dir, ps, group_cols=("event_type",)
+        )
+    )
+    qg_batch = key(log_histogram_quantile(full_g, ps, group_cols=["event_type"]))
+    assert qg_stream == qg_batch and len(qg_stream) >= len(ps)
