@@ -411,6 +411,25 @@ def recall_block(spark, sf_dir: str, k: int = 10) -> dict:
             )
             out[f"rrt_p{np_}_c{c}"] = recall(df)
             out[f"rrt_p{np_}_c{c}_nd"] = near_recall(df)
+    # RESIDUAL encoding on the same trained book (write_pq_index
+    # residual=True — the textbook IVF-PQ layout): tighter ADC means the
+    # candidate CUT loses fewer true neighbors, so rerank reaches the
+    # coverage ceiling at a much smaller fetch C — the number that
+    # prices stage 2 (raw-vector fetches per probe) at 100 TB.
+    idx_r = idx_path + "_r"
+    shutil.rmtree(idx_r, ignore_errors=True)
+    write_pq_index(
+        emb, idx_r, m=8, n_codes=64, id_col="vec_id", vec_col="embedding",
+        centroids=cents_t, residual=True, res_iters=4,
+    )
+    for np_ in (8, 16, 32):
+        for c in (50, 100, 500):
+            df = knn_ivfpq_rerank(
+                spark, idx_r, emb, probes, k=k, c=c, m=8, n_probes=np_,
+                id_col="vec_id", vec_col="embedding",
+            )
+            out[f"rrr_p{np_}_c{c}"] = recall(df)
+            out[f"rrr_p{np_}_c{c}_nd"] = near_recall(df)
     return out
 
 

@@ -156,6 +156,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     fixed_point: int = 6,
     backend: str = "numpy",
+    init: dict[int, list[float]] | None = None,
 ) -> dict[int, list[float]]:
     """Lloyd's algorithm: hash-init partition, then ``iters`` rounds of
     map-side assignment + one-aggregate update. Returns the centroid
@@ -165,15 +166,25 @@ def kmeans_fit(
     cluster count never shrinks — a cluster that loses all members in
     an iteration keeps its previous centroid.
 
+    ``init`` overrides the hash-partition init with explicit centroids
+    (point init): on ZERO-CENTERED data (PQ residuals under a good
+    coarse book) every hash-bucket MEAN collapses to ~0 and Lloyd
+    cannot escape the degenerate start — seeding from actual data
+    points keeps the centroids distinct (the k-means++ concern, solved
+    deterministically by the caller's seed choice).
+
     Per-iteration cost is one scan + one (cluster, pos) aggregate; the
     driver holds only k x d doubles. 100 TB posture: identical — the
     corpus never moves, only k*d*10^fp-unit integers do.
     """
-    assigned = hash_init_assign(df, k, id_col)
-    cents = _centroids_from_sums(
-        centroid_sums(assigned, "cluster", vec_col, fixed_point).collect(),
-        fixed_point,
-    )
+    if init is not None:
+        cents = {int(c): [float(x) for x in v] for c, v in init.items()}
+    else:
+        assigned = hash_init_assign(df, k, id_col)
+        cents = _centroids_from_sums(
+            centroid_sums(assigned, "cluster", vec_col, fixed_point).collect(),
+            fixed_point,
+        )
     for _ in range(int(iters)):
         assigned = assign_clusters(
             df, cents, id_col, vec_col, backend=backend

