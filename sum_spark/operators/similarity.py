@@ -822,18 +822,19 @@ def knn_ivfpq_from_index(
     opens exactly those lists' files and recall buys candidate volume,
     never a full scan. Output: (probe_id, id, adc, rank).
 
-    A RESIDUAL index (write_pq_index(residual=True) — detected by the
-    stored second book) scores by the textbook residual ADC: within
-    each probed list the probe tabulates distances from ITS residual
-    q - c_list against the residual codebook, so the LUT is per
-    (probe, list). Those LUTs ship as ONE broadcast-joined table of
-    probes x n_probes rows (driver-computed, bounded by the small-probe
-    contract) rather than per-leg plan literals — a union of
-    probes x n_probes branches would blow the plan up at realistic
-    probe counts; the join keeps it one scan + one broadcast hash join
-    regardless, with the probed lists still a literal partition
-    filter. The approximate distances are far tighter at the same code
-    budget."""
+    The driver-computed lookup tables ship as ONE broadcast-joined
+    table of probes x n_probes rows rather than per-probe plan
+    literals — a union of per-(probe,list) branches compiled for
+    minutes at realistic probe counts; the join keeps the whole search
+    at one scan + one broadcast hash join regardless of probe count,
+    with the probed lists still a literal partition filter
+    (PartitionFilters — plan-tested). A RESIDUAL index
+    (write_pq_index(residual=True) — detected by the stored second
+    book) scores by the textbook residual ADC: within each probed list
+    the probe tabulates distances from ITS residual q - c_list against
+    the residual codebook, so the LUT genuinely differs per
+    (probe, list); a raw index repeats the probe's one LUT per probed
+    list, keeping the join shape identical."""
     book, res_book = _load_books(spark, path)
     items = sorted(book.items())
     d = len(items[0][1])
@@ -850,22 +851,6 @@ def knn_ivfpq_from_index(
             acc = acc + (x - y) * (x - y)
         return acc
 
-    def _adc_expr(qv):
-        adc = None
-        for j in range(m):
-            lut = F.map_from_arrays(
-                F.array(*[F.lit(int(cid)).cast("long") for cid, _ in lut_items]),
-                F.array(
-                    *[
-                        F.lit(_sqdist(qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]))
-                        for _, c in lut_items
-                    ]
-                ),
-            )
-            term = F.element_at(lut, F.col("codes")[j])
-            adc = term if adc is None else adc + term
-        return F.round(adc, round_to) if round_to is not None else adc
-
     idx = pq_index_rows(spark, path, id_col)
     n_probes = max(1, min(int(n_probes), len(items)))
 
@@ -878,64 +863,53 @@ def knn_ivfpq_from_index(
             )[:n_probes]
         ]
 
-    if res_book is not None:
-        # LUT TABLE join: one row per (probe, probed list) holding the
-        # m per-subspace code->distance maps of q's residual in that
-        # list. Driver-held and broadcast (probes x n_probes x m x k
-        # doubles — bounded), joined on the partition column.
-        lut_rows = []
-        for row in probe_rows:
-            q = [float(x) for x in row["__pv"]]
-            for cid in _nearest(q):
-                qv = [x - c for x, c in zip(q, cent_by_id[cid])]
-                luts = [
-                    {
-                        int(code): _sqdist(
-                            qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
-                        )
-                        for code, c in lut_items
-                    }
-                    for j in range(m)
-                ]
-                lut_rows.append((int(row["__pid"]), int(cid), luts))
-        lut_df = spark.createDataFrame(
-            lut_rows, "probe_id long, coarse long, __luts array<map<bigint,double>>"
+    # LUT TABLE join (both encodings): one row per (probe, probed list)
+    # holding the m per-subspace code->distance maps — for a residual
+    # index the LUT is genuinely per (probe, list) (q - c_list); for a
+    # raw index the probe's one LUT is repeated per probed list so the
+    # join shape is identical. Driver-held and broadcast
+    # (probes x n_probes x m x k doubles — bounded by the small-probe
+    # contract), joined on the partition column: ONE scan pruned to the
+    # probed lists + one broadcast hash join at ANY probe count — a
+    # per-(probe,list) union of plan literals compiled for minutes at
+    # realistic probe counts, which is why this is the only form.
+    lut_rows = []
+    for row in probe_rows:
+        q = [float(x) for x in row["__pv"]]
+        for cid in _nearest(q):
+            qv = (
+                [x - c for x, c in zip(q, cent_by_id[cid])]
+                if res_book is not None
+                else q
+            )
+            luts = [
+                {
+                    int(code): _sqdist(
+                        qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
+                    )
+                    for code, c in lut_items
+                }
+                for j in range(m)
+            ]
+            lut_rows.append((int(row["__pid"]), int(cid), luts))
+    lut_df = spark.createDataFrame(
+        lut_rows, "probe_id long, coarse long, __luts array<map<bigint,double>>"
+    )
+    probed = sorted({r[1] for r in lut_rows})
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("__luts"), j + 1), F.col("codes")[j]
         )
-        probed = sorted({r[1] for r in lut_rows})
-        adc = None
-        for j in range(m):
-            term = F.element_at(
-                F.element_at(F.col("__luts"), j + 1), F.col("codes")[j]
-            )
-            adc = term if adc is None else adc + term
-        if round_to is not None:
-            adc = F.round(adc, round_to)
-        out = (
-            idx.where(F.col("coarse").isin(probed))
-            .join(F.broadcast(lut_df), "coarse")
-            .where(F.col(id_col) != F.col("probe_id"))
-            .select("probe_id", F.col(id_col), adc.alias("adc"))
-        )
-    else:
-        legs = []
-        for row in probe_rows:
-            q = [float(x) for x in row["__pv"]]
-            nearest = _nearest(q)
-            not_self = F.col(id_col) != int(row["__pid"])
-            pid_lit = F.lit(int(row["__pid"])).alias("probe_id")
-            coarse_pred = (
-                F.col("coarse") == int(nearest[0])
-                if n_probes == 1
-                else F.col("coarse").isin([int(c) for c in nearest])
-            )
-            legs.append(
-                idx.where(coarse_pred & not_self).select(
-                    pid_lit, F.col(id_col), _adc_expr(q).alias("adc")
-                )
-            )
-        out = legs[0]
-        for leg in legs[1:]:
-            out = out.unionAll(leg)
+        adc = term if adc is None else adc + term
+    if round_to is not None:
+        adc = F.round(adc, round_to)
+    out = (
+        idx.where(F.col("coarse").isin(probed))
+        .join(F.broadcast(lut_df), "coarse")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", F.col(id_col), adc.alias("adc"))
+    )
     w = W.partitionBy("probe_id").orderBy(F.col("adc").asc(), F.col(id_col))
     return (
         out.withColumn("rank", F.row_number().over(w).cast("long"))

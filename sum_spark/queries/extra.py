@@ -583,56 +583,22 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against ITS OWN digest bounds, whose equality is itself checked),
     # so the verification is exactly as strong as re-deriving the value:
     # integer counts determine containment with no rounding seam.
+    fxw = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx")
+    )
     qb = log_histogram_quantile(ldig_cells, _LDIG_PS).withColumnRenamed(
         "rank", "__r"
     )
-    qbg = log_histogram_quantile(
-        ldig_g, _LDIG_PS, group_cols=["event_type"]
-    ).withColumnRenamed("rank", "__r")
     below = F.when(F.col("lo_fp").isNull(), F.lit(0)).otherwise(
         (F.col("__fx") < F.col("lo_fp")).cast("long")
     )
     upto = (F.col("__fx") <= F.col("hi_fp")).cast("long")
     qcols = ["p_num", "p_den", "__r", "lo_fp", "hi_fp"]
-    # Both legs' counts come out of ONE (event_type, value) scan: the
-    # GLOBAL bounds are replicated across every group (null group
-    # included — null-safe join key), counted per group alongside the
-    # per-group bounds, and summed back up. A count of a fixed bound
-    # partitions exactly over groups, so the per-group partial sums ARE
-    # the global counts; what this buys is one fewer full events scan
-    # in the entry (the grouped digest cells are kilobytes, persisted).
-    ets = ldig_g.select("event_type").distinct()
-    bounds_all = (
-        qbg.withColumnRenamed("event_type", "__g").withColumn("__scope", F.lit("g"))
-        .unionByName(
-            qb.crossJoin(ets.withColumnRenamed("event_type", "__g"))
-            .withColumn("__scope", F.lit("a"))
-        )
-    )
-    fxg = ev.where(F.col("value").isNotNull()).select(
-        "event_type",
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx"),
-    )
-    counts_all = (
-        fxg.join(
-            F.broadcast(bounds_all),
-            F.col("event_type").eqNullSafe(F.col("__g")),
-        )
-        .groupBy("__scope", "__g", *qcols)
-        .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
-        .persist()
-    )
     counts = (
-        counts_all.where(F.col("__scope") == "a")
+        fxw.crossJoin(F.broadcast(qb))
         .groupBy(*qcols)
-        .agg(F.sum("__below").alias("__below"), F.sum("__upto").alias("__upto"))
+        .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
     )
-    # the null-safe join key exists for the GLOBAL sums (a null-group
-    # row still counts globally); the per-group leg mirrors the
-    # oracle's equi-join, which drops a null group
-    counts_g = counts_all.where(
-        (F.col("__scope") == "g") & F.col("__g").isNotNull()
-    ).withColumnRenamed("__g", "event_type")
     ldig_ok = (
         F.when(F.col("lo_fp").isNull(), F.lit(True)).otherwise(
             F.col("__below") < F.col("__r")
@@ -654,7 +620,21 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 'ldigg' = the PER-GROUP quantile view answered from the SAME
     # persisted grouped cells (ldig_g — zero extra digest passes): one
     # interval per (event_type, p), verified by the same rank-bound
-    # counting over the shared counts_all pass.
+    # counting — one pruned (event_type, value) scan, broadcast-joined
+    # to the per-group bounds, grouped conditional sums. A raw fx
+    # projection of events is O(data) and must not be persisted.
+    qbg = log_histogram_quantile(
+        ldig_g, _LDIG_PS, group_cols=["event_type"]
+    ).withColumnRenamed("rank", "__r")
+    fxg = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx"),
+    )
+    counts_g = (
+        fxg.join(F.broadcast(qbg), "event_type")
+        .groupBy("event_type", *qcols)
+        .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
+    )
     ldigg = counts_g.select(
         F.lit("ldigg").alias("mode"),
         F.concat_ws(

@@ -446,23 +446,29 @@ def test_q31_token_legs_share_one_documents_tokenize(spark, sf_smoke):
     aggregate's build); a third scan means a union branch lost the cache
     and re-tokenizes the corpus. Events scans are likewise pinned (each
     remaining branch projects different columns, where parquet column
-    pruning beats a shared full-width cache): 5 through round 5, +2 in
+    pruning beats a shared full-width cache): 5 through round 5, +3 in
     round 7 for the log-digest legs — the grouped digest build plus ONE
-    shared rank-bound counting scan serving BOTH ldigq and ldigg:
-    containment of the rank-r value in the digest interval is PROVEN by
-    count(fx<lo) < r <= count(fx<=hi), a pair of conditional sums per
-    (group, bound) with the global bounds replicated across groups and
-    summed back up, so the round-6 order-statistic machinery (two more
-    scans, interval filters, candidate windows) is gone while the check
-    stays exact. The ldig/ldigq/ldigg consumer branches themselves feed
-    from the persisted digest cells, which is what this pin protects."""
+    rank-bound counting scan each for ldigq (value only) and ldigg
+    (event_type + value): containment of the rank-r value in the digest
+    interval is PROVEN by count(fx<lo) < r <= count(fx<=hi), a pair of
+    conditional sums, so the round-6 order-statistic machinery (two
+    more scans, interval filters, candidate windows) is gone while the
+    check stays exact. (A measured dead end worth keeping on record:
+    fusing the two counting scans into one — global bounds replicated
+    per group, summed back — made BOTH legs slower, 0.67/0.79 ->
+    1.05/0.94 s, because every event row then pays 6 bound predicates
+    instead of 3 and the shared persist serializes branches the union
+    otherwise runs concurrently; two independent pruned scans are the
+    better plan here.) The ldig/ldigq/ldigg consumer branches
+    themselves feed from the persisted digest cells, which is what
+    this pin protects."""
     import re
     from collections import Counter
 
     p = plan_of(spark, sf_smoke, "q31_distinct_projection")
     locs = Counter(re.findall(r"Location:.*?(\w+)\.parquet", p))
     assert locs["documents"] <= 2
-    assert locs["events"] <= 7
+    assert locs["events"] <= 8
 
 
 def test_bm25_legs_share_one_documents_tokenize(spark, sf_smoke):
