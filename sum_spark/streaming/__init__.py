@@ -1,5 +1,6 @@
 from sum_spark.streaming.ann import (
     read_embedding_stream,
+    streaming_ann_rerank,
     streaming_ann_scores,
     streaming_index_vectors,
 )
@@ -23,6 +24,7 @@ from sum_spark.streaming.windows import (
 __all__ = [
     "dedup_events",
     "read_embedding_stream",
+    "streaming_ann_rerank",
     "streaming_ann_scores",
     "streaming_index_documents",
     "streaming_index_vectors",

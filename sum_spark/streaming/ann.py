@@ -150,3 +150,60 @@ def streaming_ann_scores(
     if round_to is not None:
         adc = F.round(adc, round_to)
     return joined.select("probe_id", F.col("id"), adc.alias("adc"))
+
+
+def streaming_ann_rerank(
+    probe_stream: DataFrame,
+    index_path: str,
+    corpus: DataFrame,
+    path: str,
+    checkpoint: str,
+    k: int = 10,
+    c: int = 100,
+    m: int = 2,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+    trigger: dict | None = None,
+):
+    """Retrieval-at-ingest with EXACT results — the streaming twin of
+    ``operators.similarity.knn_ivfpq_rerank``: each micro-batch of
+    probe embeddings is served by the batch two-stage rerank (ADC top-C
+    per probe from the stored PQ index — raw or residual, auto-detected
+    — raw vectors fetched from ``corpus``, true-cosine top-k) and its
+    (probe_id, id, sim, rank) rows land under an idempotent
+    ``batch_id=N`` directory, so redelivery overwrites rather than
+    duplicates and the accumulated output equals the batch rerank over
+    every probe ingested — parity-tested. One implementation: the sink
+    calls the batch operator on the micro-batch's probes (bounded by
+    micro-batch size, which is what makes the LUT/broadcast contracts
+    hold per batch); unlike ``streaming_ann_scores`` (stateless
+    candidate stream, consumer ranks), the output here is the final
+    exact top-k per probe."""
+    from sum_spark.operators.similarity import knn_ivfpq_rerank
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        out = knn_ivfpq_rerank(
+            batch_df.sparkSession,
+            index_path,
+            corpus,
+            batch_df,
+            k=k,
+            c=c,
+            m=m,
+            n_probes=n_probes,
+            id_col=id_col,
+            vec_col=vec_col,
+            round_to=round_to,
+        )
+        out.write.parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
+
+    return (
+        probe_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -917,6 +917,17 @@ def test_residual_pq_index_roundtrip_maintenance_and_retrain(spark, tmp_path):
     S.write_pq_index(corpus, p_rt, m=2, n_codes=8, residual=True, res_iters=4)
     assert adc_err(p_rt) < 0.8 * adc_err(p_raw)
 
+    # rerank composes with the residual index unchanged: C >= corpus
+    # makes it the exact cosine top-k within the probed lists
+    rr = S.knn_ivfpq_rerank(
+        spark, p, corpus, probes, k=7, c=10_000, m=2, n_probes=3, round_to=4
+    )
+    want = S.knn_ivf_kmeans(
+        corpus, probes, k=7, centroids=book, n_probes=3, round_to=4,
+        id_col="id", vec_col="data",
+    )
+    assert sorted(map(tuple, rr.collect())) == sorted(map(tuple, want.collect()))
+
     # (c) maintenance: grow + retire == rebuild over survivors
     wave1 = corpus.where("id < 80")
     p_m = str(tmp_path / "pq_res_maint")

@@ -288,3 +288,65 @@ def test_partial_fold_compacts_committed_prefix(spark, tmp_path):
     assert dirs == ["batch_id=1", "batch_id=2", "batch_id=3"]
     final = corpus.where(f"NOT ({retired})")
     assert from_idx() == inflight(final)
+
+
+def test_streaming_ann_rerank_matches_batch(spark, tmp_path):
+    """Retrieval-at-ingest, exact: probes ingested across micro-batches,
+    served per batch by the two-stage rerank over the stored index; the
+    accumulated output equals the BATCH knn_ivfpq_rerank over all probes
+    (same k, c, probes), and redelivered batches overwrite their own
+    dirs rather than duplicate."""
+    import os
+
+    from sum_spark.operators.similarity import knn_ivfpq_rerank, write_pq_index
+    from sum_spark.streaming.ann import read_embedding_stream, streaming_ann_rerank
+
+    rng = np.random.default_rng(83)
+    d = 8
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(d).tolist()) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "pq_rr_stream")
+    write_pq_index(corpus, idx, m=2, n_codes=4, id_col="vec_id", vec_col="embedding")
+
+    probes = spark.createDataFrame(
+        [(1000 + i, rng.standard_normal(d).tolist()) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    drops = str(tmp_path / "probe_drops")
+    probes.where("vec_id < 1003").coalesce(1).write.parquet(drops)
+    probes.where("vec_id >= 1003").coalesce(1).write.mode("append").parquet(drops)
+
+    out_dir = str(tmp_path / "rr_out")
+    q = streaming_ann_rerank(
+        read_embedding_stream(spark, drops),
+        idx,
+        corpus,
+        out_dir,
+        checkpoint=str(tmp_path / "ck_rr"),
+        k=5,
+        c=20,
+        m=2,
+        n_probes=2,
+        round_to=4,
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["probe_id"], r["vec_id"], r["sim"], r["rank"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            knn_ivfpq_rerank(
+                spark, idx, corpus, probes, k=5, c=20, m=2, n_probes=2,
+                id_col="vec_id", vec_col="embedding", round_to=4,
+            ).collect(),
+        )
+    )
+    assert got == want and got
+    assert any(
+        n.startswith("batch_id=") for n in os.listdir(out_dir)
+    )  # idempotent per-batch dirs
