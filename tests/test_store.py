@@ -226,3 +226,67 @@ def test_point_read_prunes_to_one_bucket(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_merge_on_read_random_ops_match_dict_model(spark, tmp_path, seed):
+    """Model-based check of the merge-on-read store: a random sequence of
+    create / create_with_id / update / delete / delete_many / compact
+    must leave the store equal to a plain dict model after every
+    mutation batch — the netting, tombstone-marker, and compaction
+    machinery can never disagree with ordinary map semantics."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    store = RecordStore(spark, str(tmp_path / f"records_{seed}"), num_buckets=4)
+    model: dict[int, tuple] = {}
+    next_id = 1
+
+    def snapshot():
+        got = {
+            r["id"]: (tuple(r["data"]), tuple(r["shape"]), dict(r["meta"]))
+            for r in store.df.collect()
+        }
+        want = {i: (tuple(d), tuple(s), dict(m)) for i, (d, s, m) in model.items()}
+        assert got == want
+
+    for step in range(14):
+        op = rng.choice(["create", "create_id", "update", "delete", "delete_many", "compact"])
+        if op == "create":
+            data = [float(x) for x in rng.integers(0, 9, 3)]
+            rid = store.create(data, meta={"s": str(step)})
+            assert rid == next_id
+            model[rid] = (data, [3], {"s": str(step)})
+            next_id += 1
+        elif op == "create_id":
+            rid = int(rng.integers(100, 120))
+            data = [float(step)]
+            if rid in model:
+                with pytest.raises(IdCollision):
+                    store.create_with_id(rid, data)
+            else:
+                store.create_with_id(rid, data)
+                model[rid] = (data, [1], {})
+                next_id = max(next_id, rid + 1)
+        elif op == "update" and model:
+            rid = int(rng.choice(sorted(model)))
+            data = [float(x) for x in rng.integers(0, 9, 2)]
+            store.update(rid, data=data, meta={"u": str(step)})
+            model[rid] = (data, model[rid][1], {"u": str(step)})
+        elif op == "delete" and model:
+            rid = int(rng.choice(sorted(model)))
+            store.delete(rid)
+            del model[rid]
+        elif op == "delete_many" and model:
+            ids = sorted(model)[: int(rng.integers(1, 3))] + [999_999]
+            store.delete_many(ids)
+            for i in ids:
+                model.pop(i, None)
+        elif op == "compact":
+            store.compact()
+        snapshot()
+
+    # survives reopen (startup scan over the accumulated partials)
+    store2 = RecordStore(spark, str(tmp_path / f"records_{seed}"), num_buckets=4)
+    got = {r["id"] for r in store2.df.collect()}
+    assert got == set(model)
