@@ -963,3 +963,46 @@ def test_residual_pq_index_roundtrip_maintenance_and_retrain(spark, tmp_path):
         )
 
     assert rows_of(p_m) == rows_of(p_s) and rows_of(p_m)
+
+
+def test_ivf_index_marker_gated_netting(spark, tmp_path):
+    """The raw-vector IVF index gets the same tombstone-marker
+    short-circuit as the PQ index (ADVICE r6): a never-retired index's
+    live view has NO netting aggregate (every read is pass-through),
+    the first retire turns it on (and results net correctly), and
+    compaction folds the partials, removes the marker, and returns the
+    reads to pass-through."""
+    import os
+
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(29)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "ivf_marker")
+    S.write_ivf_index(df.where("id < 40"), p)
+    S.append_to_ivf_index(df.where("id >= 40"), p)
+
+    def plan():
+        return (
+            S.ivf_index_rows(spark, p)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    marker = os.path.join(p, "_tombstones")
+    assert not os.path.isfile(marker)
+    assert "HashAggregate" not in plan()  # appends never pay netting
+    assert S.ivf_index_rows(spark, p).count() == 50
+
+    S.retire_from_ivf_index(df.where("id % 9 = 0"), p)
+    assert os.path.isfile(marker)
+    assert "HashAggregate" in plan()  # tombstones exist -> netting on
+    live = {r["id"] for r in S.ivf_index_rows(spark, p).select("id").collect()}
+    assert live == {i for i in range(50) if i % 9 != 0}
+
+    S.compact_ivf_index(spark, p)
+    assert not os.path.isfile(marker)
+    assert "HashAggregate" not in plan()
+    again = {r["id"] for r in S.ivf_index_rows(spark, p).select("id").collect()}
+    assert again == live
