@@ -154,10 +154,15 @@ def extract_features(
                     # auto is the documented crawl-scale fallback: a
                     # payload that LOOKS decodable but isn't (a non-MJPEG
                     # AVI, truncated bytes) degrades to the deterministic
-                    # stand-in instead of failing the pipeline (ADVICE r6)
+                    # stand-in instead of failing the pipeline (ADVICE
+                    # r6). Catch breadth matters: the engine-own codecs
+                    # normalize to ValueError, but PIL raises OSError
+                    # and soundfile/PyAV raise RuntimeError-family
+                    # errors — auto's contract is "never fail the batch
+                    # on one bad payload", so any decode error degrades
                     try:
                         real = _real_feature(modality, content, dim)
-                    except (ValueError, OSError):
+                    except Exception:
                         real = None
                 else:
                     real = None
@@ -312,10 +317,12 @@ def sample_frames(
                             # auto: a RIFF container that isn't MJPEG
                             # (XviD/DivX is common in a crawl) degrades to
                             # the byte-chunker instead of failing the whole
-                            # pipeline (ADVICE r6)
+                            # pipeline (ADVICE r6); PyAV's decode errors
+                            # are RuntimeError-family, not OSError, so
+                            # auto catches any decode failure
                             try:
                                 rows = list(gen)
-                            except (ValueError, OSError):
+                            except Exception:
                                 rows = None
                     elif decoder == "strict":
                         # Strict mode refuses rather than silently faking.

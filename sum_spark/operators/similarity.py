@@ -235,12 +235,16 @@ def retire_from_ivf_index(
     from sum_spark.operators.search import _maint_sub
 
     sub, mode = _maint_sub(batch_dir)
+    # marker FIRST: a crash after the w=-1 rows land but before the
+    # marker would let the no-marker short-circuit serve the retired
+    # rows (and their tombstones) as live; a marker with no tombstones
+    # is harmless (netting is the identity)
+    _mark_tombstones(path)
     old_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(-1)).write.partitionBy("bucket").parquet(
         path + sub, mode=mode
     )
-    _mark_tombstones(path)
 
 
 def _tombstone_marker(path: str) -> str:
@@ -715,20 +719,27 @@ def write_pq_index(
         centroids = train_pq_codebook(records, n_codes, id_col, vec_col)
     spark = records.sparkSession
     if residual:
-        res = _residualize(records, centroids, id_col, vec_col)
-        trained = _train_residual_book(res, n_codes, id_col, res_iters)
-        codes, res_book = product_quantize(
-            res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
-            centroids=trained,
-        )
-        rows = res.select(F.col(id_col), "coarse").join(
-            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-        )
-        rows.withColumn("w", F.lit(1)).write.partitionBy("coarse").parquet(
-            path, mode="overwrite"
-        )
+        # persisted: the residual frame feeds the seed collect, every
+        # Lloyd iteration, the PQ encode, and both join branches — a
+        # full-corpus assign_clusters each without the cache
+        res = _residualize(records, centroids, id_col, vec_col).persist()
+        try:
+            trained = _train_residual_book(res, n_codes, id_col, res_iters)
+            codes, res_book = product_quantize(
+                res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
+                centroids=trained,
+            )
+            rows = res.select(F.col(id_col), "coarse").join(
+                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
+            )
+            rows.withColumn("w", F.lit(1)).write.partitionBy("coarse").parquet(
+                path, mode="overwrite"
+            )
+        finally:
+            res.unpersist()
         write_pq_codebook(spark, centroids, path)
         write_pq_codebook(spark, res_book, path, name="_codebook_res")
+        _write_res_iters(path, res_iters)
         return centroids
     from sum_spark.operators.clustering import assign_clusters
 
@@ -782,6 +793,30 @@ def write_pq_codebook(
     spark.createDataFrame(book_rows, "cluster long, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(path + "/" + name)
+
+
+def _write_res_iters(path: str, res_iters: int, sub: str = "") -> None:
+    """Record the residual-book trainer recipe next to the book (an
+    underscore file inside ``_codebook_res`` — invisible to parquet
+    discovery): retrain_pq_index reads it back so a default retrain
+    reproduces the recipe the index was BUILT with instead of silently
+    falling back to the degeneracy-prone one-step book."""
+    import os
+
+    d = os.path.join(path + sub, "_codebook_res")
+    if os.path.isdir(d):
+        with open(os.path.join(d, "_res_iters"), "w") as fh:
+            fh.write(str(int(res_iters)))
+
+
+def _read_res_iters(path: str) -> int:
+    import os
+
+    f = os.path.join(path, "_codebook_res", "_res_iters")
+    if os.path.isfile(f):
+        with open(f) as fh:
+            return int(fh.read().strip() or 0)
+    return 0
 
 
 def _load_books(spark, path: str):
@@ -971,6 +1006,17 @@ def knn_ivfpq_rerank(
         round_to=adc_round_to,
         n_probes=n_probes,
     ).select("probe_id", id_col)
+    # The broadcast hint sits behind an ENFORCED structural bound, not
+    # prose: the stage-1 rank filter caps the candidate frame at
+    # |probes| * c rows, and |probes| is one cheap count of the small
+    # side. Optimizer size stats (plans/scale.is_broadcastable) are
+    # useless here — a window-filtered derived frame estimates from the
+    # index scan and always reads huge — so the row bound is the honest
+    # gate; past it the hint comes OFF and AQE's measured sizing
+    # decides (the CLAUDE.md corpus-derived-broadcast rule).
+    cand_rows = probes.count() * int(c)
+    if cand_rows * 64 < (8 << 20):  # ~64 B per (probe_id, id) row
+        cand = F.broadcast(cand)
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__pv")
     )
@@ -979,7 +1025,7 @@ def knn_ivfpq_rerank(
         sim = F.round(sim, round_to)
     w = W.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col(id_col))
     return (
-        corpus.join(F.broadcast(cand), id_col)
+        corpus.join(cand, id_col)
         .join(F.broadcast(p), "probe_id")
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1081,13 +1127,15 @@ def retire_from_pq_index(
     from sum_spark.operators.search import _maint_sub
 
     sub, mode = _maint_sub(batch_dir)
+    # marker FIRST (see retire_from_ivf_index): never let a crash leave
+    # tombstone rows that a no-marker pass-through would serve as live
+    _mark_tombstones(path)
     (
         _encode_with_stored_book(old_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(-1))
         .write.partitionBy("coarse")
         .parquet(path + sub, mode=mode)
     )
-    _mark_tombstones(path)
 
 
 def pq_index_rows(
@@ -1296,7 +1344,7 @@ def retrain_pq_index(
     vec_col: str = "data",
     keep_batch_layout: bool = False,
     checkpoint: str | None = None,
-    res_iters: int = 0,
+    res_iters: int | None = None,
 ) -> dict[int, list[float]]:
     """Retrain the codebook on the SURVIVING corpus and re-encode the
     whole index under it — the maintenance op that closes the drift
@@ -1340,12 +1388,14 @@ def retrain_pq_index(
         book = train_pq_codebook(survivors, n_codes, id_col, vec_col)
         res_book = None
         if old_res is not None:
-            # a residual index retrains BOTH books (same recipes as
-            # write_pq_index(residual=True, res_iters=...) on the
-            # survivor frame — pass the res_iters the index was built
-            # with; correctness never depends on it, only ADC quality)
-            res = _residualize(survivors, book, id_col, vec_col)
-            trained = _train_residual_book(res, n_codes, id_col, res_iters)
+            # a residual index retrains BOTH books with the recipe the
+            # index was BUILT with: res_iters=None (default) reads the
+            # recipe recorded next to the stored book, so a default
+            # retrain can never silently swap a Lloyd-trained residual
+            # book for the degeneracy-prone one-step fallback
+            ri = _read_res_iters(path) if res_iters is None else int(res_iters)
+            res = _residualize(survivors, book, id_col, vec_col).persist()
+            trained = _train_residual_book(res, n_codes, id_col, ri)
             codes, res_book = product_quantize(
                 res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
                 centroids=trained,
@@ -1365,17 +1415,23 @@ def retrain_pq_index(
             rows = coarse.select(F.col(id_col), "coarse").join(
                 codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
             )
-        (
-            rows.withColumn("w", F.lit(1))
-            .write.partitionBy("coarse")
-            .parquet(staged + sub, mode="overwrite")
-        )
+        try:
+            (
+                rows.withColumn("w", F.lit(1))
+                .write.partitionBy("coarse")
+                .parquet(staged + sub, mode="overwrite")
+            )
+        finally:
+            if old_res is not None:
+                res.unpersist()
         # stage the new book(s) NEXT TO the rows: the swap replaces all
         # or none (the _codebook prefix is in the delete set below and
-        # covers _codebook_res too)
+        # covers _codebook_res too; the recipe file rides inside the
+        # staged book dir)
         write_pq_codebook(spark, book, staged)
         if res_book is not None:
             write_pq_codebook(spark, res_book, staged, name="_codebook_res")
+            _write_res_iters(staged, ri)
 
     _stage_and_swap(path, _write, ("coarse=", "batch_id=", "_codebook"))
     marker = _tombstone_marker(path)

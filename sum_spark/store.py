@@ -133,6 +133,19 @@ class RecordStore:
         except Exception:
             return self.spark.createDataFrame([], _READ_SCHEMA)
 
+    def _append_weighted(self, rows: list[tuple[Row, int]]) -> None:
+        """Append rows with PER-ROW weights in one write job — the
+        atomic form update() needs (old version -1 and new version +1
+        commit together or not at all)."""
+        data = [
+            Row(id=r["id"], data=r["data"], shape=r["shape"], meta=r["meta"], w=int(w))
+            for r, w in rows
+        ]
+        df = self.spark.createDataFrame(data, _WRITE_SCHEMA).withColumn(
+            "b", (F.col("id") % self.num_buckets).cast("int")
+        )
+        df.write.mode("append").partitionBy("b").parquet(self.path)
+
     def _append(self, rows: list[Row], w: int = 1) -> None:
         df = (
             self.spark.createDataFrame(rows, RECORD_SCHEMA)
@@ -304,17 +317,27 @@ class RecordStore:
             shape if shape is not None else old["shape"],
             meta if meta is not None else old["meta"],
         )
-        self._append([self._as_record_row(old)], w=-1)
-        self._append([Row(id=int(rid), data=d, shape=s, meta=m)], w=1)
+        # marker FIRST (a crash after the -1 row but before the marker
+        # would let the pass-through path serve the tombstone as live),
+        # then BOTH partials in ONE write job: a crash between two
+        # separate appends would negate the old version with no
+        # replacement — a silent delete where the caller asked for an
+        # update; one job commits both rows or neither
         self._mark_tombstones()
+        self._append_weighted(
+            [
+                (self._as_record_row(old), -1),
+                (Row(id=int(rid), data=d, shape=s, meta=m), 1),
+            ]
+        )
 
     def delete(self, rid: int) -> None:
         """Deletion as negation: append the stored row again with w=-1
         (read() both enforces the not-found contract, records.go:117-121,
         and fetches the exact live version to negate)."""
         old = self.read(rid)
+        self._mark_tombstones()  # marker first — see update()
         self._append([self._as_record_row(old)], w=-1)
-        self._mark_tombstones()
 
     def delete_many(self, rids: list[int]) -> None:
         """Bulk deletion-as-negation, fully distributed: the live rows
@@ -323,6 +346,7 @@ class RecordStore:
         ids simply match nothing, preserving the old filter semantics)."""
         ids = [int(r) for r in rids]
         buckets = sorted({self._bucket(r) for r in ids})
+        self._mark_tombstones()  # marker first — see update()
         (
             self._live()
             .where(F.col("b").isin(buckets) & F.col("id").isin(ids))
@@ -333,7 +357,6 @@ class RecordStore:
             .partitionBy("b")
             .parquet(self.path)
         )
-        self._mark_tombstones()
 
     def compact(self) -> None:
         """Fold each bucket's accumulated partials (create-appends and

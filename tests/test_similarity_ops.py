@@ -964,6 +964,23 @@ def test_residual_pq_index_roundtrip_maintenance_and_retrain(spark, tmp_path):
 
     assert rows_of(p_m) == rows_of(p_s) and rows_of(p_m)
 
+    # the trainer RECIPE persists with the book (code-review fix): a
+    # DEFAULT retrain of a res_iters=4 index reproduces the Lloyd
+    # recipe — it can never silently fall back to the degeneracy-prone
+    # one-step book
+    import os as _os
+
+    assert _os.path.isfile(_os.path.join(p_rt, "_codebook_res", "_res_iters"))
+    S.retire_from_pq_index(corpus.where("id % 11 = 1"), p_rt, m=2)
+    nb = S.retrain_pq_index(spark, p_rt, corpus, m=2, n_codes=8)
+    surv2 = corpus.where("id % 11 != 1")
+    p_s2 = str(tmp_path / "pq_rt_scratch")
+    b2 = S.write_pq_index(surv2, p_s2, m=2, n_codes=8, residual=True, res_iters=4)
+    assert nb == b2
+    assert rows_of(p_rt) == rows_of(p_s2) and rows_of(p_rt)
+    # ...and the recipe survives the retrain swap too
+    assert _os.path.isfile(_os.path.join(p_rt, "_codebook_res", "_res_iters"))
+
 
 def test_ivf_index_marker_gated_netting(spark, tmp_path):
     """The raw-vector IVF index gets the same tombstone-marker
