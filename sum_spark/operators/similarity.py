@@ -186,6 +186,7 @@ def write_ivf_index(
     ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
         path, mode="overwrite"
     )
+    _attest(path)
 
 
 def append_to_ivf_index(
@@ -206,11 +207,14 @@ def append_to_ivf_index(
     from sum_spark.operators.search import _maint_sub
 
     sub, mode = _maint_sub(batch_dir)
+    fresh = _rowless(path, ("bucket=", "batch_id="))
     new_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
         path + sub, mode=mode
     )
+    if fresh:
+        _attest(path)
 
 
 def retire_from_ivf_index(
@@ -266,6 +270,44 @@ def _mark_tombstones(path: str) -> None:
         fh.write("1")
 
 
+def _attested_marker(path: str) -> str:
+    """Sentinel recording that every write to this index was made by a
+    MARKER-AWARE build (write_*/append_*/compact_*/retrain_* of this
+    version, which write it; retires write ``_tombstones``). The read
+    side may skip the netting aggregate only when the sentinel is
+    present AND no tombstone marker is (ADVICE r7 medium): an index
+    persisted by a pre-marker version can hold w=-1 retire partials
+    with NO marker, and a bare no-marker short-circuit would serve its
+    retired rows — and their tombstones — as live. Legacy indexes
+    (neither file) therefore always net; netting a clean index is the
+    identity, so the conservative path is merely slower, never wrong.
+    (One-time ``compact_*_index`` migrates a legacy index to attested.)"""
+    import os
+
+    return os.path.join(path, "_marker_aware")
+
+
+def _attest(path: str) -> None:
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(_attested_marker(path), "w") as fh:
+        fh.write("1")
+
+
+def _rowless(path: str, prefixes: tuple[str, ...]) -> bool:
+    """True when the index holds NO row partitions yet (underscore dirs
+    like a bootstrap ``_codebook`` don't count) — the only state in which
+    an APPEND may attest the index: every row that will ever exist is
+    then marker-aware. Appending to an existing unattested (legacy)
+    index must NOT attest rows this version didn't write."""
+    import os
+
+    if not os.path.isdir(path):
+        return True
+    return not any(n.startswith(prefixes) for n in os.listdir(path))
+
+
 def ivf_index_rows(
     spark, path: str, exclude_batch_ids: list[int] | None = None
 ) -> DataFrame:
@@ -274,8 +316,11 @@ def ivf_index_rows(
     are all grouping keys), keeping positive sums. Probe-bucket and
     attribute predicates are grouping-key filters, so they push below
     the netting aggregate to the parquet scan (PartitionFilters /
-    PushedFilters — plan-tested). Pre-w indexes, and w-indexes no
-    retire ever touched (no tombstone marker), pass through un-netted.
+    PushedFilters — plan-tested). Pre-w indexes, and ATTESTED w-indexes
+    no retire ever touched (``_marker_aware`` present, no tombstone
+    marker), pass through un-netted; a legacy index (neither file)
+    always nets — it may hold pre-marker retire partials (ADVICE r7 —
+    compact once to migrate).
     ``exclude_batch_ids`` drops whole batch dirs before netting
     (partition-pruned) — the partial-fold compaction's committed-prefix
     read; serving reads never exclude."""
@@ -286,7 +331,9 @@ def ivf_index_rows(
         return idx
     if exclude_batch_ids and "batch_id" in idx.columns:
         idx = idx.where(~F.col("batch_id").isin([int(i) for i in exclude_batch_ids]))
-    if not os.path.isfile(_tombstone_marker(path)):
+    if os.path.isfile(_attested_marker(path)) and not os.path.isfile(
+        _tombstone_marker(path)
+    ):
         return idx.drop("w", "batch_id")
     # batch_id (present on stream-written / batch-laid-out indexes) is
     # bookkeeping, not content: partials for one row may span batch dirs.
@@ -740,6 +787,7 @@ def write_pq_index(
         write_pq_codebook(spark, centroids, path)
         write_pq_codebook(spark, res_book, path, name="_codebook_res")
         _write_res_iters(path, res_iters)
+        _attest(path)
         return centroids
     from sum_spark.operators.clustering import assign_clusters
 
@@ -757,6 +805,7 @@ def write_pq_index(
         .parquet(path, mode="overwrite")
     )
     write_pq_codebook(spark, centroids, path)
+    _attest(path)
     return centroids
 
 
@@ -982,7 +1031,9 @@ def knn_ivfpq_rerank(
     cannot afford).
 
     Scale shape: the candidate frame is structurally bounded at
-    |probes| * c * n_probes rows by the stage-1 rank filter (that bound,
+    |probes| * c rows by the stage-1 rank filter — the per-probe top-c
+    runs ACROSS all probed lists, so n_probes widens the scan, not the
+    candidate set (that bound,
     not a size estimate, justifies the broadcast hint — the
     is_broadcastable concern applies to unbounded corpus-derived
     frames); the corpus fetch is then a broadcast-hash join on id — one
@@ -1094,12 +1145,15 @@ def append_to_pq_index(
     from sum_spark.operators.search import _maint_sub
 
     sub, mode = _maint_sub(batch_dir)
+    fresh = _rowless(path, ("coarse=", "batch_id="))
     (
         _encode_with_stored_book(new_records, path, m, id_col, vec_col)
         .withColumn("w", F.lit(1))
         .write.partitionBy("coarse")
         .parquet(path + sub, mode=mode)
     )
+    if fresh:
+        _attest(path)
 
 
 def retire_from_pq_index(
@@ -1153,10 +1207,13 @@ def pq_index_rows(
     Probe-list predicates applied on top still prune the scan: the
     coarse partition column is a grouping key, so Catalyst pushes the
     filter below the aggregate to the parquet scan (PartitionFilters —
-    plan-tested). Pre-w indexes (no w column), and w-indexes no retire
-    ever touched (no tombstone marker), pass through un-netted — the
-    marker short-circuit that spares a never-retired index the
-    per-query aggregate. ``exclude_batch_ids`` drops whole batch dirs
+    plan-tested). Pre-w indexes (no w column), and ATTESTED w-indexes
+    no retire ever touched (``_marker_aware`` present, no tombstone
+    marker), pass through un-netted — the short-circuit that spares a
+    never-retired index the per-query aggregate; a legacy index
+    (neither file) always nets, since it may hold pre-marker retire
+    partials (ADVICE r7 — compact once to migrate).
+    ``exclude_batch_ids`` drops whole batch dirs
     before netting (partition-pruned) — the partial-fold compaction's
     committed-prefix read; serving reads never exclude."""
     import os
@@ -1166,7 +1223,9 @@ def pq_index_rows(
         return idx
     if exclude_batch_ids and "batch_id" in idx.columns:
         idx = idx.where(~F.col("batch_id").isin([int(i) for i in exclude_batch_ids]))
-    if not os.path.isfile(_tombstone_marker(path)):
+    if os.path.isfile(_attested_marker(path)) and not os.path.isfile(
+        _tombstone_marker(path)
+    ):
         return idx.drop("w", "batch_id")
     keys = [c for c in idx.columns if c not in ("w", "batch_id")]
     return (
@@ -1241,6 +1300,11 @@ def compact_pq_index(
             )
 
     _stage_and_swap(path, _write, ("coarse=", "batch_id="))
+    # attest BEFORE dropping the marker: a crash between leaves marker
+    # present -> reads net (identity on the folded rows) -> safe. This is
+    # also the one-time legacy migration (ADVICE r7): a pre-marker index
+    # is clean after the fold, so reads may short-circuit from here on.
+    _attest(path)
     marker = _tombstone_marker(path)
     if os.path.isfile(marker):
         os.remove(marker)  # folded: every surviving row is one +1 partial
@@ -1328,6 +1392,7 @@ def compact_ivf_index(
             )
 
     _stage_and_swap(path, _write, ("bucket=", "batch_id="))
+    _attest(path)  # see compact_pq_index: also the legacy migration
     marker = _tombstone_marker(path)
     if os.path.isfile(marker):
         os.remove(marker)
@@ -1381,7 +1446,22 @@ def retrain_pq_index(
     def _write(staged: str) -> None:
         sub = ""
         if keep_batch_layout:
-            sub, _pending = _batch_fold_plan(path, checkpoint, partial=False)
+            try:
+                sub, _pending = _batch_fold_plan(path, checkpoint, partial=False)
+            except ValueError as e:
+                if "partial=True" not in str(e):
+                    raise
+                # _batch_fold_plan's advice ("pass partial=True") names a
+                # parameter retrain deliberately lacks: a partial retrain
+                # would mix old-book tail codes with the new book and
+                # corrupt every ADC (ADVICE r7)
+                raise ValueError(
+                    str(e).split(" — or pass")[0]
+                    + ". retrain_pq_index has no partial mode (tail rows "
+                    "are encoded under the OLD book; mixing books in one "
+                    "index corrupts ADC): resume the stream to commit the "
+                    "tail, stop cleanly, then retrain."
+                ) from None
         _old_book, old_res = _load_books(spark, path)
         live = pq_index_rows(spark, path, id_col).select(id_col)
         survivors = records.join(live, id_col).select(id_col, vec_col)
@@ -1434,6 +1514,7 @@ def retrain_pq_index(
             _write_res_iters(staged, ri)
 
     _stage_and_swap(path, _write, ("coarse=", "batch_id=", "_codebook"))
+    _attest(path)  # see compact_pq_index: also the legacy migration
     marker = _tombstone_marker(path)
     if os.path.isfile(marker):
         os.remove(marker)

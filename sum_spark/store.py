@@ -134,14 +134,21 @@ class RecordStore:
             return self.spark.createDataFrame([], _READ_SCHEMA)
 
     def _append_weighted(self, rows: list[tuple[Row, int]]) -> None:
-        """Append rows with PER-ROW weights in one write job — the
-        atomic form update() needs (old version -1 and new version +1
-        commit together or not at all)."""
+        """Append rows with PER-ROW weights in one write job, coalesced
+        to ONE task so all partials land in one file per partition dir —
+        the narrowest crash window update() can get (ADVICE r7: a 2-row
+        createDataFrame can otherwise split across tasks/files, and a
+        parquet append's job commit is not atomic across files, so the
+        w=-1 partial could land without its +1 replacement). With one
+        task the -1/+1 pair for an UNCHANGED id shares a file; a crash
+        mid-write leaves no visible file at all. Same-id-different-bucket
+        pairs still split by partitionBy — that residual window is
+        documented at update()."""
         data = [
             Row(id=r["id"], data=r["data"], shape=r["shape"], meta=r["meta"], w=int(w))
             for r, w in rows
         ]
-        df = self.spark.createDataFrame(data, _WRITE_SCHEMA).withColumn(
+        df = self.spark.createDataFrame(data, _WRITE_SCHEMA).coalesce(1).withColumn(
             "b", (F.col("id") % self.num_buckets).cast("int")
         )
         df.write.mode("append").partitionBy("b").parquet(self.path)
@@ -319,10 +326,14 @@ class RecordStore:
         )
         # marker FIRST (a crash after the -1 row but before the marker
         # would let the pass-through path serve the tombstone as live),
-        # then BOTH partials in ONE write job: a crash between two
-        # separate appends would negate the old version with no
-        # replacement — a silent delete where the caller asked for an
-        # update; one job commits both rows or neither
+        # then BOTH partials in ONE single-task write job: a crash
+        # between two separate appends would negate the old version with
+        # no replacement — a silent delete where the caller asked for an
+        # update. One coalesced task NARROWS that window (same bucket =
+        # same file = one visible-or-not unit) but does not close it:
+        # update() keys by id, so both versions share a bucket and the
+        # window is gone in practice; if the id ever re-bucketed, the
+        # pair would span two files whose commits are not atomic.
         self._mark_tombstones()
         self._append_weighted(
             [

@@ -67,15 +67,25 @@ def streaming_index_vectors(
     the stream stopped: retire/append with a NEGATIVE ``batch_dir``,
     compact with ``compact_pq_index(keep_batch_layout=True)`` — both
     preserve the batch layout, so the stream can resume."""
-    from sum_spark.operators.similarity import _encode_with_stored_book
+    from sum_spark.operators.similarity import (
+        _attest,
+        _encode_with_stored_book,
+        _rowless,
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # attesting is only safe while the index holds no rows this
+        # version didn't write — a resumed stream over a LEGACY index
+        # (pre-marker rows present, no sentinel) must keep netting
+        fresh = _rowless(path, ("coarse=", "batch_id="))
         (
             _encode_with_stored_book(batch_df, path, m, id_col, vec_col)
             .withColumn("w", F.lit(1))
             .write.partitionBy("coarse")
             .parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
         )
+        if fresh:
+            _attest(path)
 
     return (
         stream_df.writeStream.foreachBatch(sink)

@@ -1023,3 +1023,87 @@ def test_ivf_index_marker_gated_netting(spark, tmp_path):
     assert "HashAggregate" not in plan()
     again = {r["id"] for r in S.ivf_index_rows(spark, p).select("id").collect()}
     assert again == live
+
+
+def test_legacy_index_without_sentinel_always_nets(spark, tmp_path):
+    """ADVICE r7 (medium): an index persisted by a PRE-MARKER version
+    has w=-1 retire partials but neither the ``_tombstones`` marker nor
+    the ``_marker_aware`` sentinel. The read side must NET such a legacy
+    index — a bare no-marker pass-through would serve every retired row
+    as live AND surface each tombstone as a duplicate. One compaction
+    migrates it to attested (sentinel written), restoring the
+    short-circuit for clean reads."""
+    import os
+
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+
+    for kind in ("ivf", "pq"):
+        p = str(tmp_path / f"legacy_{kind}")
+        if kind == "ivf":
+            S.write_ivf_index(df, p)
+            S.retire_from_ivf_index(df.where("id % 7 = 0"), p)
+            read = lambda: S.ivf_index_rows(spark, p)  # noqa: E731
+            compact = S.compact_ivf_index
+        else:
+            S.write_pq_index(df, p, m=2, n_codes=8)
+            S.retire_from_pq_index(df.where("id % 7 = 0"), p, m=2)
+            read = lambda: S.pq_index_rows(spark, p)  # noqa: E731
+            compact = S.compact_pq_index
+        live = {i for i in range(40) if i % 7 != 0}
+
+        # simulate the pre-marker version's on-disk state: w partials
+        # present, no bookkeeping files at all
+        os.remove(os.path.join(p, "_tombstones"))
+        os.remove(os.path.join(p, "_marker_aware"))
+
+        plan = read()._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan  # legacy -> conservative netting
+        got = {r["id"] for r in read().select("id").collect()}
+        assert got == live  # retired rows netted, no duplicates
+
+        compact(spark, p)  # the one-time migration
+        assert os.path.isfile(os.path.join(p, "_marker_aware"))
+        assert not os.path.isfile(os.path.join(p, "_tombstones"))
+        plan = read()._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" not in plan  # attested-clean short-circuit
+        assert {r["id"] for r in read().select("id").collect()} == live
+
+
+def test_retrain_pq_index_mid_batch_tail_error_names_no_partial_mode(
+    spark, tmp_path
+):
+    """ADVICE r7: the mid-batch-tail refusal surfaced through
+    retrain_pq_index must not advise 'pass partial=True' (retrain has no
+    partial mode — mixing books corrupts ADC); it must give
+    retrain-specific guidance instead."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(37)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "pq_tail")
+    book = S.train_pq_codebook(df, 8)
+    S.write_pq_codebook(spark, book, p)
+    S.append_to_pq_index(df, p, m=2, batch_dir=0)  # batch layout
+    # a checkpoint whose commit log has NOT committed batch 0 = the
+    # stream stopped mid-batch
+    ck = str(tmp_path / "ck")
+    os.makedirs(os.path.join(ck, "commits"))
+    with pytest.raises(ValueError) as ei:
+        S.retrain_pq_index(
+            spark, p, df, m=2, n_codes=8, keep_batch_layout=True, checkpoint=ck
+        )
+    msg = str(ei.value)
+    assert "partial=True" not in msg
+    assert "retrain" in msg and "resume the stream" in msg
