@@ -96,7 +96,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q39_asof_join": ("mode", ["back", "fwd", "tol"]),
     "q28_sliding_window": ("mode", ["slide", "trail"]),
     "q44_range_join": ("mode", ["in", "over"]),
-    "knn_search": ("mode", ["brute", "filt", "incr", "ivf", "ivfpq", "rr"]),
+    "knn_search": ("mode", ["brute", "filt", "incr", "ivf", "ivfpq", "res", "rr"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
     "corpus_mixture": ("mode", ["mix", "plan", "cap"]),

@@ -588,6 +588,55 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rank
       FROM scoredi QUALIFY rank <= 5
     ),
+    resd AS (
+      SELECT ka.vec_id, ka.cluster,
+             list_transform(range(1, len(ka.vv) + 1),
+                            t -> ka.vv[t] - kcr.cc[t]) AS rv
+      FROM ka JOIN kc kcr ON kcr.c0 = ka.cluster
+    ),
+    rbsum AS (
+      SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS c0,
+             pos,
+             SUM(CAST(floor(val * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS m,
+             COUNT(*) AS c
+      FROM (SELECT vec_id, unnest(rv) AS val,
+                   unnest(range(1, len(rv) + 1)) AS pos
+            FROM resd WHERE vec_id % 3 <> 0)
+      GROUP BY c0, pos
+    ),
+    rb AS (
+      SELECT c0, list(CAST(m AS DOUBLE) / CAST(c * 1000000 AS DOUBLE) ORDER BY pos) AS cc
+      FROM rbsum GROUP BY c0
+    ),
+    rpqd AS (
+      SELECT r.vec_id, rb.c0 AS cand,
+             list_sum(list_transform(range(1, len(r.rv) // 2 + 1),
+                      t -> (r.rv[t] - rb.cc[t]) * (r.rv[t] - rb.cc[t]))) AS d0,
+             list_sum(list_transform(range(len(r.rv) // 2 + 1, len(r.rv) + 1),
+                      t -> (r.rv[t] - rb.cc[t]) * (r.rv[t] - rb.cc[t]))) AS d1
+      FROM resd r CROSS JOIN rb
+    ),
+    rq0 AS (
+      SELECT vec_id, cand AS c FROM rpqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cand) = 1
+    ),
+    rq1 AS (
+      SELECT vec_id, cand AS c FROM rpqd
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cand) = 1
+    ),
+    scoredr AS (
+      SELECT c.probe_id, c.vec_id, ROUND(lu0.d0 + lu1.d1, 4) AS sim
+      FROM candi c
+      JOIN rq0 ON rq0.vec_id = c.vec_id
+      JOIN rq1 ON rq1.vec_id = c.vec_id
+      JOIN rpqd lu0 ON lu0.vec_id = c.probe_id AND lu0.cand = rq0.c
+      JOIN rpqd lu1 ON lu1.vec_id = c.probe_id AND lu1.cand = rq1.c
+    ),
+    resl AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rank
+      FROM scoredr QUALIFY rank <= 5
+    ),
     rrcand AS (
       SELECT probe_id, vec_id,
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim ASC, vec_id) AS rn
@@ -630,6 +679,8 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     UNION ALL
     SELECT 'ivfpq', probe_id, vec_id, sim, rank FROM ivfpq
     UNION ALL
+    SELECT 'res', probe_id, vec_id, sim, rank FROM resl
+    UNION ALL
     SELECT 'rr', probe_id, vec_id, sim, rank FROM rr
     ORDER BY mode, probe_id, rank
     """,
@@ -663,8 +714,20 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     "the two-stage production ANN serve that confines PQ quantization "
     "error to the candidate cut; both stages oracle-reproduced, so the "
     "hash match proves the returned top-5 is the exact cosine top-5 of "
-    "the ADC candidate set. All six operators execute; one checked "
-    "result.",
+    "the ADC candidate set. 'res' = the RESIDUAL stored-PQ serve "
+    "(VERDICT r7 #1): a second maintained index written with "
+    "residual=True (textbook IVF-PQ — codes quantize v - c_list against "
+    "a residual book trained on snapshot A by the one-step recipe, "
+    "res_iters=0 for cross-engine reproducibility; production books use "
+    "res_iters>=4, whose Lloyd iterations no oracle reproduces — same "
+    "encode, different book), same A/append/retire history as 'incr', "
+    "served by the per-(probe,list) LUT path. The oracle re-derives the "
+    "residuals, the residual book (fixed-point integer means over A's "
+    "residuals), both per-subspace code assignments, and the probe's "
+    "residual LUT, so the hash match covers the entire residual chain: "
+    "encode at write, O(delta) encode at append, bit-exact negation at "
+    "retire, netting, and residual ADC at serve. All seven operators "
+    "execute; one checked result.",
 )
 def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -759,11 +822,42 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         "rank",
     )
+    # 'res': the RESIDUAL stored index, same maintenance history as
+    # 'incr' (snapshot A, O(delta) append, deletion-as-negation retire —
+    # the retire must reproduce the stored rows bit-for-bit THROUGH the
+    # residual encode, which is what makes this leg's hash match the
+    # residual path's correctness row, VERDICT r7 #1). res_iters=0 keeps
+    # the residual book on the one-step fixed-point recipe the oracle
+    # re-derives in SQL; a production res_iters>=4 book changes only the
+    # book, not the encode/serve machinery checked here.
+    res_path = _artifact_dir("pq_res", sf_dir)
+    if res_path not in _PQ_INCR_BUILT:
+        import shutil as _shutil
+
+        _shutil.rmtree(res_path, ignore_errors=True)
+        book_r = train_pq_codebook(emb, 8, id_col="vec_id", vec_col="embedding")
+        write_pq_index(
+            emb2.where("id % 3 != 0"), res_path, m=2, n_codes=8,
+            centroids=book_r, residual=True, res_iters=0,
+        )
+        append_to_pq_index(emb2.where("id % 3 = 0"), res_path, m=2)
+        retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
+        _PQ_INCR_BUILT.add(res_path)
+    res = knn_ivfpq_from_index(
+        spark, res_path, emb2.where("id <= 3"), k=5, m=2, round_to=4
+    ).select(
+        F.lit("res").alias("mode"),
+        "probe_id",
+        F.col("id").alias("vec_id"),
+        F.col("adc").alias("sim"),
+        "rank",
+    )
     return (
         brute.unionAll(filt)
         .unionAll(incr)
         .unionAll(ivf)
         .unionAll(ivfpq)
+        .unionAll(res)
         .unionAll(rr)
         .orderBy("mode", "probe_id", "rank")
     )
