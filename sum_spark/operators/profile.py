@@ -30,41 +30,43 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     wants (cardinalities become estimates; everything else is exact).
     NULLs never count as a distinct value in either engine.
     """
+    # Batched SQL-string construction (VERDICT r7 #2): per column this
+    # builder used to make ~30 py4j round trips of Column objects; at
+    # ~0.16 ms per round trip the events-table profile alone cost ~0.3 s
+    # of pure driver latency per plan build. selectExpr strings resolve
+    # to the identical Catalyst aggregate in a handful of calls.
     aggs = []
     cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     for name, dtype in cols:
-        c = F.col(name)
-        aggs.append(F.count(F.lit(1)).alias(f"__rows_{name}"))
-        aggs.append(F.count(c).alias(f"__nn_{name}"))
+        q = f"`{name}`"
+        aggs.append(f"count(1) AS `__rows_{name}`")
+        aggs.append(f"count({q}) AS `__nn_{name}`")
         if exact_distinct:
-            aggs.append(F.countDistinct(c).alias(f"__nd_{name}"))
+            aggs.append(f"count(DISTINCT {q}) AS `__nd_{name}`")
         else:
-            aggs.append(F.approx_count_distinct(c).alias(f"__nd_{name}"))
+            aggs.append(f"approx_count_distinct({q}) AS `__nd_{name}`")
         if dtype in _MINMAX_TYPES:
-            aggs.append(F.min(c).cast("string").alias(f"__mn_{name}"))
-            aggs.append(F.max(c).cast("string").alias(f"__mx_{name}"))
+            aggs.append(f"CAST(min({q}) AS STRING) AS `__mn_{name}`")
+            aggs.append(f"CAST(max({q}) AS STRING) AS `__mx_{name}`")
         else:
-            aggs.append(F.lit(None).cast("string").alias(f"__mn_{name}"))
-            aggs.append(F.lit(None).cast("string").alias(f"__mx_{name}"))
-    one = df.agg(*aggs)
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(name).alias("column"),
-                    F.col(f"__rows_{name}").alias("n_rows"),
-                    (F.col(f"__rows_{name}") - F.col(f"__nn_{name}")).alias("n_nulls"),
-                    F.col(f"__nd_{name}").cast("long").alias("n_distinct"),
-                    F.col(f"__mn_{name}").alias("min_str"),
-                    F.col(f"__mx_{name}").alias("max_str"),
-                )
-                for name, _ in cols
-            ]
-        )
+            aggs.append(f"CAST(NULL AS STRING) AS `__mn_{name}`")
+            aggs.append(f"CAST(NULL AS STRING) AS `__mx_{name}`")
+    one = df.selectExpr(*aggs)
+    structs = ", ".join(
+        f"struct('{name}' AS column,"
+        f" `__rows_{name}` AS n_rows,"
+        f" `__rows_{name}` - `__nn_{name}` AS n_nulls,"
+        f" CAST(`__nd_{name}` AS BIGINT) AS n_distinct,"
+        f" `__mn_{name}` AS min_str,"
+        f" `__mx_{name}` AS max_str)"
+        for name, _ in cols
     )
     return (
-        one.select(rows.alias("p"))
-        .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str")
+        one.selectExpr(f"explode(array({structs})) AS p")
+        .selectExpr(
+            "p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
+            "p.min_str", "p.max_str",
+        )
         .orderBy("column")
     )
 
@@ -85,16 +87,14 @@ def corpus_fingerprint(
     ~2^68 documents. One aggregate pass, no shuffle beyond the final
     single-row combine.
     """
-    from sum_spark.functions.hashing import hash60
-
-    t = F.col(text_col)
-    return df.select(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.count("*") - F.count(t)).cast("long").alias("n_null_texts"),
-        F.sum(F.size(F.split(t, " "))).cast("long").alias("n_tokens"),
-        F.sum(hash60(t).cast("decimal(38,0)")).cast("decimal(38,0)")
-        .cast("string")
-        .alias("fp_sum"),
+    q = f"`{text_col}`"
+    h60 = f"CAST(conv(substring(md5({q}), 1, 15), 16, 10) AS BIGINT)"
+    return df.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_docs",
+        f"CAST(count(*) - count({q}) AS BIGINT) AS n_null_texts",
+        f"CAST(sum(size(split({q}, ' '))) AS BIGINT) AS n_tokens",
+        f"CAST(CAST(sum(CAST({h60} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        " AS STRING) AS fp_sum",
     )
 
 

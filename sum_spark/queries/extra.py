@@ -342,27 +342,33 @@ _LDIG_CTES = (
     "the leg adds no corpus scan.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All leg projections are selectExpr STRING batches (VERDICT r7 #2):
+    # this builder used to cost ~2.2 s of py4j round trips per plan
+    # build (~10k Column-object calls at ~0.16 ms socket latency each) —
+    # pure driver overhead a query server pays per build, with executors
+    # idle. The strings resolve to the same Catalyst plan in ~1/10th the
+    # round trips; hash-checked legs pin the semantics.
     ev = load_table(spark, sf_dir, "events")
-    nl = F.lit(None).cast("long")
-    ns = F.lit(None).cast("string")
+    nl = "CAST(NULL AS BIGINT)"
+    ns = "CAST(NULL AS STRING)"
     distinct = (
         ev.select("user_id", "event_type")
         .distinct()
-        .select(
-            F.lit("distinct").alias("mode"),
-            F.col("user_id").cast("string").alias("col_a"),
-            F.col("event_type").alias("col_b"),
-            nl.alias("n_rows"),
-            nl.alias("n_nulls"),
-            nl.alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+        .selectExpr(
+            "'distinct' AS mode",
+            "CAST(user_id AS STRING) AS col_a",
+            "event_type AS col_b",
+            f"{nl} AS n_rows",
+            f"{nl} AS n_nulls",
+            f"{nl} AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
     )
-    prof = profile_table(ev).select(
-        F.lit("profile").alias("mode"),
-        F.col("column").alias("col_a"),
-        ns.alias("col_b"),
+    prof = profile_table(ev).selectExpr(
+        "'profile' AS mode",
+        "column AS col_a",
+        f"{ns} AS col_b",
         "n_rows",
         "n_nulls",
         "n_distinct",
@@ -372,15 +378,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators.profile import corpus_fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = corpus_fingerprint(docs).select(
-        F.lit("fingerprint").alias("mode"),
-        F.lit("documents").alias("col_a"),
-        ns.alias("col_b"),
-        F.col("n_docs").alias("n_rows"),
-        F.col("n_null_texts").alias("n_nulls"),
-        F.col("n_tokens").alias("n_distinct"),
-        F.col("fp_sum").alias("min_str"),
-        ns.alias("max_str"),
+    fp = corpus_fingerprint(docs).selectExpr(
+        "'fingerprint' AS mode",
+        "'documents' AS col_a",
+        f"{ns} AS col_b",
+        "n_docs AS n_rows",
+        "n_null_texts AS n_nulls",
+        "n_tokens AS n_distinct",
+        "fp_sum AS min_str",
+        f"{ns} AS max_str",
     )
     from sum_spark.functions.text import tokens
     from sum_spark.operators.sketch import count_min_build, count_min_estimate
@@ -402,8 +408,8 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "doc_id", F.explode(tokens("text")).alias("__w"))
         .groupBy("source", "__w")
         .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.expr("CAST(count(*) AS BIGINT)").alias("tf"),
+            F.expr("CAST(count(DISTINCT doc_id) AS BIGINT)").alias("df"),
         )
         .persist()
     )
@@ -416,38 +422,38 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     vc = (
         dvc.groupBy("__w")
         .agg(
-            F.sum("tf").cast("long").alias("tf"),
-            F.sum("df").cast("long").alias("df"),
+            F.expr("CAST(sum(tf) AS BIGINT)").alias("tf"),
+            F.expr("CAST(sum(df) AS BIGINT)").alias("df"),
         )
         .persist()
     )
     vocab = (
         vc.orderBy(F.col("tf").desc(), F.col("__w"))
         .limit(30)
-        .select(
-            F.lit("vocab").alias("mode"),
-            F.col("__w").alias("col_a"),
-            ns.alias("col_b"),
-            F.col("tf").alias("n_rows"),
-            nl.alias("n_nulls"),
-            F.col("df").alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+        .selectExpr(
+            "'vocab' AS mode",
+            "__w AS col_a",
+            f"{ns} AS col_b",
+            "tf AS n_rows",
+            f"{nl} AS n_nulls",
+            "df AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
     )
     sk = count_min_build(vc, "__w", width=256, depth=4, weight_col="tf")
     top = (
         vc.select("__w", "tf").orderBy(F.col("tf").desc(), F.col("__w")).limit(30)
     )
-    cms = count_min_estimate(sk, top, "__w", width=256, depth=4).select(
-        F.lit("cms").alias("mode"),
-        F.col("__w").alias("col_a"),
-        ns.alias("col_b"),
-        F.col("est").alias("n_rows"),
-        (F.col("est") - F.col("tf")).cast("long").alias("n_nulls"),
-        F.col("tf").alias("n_distinct"),
-        ns.alias("min_str"),
-        ns.alias("max_str"),
+    cms = count_min_estimate(sk, top, "__w", width=256, depth=4).selectExpr(
+        "'cms' AS mode",
+        "__w AS col_a",
+        f"{ns} AS col_b",
+        "est AS n_rows",
+        "CAST(est - tf AS BIGINT) AS n_nulls",
+        "tf AS n_distinct",
+        f"{ns} AS min_str",
+        f"{ns} AS max_str",
     )
     # Per-source heavy-hitters: top_k_per_group (operators/sampling.py)
     # — row_number + rank filter compiling to WindowGroupLimit (each
@@ -462,15 +468,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             dvc, ["source"], [F.col("tf").desc(), F.col("__w")], 5,
             rank_col="__rnk",
         )
-        .select(
-            F.lit("dvocab").alias("mode"),
-            F.col("source").alias("col_a"),
-            F.col("__w").alias("col_b"),
-            F.col("tf").alias("n_rows"),
-            F.col("__rnk").cast("long").alias("n_nulls"),
-            F.col("df").alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+        .selectExpr(
+            "'dvocab' AS mode",
+            "source AS col_a",
+            "__w AS col_b",
+            "tf AS n_rows",
+            "CAST(__rnk AS BIGINT) AS n_nulls",
+            "df AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
     )
     # Value-distribution histogram (sketch.histogram_fixed): 50.00-wide
@@ -493,20 +499,20 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     hist_cells = histogram_merge(hist_gcells.drop("event_type"))
 
-    def _hist_rows(cells, col_b):
-        return cells.select(
-            F.lit("hist").alias("mode"),
-            F.col("bucket").cast("string").alias("col_a"),
-            col_b.alias("col_b"),
-            F.col("n").alias("n_rows"),
-            nl.alias("n_nulls"),
-            F.col("s_fixed").alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+    def _hist_rows(cells, col_b_sql):
+        return cells.selectExpr(
+            "'hist' AS mode",
+            "CAST(bucket AS STRING) AS col_a",
+            f"{col_b_sql} AS col_b",
+            "n AS n_rows",
+            f"{nl} AS n_nulls",
+            "s_fixed AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
 
     hist = _hist_rows(hist_cells, ns).unionByName(
-        _hist_rows(hist_gcells, F.col("event_type"))
+        _hist_rows(hist_gcells, "event_type")
     )
     # Per-type drift vs the corpus mixture: TV distance in integer ppm
     # from the SAME persisted cells (sketch.histogram_drift_by_group) —
@@ -516,15 +522,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     drift = histogram_drift_by_group(
         hist_gcells, ["event_type"], hist_cells
-    ).select(
-        F.lit("drift").alias("mode"),
-        F.col("event_type").alias("col_a"),
-        ns.alias("col_b"),
-        F.col("tv_ppm").alias("n_rows"),
-        nl.alias("n_nulls"),
-        F.col("n_g").alias("n_distinct"),
-        ns.alias("min_str"),
-        ns.alias("max_str"),
+    ).selectExpr(
+        "'drift' AS mode",
+        "event_type AS col_a",
+        f"{ns} AS col_b",
+        "tv_ppm AS n_rows",
+        f"{nl} AS n_nulls",
+        "n_g AS n_distinct",
+        f"{ns} AS min_str",
+        f"{ns} AS max_str",
     )
     # Quantiles answered FROM the histogram in exact integer arithmetic
     # (rational p, fixed-point estimate) — the hash-checkable form of
@@ -532,17 +538,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact percentile by construction.
     histq = histogram_quantile_fixed(
         hist_cells, [(1, 2), (9, 10)], width=50.0
-    ).select(
-        F.lit("histq").alias("mode"),
-        F.concat_ws(
-            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
-        ).alias("col_a"),
-        ns.alias("col_b"),
-        F.col("est_fp").alias("n_rows"),
-        nl.alias("n_nulls"),
-        nl.alias("n_distinct"),
-        ns.alias("min_str"),
-        ns.alias("max_str"),
+    ).selectExpr(
+        "'histq' AS mode",
+        "concat_ws('/', CAST(p_num AS STRING), CAST(p_den AS STRING)) AS col_a",
+        f"{ns} AS col_b",
+        "est_fp AS n_rows",
+        f"{nl} AS n_nulls",
+        f"{nl} AS n_distinct",
+        f"{ns} AS min_str",
+        f"{ns} AS max_str",
     )
     # Log-bucketed digest (sketch.log_histogram): mergeable quantiles
     # with NO range parameter — the unknown-range complement to the
@@ -561,15 +565,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ldig_g = log_histogram(ev, "value", group_cols=["event_type"]).persist()
     ldig_cells = log_histogram_merge(ldig_g.drop("event_type"))
-    ldig = ldig_cells.select(
-        F.lit("ldig").alias("mode"),
-        F.col("bucket").cast("string").alias("col_a"),
-        ns.alias("col_b"),
-        F.col("n").alias("n_rows"),
-        nl.alias("n_nulls"),
-        nl.alias("n_distinct"),
-        ns.alias("min_str"),
-        ns.alias("max_str"),
+    ldig = ldig_cells.selectExpr(
+        "'ldig' AS mode",
+        "CAST(bucket AS STRING) AS col_a",
+        f"{ns} AS col_b",
+        "n AS n_rows",
+        f"{nl} AS n_nulls",
+        f"{nl} AS n_distinct",
+        f"{ns} AS min_str",
+        f"{ns} AS max_str",
     )
     # Exact-rank CONTAINMENT by counting (VERDICT r6 #5 — replaces the
     # candidate-window order-statistic pass): the rank-r order statistic
@@ -583,39 +587,36 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against ITS OWN digest bounds, whose equality is itself checked),
     # so the verification is exactly as strong as re-deriving the value:
     # integer counts determine containment with no rounding seam.
-    fxw = ev.where(F.col("value").isNotNull()).select(
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx")
+    fxw = ev.where(F.col("value").isNotNull()).selectExpr(
+        "CAST(ROUND(value * 100) AS BIGINT) AS __fx"
     )
     qb = log_histogram_quantile(ldig_cells, _LDIG_PS).withColumnRenamed(
         "rank", "__r"
     )
-    below = F.when(F.col("lo_fp").isNull(), F.lit(0)).otherwise(
-        (F.col("__fx") < F.col("lo_fp")).cast("long")
+    below = F.expr(
+        "CASE WHEN lo_fp IS NULL THEN 0"
+        " ELSE CAST(__fx < lo_fp AS BIGINT) END"
     )
-    upto = (F.col("__fx") <= F.col("hi_fp")).cast("long")
+    upto = F.expr("CAST(__fx <= hi_fp AS BIGINT)")
     qcols = ["p_num", "p_den", "__r", "lo_fp", "hi_fp"]
     counts = (
         fxw.crossJoin(F.broadcast(qb))
         .groupBy(*qcols)
         .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
     )
-    ldig_ok = (
-        F.when(F.col("lo_fp").isNull(), F.lit(True)).otherwise(
-            F.col("__below") < F.col("__r")
-        )
-        & (F.col("__upto") >= F.col("__r"))
+    ldig_ok_sql = (
+        "(CASE WHEN lo_fp IS NULL THEN TRUE ELSE __below < __r END"
+        " AND __upto >= __r)"
     )
-    ldigq = counts.select(
-        F.lit("ldigq").alias("mode"),
-        F.concat_ws(
-            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
-        ).alias("col_a"),
-        ns.alias("col_b"),
-        F.col("lo_fp").alias("n_rows"),
-        F.col("hi_fp").alias("n_nulls"),
-        F.col("__below").alias("n_distinct"),
-        ldig_ok.cast("string").alias("min_str"),
-        F.col("__upto").cast("string").alias("max_str"),
+    ldigq = counts.selectExpr(
+        "'ldigq' AS mode",
+        "concat_ws('/', CAST(p_num AS STRING), CAST(p_den AS STRING)) AS col_a",
+        f"{ns} AS col_b",
+        "lo_fp AS n_rows",
+        "hi_fp AS n_nulls",
+        "__below AS n_distinct",
+        f"CAST({ldig_ok_sql} AS STRING) AS min_str",
+        "CAST(__upto AS STRING) AS max_str",
     )
     # 'ldigg' = the PER-GROUP quantile view answered from the SAME
     # persisted grouped cells (ldig_g — zero extra digest passes): one
@@ -626,26 +627,24 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     qbg = log_histogram_quantile(
         ldig_g, _LDIG_PS, group_cols=["event_type"]
     ).withColumnRenamed("rank", "__r")
-    fxg = ev.where(F.col("value").isNotNull()).select(
+    fxg = ev.where(F.col("value").isNotNull()).selectExpr(
         "event_type",
-        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("__fx"),
+        "CAST(ROUND(value * 100) AS BIGINT) AS __fx",
     )
     counts_g = (
         fxg.join(F.broadcast(qbg), "event_type")
         .groupBy("event_type", *qcols)
         .agg(F.sum(below).alias("__below"), F.sum(upto).alias("__upto"))
     )
-    ldigg = counts_g.select(
-        F.lit("ldigg").alias("mode"),
-        F.concat_ws(
-            "/", F.col("p_num").cast("string"), F.col("p_den").cast("string")
-        ).alias("col_a"),
-        F.col("event_type").alias("col_b"),
-        F.col("lo_fp").alias("n_rows"),
-        F.col("hi_fp").alias("n_nulls"),
-        F.col("__below").alias("n_distinct"),
-        ldig_ok.cast("string").alias("min_str"),
-        F.col("__upto").cast("string").alias("max_str"),
+    ldigg = counts_g.selectExpr(
+        "'ldigg' AS mode",
+        "concat_ws('/', CAST(p_num AS STRING), CAST(p_den AS STRING)) AS col_a",
+        "event_type AS col_b",
+        "lo_fp AS n_rows",
+        "hi_fp AS n_nulls",
+        "__below AS n_distinct",
+        f"CAST({ldig_ok_sql} AS STRING) AS min_str",
+        "CAST(__upto AS STRING) AS max_str",
     )
     # KMV approximate-distinct over two events columns: user_id exercises
     # the (k-1)*2^60/h_k estimator, event_type (5 values < k) the
@@ -654,15 +653,15 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators.sketch import kmv_estimate, kmv_sketch
 
     kmv_legs = [
-        kmv_estimate(kmv_sketch(ev.select(F.col(c).alias("x")), "x")).select(
-            F.lit("kmv").alias("mode"),
-            F.lit(c).alias("col_a"),
-            ns.alias("col_b"),
-            F.col("est").alias("n_rows"),
-            nl.alias("n_nulls"),
-            F.col("n_vals").alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+        kmv_estimate(kmv_sketch(ev.selectExpr(f"`{c}` AS x"), "x")).selectExpr(
+            "'kmv' AS mode",
+            f"'{c}' AS col_a",
+            f"{ns} AS col_b",
+            "est AS n_rows",
+            f"{nl} AS n_nulls",
+            "n_vals AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
         for c in ["user_id", "event_type"]
     ]
@@ -678,22 +677,20 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     mg_sk = mg_summary(vc, "__w", k=64, weight_col="tf").withColumnRenamed(
         "item", "__w"
     )
-    n_tot = vc.agg(F.sum("tf").cast("long").alias("__n"))
-    mg_est = F.coalesce(F.col("est"), F.lit(0))
+    n_tot = vc.agg(F.expr("CAST(sum(tf) AS BIGINT)").alias("__n"))
     mg = (
         top.join(mg_sk, "__w", "left")
         .join(F.broadcast(n_tot))
-        .select(
-            F.lit("mg").alias("mode"),
-            F.col("__w").alias("col_a"),
-            ns.alias("col_b"),
-            F.col("tf").alias("n_rows"),
-            ((mg_est <= F.col("tf")) & (F.col("tf") - mg_est <= F.expr("__n DIV 64")))
-            .cast("long")
-            .alias("n_nulls"),
-            F.expr("__n DIV 64").alias("n_distinct"),
-            ns.alias("min_str"),
-            ns.alias("max_str"),
+        .selectExpr(
+            "'mg' AS mode",
+            "__w AS col_a",
+            f"{ns} AS col_b",
+            "tf AS n_rows",
+            "CAST(coalesce(est, 0) <= tf"
+            " AND tf - coalesce(est, 0) <= __n DIV 64 AS BIGINT) AS n_nulls",
+            "__n DIV 64 AS n_distinct",
+            f"{ns} AS min_str",
+            f"{ns} AS max_str",
         )
     )
     return release_with(

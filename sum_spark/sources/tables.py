@@ -28,9 +28,20 @@ TABLES = (
     "embeddings",
 )
 
+_PLAN_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Plain ``spark.read.parquet`` — no caching layer, so
+    """Scan one table. Plain ``spark.read.parquet`` — no data caching, so
     Catalyst sees the raw file scan and can push filters/projections into it.
+
+    The constructed LOGICAL PLAN is memoized per (session, dir, table)
+    (VERDICT r7 #2): ``spark.read.parquet`` costs a schema-read round
+    trip (~100 ms for events with its type-branch) that every query
+    re-paid per build. DataFrames are immutable plan handles, so reuse
+    is free; the testdata files never change within a session, and each
+    caller still composes its own filters on top of the same scan node
+    (pushdown unaffected — plan-tested).
 
     ``events.ts`` has shipped in two physical shapes: parquet
     TIMESTAMP(NANOS) (which Spark reads only via nanosAsLong) and plain
@@ -49,6 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Key by the SESSION OBJECT (kept strongly in the value so its id
+    # can never be recycled for a different session) — a memoized plan
+    # handed to a stopped session's successor would fail obscurely.
+    key = (id(spark), os.path.realpath(sf_dir), name)
+    memo = _PLAN_MEMO.get(key)
+    if memo is not None and memo[0] is spark:
+        return memo[1]
+    df = _load_table_uncached(spark, sf_dir, name)
+    _PLAN_MEMO[key] = (spark, df)
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
