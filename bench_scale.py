@@ -433,6 +433,198 @@ def recall_block(spark, sf_dir: str, k: int = 10) -> dict:
     return out
 
 
+CLUSTERED_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".benchdata", "clustered"
+)
+
+
+def build_clustered(spark) -> None:
+    """Mixture-of-Gaussians embedding fixture (VERDICT r7 #3): the
+    driver's synthetic embeddings are isotropic noise at fine scale, so
+    residual PQ coding measures ~= raw coding on them — the one property
+    that justifies shipping residual encoding (within-list spread <<
+    corpus spread) has nothing to exploit. This fixture is 20k x 64
+    vectors from 40 Gaussian clusters with ANISOTROPIC per-cluster,
+    per-dimension scales (log-uniform 0.05..0.5 around unit-scale
+    centers), deterministic seed — clustered like real text/image
+    embeddings, so coarse lists are meaningful and residuals carry the
+    local structure residual codes exist to capture."""
+    import numpy as np
+
+    n, d, c = 20000, 64, 40
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((c, d))
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(0.5), size=(c, d)))
+    labels = rng.integers(0, c, size=n)
+    x = centers[labels] + rng.standard_normal((n, d)) * scales[labels]
+    rows = [
+        (int(i), [float(v) for v in x[i]], int(labels[i])) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(CLUSTERED_DIR, "embeddings.parquet")
+    )
+
+
+def clustered_block(spark, k: int = 10) -> dict:
+    """Recall@k on the clustered fixture: trained-coarse-book rerank
+    with RAW vs RESIDUAL PQ codes at equal candidate fetch C (the
+    VERDICT r7 #3 separation), plus ADC-only recall (no rerank — pure
+    code quality) and the one-step book for the trained-vs-one-step
+    spread. Ground truth is brute force over 20 deterministic probes."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators import clustering
+    from sum_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivfpq_from_index,
+        knn_ivfpq_rerank,
+        write_pq_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(CLUSTERED_DIR, "embeddings.parquet"))
+    probes = emb.where(F.pmod(F.col("vec_id"), F.lit(1000)) == 0)
+    kw = dict(id_col="vec_id", vec_col="embedding")
+    truth: dict = {}
+    for r in knn_bruteforce(emb, probes, k=k, **kw).collect():
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    def recall(df) -> float:
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(p, set()) & t) for p, t in truth.items())
+        return round(hits / sum(len(t) for t in truth.values()), 3)
+
+    out: dict = {"n_probes_set": len(truth), "k": k}
+    cents_t = clustering.kmeans_fit(
+        emb, k=64, iters=8, id_col="vec_id", vec_col="embedding"
+    )
+    cents_1 = clustering._centroids_from_sums(
+        clustering.centroid_sums(
+            clustering.hash_init_assign(emb, 64), "cluster", "embedding",
+            fixed_point=6,
+        ).collect(),
+        6,
+    )
+    idx_raw = os.path.join(CLUSTERED_DIR, "pq_raw")
+    idx_res = os.path.join(CLUSTERED_DIR, "pq_res")
+    idx_one = os.path.join(CLUSTERED_DIR, "pq_one")
+    for p, cents, res in (
+        (idx_raw, cents_t, False),
+        (idx_res, cents_t, True),
+        (idx_one, cents_1, False),
+    ):
+        shutil.rmtree(p, ignore_errors=True)
+        write_pq_index(
+            emb, p, m=8, n_codes=64, centroids=cents,
+            residual=res, res_iters=4 if res else 0, **kw,
+        )
+    # ADC-only (no rerank): the candidate ORDERING quality of the codes
+    for np_ in (8, 16):
+        for tag, p in (("raw", idx_raw), ("res", idx_res)):
+            df = knn_ivfpq_from_index(
+                spark, p, probes, k=k, m=8, n_probes=np_, **kw
+            )
+            out[f"adc_{tag}_p{np_}"] = recall(df)
+    # Two-stage rerank at equal C: residual's tighter ADC should reach
+    # the coverage ceiling at smaller C than raw — the crossover the
+    # isotropic testdata could not show.
+    for np_ in (8, 16):
+        for c in (20, 50, 100, 500):
+            for tag, p in (("raw", idx_raw), ("res", idx_res)):
+                df = knn_ivfpq_rerank(
+                    spark, p, emb, probes, k=k, c=c, m=8, n_probes=np_, **kw
+                )
+                out[f"rr_{tag}_p{np_}_c{c}"] = recall(df)
+    # one-step coarse book at one operating point: the trained-book gap
+    df = knn_ivfpq_rerank(
+        spark, idx_one, emb, probes, k=k, c=100, m=8, n_probes=16, **kw
+    )
+    out["rr_onestep_p16_c100"] = recall(df)
+    return out
+
+
+def cells_block(spark, k: int = 10) -> dict:
+    """Auto-sized coarse quantizer evidence (VERDICT r7 #4): build the
+    n_cells='auto' index on the base and the FACTOR-scaled embeddings,
+    report chosen cells, measured rows scanned per probe (sum of the
+    probed lists), the scanned FRACTION of the corpus, and recall@k at
+    fixed n_probes — more data -> more cells, scanned fraction FALLS
+    (~1/sqrt growth in scanned rows), recall holds."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivfpq_from_index,
+        knn_ivfpq_rerank,
+        write_pq_index,
+    )
+    from sum_spark.sources.tables import load_table
+
+    out: dict = {}
+    for tag, sf_dir in (("base", BASE_SF_DIR), ("scaled", OUT_DIR)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        probes = emb.where(
+            (F.col("vec_id") < 2000) & (F.pmod(F.col("vec_id"), F.lit(100)) == 0)
+        )
+        kw = dict(id_col="vec_id", vec_col="embedding")
+        truth: dict = {}
+        for r in knn_bruteforce(emb, probes, k=k, **kw).collect():
+            truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        p = os.path.join(
+            CLUSTERED_DIR, "..", f"pq_auto_{tag}_{FACTOR}x"
+        )
+        shutil.rmtree(p, ignore_errors=True)
+        book = write_pq_index(emb, p, m=8, n_codes=64, n_cells="auto", **kw)
+        n_probes = 8
+        df = knn_ivfpq_from_index(
+            spark, p, probes, k=k, m=8, n_probes=n_probes, **kw
+        )
+        got: dict = {}
+        for r in df.collect():
+            got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        hits = sum(len(got.get(pp, set()) & t) for pp, t in truth.items())
+        rr = knn_ivfpq_rerank(
+            spark, p, emb, probes, k=k, c=100, m=8, n_probes=n_probes, **kw
+        )
+        got_rr: dict = {}
+        for r in rr.collect():
+            got_rr.setdefault(r["probe_id"], set()).add(r["vec_id"])
+        hits_rr = sum(len(got_rr.get(pp, set()) & t) for pp, t in truth.items())
+        # measured scan: the probed lists' actual sizes, per probe
+        sizes = {
+            r["coarse"]: r["cnt"]
+            for r in spark.read.parquet(p)
+            .groupBy("coarse")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        import numpy as np
+
+        items = sorted(book.items())
+        keys = np.array([c for c, _ in items], dtype=np.int64)
+        cmat = np.array([c for _, c in items], dtype=np.float64)
+        scanned = []
+        for r in probes.select("vec_id", "embedding").collect():
+            q = np.asarray([float(x) for x in r["embedding"]])
+            d2 = ((cmat - q) ** 2).sum(axis=1)
+            lists = keys[np.lexsort((keys, d2))][:n_probes]
+            scanned.append(int(sum(sizes.get(int(c), 0) for c in lists)))
+        n_truth = sum(len(t) for t in truth.values())
+        out[tag] = {
+            "n": n,
+            "cells": len(book),
+            "recall_adc": round(hits / n_truth, 3),
+            "recall_rerank_c100": round(hits_rr / n_truth, 3),
+            "scanned_rows_per_probe": int(sum(scanned) / len(scanned)),
+            "scanned_fraction": round(sum(scanned) / len(scanned) / n, 4),
+        }
+    return out
+
+
 def _time(fn, spark, sf_dir, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -457,8 +649,13 @@ def main() -> None:
     REGISTRY["dedup_exact"].fn(spark, BASE_SF_DIR).count()
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")  # '', 'entries',
-    # 'skew', 'recall' — or comma-combinations; empty runs everything.
-    want = set(only.split(",")) if only else {"entries", "skew", "recall"}
+    # 'skew', 'recall', 'clustered', 'cells' — or comma-combinations;
+    # empty runs everything.
+    want = (
+        set(only.split(","))
+        if only
+        else {"entries", "skew", "recall", "clustered", "cells"}
+    )
 
     result: dict = {
         "metric": "scale_curve",
@@ -488,6 +685,14 @@ def main() -> None:
             "base": recall_block(spark, BASE_SF_DIR),
             "scaled": recall_block(spark, OUT_DIR),
         }
+    if "clustered" in want:
+        if rebuild or not os.path.isdir(
+            os.path.join(CLUSTERED_DIR, "embeddings.parquet")
+        ):
+            build_clustered(spark)
+        result["clustered"] = clustered_block(spark)
+    if "cells" in want:
+        result["cells"] = cells_block(spark)
     print(json.dumps(result))
 
 

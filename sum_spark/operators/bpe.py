@@ -94,6 +94,99 @@ def train_bpe(
     return merges
 
 
+def train_bpe_distributed(
+    counts: DataFrame,
+    num_merges: int = 100,
+) -> list[tuple[str, str]]:
+    """:func:`train_bpe` with the per-merge pair count DISTRIBUTED
+    (VERDICT r7 #5): the word->symbols state lives as a Spark frame
+    (word, cnt, syms), each merge runs ONE aggregation over it (explode
+    adjacent pairs, weight by cnt, TakeOrdered-1 for the argmax — the
+    driver sees one row per merge, never the vocabulary), and the
+    chosen merge applies as a map-side array fold. The collected-dict
+    trainer recounts pairs in O(merges x vocab) single-core Python;
+    here that work is an executor aggregation, so web-scale
+    vocabularies train without any max_vocab_rows guard or driver
+    materialization.
+
+    Merges are IDENTICAL to train_bpe's (unit-pinned): integer pair
+    counts are layout-exact, ties break on the lexicographically
+    smallest (a, b) — Spark's UTF8 binary string order equals Python's
+    code-point tuple order (UTF-8 byte order preserves code points) —
+    and the left-to-right non-overlapping merge application is the same
+    fold. State lineage is truncated per merge with an eager
+    localCheckpoint (vocab-sized), or the plan would deepen by one fold
+    per merge and the 100th aggregation would pay 100 stacked
+    projections."""
+    # split(word, '') has no empty-string element for non-empty words
+    # but yields [''] for the empty word — the Python trainer's tuple('')
+    # is (), so the empty word is just the sentinel.
+    syms0 = F.expr(
+        f"CASE WHEN word = '' THEN array('{END}')"
+        f" ELSE concat(split(word, ''), array('{END}')) END"
+    )
+    # localCheckpoint persists its RDD outside the DataFrame cache —
+    # df.unpersist() does NOT release it, so a train would leave one
+    # cached RDD per merge in the session (a query server leaks).
+    # Snapshot the persistent-RDD ids before and unpersist the delta.
+    jsc = counts.sparkSession.sparkContext._jsc
+    before_ids = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    state = counts.select(
+        F.col("cnt").cast("long").alias("cnt"), syms0.alias("syms")
+    ).localCheckpoint(True)
+    merges: list[tuple[str, str]] = []
+    # adjacent pairs: element j with element j+1 ([] is 0-BASED in
+    # Spark SQL; transform's i counts from 0 over the first n-1 slice)
+    pair_counts = (
+        "transform(slice(syms, 1, size(syms) - 1),"
+        " (s, i) -> struct(s AS a, syms[i + 1] AS b))"
+    )
+    try:
+        for _ in range(int(num_merges)):
+            best = (
+                state.where(F.expr("size(syms) > 1"))
+                .select(F.explode(F.expr(pair_counts)).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), "a", "b")
+                .limit(1)
+                .collect()
+            )
+            if not best or int(best[0]["n"]) < 2:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            a_sql = a.replace("\\", "\\\\").replace("'", "\\'")
+            b_sql = b.replace("\\", "\\\\").replace("'", "\\'")
+            # left-to-right non-overlapping replacement of adjacent
+            # (a, b) with their concatenation — the train_bpe loop as a
+            # fold: merge iff the accumulator's LAST element is a and
+            # the incoming one is b (a merged element never re-matches
+            # a: that would need b = '').
+            apply_sql = (
+                "aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),"
+                " (acc, x) -> CASE"
+                f" WHEN element_at(acc, -1) = '{a_sql}' AND x = '{b_sql}'"
+                f" THEN concat(slice(acc, 1, size(acc) - 1),"
+                f" array('{a_sql}{b_sql}'))"
+                " ELSE concat(acc, array(x)) END)"
+            )
+            nxt = state.select(
+                "cnt",
+                F.expr(
+                    f"CASE WHEN size(syms) > 1 THEN {apply_sql}"
+                    " ELSE syms END"
+                ).alias("syms"),
+            ).localCheckpoint(True)
+            state = nxt
+    finally:
+        mp = jsc.getPersistentRDDs()
+        for rid in list(mp.keySet().toArray()):
+            if int(rid) not in before_ids:
+                mp.get(rid).rdd().unpersist(False)
+    return merges
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     syms = list(word) + [END]
     while len(syms) > 1:

@@ -207,6 +207,7 @@ def product_quantize(
     vec_col: str = "embedding",
     fixed_point: int = 6,
     centroids: dict[int, list[float]] | None = None,
+    backend: str = "catalyst",
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Product quantization (PQ — Jégou et al. 2011): split each vector
     into ``m`` contiguous subvectors and quantize each against its own
@@ -239,6 +240,19 @@ def product_quantize(
     Pass ``centroids`` (a full-vector codebook in the same dict form,
     e.g. from a previous train or shared with a coarse IVF quantizer)
     to skip the train aggregate and only assign codes.
+
+    ``backend='catalyst'`` (default) bakes the codebook into the plan as
+    literals — the oracle-checkable strictly-left-to-right fold, but the
+    plan size is O(k x d): past ~64 entries the py4j literal build and
+    the codegen block dominate. ``backend='numpy'`` assigns via one
+    Arrow-batched GEMM argmin per subspace (same ties-to-lowest-id rule;
+    float summation order differs in the last bits, so it is
+    ENGINE-deterministic — identical reruns, which is what encode
+    determinism for deletion-as-negation needs — but not
+    oracle-reproducible). The auto-sized coarse quantizer path
+    (similarity.write_pq_index n_cells='auto') selects it for large k;
+    its output id column is cast to BIGINT (mapInPandas needs a fixed
+    schema).
     """
     from sum_spark.operators.clustering import (
         _centroids_from_sums,
@@ -259,6 +273,8 @@ def product_quantize(
     d = len(items[0][1])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
+    if backend == "numpy":
+        return _pq_codes_numpy(df, m, items, id_col, vec_col), cents
     sd = d // m
     v = F.col(vec_col).cast("array<double>")
     code_cols = []
@@ -292,3 +308,46 @@ def product_quantize(
         F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
     ).orderBy("vec_id")
     return codes, cents
+
+
+def _pq_codes_numpy(
+    df: DataFrame, m: int, items: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """Arrow-batched GEMM PQ assignment (the large-k encode): per
+    subspace, ||x||^2 - 2 x.c + ||c||^2 over the whole batch, argmin to
+    the FIRST minimum = lowest code id (items are sorted). One NumPy
+    pass per batch, no plan literals — plan size O(1) in k."""
+    import numpy as np
+    import pandas as pd
+
+    keys = np.array([j for j, _ in items], dtype=np.int64)
+    cmat = np.array([c for _, c in items], dtype=np.float64)
+    d = cmat.shape[1]
+    sd = d // m
+
+    def _codes(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            out = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sd : (j + 1) * sd]
+                cs = cmat[:, j * sd : (j + 1) * sd]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ cs.T)
+                    + (cs * cs).sum(axis=1)[None, :]
+                )
+                out[:, j] = keys[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["__id"].values, "codes": list(out)}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return src.mapInPandas(_codes, schema="vec_id long, codes array<bigint>")

@@ -159,12 +159,35 @@ def knn_ivf(
     )
 
 
+def _n_bits_sidecar(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_n_bits")
+
+
+def _resolve_n_bits(path: str, n_bits) -> int:
+    """The bucket width a READER/maintainer should use: an explicit int
+    wins; ``None`` reads the ``_n_bits`` sidecar the writer recorded
+    (the auto-sized case — the caller cannot know what 'auto' chose),
+    falling back to the historical default 8 for indexes that predate
+    the sidecar."""
+    import os
+
+    if n_bits is not None:
+        return int(n_bits)
+    p = _n_bits_sidecar(path)
+    if os.path.isfile(p):
+        with open(p) as fh:
+            return int(fh.read().strip())
+    return 8
+
+
 def write_ivf_index(
     records: DataFrame,
     path: str,
     id_col: str = "id",
     vec_col: str = "data",
-    n_bits: int = 8,
+    n_bits: int | str = 8,
     attr_cols: list[str] | None = None,
 ) -> None:
     """Persist records as a parquet table PARTITIONED BY the IVF bucket —
@@ -180,12 +203,28 @@ def write_ivf_index(
     (``knn_ivf_from_index(predicate=...)``) prune on row-group
     statistics at the scan instead of joining back to the record table
     first. Index the attributes queries actually filter on, nothing
-    more (each widens every row)."""
+    more (each widens every row).
+
+    ``n_bits='auto'`` sizes the bucket count to the corpus
+    (2^n_bits ~ auto_cells(N) ~ 4*sqrt(N), so per-bucket scans stay
+    ~sqrt(N) as the corpus grows — VERDICT r7 #4) and records the
+    chosen width in a ``_n_bits`` sidecar that readers and maintenance
+    resolve when their ``n_bits=None`` — an auto-sized index's caller
+    cannot know what 'auto' chose. Resizing a sign-bit IVF index means
+    re-bucketing every row: rewrite it (this function) at the new
+    size."""
+    import math
+
+    if n_bits == "auto":
+        n_bits = max(2, min(16, round(math.log2(auto_cells(records.count())))))
+    n_bits = int(n_bits)
     records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
     ).withColumn("w", F.lit(1)).write.partitionBy("bucket").parquet(
         path, mode="overwrite"
     )
+    with open(_n_bits_sidecar(path), "w") as fh:
+        fh.write(str(n_bits))
     _attest(path)
 
 
@@ -194,7 +233,7 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "id",
     vec_col: str = "data",
-    n_bits: int = 8,
+    n_bits: int | None = None,
     attr_cols: list[str] | None = None,
     batch_dir: int | None = None,
 ) -> None:
@@ -202,10 +241,13 @@ def append_to_ivf_index(
     function is deterministic and parameter-free beyond n_bits, so no
     stored state is even needed) and append them with w=+1. Callers own
     id uniqueness among LIVE rows; pass the same attr_cols the index was
-    built with. ``batch_dir`` (negative, per-operation) targets a
-    batch-laid-out index — see append_to_pq_index."""
+    built with. ``n_bits=None`` resolves the width the index was built
+    with (the ``_n_bits`` sidecar; 8 for pre-sidecar indexes).
+    ``batch_dir`` (negative, per-operation) targets a batch-laid-out
+    index — see append_to_pq_index."""
     from sum_spark.operators.search import _maint_sub
 
+    n_bits = _resolve_n_bits(path, n_bits)
     sub, mode = _maint_sub(batch_dir)
     fresh = _rowless(path, ("bucket=", "batch_id="))
     new_records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
@@ -222,7 +264,7 @@ def retire_from_ivf_index(
     path: str,
     id_col: str = "id",
     vec_col: str = "data",
-    n_bits: int = 8,
+    n_bits: int | None = None,
     attr_cols: list[str] | None = None,
     batch_dir: int | None = None,
 ) -> None:
@@ -235,9 +277,11 @@ def retire_from_ivf_index(
     vector (retire old + append new under the same id) nets to its new
     row even across buckets. compact_ivf_index folds tombstones into
     base files offline. ``batch_dir`` targets a batch-laid-out index —
-    see append_to_pq_index."""
+    see append_to_pq_index. ``n_bits=None`` resolves the built width
+    (sidecar; 8 for pre-sidecar indexes)."""
     from sum_spark.operators.search import _maint_sub
 
+    n_bits = _resolve_n_bits(path, n_bits)
     sub, mode = _maint_sub(batch_dir)
     # marker FIRST: a crash after the w=-1 rows land but before the
     # marker would let the no-marker short-circuit serve the retired
@@ -351,7 +395,7 @@ def knn_ivf_from_index(
     k: int,
     id_col: str = "id",
     vec_col: str = "data",
-    n_bits: int = 8,
+    n_bits: int | None = None,
     round_to: int | None = None,
     predicate=None,
     n_probes: int = 1,
@@ -377,7 +421,13 @@ def knn_ivf_from_index(
     qualifying set, no recall cliff) with both prunes composed at the
     scan — PartitionFilters drop the unprobed buckets' files,
     PushedFilters drop non-qualifying row groups within the probed
-    buckets. The two prune dimensions multiply; nothing else is read."""
+    buckets. The two prune dimensions multiply; nothing else is read.
+
+    ``n_bits=None`` resolves the width the index was BUILT with (the
+    ``_n_bits`` sidecar write_ivf_index records — mandatory for
+    n_bits='auto' indexes, whose caller cannot know the chosen width;
+    8 for pre-sidecar indexes)."""
+    n_bits = _resolve_n_bits(path, n_bits)
     n_probes = max(1, min(n_probes, n_bits + 1))
     b = ivf_bucket(vec_col, n_bits)
     probe_buckets_col = F.array(
@@ -664,19 +714,42 @@ def _residualize(
     centroids: dict[int, list[float]],
     id_col: str,
     vec_col: str,
+    backend: str = "catalyst",
 ) -> DataFrame:
     """(id, coarse, __res) — each vector's coarse assignment plus its
-    residual v - centroid[coarse], one map-side zip_with (the knn_ivfpq
-    residual=True encoding, factored out so the stored index, the
-    maintenance encoder, and the in-flight search share ONE residual
-    definition and stay bit-identical)."""
+    residual v - centroid[coarse] (the knn_ivfpq residual=True encoding,
+    factored out so the stored index, the maintenance encoder, and the
+    in-flight search share ONE residual definition and stay
+    bit-identical).
+
+    backend='catalyst': map-side zip_with against a plan-literal
+    centroid map — oracle-reproducible, plan size O(k x d).
+    backend='join': the large-k form — numpy coarse assignment plus a
+    broadcast join to a k-row codebook frame, zip_with the joined
+    centroid; the residual DOUBLES are identical (x - c is the same
+    subtraction either way), only the assignment's argmin float order
+    differs (engine-deterministic, see product_quantize)."""
     from sum_spark.operators.clustering import assign_clusters
 
     items = sorted(centroids.items())
     coarse = assign_clusters(
         records, centroids, id_col, vec_col, cluster_col="coarse",
-        backend="catalyst",
+        backend="numpy" if backend == "join" else "catalyst",
     )
+    if backend == "join":
+        cb = records.sparkSession.createDataFrame(
+            [(int(cid), [float(x) for x in c]) for cid, c in items],
+            "coarse long, __cent array<double>",
+        )
+        return coarse.join(F.broadcast(cb), "coarse").select(
+            F.col(id_col),
+            "coarse",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__cent"),
+                lambda x, c: x - c,
+            ).alias("__res"),
+        )
     cent_map = F.map_from_arrays(
         F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
         F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]),
@@ -723,6 +796,21 @@ def _train_residual_book(
     )
 
 
+_LARGE_K = 64  # past this, codebooks ship as data, never plan literals
+
+
+def auto_cells(n_rows: int, lo: int = 16, hi: int = 4096) -> int:
+    """Coarse-cell count for a corpus of ``n_rows``: ~4*sqrt(N), bounded
+    (VERDICT r7 #4 — a CONSTANT cell count means per-list scans grow
+    linearly with the corpus; ~sqrt(N) cells keep the probed rows per
+    query ~sqrt(N) with recall at fixed n_probes preserved, the standard
+    IVF sizing rule). Resize an existing index by retraining
+    (retrain_pq_index(n_cells='auto')) as the corpus grows."""
+    import math
+
+    return max(int(lo), min(int(hi), int(round(4 * math.sqrt(max(1, n_rows))))))
+
+
 def write_pq_index(
     records: DataFrame,
     path: str,
@@ -733,6 +821,7 @@ def write_pq_index(
     centroids: dict[int, list[float]] | None = None,
     residual: bool = False,
     res_iters: int = 0,
+    n_cells: int | str | None = None,
 ) -> dict[int, list[float]]:
     """Persist the IVF-PQ index: a parquet table of ONLY (id, codes)
     PARTITIONED BY the coarse cluster — the compressed, prunable form a
@@ -759,22 +848,43 @@ def write_pq_index(
     the residual book properly (point init + Lloyd — see
     _train_residual_book: the default one-step recipe degenerates on
     zero-centered residuals at scale; use res_iters>=4 in production,
-    0 only where the in-flight one-step parity matters)."""
+    0 only where the in-flight one-step parity matters).
+
+    ``n_cells`` sizes the COARSE quantizer separately from ``n_codes``
+    (VERDICT r7 #4): None keeps the unified-book behavior (cells =
+    n_codes); an int or ``'auto'`` (~4*sqrt(N), bounded — auto_cells)
+    sets the cell count so the per-query scanned fraction stays bounded
+    as the corpus grows. For a RAW index the coarse book IS the PQ book,
+    so n_cells sets both; a residual index keeps its n_codes-entry
+    residual book and only the coarse book widens. Past ~64 cells every
+    encode ships the book as DATA (numpy/GEMM backends, broadcast-join
+    residualize) — plan-literal codebooks at that size cost minutes of
+    py4j and blow codegen; the large-k encode is engine-deterministic
+    (identical reruns — what deletion-as-negation needs), not
+    oracle-reproducible. Resize = retrain_pq_index(n_cells='auto')."""
     from sum_spark.operators.embeddings import product_quantize
 
+    if n_cells == "auto":
+        n_cells = auto_cells(records.count())
+    cells = int(n_cells) if n_cells is not None else int(n_codes)
+    large = cells > _LARGE_K
     if centroids is None:
-        centroids = train_pq_codebook(records, n_codes, id_col, vec_col)
+        centroids = train_pq_codebook(records, cells, id_col, vec_col)
     spark = records.sparkSession
     if residual:
         # persisted: the residual frame feeds the seed collect, every
         # Lloyd iteration, the PQ encode, and both join branches — a
         # full-corpus assign_clusters each without the cache
-        res = _residualize(records, centroids, id_col, vec_col).persist()
+        res = _residualize(
+            records, centroids, id_col, vec_col,
+            backend="join" if large else "catalyst",
+        ).persist()
         try:
             trained = _train_residual_book(res, n_codes, id_col, res_iters)
             codes, res_book = product_quantize(
                 res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
                 centroids=trained,
+                backend="numpy" if int(n_codes) > _LARGE_K else "catalyst",
             )
             rows = res.select(F.col(id_col), "coarse").join(
                 codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
@@ -792,10 +902,12 @@ def write_pq_index(
     from sum_spark.operators.clustering import assign_clusters
 
     coarse = assign_clusters(
-        records, centroids, id_col, vec_col, cluster_col="coarse", backend="catalyst"
+        records, centroids, id_col, vec_col, cluster_col="coarse",
+        backend="numpy" if large else "catalyst",
     )
     codes, _ = product_quantize(
-        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col, centroids=centroids
+        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
+        centroids=centroids, backend="numpy" if large else "catalyst",
     )
     (
         coarse.select(F.col(id_col), "coarse")
@@ -939,6 +1051,13 @@ def knn_ivfpq_from_index(
     n_probes = max(1, min(int(n_probes), len(items)))
 
     def _nearest(q):
+        if len(items) > _LARGE_K:  # auto-sized coarse book: vectorize
+            import numpy as np
+
+            keys = np.array([cid for cid, _ in items], dtype=np.int64)
+            cmat = np.array([c for _, c in items], dtype=np.float64)
+            d2 = ((cmat - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+            return keys[np.lexsort((keys, d2))][:n_probes].tolist()
         return [
             cid
             for _, cid in sorted(
@@ -957,6 +1076,18 @@ def knn_ivfpq_from_index(
     # probed lists + one broadcast hash join at ANY probe count — a
     # per-(probe,list) union of plan literals compiled for minutes at
     # realistic probe counts, which is why this is the only form.
+    # Large LUT books (the n_cells='auto' raw index: k ~ 4*sqrt(N))
+    # tabulate via one numpy broadcast per (probe, list) instead of a
+    # Python loop over k x m cells; small books keep the Python fold
+    # whose left-to-right sums the oracle legs hash-match.
+    lut_np = None
+    if len(lut_items) > _LARGE_K:
+        import numpy as np
+
+        lut_np = (
+            np.array([code for code, _ in lut_items], dtype=np.int64),
+            np.array([c for _, c in lut_items], dtype=np.float64),
+        )
     lut_rows = []
     for row in probe_rows:
         q = [float(x) for x in row["__pv"]]
@@ -966,15 +1097,28 @@ def knn_ivfpq_from_index(
                 if res_book is not None
                 else q
             )
-            luts = [
-                {
-                    int(code): _sqdist(
-                        qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
-                    )
-                    for code, c in lut_items
-                }
-                for j in range(m)
-            ]
+            if lut_np is not None:
+                codes_np, cmat = lut_np
+                import numpy as np
+
+                qa = np.asarray(qv, dtype=np.float64)
+                luts = []
+                for j in range(m):
+                    d2 = (
+                        (cmat[:, j * sd : (j + 1) * sd] - qa[j * sd : (j + 1) * sd])
+                        ** 2
+                    ).sum(axis=1)
+                    luts.append(dict(zip(codes_np.tolist(), d2.tolist())))
+            else:
+                luts = [
+                    {
+                        int(code): _sqdist(
+                            qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
+                        )
+                        for code, c in lut_items
+                    }
+                    for j in range(m)
+                ]
             lut_rows.append((int(row["__pid"]), int(cid), luts))
     lut_df = spark.createDataFrame(
         lut_rows, "probe_id long, coarse long, __luts array<map<bigint,double>>"
@@ -1100,20 +1244,30 @@ def _encode_with_stored_book(
 
     spark = records.sparkSession
     book, res_book = _load_books(spark, path)
+    # Backend selection is a pure function of the STORED book size, so
+    # append/retire re-encodes always take the same path the build took
+    # (bit-identical rows — the deletion-as-negation contract).
+    large = len(book) > _LARGE_K
     if res_book is not None:
-        res = _residualize(records, book, id_col, vec_col)
+        res = _residualize(
+            records, book, id_col, vec_col,
+            backend="join" if large else "catalyst",
+        )
         codes, _ = product_quantize(
             res, m=m, k=len(res_book), id_col=id_col, vec_col="__res",
             centroids=res_book,
+            backend="numpy" if len(res_book) > _LARGE_K else "catalyst",
         )
         return res.select(F.col(id_col), "coarse").join(
             codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
         )
     coarse = assign_clusters(
-        records, book, id_col, vec_col, cluster_col="coarse", backend="catalyst"
+        records, book, id_col, vec_col, cluster_col="coarse",
+        backend="numpy" if large else "catalyst",
     )
     codes, _ = product_quantize(
-        records, m=m, k=len(book), id_col=id_col, vec_col=vec_col, centroids=book
+        records, m=m, k=len(book), id_col=id_col, vec_col=vec_col,
+        centroids=book, backend="numpy" if large else "catalyst",
     )
     return coarse.select(F.col(id_col), "coarse").join(
         codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
@@ -1410,6 +1564,7 @@ def retrain_pq_index(
     keep_batch_layout: bool = False,
     checkpoint: str | None = None,
     res_iters: int | None = None,
+    n_cells: int | str | None = None,
 ) -> dict[int, list[float]]:
     """Retrain the codebook on the SURVIVING corpus and re-encode the
     whole index under it — the maintenance op that closes the drift
@@ -1465,7 +1620,18 @@ def retrain_pq_index(
         _old_book, old_res = _load_books(spark, path)
         live = pq_index_rows(spark, path, id_col).select(id_col)
         survivors = records.join(live, id_col).select(id_col, vec_col)
-        book = train_pq_codebook(survivors, n_codes, id_col, vec_col)
+        # n_cells is ALSO the resize path (VERDICT r7 #4): 'auto'
+        # re-derives ~4*sqrt(live N) at retrain time, so an index whose
+        # corpus grew 10x comes out of retrain with ~3.2x the cells and
+        # a ~flat per-query scanned fraction. Equals write_pq_index
+        # from scratch over the survivors row-for-row (same recipe).
+        cells = (
+            auto_cells(survivors.count())
+            if n_cells == "auto"
+            else int(n_cells) if n_cells is not None else int(n_codes)
+        )
+        large = cells > _LARGE_K
+        book = train_pq_codebook(survivors, cells, id_col, vec_col)
         res_book = None
         if old_res is not None:
             # a residual index retrains BOTH books with the recipe the
@@ -1474,11 +1640,15 @@ def retrain_pq_index(
             # retrain can never silently swap a Lloyd-trained residual
             # book for the degeneracy-prone one-step fallback
             ri = _read_res_iters(path) if res_iters is None else int(res_iters)
-            res = _residualize(survivors, book, id_col, vec_col).persist()
+            res = _residualize(
+                survivors, book, id_col, vec_col,
+                backend="join" if large else "catalyst",
+            ).persist()
             trained = _train_residual_book(res, n_codes, id_col, ri)
             codes, res_book = product_quantize(
                 res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
                 centroids=trained,
+                backend="numpy" if int(n_codes) > _LARGE_K else "catalyst",
             )
             rows = res.select(F.col(id_col), "coarse").join(
                 codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
@@ -1486,11 +1656,11 @@ def retrain_pq_index(
         else:
             coarse = assign_clusters(
                 survivors, book, id_col, vec_col, cluster_col="coarse",
-                backend="catalyst",
+                backend="numpy" if large else "catalyst",
             )
             codes, _ = product_quantize(
                 survivors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
-                centroids=book,
+                centroids=book, backend="numpy" if large else "catalyst",
             )
             rows = coarse.select(F.col(id_col), "coarse").join(
                 codes.select(F.col("vec_id").alias(id_col), "codes"), id_col

@@ -899,8 +899,41 @@ def _artifact_dir(kind: str, sf_dir: str) -> str:
     d = _os.path.join(_tempfile.gettempdir(), f"sum_spark_{kind}_{h}_{_os.getpid()}")
     if not _ARTIFACT_DIRS:
         _atexit.register(_cleanup_artifact_dirs)
+        _sweep_dead_artifact_dirs()
     _ARTIFACT_DIRS.add(d)
     return d
+
+
+def _sweep_dead_artifact_dirs() -> None:
+    """Remove artifact dirs whose owning PROCESS IS DEAD (VERDICT r7
+    #7): the atexit cleanup never runs for a crashed/killed harness, so
+    its pid-keyed dirs would sit under the tempdir forever. Runs once
+    per process at the first _artifact_dir call; a dir whose embedded
+    pid is alive (another live harness — including, trivially, this
+    process on a pid-recycled id) is left alone."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tmp = _tempfile.gettempdir()
+    try:
+        names = _os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        mm = _re.fullmatch(r"sum_spark_[a-z0-9_]+_[0-9a-f]{10}_(\d+)", name)
+        if not mm:
+            continue
+        pid = int(mm.group(1))
+        try:
+            _os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+            continue  # alive -> its owner will clean up
+        except ProcessLookupError:
+            pass  # dead -> orphan
+        except PermissionError:
+            continue  # alive under another uid
+        _shutil.rmtree(_os.path.join(tmp, name), ignore_errors=True)
 
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 

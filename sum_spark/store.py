@@ -90,10 +90,30 @@ class IdCollision(ValueError):
 
 
 class RecordStore:
-    def __init__(self, spark: SparkSession, path: str, num_buckets: int = NUM_BUCKETS):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int = NUM_BUCKETS,
+        auto_compact_after: int | None = None,
+    ):
+        """``auto_compact_after`` (VERDICT r7 #8): when set, a mutation
+        that leaves more than ``num_buckets + auto_compact_after``
+        parquet files on disk triggers :meth:`compact` inline — the
+        threshold that keeps a long-lived store's netted reads from
+        degrading unboundedly (every update/delete appends at least one
+        partial file; compaction folds back to one file per bucket and
+        clears the netting marker). The trigger measures the ON-DISK
+        file count, not an in-process counter, so it survives reopen.
+        None (default) keeps compaction manual — the store is
+        single-writer by contract either way, so the inline fold is
+        safe whenever a mutation is."""
         self.spark = spark
         self.path = path
         self.num_buckets = int(num_buckets)
+        self.auto_compact_after = (
+            int(auto_compact_after) if auto_compact_after is not None else None
+        )
         os.makedirs(path, exist_ok=True)
         self._adopt_flat_files()
         self._next_id = int(self._df_or_empty().agg(F.max("id")).first()[0] or 0) + 1
@@ -341,6 +361,7 @@ class RecordStore:
                 (Row(id=int(rid), data=d, shape=s, meta=m), 1),
             ]
         )
+        self._maybe_auto_compact()
 
     def delete(self, rid: int) -> None:
         """Deletion as negation: append the stored row again with w=-1
@@ -349,6 +370,7 @@ class RecordStore:
         old = self.read(rid)
         self._mark_tombstones()  # marker first — see update()
         self._append([self._as_record_row(old)], w=-1)
+        self._maybe_auto_compact()
 
     def delete_many(self, rids: list[int]) -> None:
         """Bulk deletion-as-negation, fully distributed: the live rows
@@ -368,6 +390,26 @@ class RecordStore:
             .partitionBy("b")
             .parquet(self.path)
         )
+        self._maybe_auto_compact()
+
+    def _parquet_file_count(self) -> int:
+        n = 0
+        for entry in os.listdir(self.path):
+            if not entry.startswith("b="):
+                continue
+            d = os.path.join(self.path, entry)
+            n += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        return n
+
+    def _maybe_auto_compact(self) -> None:
+        """Fire :meth:`compact` when accumulated partial files exceed
+        the configured threshold (see __init__). Reads are identical
+        before and after by compaction's construction; what changes is
+        file count (one per bucket) and the netting marker (cleared)."""
+        if self.auto_compact_after is None:
+            return
+        if self._parquet_file_count() > self.num_buckets + self.auto_compact_after:
+            self.compact()
 
     def compact(self) -> None:
         """Fold each bucket's accumulated partials (create-appends and

@@ -230,3 +230,27 @@ def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
 
     with pytest.raises(ValueError):
         bloom_prefilter_join(orders, custs, "o_custkey", how="left")
+
+
+def test_sweep_dead_artifact_dirs(tmp_path, monkeypatch):
+    """VERDICT r7 #7: a crashed harness's pid-keyed artifact dirs are
+    swept at the next process's first _artifact_dir call; dirs owned by
+    a LIVE pid are kept."""
+    import os
+
+    import sum_spark.queries.llm as llm
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    dead = tmp_path / "sum_spark_pq_incr_0123456789_999999999"
+    live = tmp_path / f"sum_spark_pq_incr_0123456789_{os.getpid()}"
+    other = tmp_path / "not_ours_12345"
+    for d in (dead, live, other):
+        d.mkdir()
+        (d / "x").write_text("1")
+    llm._sweep_dead_artifact_dirs()
+    assert not dead.exists()  # dead pid -> removed
+    assert live.exists()  # live pid -> kept
+    assert other.exists()  # foreign name -> untouched

@@ -1107,3 +1107,85 @@ def test_retrain_pq_index_mid_batch_tail_error_names_no_partial_mode(
     msg = str(ei.value)
     assert "partial=True" not in msg
     assert "retrain" in msg and "resume the stream" in msg
+
+
+def test_auto_sized_coarse_quantizer(spark, tmp_path):
+    """VERDICT r7 #4: n_cells='auto' sizes the coarse book ~4*sqrt(N)
+    (bounded), the large-k encode (numpy/GEMM, broadcast-join
+    residualize — never plan literals) stays deterministic through the
+    whole maintenance loop (append + retire net exactly), and
+    retrain_pq_index(n_cells='auto') is the RESIZE path: it equals
+    write_pq_index from scratch over the survivors row-for-row."""
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+
+    assert S.auto_cells(20000) == 566  # 4*sqrt(20000)
+    assert S.auto_cells(1) == 16  # lower bound
+    assert S.auto_cells(10**10) == 4096  # upper bound
+
+    rng = np.random.default_rng(41)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "auto_pq")
+    book = S.write_pq_index(
+        df.where("id % 3 != 0"), p, m=2, n_codes=8, n_cells="auto"
+    )
+    assert len(book) == S.auto_cells(600) > S._LARGE_K  # numpy path taken
+    S.append_to_pq_index(df.where("id % 3 = 0"), p, m=2)
+    S.retire_from_pq_index(df.where("id % 10 = 7"), p, m=2)
+    live = {r["id"] for r in S.pq_index_rows(spark, p).select("id").collect()}
+    assert live == {i for i in range(900) if i % 10 != 7}  # exact netting
+
+    probes = df.where("id <= 3")
+    out = S.knn_ivfpq_from_index(spark, p, probes, k=5, m=2, n_probes=4)
+    got = out.collect()
+    assert len(got) == 20 and all(r["rank"] <= 5 for r in got)
+
+    # resize: retrain at 'auto' over the live corpus == scratch build
+    nb = S.retrain_pq_index(spark, p, df, m=2, n_codes=8, n_cells="auto")
+    p2 = str(tmp_path / "auto_pq_scratch")
+    b2 = S.write_pq_index(
+        df.where("id % 10 != 7"), p2, m=2, n_codes=8, n_cells="auto"
+    )
+    assert nb == b2
+    r1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(p).select("id", "coarse", "codes").collect()
+    )
+    r2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(p2).select("id", "coarse", "codes").collect()
+    )
+    assert r1 == r2 and len(r1) == 810
+
+
+def test_ivf_auto_bits_sidecar(spark, tmp_path):
+    """write_ivf_index(n_bits='auto') records the chosen width in the
+    _n_bits sidecar; readers and maintenance with n_bits=None resolve
+    it (pre-sidecar indexes fall back to the historical 8), and the
+    from-index search equals the in-flight knn_ivf at that width."""
+    import os
+
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(43)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "auto_ivf")
+    S.write_ivf_index(df, p, n_bits="auto")
+    bits = int(open(os.path.join(p, "_n_bits")).read())
+    assert bits == round(np.log2(S.auto_cells(200)))
+    probes = df.where("id <= 3")
+    a = S.knn_ivf_from_index(spark, p, probes, k=5, round_to=4).collect()
+    b = S.knn_ivf(df, probes, k=5, n_bits=bits, round_to=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # maintenance resolves the sidecar too: retire nets exactly
+    S.retire_from_ivf_index(df.where("id % 9 = 0"), p)
+    live = {r["id"] for r in S.ivf_index_rows(spark, p).select("id").collect()}
+    assert live == {i for i in range(200) if i % 9 != 0}
+    # pre-sidecar fallback
+    assert S._resolve_n_bits(str(tmp_path / "nope"), None) == 8
+    assert S._resolve_n_bits(str(tmp_path / "nope"), 5) == 5

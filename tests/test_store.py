@@ -290,3 +290,35 @@ def test_merge_on_read_random_ops_match_dict_model(spark, tmp_path, seed):
     store2 = RecordStore(spark, str(tmp_path / f"records_{seed}"), num_buckets=4)
     got = {r["id"] for r in store2.df.collect()}
     assert got == set(model)
+
+
+def test_auto_compact_threshold(spark, tmp_path):
+    """VERDICT r7 #8: with auto_compact_after set, mutations that push
+    the on-disk partial-file count past num_buckets + threshold trigger
+    one inline compaction — reads identical, one file per bucket,
+    netting marker cleared; the next mutation re-marks."""
+    import os
+
+    from sum_spark.store import RecordStore
+
+    p = str(tmp_path / "store_ac")
+    st = RecordStore(spark, p, num_buckets=4, auto_compact_after=6)
+    for i in range(8):
+        st.create([float(i)], meta={"k": str(i)})
+    before = {(r["id"], tuple(r["data"]), dict(r["meta"])["k"]) for r in st.df.collect()}
+    marker = os.path.join(p, "_tombstones")
+    fired = False
+    for i in range(1, 9):
+        st.update(i, data=[float(100 + i)])
+        if not os.path.isfile(marker) and st._parquet_file_count() == 4:
+            fired = True
+            break
+    assert fired, "auto-compact never fired within the threshold window"
+    after = {(r["id"], tuple(r["data"]), dict(r["meta"])["k"]) for r in st.df.collect()}
+    # identical ids/meta; data reflects the updates applied so far
+    assert {t[0] for t in after} == {t[0] for t in before}
+    assert len(after) == 8
+    # the store keeps working after the fold: next mutation re-marks
+    st.delete(8)
+    assert os.path.isfile(marker)
+    assert st.count() == 7
