@@ -194,22 +194,31 @@ def streaming_ann_rerank(
     from sum_spark.operators.similarity import knn_ivfpq_rerank
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        out = knn_ivfpq_rerank(
-            batch_df.sparkSession,
-            index_path,
-            corpus,
-            batch_df,
-            k=k,
-            c=c,
-            m=m,
-            n_probes=n_probes,
-            id_col=id_col,
-            vec_col=vec_col,
-            round_to=round_to,
-        )
-        out.write.parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
+        # persist: the rerank consumes the probes several times (head
+        # gate, LUT collect, probes.count() broadcast bound, the scored
+        # join) — unpersisted, each action re-reads the micro-batch
+        # source (measured 4x input reads per trigger in
+        # bench_streaming.py before this cache)
+        batch_df.persist()
+        try:
+            if not batch_df.head(1):
+                return
+            out = knn_ivfpq_rerank(
+                batch_df.sparkSession,
+                index_path,
+                corpus,
+                batch_df,
+                k=k,
+                c=c,
+                m=m,
+                n_probes=n_probes,
+                id_col=id_col,
+                vec_col=vec_col,
+                round_to=round_to,
+            )
+            out.write.parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
+        finally:
+            batch_df.unpersist()
 
     return (
         probe_stream.writeStream.foreachBatch(sink)

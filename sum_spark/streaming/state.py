@@ -65,6 +65,9 @@ def streaming_corpus_state(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # persist: the batch feeds both the signature build and the meta
+        # projection — unpersisted, each re-reads the micro-batch source
+        batch_df.persist()
         sig = minhash_signatures(batch_df, text_col, id_col).persist()
 
         _doc_meta(batch_df, text_col, id_col, strat_col).write.mode(
@@ -123,6 +126,7 @@ def streaming_corpus_state(
         # leaving a sig batch whose pair increment never ran.
         sig.write.mode("overwrite").parquet(f"{path}/sig/batch_id={batch_id}")
         sig.unpersist()
+        batch_df.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(sink)
