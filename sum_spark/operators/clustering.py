@@ -100,14 +100,17 @@ def assign_clusters(
     if not items:
         raise ValueError("assign_clusters needs at least one centroid")
     if backend == "catalyst":
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                    F.lit(int(j)).cast("long").alias("j"),
-                )
+        from sum_spark.functions.litsql import darray
+
+        # one expr string == the same literal nodes at ~1/100th the py4j
+        # round trips (functions/litsql.py; exactness unit-pinned)
+        cent_lit = F.expr(
+            "array("
+            + ", ".join(
+                f"struct({darray(c)} AS c, CAST({int(j)} AS BIGINT) AS j)"
                 for j, c in items
-            ]
+            )
+            + ")"
         )
         v = F.col(vec_col).cast("array<double>")
         # array_min over (dist, j) structs = lexicographic argmin with the

@@ -535,21 +535,18 @@ def band_struct_array(sig_col: str = "sig") -> F.Column:
     that must carry extra columns through the explode (e.g. the streaming
     ingest path, where a join back to the signature would be
     stream-stream) can build their own projection."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.xxhash64(
-                    F.lit(i),
-                    *[
-                        F.element_at(sig_col, i * LSH_ROWS + r + 1)
-                        for r in range(LSH_ROWS)
-                    ],
-                ).alias("key"),
-            )
-            for i in range(LSH_BANDS)
-        ]
+    # one expr string (the same literal/xxhash64 nodes): the Column form
+    # cost ~130 py4j round trips per projection build (VERDICT r7 #2)
+    structs = ", ".join(
+        f"struct({i} AS band, xxhash64({i}, "
+        + ", ".join(
+            f"element_at(`{sig_col}`, {i * LSH_ROWS + r + 1})"
+            for r in range(LSH_ROWS)
+        )
+        + ") AS key)"
+        for i in range(LSH_BANDS)
     )
+    return F.expr(f"array({structs})")
 
 
 def _minhash_sig_bands(

@@ -277,17 +277,21 @@ def product_quantize(
         return _pq_codes_numpy(df, m, items, id_col, vec_col), cents
     sd = d // m
     v = F.col(vec_col).cast("array<double>")
+    from sum_spark.functions.litsql import darray
+
     code_cols = []
     for j in range(m):
         sub = F.slice(v, j * sd + 1, sd)
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.array(*[F.lit(float(x)) for x in c[j * sd : (j + 1) * sd]]).alias("c"),
-                    F.lit(int(cid)).cast("long").alias("j"),
-                )
+        # one expr string per subspace book (functions/litsql.py): the
+        # k x sd literal structs cost ~1 py4j call instead of ~k x sd
+        cent_lit = F.expr(
+            "array("
+            + ", ".join(
+                f"struct({darray(c[j * sd : (j + 1) * sd])} AS c,"
+                f" CAST({int(cid)} AS BIGINT) AS j)"
                 for cid, c in items
-            ]
+            )
+            + ")"
         )
         # Factory closure, NOT a default arg: PySpark introspects HOF
         # lambda arity, and `lambda s, sub=sub:` would be called as the

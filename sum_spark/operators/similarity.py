@@ -616,12 +616,7 @@ def knn_ivfpq(
         # Residual = v - centroid[coarse], one map-side zip_with; the
         # residual codebook trains on these with the same one-step
         # recipe (hash-init on the SAME ids, one fixed-point aggregate).
-        cent_map = F.map_from_arrays(
-            F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
-            F.array(
-                *[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]
-            ),
-        )
+        cent_map = _cent_map_expr(items)
         res = coarse.select(
             F.col(id_col),
             "__coarse",
@@ -750,10 +745,7 @@ def _residualize(
                 lambda x, c: x - c,
             ).alias("__res"),
         )
-    cent_map = F.map_from_arrays(
-        F.array(*[F.lit(int(cid)).cast("long") for cid, _ in items]),
-        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]),
-    )
+    cent_map = _cent_map_expr(items)
     return coarse.select(
         F.col(id_col),
         "coarse",
@@ -763,6 +755,16 @@ def _residualize(
             lambda x, c: x - c,
         ).alias("__res"),
     )
+
+
+def _cent_map_expr(items: list) -> F.Column:
+    """map<bigint, array<double>> centroid literal as ONE expr string
+    (functions/litsql.py — the Column form cost k x d py4j calls)."""
+    from sum_spark.functions.litsql import darray
+
+    keys = ", ".join(f"CAST({int(cid)} AS BIGINT)" for cid, _ in items)
+    vals = ", ".join(darray(c) for _, c in items)
+    return F.expr(f"map_from_arrays(array({keys}), array({vals}))")
 
 
 def _train_residual_book(

@@ -46,3 +46,46 @@ def test_sql_matches_column_api(spark, sf_smoke):
     }
     for k in via_col:
         assert via_sql[k] == pytest.approx(via_col[k], abs=1e-9)
+
+
+def test_dlit_exact_double_roundtrip(spark):
+    """functions/litsql.dlit: F.expr(dlit(x)) must equal F.lit(x)
+    BIT-FOR-BIT for adversarial doubles — this is what lets codebook
+    literals batch into one expr string without moving any
+    oracle-checked hash (shortest-repr emit + correctly-rounded parse)."""
+    import math
+    import struct as st
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.litsql import darray, dlit
+
+    rng = np.random.default_rng(7)
+    vals = [
+        0.0, -0.0, 1.0, -1.5, 1e-308, -1e308, 0.1, 2.0 / 3.0,
+        5e-324,  # smallest subnormal
+        *(float(x) for x in rng.standard_normal(50)),
+        *(float(x) for x in rng.uniform(-1e10, 1e10, 20)),
+    ]
+    exprs = [
+        f"CAST({dlit(v)} AS DOUBLE) = CAST({v!r}D AS DOUBLE)" for v in vals
+    ]
+    cols = [F.expr(d) for d in (dlit(v) for v in vals)]
+    lits = [F.lit(v) for v in vals]
+    row = spark.range(1).select(
+        *[c.alias(f"e{i}") for i, c in enumerate(cols)],
+        *[c.alias(f"l{i}") for i, c in enumerate(lits)],
+    ).first()
+    for i, v in enumerate(vals):
+        ev, lv = row[f"e{i}"], row[f"l{i}"]
+        assert st.pack("<d", ev) == st.pack("<d", lv), (v, ev, lv)
+    # darray composes the same elements
+    arr = spark.range(1).select(F.expr(darray(vals[:8])).alias("a")).first()["a"]
+    assert [st.pack("<d", x) for x in arr] == [st.pack("<d", v) for v in vals[:8]]
+    # non-finite values are refused, not silently mangled
+    import pytest
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with pytest.raises(ValueError):
+            dlit(bad)
