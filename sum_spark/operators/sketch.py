@@ -237,9 +237,16 @@ def bloom_member(
     any corpus size; that is the entire point versus broadcasting the
     exact (unbounded) hash set."""
     pos = bloom_positions(F.col(item_col), m_bits, k)
+    # the 1024 packed words as ONE expr string (VERDICT r7 #2): the
+    # Column form cost ~2k py4j round trips per plan build. String-cast
+    # literals cover the full signed-64 range (a bare min-long literal
+    # parses as DECIMAL through unary minus).
+    words_sql = "array(" + ", ".join(
+        f"CAST('{int(w)}' AS BIGINT)" for w in words
+    ) + ")"
     staged = df.select(
         "*", *[p.alias(f"__bp{i}") for i, p in enumerate(pos)]
-    ).withColumn("__bw", F.array(*[F.lit(w).cast("long") for w in words]))
+    ).withColumn("__bw", F.expr(words_sql))
     checks = [
         f"getbit(element_at(__bw, CAST(__bp{i} DIV 64 AS INT) + 1),"
         f" CAST(__bp{i} % 64 AS INT)) = 1"
