@@ -543,6 +543,25 @@ def clustered_block(spark, k: int = 10) -> dict:
         spark, idx_one, emb, probes, k=k, c=100, m=8, n_probes=16, **kw
     )
     out["rr_onestep_p16_c100"] = recall(df)
+    # the PRODUCTION config end-to-end: auto-sized coarse cells
+    # (~4*sqrt(20k) = 566 — large-k numpy encode, broadcast-join
+    # residualize, numpy probe LUTs) + residual codes + rerank. More
+    # cells need more probes for the same coverage; the (probes, C)
+    # sweep prices that trade on clustered data.
+    idx_auto = os.path.join(CLUSTERED_DIR, "pq_auto_res")
+    shutil.rmtree(idx_auto, ignore_errors=True)
+    book = write_pq_index(
+        emb, idx_auto, m=8, n_codes=64, n_cells="auto",
+        residual=True, res_iters=4, **kw,
+    )
+    out["auto_cells"] = len(book)
+    for np_ in (16, 48):
+        for c in (100, 500):
+            df = knn_ivfpq_rerank(
+                spark, idx_auto, emb, probes, k=k, c=c, m=8,
+                n_probes=np_, **kw,
+            )
+            out[f"rr_autores_p{np_}_c{c}"] = recall(df)
     return out
 
 
