@@ -1189,3 +1189,58 @@ def test_ivf_auto_bits_sidecar(spark, tmp_path):
     # pre-sidecar fallback
     assert S._resolve_n_bits(str(tmp_path / "nope"), None) == 8
     assert S._resolve_n_bits(str(tmp_path / "nope"), 5) == 5
+
+
+def test_numpy_encode_backends_agree_with_catalyst(spark):
+    """The large-k encode backends (product_quantize backend='numpy',
+    assign_clusters backend='numpy', _residualize backend='join') must
+    produce the SAME assignments/codes/residuals as the catalyst literal
+    paths on generic data — float summation order differs only in the
+    last bits, which cannot flip an argmin off ties, and ties are
+    measure-zero on continuous data. This pins the two paths against
+    drift: an auto-sized index must search identically to a small one
+    modulo cell count."""
+    import numpy as np
+
+    from sum_spark.operators.clustering import assign_clusters, kmeans_fit
+    from sum_spark.operators.embeddings import product_quantize
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(47)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    cents = kmeans_fit(df, k=5, iters=2, id_col="id", vec_col="data")
+
+    a_cat = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(
+            df, cents, "id", "data", backend="catalyst"
+        ).collect()
+    }
+    a_np = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(df, cents, "id", "data", backend="numpy").collect()
+    }
+    assert a_cat == a_np
+
+    c_cat, _ = product_quantize(
+        df, m=2, k=5, id_col="id", vec_col="data", centroids=cents
+    )
+    c_np, _ = product_quantize(
+        df, m=2, k=5, id_col="id", vec_col="data", centroids=cents,
+        backend="numpy",
+    )
+    cc = {r["vec_id"]: list(r["codes"]) for r in c_cat.collect()}
+    cn = {r["vec_id"]: list(r["codes"]) for r in c_np.collect()}
+    assert cc == cn
+
+    r_cat = {
+        r["id"]: (r["coarse"], tuple(r["__res"]))
+        for r in S._residualize(df, cents, "id", "data").collect()
+    }
+    r_join = {
+        r["id"]: (r["coarse"], tuple(r["__res"]))
+        for r in S._residualize(df, cents, "id", "data", backend="join").collect()
+    }
+    # same assignment; residual doubles BIT-identical (x - c either way)
+    assert r_cat == r_join
