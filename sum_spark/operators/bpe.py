@@ -127,13 +127,28 @@ def train_bpe_distributed(
     )
     # localCheckpoint persists its RDD outside the DataFrame cache —
     # df.unpersist() does NOT release it, so a train would leave one
-    # cached RDD per merge in the session (a query server leaks).
-    # Snapshot the persistent-RDD ids before and unpersist the delta.
+    # cached RDD per merge in the session (a query server leaks). Track
+    # the ids THIS function creates by snapshotting the persistent-RDD
+    # set around each eager checkpoint (the tightest window available —
+    # a concurrent query persisting a frame in that instant could be
+    # misattributed, but never a frame cached before or after the
+    # checkpoint call), and release only those on return.
     jsc = counts.sparkSession.sparkContext._jsc
-    before_ids = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-    state = counts.select(
-        F.col("cnt").cast("long").alias("cnt"), syms0.alias("syms")
-    ).localCheckpoint(True)
+
+    def _ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+    ours: set[int] = set()
+
+    def _checkpoint(df: DataFrame) -> DataFrame:
+        pre = _ids()
+        out = df.localCheckpoint(True)
+        ours.update(_ids() - pre)
+        return out
+
+    state = _checkpoint(
+        counts.select(F.col("cnt").cast("long").alias("cnt"), syms0.alias("syms"))
+    )
     merges: list[tuple[str, str]] = []
     # adjacent pairs: element j with element j+1 ([] is 0-BASED in
     # Spark SQL; transform's i counts from 0 over the first n-1 slice)
@@ -171,18 +186,19 @@ def train_bpe_distributed(
                 f" array('{a_sql}{b_sql}'))"
                 " ELSE concat(acc, array(x)) END)"
             )
-            nxt = state.select(
-                "cnt",
-                F.expr(
-                    f"CASE WHEN size(syms) > 1 THEN {apply_sql}"
-                    " ELSE syms END"
-                ).alias("syms"),
-            ).localCheckpoint(True)
-            state = nxt
+            state = _checkpoint(
+                state.select(
+                    "cnt",
+                    F.expr(
+                        f"CASE WHEN size(syms) > 1 THEN {apply_sql}"
+                        " ELSE syms END"
+                    ).alias("syms"),
+                )
+            )
     finally:
         mp = jsc.getPersistentRDDs()
         for rid in list(mp.keySet().toArray()):
-            if int(rid) not in before_ids:
+            if int(rid) in ours:
                 mp.get(rid).rdd().unpersist(False)
     return merges
 

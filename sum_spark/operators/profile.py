@@ -37,28 +37,39 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     # to the identical Catalyst aggregate in a handful of calls.
     aggs = []
     cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    # profile_table is a PUBLIC operator over arbitrary caller frames:
+    # column names must be escaped into the SQL strings (a backtick in
+    # an identifier doubles inside backticks; a quote in a string
+    # literal doubles) — the Column API handled any name for free.
+    def _qid(n: str) -> str:
+        return "`" + n.replace("`", "``") + "`"
+
+    def _qstr(n: str) -> str:
+        return "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     for name, dtype in cols:
-        q = f"`{name}`"
-        aggs.append(f"count(1) AS `__rows_{name}`")
-        aggs.append(f"count({q}) AS `__nn_{name}`")
+        q = _qid(name)
+        aggs.append(f"count(1) AS {_qid('__rows_' + name)}")
+        aggs.append(f"count({q}) AS {_qid('__nn_' + name)}")
         if exact_distinct:
-            aggs.append(f"count(DISTINCT {q}) AS `__nd_{name}`")
+            aggs.append(f"count(DISTINCT {q}) AS {_qid('__nd_' + name)}")
         else:
-            aggs.append(f"approx_count_distinct({q}) AS `__nd_{name}`")
+            aggs.append(f"approx_count_distinct({q}) AS {_qid('__nd_' + name)}")
         if dtype in _MINMAX_TYPES:
-            aggs.append(f"CAST(min({q}) AS STRING) AS `__mn_{name}`")
-            aggs.append(f"CAST(max({q}) AS STRING) AS `__mx_{name}`")
+            aggs.append(f"CAST(min({q}) AS STRING) AS {_qid('__mn_' + name)}")
+            aggs.append(f"CAST(max({q}) AS STRING) AS {_qid('__mx_' + name)}")
         else:
-            aggs.append(f"CAST(NULL AS STRING) AS `__mn_{name}`")
-            aggs.append(f"CAST(NULL AS STRING) AS `__mx_{name}`")
+            aggs.append(f"CAST(NULL AS STRING) AS {_qid('__mn_' + name)}")
+            aggs.append(f"CAST(NULL AS STRING) AS {_qid('__mx_' + name)}")
     one = df.selectExpr(*aggs)
     structs = ", ".join(
-        f"struct('{name}' AS column,"
-        f" `__rows_{name}` AS n_rows,"
-        f" `__rows_{name}` - `__nn_{name}` AS n_nulls,"
-        f" CAST(`__nd_{name}` AS BIGINT) AS n_distinct,"
-        f" `__mn_{name}` AS min_str,"
-        f" `__mx_{name}` AS max_str)"
+        f"struct({_qstr(name)} AS column,"
+        f" {_qid('__rows_' + name)} AS n_rows,"
+        f" {_qid('__rows_' + name)} - {_qid('__nn_' + name)} AS n_nulls,"
+        f" CAST({_qid('__nd_' + name)} AS BIGINT) AS n_distinct,"
+        f" {_qid('__mn_' + name)} AS min_str,"
+        f" {_qid('__mx_' + name)} AS max_str)"
         for name, _ in cols
     )
     return (

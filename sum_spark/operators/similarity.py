@@ -170,7 +170,17 @@ def _resolve_n_bits(path: str, n_bits) -> int:
     wins; ``None`` reads the ``_n_bits`` sidecar the writer recorded
     (the auto-sized case — the caller cannot know what 'auto' chose),
     falling back to the historical default 8 for indexes that predate
-    the sidecar."""
+    the sidecar.
+
+    Fail-SAFE fallback: the sidecar is written after the data (the
+    overwrite deletes the directory, sidecar included), so a crash
+    between the two leaves an index whose width nobody recorded. A
+    silent 8 would then compute probe buckets in the wrong key space —
+    wrong/empty neighbors with no error — so the fallback inspects the
+    on-disk bucket values and REFUSES when any exceeds the 8-bit space
+    ('auto' widths are clamped to >= 8 bits, so a wider index always
+    has such a bucket in practice); pre-sidecar 8-bit indexes keep
+    working."""
     import os
 
     if n_bits is not None:
@@ -179,6 +189,23 @@ def _resolve_n_bits(path: str, n_bits) -> int:
     if os.path.isfile(p):
         with open(p) as fh:
             return int(fh.read().strip())
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return 8
+    buckets = [
+        int(n.split("=", 1)[1])
+        for n in names
+        if n.startswith("bucket=") and n.split("=", 1)[1].lstrip("-").isdigit()
+    ]
+    if buckets and max(buckets) >= (1 << 8):
+        raise ValueError(
+            f"{path}: no _n_bits sidecar but bucket values exceed the "
+            "8-bit default space — the index was written at a wider "
+            "'auto' width and its sidecar is missing (crash between the "
+            "data write and the sidecar write?). Rebuild the index, or "
+            "restore the sidecar with the width it was built at."
+        )
     return 8
 
 
@@ -216,7 +243,12 @@ def write_ivf_index(
     import math
 
     if n_bits == "auto":
-        n_bits = max(2, min(16, round(math.log2(auto_cells(records.count())))))
+        # lower clamp 8 (not 2): an auto width below the historical
+        # default would make the no-sidecar fail-safe in _resolve_n_bits
+        # unable to distinguish it from a legacy 8-bit index (all bucket
+        # values < 256 either way); 256 sign-bit buckets on a tiny
+        # corpus are harmless
+        n_bits = max(8, min(16, round(math.log2(auto_cells(records.count())))))
     n_bits = int(n_bits)
     records.select(id_col, vec_col, *(attr_cols or [])).withColumn(
         "bucket", ivf_bucket(vec_col, n_bits)
@@ -869,9 +901,16 @@ def write_pq_index(
     if n_cells == "auto":
         n_cells = auto_cells(records.count())
     cells = int(n_cells) if n_cells is not None else int(n_codes)
-    large = cells > _LARGE_K
     if centroids is None:
         centroids = train_pq_codebook(records, cells, id_col, vec_col)
+    # the backend flag MUST come from the ACTUAL book (not the requested
+    # cells): maintenance re-encodes decide by the STORED book's size
+    # (_encode_with_stored_book), and the two backends differ in float
+    # summation order — a build/maintenance backend mismatch breaks the
+    # bit-exact re-encode deletion-as-negation requires. An externally
+    # passed large book with small n_codes (or a trained book smaller
+    # than requested via empty hash buckets) would otherwise flip it.
+    large = len(centroids) > _LARGE_K
     spark = records.sparkSession
     if residual:
         # persisted: the residual frame feeds the seed collect, every
@@ -1052,12 +1091,22 @@ def knn_ivfpq_from_index(
     idx = pq_index_rows(spark, path, id_col)
     n_probes = max(1, min(int(n_probes), len(items)))
 
+    # auto-sized coarse book: hoist the (k x d) matrix ONCE, not per
+    # probe (the LUT path below does the same)
+    nearest_np = None
+    if len(items) > _LARGE_K:
+        import numpy as np
+
+        nearest_np = (
+            np.array([cid for cid, _ in items], dtype=np.int64),
+            np.array([c for _, c in items], dtype=np.float64),
+        )
+
     def _nearest(q):
-        if len(items) > _LARGE_K:  # auto-sized coarse book: vectorize
+        if nearest_np is not None:
             import numpy as np
 
-            keys = np.array([cid for cid, _ in items], dtype=np.int64)
-            cmat = np.array([c for _, c in items], dtype=np.float64)
+            keys, cmat = nearest_np
             d2 = ((cmat - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
             return keys[np.lexsort((keys, d2))][:n_probes].tolist()
         return [
@@ -1632,8 +1681,12 @@ def retrain_pq_index(
             if n_cells == "auto"
             else int(n_cells) if n_cells is not None else int(n_codes)
         )
-        large = cells > _LARGE_K
         book = train_pq_codebook(survivors, cells, id_col, vec_col)
+        # from the ACTUAL book, never the requested cells — see
+        # write_pq_index (a trained book can come out smaller than
+        # requested via empty hash buckets, and maintenance decides by
+        # the stored book's size)
+        large = len(book) > _LARGE_K
         res_book = None
         if old_res is not None:
             # a residual index retrains BOTH books with the recipe the

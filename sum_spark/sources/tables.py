@@ -29,6 +29,7 @@ TABLES = (
 )
 
 _PLAN_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+_PLAN_MEMO_MAX = 256  # sessions x dirs x 10 tables in any sane process
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,9 +40,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (VERDICT r7 #2): ``spark.read.parquet`` costs a schema-read round
     trip (~100 ms for events with its type-branch) that every query
     re-paid per build. DataFrames are immutable plan handles, so reuse
-    is free; the testdata files never change within a session, and each
-    caller still composes its own filters on top of the same scan node
-    (pushdown unaffected — plan-tested).
+    is free; each caller still composes its own filters on top of the
+    same scan node (pushdown unaffected — plan-tested).
+
+    Contract and bounds: the memoized plan captures the directory's
+    FILE LISTING at first load, so ``sf_dir`` contents must be
+    immutable for the session (true of the driver testdata; a caller
+    that rewrites a table dir in-place must read it with
+    ``spark.read.parquet`` directly). The cache is FIFO-bounded at
+    ``_PLAN_MEMO_MAX`` entries (each holds its session strongly so a
+    recycled ``id()`` can never alias a stopped session's plan), so a
+    process cycling many sessions pins at most that many plans, not an
+    unbounded set.
 
     ``events.ts`` has shipped in two physical shapes: parquet
     TIMESTAMP(NANOS) (which Spark reads only via nanosAsLong) and plain
@@ -68,6 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if memo is not None and memo[0] is spark:
         return memo[1]
     df = _load_table_uncached(spark, sf_dir, name)
+    while len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:  # FIFO bound (dicts are ordered)
+        _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
     _PLAN_MEMO[key] = (spark, df)
     return df
 

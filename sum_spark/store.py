@@ -97,17 +97,19 @@ class RecordStore:
         num_buckets: int = NUM_BUCKETS,
         auto_compact_after: int | None = None,
     ):
-        """``auto_compact_after`` (VERDICT r7 #8): when set, a mutation
-        that leaves more than ``num_buckets + auto_compact_after``
-        parquet files on disk triggers :meth:`compact` inline — the
-        threshold that keeps a long-lived store's netted reads from
-        degrading unboundedly (every update/delete appends at least one
-        partial file; compaction folds back to one file per bucket and
-        clears the netting marker). The trigger measures the ON-DISK
-        file count, not an in-process counter, so it survives reopen.
-        None (default) keeps compaction manual — the store is
-        single-writer by contract either way, so the inline fold is
-        safe whenever a mutation is."""
+        """``auto_compact_after`` (VERDICT r7 #8): when set, any write —
+        create, update, or delete — that leaves more than
+        ``num_buckets + auto_compact_after`` parquet files on disk
+        triggers :meth:`compact` inline — the threshold that keeps a
+        long-lived store's reads from degrading unboundedly (every
+        write appends at least one partial file; an insert-heavy store
+        hits the small-files pathology without any tombstone ever
+        existing, so creates count too). Compaction folds back to one
+        file per bucket and clears the netting marker. The trigger
+        measures the ON-DISK file count, not an in-process counter, so
+        it survives reopen. None (default) keeps compaction manual —
+        the store is single-writer by contract either way, so the
+        inline fold is safe whenever a write is."""
         self.spark = spark
         self.path = path
         self.num_buckets = int(num_buckets)
@@ -265,6 +267,7 @@ class RecordStore:
         self._next_id += 1
         d, s, m = self._normalize(data, shape, meta)
         self._append([Row(id=rid, data=d, shape=s, meta=m)])
+        self._maybe_auto_compact()
         return rid
 
     def create_with_id(self, rid: int, data, meta=None, shape=None) -> None:
@@ -273,6 +276,7 @@ class RecordStore:
         d, s, m = self._normalize(data, shape, meta)
         self._append([Row(id=int(rid), data=d, shape=s, meta=m)])
         self._next_id = max(self._next_id, int(rid) + 1)
+        self._maybe_auto_compact()
 
     def create_many_with_id(self, records: dict[int, list]) -> None:
         """Bulk create; all-or-nothing like CreateRecordsWithId
@@ -295,6 +299,7 @@ class RecordStore:
             rows.append(Row(id=int(rid), data=d, shape=s, meta=m))
         self._append(rows)
         self._next_id = max(self._next_id, max(ids) + 1)
+        self._maybe_auto_compact()
 
     def _exists(self, rid: int) -> bool:
         return (

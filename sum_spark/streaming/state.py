@@ -66,9 +66,19 @@ def streaming_corpus_state(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         # persist: the batch feeds both the signature build and the meta
-        # projection — unpersisted, each re-reads the micro-batch source
+        # projection — unpersisted, each re-reads the micro-batch source.
+        # try/finally: a failing batch body must not strand the cached
+        # blocks — the checkpoint redelivers the batch on restart, and
+        # each failed attempt would otherwise leak one cached batch.
         batch_df.persist()
         sig = minhash_signatures(batch_df, text_col, id_col).persist()
+        try:
+            _sink_body(spark, batch_df, sig, batch_id)
+        finally:
+            sig.unpersist()
+            batch_df.unpersist()
+
+    def _sink_body(spark, batch_df: DataFrame, sig: DataFrame, batch_id: int) -> None:
 
         _doc_meta(batch_df, text_col, id_col, strat_col).write.mode(
             "overwrite"
@@ -125,8 +135,6 @@ def streaming_corpus_state(
         # read filters on batch_id), but keeps a crash mid-sink from
         # leaving a sig batch whose pair increment never ran.
         sig.write.mode("overwrite").parquet(f"{path}/sig/batch_id={batch_id}")
-        sig.unpersist()
-        batch_df.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(sink)

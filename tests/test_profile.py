@@ -139,3 +139,15 @@ def test_validate_table_clean_gate(spark, sf_smoke):
         unique_cols=("doc_id",),
     )
     assert rep.where("n_violations > 0").count() == 0
+
+
+def test_profile_table_escapes_hostile_column_names(spark):
+    """Review r8: profile_table is a public operator — column names
+    containing quotes/backticks must survive the SQL-string builder."""
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["it's", "we`ird"]
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"it's", "we`ird"}
+    assert rows["it's"]["n_rows"] == 2 and rows["it's"]["n_nulls"] == 0
+    assert rows["we`ird"]["n_nulls"] == 1

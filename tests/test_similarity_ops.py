@@ -1177,7 +1177,9 @@ def test_ivf_auto_bits_sidecar(spark, tmp_path):
     p = str(tmp_path / "auto_ivf")
     S.write_ivf_index(df, p, n_bits="auto")
     bits = int(open(os.path.join(p, "_n_bits")).read())
-    assert bits == round(np.log2(S.auto_cells(200)))
+    # clamped to >= 8 so the no-sidecar fail-safe can tell wider auto
+    # indexes (bucket values >= 256 exist) from legacy 8-bit ones
+    assert bits == max(8, round(np.log2(S.auto_cells(200))))
     probes = df.where("id <= 3")
     a = S.knn_ivf_from_index(spark, p, probes, k=5, round_to=4).collect()
     b = S.knn_ivf(df, probes, k=5, n_bits=bits, round_to=4).collect()
@@ -1244,3 +1246,52 @@ def test_numpy_encode_backends_agree_with_catalyst(spark):
     }
     # same assignment; residual doubles BIT-identical (x - c either way)
     assert r_cat == r_join
+
+
+def test_backend_follows_actual_book_size_not_params(spark, tmp_path):
+    """Review r8: the encode backend must be a pure function of the
+    ACTUAL codebook size — an externally supplied large book with small
+    n_codes used to build via catalyst but maintain via numpy, and the
+    float-order difference breaks the bit-exact re-encode that
+    deletion-as-negation needs. Build with a 100-entry external book,
+    retire through the stored-book encoder, and require exact netting."""
+    import numpy as np
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(53)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    book = {j: rng.standard_normal(8).tolist() for j in range(100)}  # >64
+    p = str(tmp_path / "pq_extbook")
+    S.write_pq_index(df, p, m=2, n_codes=8, centroids=book)
+    S.retire_from_pq_index(df.where("id % 5 = 0"), p, m=2)
+    live = {r["id"] for r in S.pq_index_rows(spark, p).select("id").collect()}
+    assert live == {i for i in range(400) if i % 5 != 0}
+
+
+def test_missing_n_bits_sidecar_fails_safe(spark, tmp_path):
+    """Review r8: a wide auto index whose _n_bits sidecar is missing
+    (crash between data write and sidecar write) must REFUSE to serve
+    at the 8-bit default — silent 8 would compute probe buckets in the
+    wrong key space and return wrong/empty neighbors."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(59)
+    rows = [(i, rng.standard_normal(12).tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+    p = str(tmp_path / "ivf_wide")
+    S.write_ivf_index(df, p, n_bits=10)  # buckets up to 1023
+    os.remove(os.path.join(p, "_n_bits"))
+    with pytest.raises(ValueError, match="sidecar"):
+        S.knn_ivf_from_index(spark, p, df.where("id <= 2"), k=5)
+    # an 8-bit-compatible index without a sidecar keeps the legacy default
+    p8 = str(tmp_path / "ivf_8")
+    S.write_ivf_index(df, p8, n_bits=8)
+    os.remove(os.path.join(p8, "_n_bits"))
+    assert S._resolve_n_bits(p8, None) == 8

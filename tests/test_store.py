@@ -322,3 +322,18 @@ def test_auto_compact_threshold(spark, tmp_path):
     st.delete(8)
     assert os.path.isfile(marker)
     assert st.count() == 7
+
+
+def test_auto_compact_fires_on_creates(spark, tmp_path):
+    """Review r8: creates count toward the auto-compact threshold too —
+    an insert-heavy store hits the small-files pathology without any
+    tombstone ever existing."""
+    from sum_spark.store import RecordStore
+
+    p = str(tmp_path / "store_ac_create")
+    st = RecordStore(spark, p, num_buckets=4, auto_compact_after=5)
+    for i in range(12):
+        st.create([float(i)])
+    assert st._parquet_file_count() <= 4 + 5  # a fold ran mid-stream
+    assert st.count() == 12
+    assert {int(r["id"]) for r in st.df.collect()} == set(range(1, 13))
