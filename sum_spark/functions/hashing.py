@@ -68,8 +68,14 @@ def minhash_signature(shingle_hashes: Column) -> Column:
     # — 64 separate aggregate subtrees blow past whole-stage-codegen
     # limits and fall back to interpreted evaluation, which then gets
     # re-evaluated per join branch (measured 10-70s swings at sf0.1).
-    a_lits = F.array(*[F.lit(a).cast("long") for a, _ in MINHASH_PARAMS])
-    b_lits = F.array(*[F.lit(b).cast("long") for _, b in MINHASH_PARAMS])
+    # one expr string each: 2 x 64 literal Columns cost ~250 py4j round
+    # trips per signature projection build (same literal nodes)
+    a_lits = F.expr(
+        "array(" + ", ".join(f"{a}L" for a, _ in MINHASH_PARAMS) + ")"
+    )
+    b_lits = F.expr(
+        "array(" + ", ".join(f"{b}L" for _, b in MINHASH_PARAMS) + ")"
+    )
     init = F.array_repeat(F.lit(MINHASH_P).cast("long"), NUM_PERM)
     return F.aggregate(
         shingle_hashes,

@@ -824,7 +824,13 @@ def simhash(hashes) -> F.Column:
     branch. Callers must pass a *materialized* hash-array column so the
     md5 transform is not inlined per vote.
     """
-    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    # one expr string: the 60 power-of-two literals cost ~120 py4j
+    # round trips as Column objects (VERDICT r7 #2)
+    powers = F.expr(
+        "array("
+        + ", ".join(f"{1 << j}L" for j in range(SIMHASH_BITS))
+        + ")"
+    )
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), SIMHASH_BITS),

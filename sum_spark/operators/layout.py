@@ -40,11 +40,26 @@ def _quantize(expr: str, cmin: int, cmax: int, bits: int) -> str:
     return f"CAST(((({expr}) - ({cmin})) * {mask}) DIV ({cmax} - ({cmin})) AS BIGINT)"
 
 
+def _zorder_key_sql(col_sqls: list[str], bits: int = ZORDER_BITS) -> str:
+    """The Morton interleave as ONE SQL string over already-quantized
+    SQL expressions — the N x bits shift/and/or chain cost ~160 py4j
+    round trips as Column objects (VERDICT r7 #2); same expression
+    tree."""
+    n = len(col_sqls)
+    pieces = [
+        f"shiftleft(shiftright(({c}), {b}) & 1, {b * n + i})"
+        for i, c in enumerate(col_sqls)
+        for b in range(bits)
+    ]
+    return "CAST((" + " | ".join(pieces) + ") AS BIGINT)"
+
+
 def zorder_key(cols: list[Column], bits: int = ZORDER_BITS) -> Column:
     """Morton interleave of N already-quantized [0, 2^bits) integer
     columns: bit b of column i lands at position b*N + i. A chain of
     shift/and/or literals — Catalyst folds it into one codegen'd
-    expression; no UDF, no shuffle."""
+    expression; no UDF, no shuffle. (Internal callers that already hold
+    SQL strings use _zorder_key_sql — one expr, same tree.)"""
     n = len(cols)
     z: Column | None = None
     for i, c in enumerate(cols):
@@ -73,11 +88,11 @@ def zorder_layout(
         *[F.min(d).cast("long").alias(f"__mn{i}") for i, d in enumerate(dims)],
         *[F.max(d).cast("long").alias(f"__mx{i}") for i, d in enumerate(dims)],
     ).collect()
-    qcols = []
-    for i, d in enumerate(dims):
-        mn, mx = bounds[f"__mn{i}"], bounds[f"__mx{i}"]
-        qcols.append(F.expr(_quantize(d, mn, mx, bits)))
-    keyed = df.withColumn(key_col, zorder_key(qcols, bits))
+    qsqls = [
+        _quantize(d, bounds[f"__mn{i}"], bounds[f"__mx{i}"], bits)
+        for i, d in enumerate(dims)
+    ]
+    keyed = df.withColumn(key_col, F.expr(_zorder_key_sql(qsqls, bits)))
     return keyed.repartitionByRange(n_partitions, key_col).sortWithinPartitions(
         key_col
     )
@@ -99,12 +114,13 @@ def zorder_rank(
         *[F.min(d).cast("long").alias(f"__mn{i}") for i, d in enumerate(dims)],
         *[F.max(d).cast("long").alias(f"__mx{i}") for i, d in enumerate(dims)],
     ).collect()
-    qcols = [
-        F.expr(_quantize(d, bounds[f"__mn{i}"], bounds[f"__mx{i}"], bits))
+    qsqls = [
+        _quantize(d, bounds[f"__mn{i}"], bounds[f"__mx{i}"], bits)
         for i, d in enumerate(dims)
     ]
     keyed = df.select(
-        F.col(id_col).alias("doc_id"), zorder_key(qcols, bits).alias("__zk")
+        F.col(id_col).alias("doc_id"),
+        F.expr(_zorder_key_sql(qsqls, bits)).alias("__zk"),
     )
     out = assign_contiguous_ids(keyed, ["__zk", "doc_id"], id_name="zpos")
     return out.select("doc_id", "zpos").orderBy("zpos")
