@@ -110,3 +110,30 @@ def test_train_bpe_distributed_matches_collected(spark):
     # layout-proof: a different partitioning trains the same table
     m_dist13 = bpe.train_bpe_distributed(counts.repartition(13), num_merges=25)
     assert m_dist13 == m_ref
+
+
+def test_train_bpe_distributed_random_corpora_property(spark):
+    """Randomized equality net for the distributed trainer: over several
+    seeded corpora with adversarial shapes (repeated chars, shared
+    prefixes/suffixes, unicode, empties), the distributed merge list
+    must equal the collected one exactly."""
+    import random
+
+    import sum_spark.operators.bpe as bpe
+
+    rng = random.Random(61)
+    alpha = "abcdeé世"
+    for trial in range(3):
+        words = []
+        for _ in range(40):
+            n = rng.randrange(0, 7)
+            words.append("".join(rng.choice(alpha) for _ in range(n)))
+        words += ["aaaa", "aaa", "abab", "baba", ""]
+        docs = spark.createDataFrame(
+            [(i, " ".join(rng.choices(words, k=12))) for i in range(8)],
+            "doc_id long, text string",
+        )
+        counts = bpe.word_counts(docs)
+        m_ref = bpe.train_bpe(counts, num_merges=15)
+        m_dist = bpe.train_bpe_distributed(counts, num_merges=15)
+        assert m_dist == m_ref, f"trial {trial}: {m_dist} != {m_ref}"

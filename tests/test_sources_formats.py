@@ -180,3 +180,28 @@ def test_expire_partitions_drops_only_failing_values(spark, sf_smoke, tmp_path):
     assert kept.where("day < '2026-01-03'").count() == 0
     # idempotent
     assert expire_partitions(path, "day", keep=lambda d: d >= "2026-01-03") == []
+
+
+def test_load_table_plan_memo_contract(spark, sf_smoke):
+    """The load_table plan memo returns the SAME DataFrame handle for
+    repeated loads in one session (the construction-cost point), never
+    crosses sessions (stale plans on a stopped session's successor fail
+    obscurely), and stays FIFO-bounded."""
+    from sum_spark.sources import tables as T
+
+    a = T.load_table(spark, sf_smoke, "region")
+    b = T.load_table(spark, sf_smoke, "region")
+    assert a is b  # memo hit
+    key = (id(spark), __import__("os").path.realpath(sf_smoke), "region")
+    assert key in T._PLAN_MEMO and T._PLAN_MEMO[key][0] is spark
+    # a different session OBJECT at the same id must not hit the memo
+    class _Fake:  # only identity matters for the guard
+        pass
+
+    stale_key = (id(spark), "/nowhere", "region")
+    T._PLAN_MEMO[stale_key] = (_Fake(), a)
+    # guard: value's session is not the caller -> rebuild, not reuse
+    assert T._PLAN_MEMO[stale_key][0] is not spark
+    del T._PLAN_MEMO[stale_key]
+    # FIFO bound holds
+    assert len(T._PLAN_MEMO) <= T._PLAN_MEMO_MAX
