@@ -20,6 +20,31 @@ import math
 from collections.abc import Iterable
 
 
+def qid(name: str) -> str:
+    """Backtick-quoted Spark SQL identifier for an arbitrary caller
+    string (a backtick doubles inside backticks). Every caller-supplied
+    COLUMN NAME entering an expr/selectExpr string goes through this —
+    the Column API handled any name for free; batched strings must
+    escape (ADVICE r8: kmv_sketch/corpus_fingerprint interpolated raw)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def qstr(s: str) -> str:
+    """Single-quoted Spark SQL string literal for an arbitrary caller
+    value (default parser: backslash escapes active, so backslashes and
+    quotes are backslash-escaped). Every caller-supplied VALUE (seed,
+    tag) entering an expr string goes through this."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def qstr_duck(s: str) -> str:
+    """Single-quoted DuckDB string literal (standard SQL: quotes double,
+    backslashes are literal). The oracle-side twin of ``qstr`` — the two
+    engines escape differently, so seeded-hash oracles must route the
+    same seed through this, not through ``qstr``."""
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def dlit(x: float) -> str:
     """An exact DOUBLE literal for ``x`` (finite only)."""
     v = float(x)

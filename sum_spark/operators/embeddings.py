@@ -323,7 +323,22 @@ def _pq_codes_numpy(
     pass per batch, no plan literals — plan size O(1) in k."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
+    # The schema below carries vec_id as BIGINT; a non-integral id
+    # (string ids) would cast to NULL row-by-row and the join back in
+    # write_pq_index would silently drop every row — an empty index with
+    # no error, while the small-k catalyst path preserves any id type
+    # (ADVICE r8). Refuse loudly instead.
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"product_quantize(backend='numpy') needs an integral id "
+            f"column; {id_col!r} is {id_type.simpleString()}. Use the "
+            f"catalyst backend, or map ids to BIGINT first (assign_ids)."
+        )
     keys = np.array([j for j, _ in items], dtype=np.int64)
     cmat = np.array([c for _, c in items], dtype=np.float64)
     d = cmat.shape[1]

@@ -39,14 +39,11 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
     cols = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
     # profile_table is a PUBLIC operator over arbitrary caller frames:
-    # column names must be escaped into the SQL strings (a backtick in
-    # an identifier doubles inside backticks; a quote in a string
-    # literal doubles) — the Column API handled any name for free.
-    def _qid(n: str) -> str:
-        return "`" + n.replace("`", "``") + "`"
-
-    def _qstr(n: str) -> str:
-        return "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    # column names must be escaped into the SQL strings — the shared
+    # litsql helpers (ADVICE r8 moved them there so every batched
+    # expr-string construction site escapes the same way).
+    from sum_spark.functions.litsql import qid as _qid
+    from sum_spark.functions.litsql import qstr as _qstr
 
     for name, dtype in cols:
         q = _qid(name)
@@ -98,7 +95,9 @@ def corpus_fingerprint(
     ~2^68 documents. One aggregate pass, no shuffle beyond the final
     single-row combine.
     """
-    q = f"`{text_col}`"
+    from sum_spark.functions.litsql import qid
+
+    q = qid(text_col)
     h60 = f"CAST(conv(substring(md5({q}), 1, 15), 16, 10) AS BIGINT)"
     return df.selectExpr(
         "CAST(count(*) AS BIGINT) AS n_docs",

@@ -193,6 +193,15 @@ def _resolve_n_bits(path: str, n_bits) -> int:
         names = os.listdir(path)
     except OSError:
         return 8
+    # batch-laid-out indexes keep their bucket= dirs ONE LEVEL under
+    # batch_id= dirs — the fail-safe must see those too, or a wide index
+    # with a missing sidecar bypasses the refusal (ADVICE r8)
+    for n in list(names):
+        if n.startswith("batch_id="):
+            try:
+                names.extend(os.listdir(os.path.join(path, n)))
+            except OSError:
+                pass
     buckets = [
         int(n.split("=", 1)[1])
         for n in names
@@ -279,6 +288,8 @@ def append_to_ivf_index(
     index — see append_to_pq_index."""
     from sum_spark.operators.search import _maint_sub
 
+    import os
+
     n_bits = _resolve_n_bits(path, n_bits)
     sub, mode = _maint_sub(batch_dir)
     fresh = _rowless(path, ("bucket=", "batch_id="))
@@ -288,6 +299,14 @@ def append_to_ivf_index(
         path + sub, mode=mode
     )
     if fresh:
+        # record the resolved width exactly as write_ivf_index does: an
+        # index built purely by appends at an explicit non-default width
+        # whose bucket values happen to stay below 256 would otherwise
+        # resolve n_bits=None to 8 later and silently probe the wrong
+        # key space (ADVICE r8).
+        if not os.path.isfile(_n_bits_sidecar(path)):
+            with open(_n_bits_sidecar(path), "w") as fh:
+                fh.write(str(n_bits))
         _attest(path)
 
 

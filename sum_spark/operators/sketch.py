@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sum_spark.functions.hashing import duck_hash60, hash60
+from sum_spark.functions.litsql import qid as _litsql_qid
+from sum_spark.functions.litsql import qstr_duck as _litsql_qstr_duck
 
 
 def _bucket(item: F.Column, depth_i: int, width: int) -> F.Column:
@@ -113,7 +115,7 @@ def count_min_estimate(
     never under-counts, including counting phantom mass for misses.
     """
     probes = queries.withColumn(
-        "__cell", F.explode(F.expr(_cells_sql(f"`{item_col}`", depth, width)))
+        "__cell", F.explode(F.expr(_cells_sql(_litsql_qid(item_col), depth, width)))
     )
     out_cols = [F.col(c) for c in queries.columns]
     return (
@@ -928,9 +930,11 @@ def kmv_sketch(
     estimates over growing data, store the sketch and merge deltas
     instead of rebuilding (the point of mergeability).
     """
+    from sum_spark.functions.litsql import qid, qstr
+
     h = F.expr(
-        f"CAST(conv(substring(md5(concat('{seed}:',"
-        f" CAST(`{item_col}` AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5(concat({qstr(str(seed) + ':')},"
+        f" CAST({qid(item_col)} AS STRING))), 1, 15), 16, 10) AS BIGINT)"
     )
     return _kmv_topk(
         items.where(F.col(item_col).isNotNull()).select(
@@ -999,7 +1003,7 @@ def duck_kmv_sql(
     """DuckDB CTE pair rebuilding sketch + estimate for ``item_sql``
     (one column ``x``): yields ``kmv_<name>`` (the sketch) and
     ``kmvest_<name>`` (n_vals, est)."""
-    h = duck_hash60(f"'{seed}:' || CAST(x AS VARCHAR)")
+    h = duck_hash60(f"{_litsql_qstr_duck(str(seed) + ':')} || CAST(x AS VARCHAR)")
     return f"""
     kmv_{name} AS (
       SELECT DISTINCT {h} AS h FROM ({item_sql}) WHERE x IS NOT NULL
@@ -1122,7 +1126,7 @@ def duck_hll_sql(
     ``item_sql`` (columns: optional group ``g``, value ``x``): yields
     ``hllreg_<name>`` (g?, idx, rho) and ``hllsum_<name>`` (g?, regsum).
     ``group`` is '' for ungrouped or 'g' for one group column."""
-    h = duck_hash60(f"'{seed}:' || CAST(x AS VARCHAR)")
+    h = duck_hash60(f"{_litsql_qstr_duck(str(seed) + ':')} || CAST(x AS VARCHAR)")
     gsel = f"{group}, " if group else ""
     gby = f"GROUP BY {group}" if group else ""
     return f"""

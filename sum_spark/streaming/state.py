@@ -69,13 +69,17 @@ def streaming_corpus_state(
         # projection — unpersisted, each re-reads the micro-batch source.
         # try/finally: a failing batch body must not strand the cached
         # blocks — the checkpoint redelivers the batch on restart, and
-        # each failed attempt would otherwise leak one cached batch.
+        # each failed attempt would otherwise leak one cached batch. The
+        # sig build runs INSIDE the try (ADVICE r8: an exception while
+        # constructing/persisting sig leaked the cached batch per retry).
         batch_df.persist()
-        sig = minhash_signatures(batch_df, text_col, id_col).persist()
+        sig = None
         try:
+            sig = minhash_signatures(batch_df, text_col, id_col).persist()
             _sink_body(spark, batch_df, sig, batch_id)
         finally:
-            sig.unpersist()
+            if sig is not None:
+                sig.unpersist()
             batch_df.unpersist()
 
     def _sink_body(spark, batch_df: DataFrame, sig: DataFrame, batch_id: int) -> None:

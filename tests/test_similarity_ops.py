@@ -1295,3 +1295,66 @@ def test_missing_n_bits_sidecar_fails_safe(spark, tmp_path):
     S.write_ivf_index(df, p8, n_bits=8)
     os.remove(os.path.join(p8, "_n_bits"))
     assert S._resolve_n_bits(p8, None) == 8
+
+
+def test_append_built_index_records_sidecar_and_deep_failsafe(spark, tmp_path):
+    """ADVICE r8: (a) an index built purely by appends at an explicit
+    non-default width whose bucket values stay below 256 must record the
+    width in the _n_bits sidecar — n_bits=None later resolved 8 and
+    silently probed the wrong key space; (b) the no-sidecar fail-safe
+    must also see bucket= dirs one level under batch_id= dirs, or a
+    batch-laid-out wide index bypasses the refusal."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(61)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, data array<double>")
+
+    # (a) fresh append at n_bits=4: every bucket < 16 < 256
+    p = str(tmp_path / "ivf_append_fresh")
+    S.append_to_ivf_index(df, p, n_bits=4)
+    assert int(open(os.path.join(p, "_n_bits")).read()) == 4
+    assert S._resolve_n_bits(p, None) == 4
+    a = S.knn_ivf_from_index(spark, p, df.where("id <= 2"), k=5, round_to=4)
+    b = S.knn_ivf(df, df.where("id <= 2"), k=5, n_bits=4, round_to=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    # (b) batch-laid-out WIDE index with a missing sidecar must refuse
+    rows12 = [(i, rng.standard_normal(12).tolist()) for i in range(300)]
+    df12 = spark.createDataFrame(rows12, "id long, data array<double>")
+    pb = str(tmp_path / "ivf_batch_wide")
+    S.append_to_ivf_index(df12, pb, n_bits=10, batch_dir=-1)
+    os.remove(os.path.join(pb, "_n_bits"))
+    with pytest.raises(ValueError, match="sidecar"):
+        S._resolve_n_bits(pb, None)
+
+
+def test_numpy_backend_refuses_non_integral_ids(spark):
+    """ADVICE r8: a string id column on the numpy encode path used to
+    cast to NULL row-by-row and silently drop every row at the join back
+    — refuse with a clear error instead (catalyst keeps any id type)."""
+    import numpy as np
+    import pytest
+
+    from sum_spark.operators.embeddings import product_quantize
+
+    rng = np.random.default_rng(67)
+    rows = [(f"doc-{i}", rng.standard_normal(8).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "id string, data array<double>")
+    book = {j: rng.standard_normal(8).tolist() for j in range(4)}
+    with pytest.raises(TypeError, match="integral id"):
+        codes, _ = product_quantize(
+            df, m=2, k=4, id_col="id", vec_col="data",
+            centroids=book, backend="numpy",
+        )
+        codes.collect()
+    # the catalyst path accepts the same frame
+    codes, _ = product_quantize(
+        df, m=2, k=4, id_col="id", vec_col="data", centroids=book
+    )
+    assert codes.count() == 50

@@ -727,3 +727,40 @@ def test_log_quantile_grouped_bounds_per_group(spark, sf_smoke):
         else:
             assert lo <= e <= hi, (g, pn, pd, e, lo, hi)
     cells.unpersist()
+
+
+def test_kmv_and_cms_escape_hostile_seeds_and_column_names(spark):
+    """ADVICE r8: seeds/column names interpolated into expr strings must
+    escape quotes/backticks (litsql.qid/qstr) — a quoted seed used to
+    break parsing of a public operator the Column API handled fine."""
+    from sum_spark.functions.hashing import hash60
+    from sum_spark.operators.sketch import count_min_estimate, count_min_build, kmv_sketch
+
+    df = spark.createDataFrame(
+        [(f"item{i % 7}",) for i in range(50)], "`it's` string"
+    )
+    seed = "o'brien\\x"
+    got = sorted(
+        r["h"] for r in kmv_sketch(df, "it's", k=64, seed=seed).collect()
+    )
+    want = sorted(
+        r["h"]
+        for r in df.select(
+            hash60(F.concat(F.lit(seed + ":"), F.col("`it's`").cast("string")))
+            .alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    assert got == want
+
+    # count_min_estimate interpolates the probe column name into
+    # _cells_sql — a quote-bearing name must round-trip end-to-end
+    # (backtick-bearing names are rejected by F.col itself upstream,
+    # so qid's doubling is exercised via the kmv item_col path above)
+    grid = count_min_build(df, "it's")
+    est = count_min_estimate(
+        grid, spark.createDataFrame([("item0",)], "`it's` string"), "it's"
+    )
+    [row] = est.where(F.col("it's") == "item0").collect()
+    assert row["est"] >= 50 // 7

@@ -118,3 +118,41 @@ def test_streaming_state_equals_batch_state(spark, sf_smoke, tmp_path):
     assert sorted(map(tuple, got_df.collect())) == sorted(
         map(tuple, want_df.collect())
     )
+
+
+def test_failed_sig_build_does_not_strand_cached_batch(spark, tmp_path, monkeypatch):
+    """ADVICE r8: an exception raised while CONSTRUCTING/persisting sig
+    (before the try block opened) leaked the cached micro-batch on every
+    redelivered retry. The sig build now runs inside the try; a failing
+    batch must leave no new cached RDDs behind."""
+    import pyspark.errors
+
+    import sum_spark.streaming.state as st
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    def boom(*a, **k):
+        raise RuntimeError("sig construction failed")
+
+    monkeypatch.setattr(st, "minhash_signatures", boom)
+
+    drop_dir = str(tmp_path / "drops")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "s")], SCHEMA
+    ).coalesce(1).write.parquet(drop_dir)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = st.streaming_corpus_state(
+        stream, str(tmp_path / "state"), checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("expected the sink to fail")
+    except pyspark.errors.exceptions.captured.StreamingQueryException:
+        pass
+
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set()
