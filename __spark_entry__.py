@@ -21,6 +21,7 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from sum_spark.queries import REGISTRY  # noqa: E402
+from sum_spark.queries.base import render_oracle  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -37,4 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (omitted -> rows-only check)."""
-    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle}
+    return {
+        name: render_oracle(q.oracle)
+        for name, q in sorted(REGISTRY.items())
+        if q.oracle
+    }

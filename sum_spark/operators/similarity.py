@@ -1056,6 +1056,55 @@ def _load_books(spark, path: str):
     return book, res
 
 
+def _index_generation(path: str) -> tuple:
+    """Cheap on-disk generation fingerprint of a stored index: the
+    (name, mtime_ns, size) of every TOP-LEVEL entry — coarse=/batch_id=
+    partition dirs, codebook dirs, attestation/tombstone markers. Every
+    mutation the engine performs (partition appends, batch-dir writes,
+    retires, markers, compaction's staged swap) creates/replaces/touches
+    a top-level entry, so an unchanged fingerprint means the serving
+    state cached from it is still valid."""
+    import os
+
+    try:
+        ents = []
+        for n in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, n))
+            ents.append((n, st.st_mtime_ns, st.st_size))
+        return tuple(ents)
+    except OSError:
+        return ("missing",)
+
+
+def pq_serve_context(spark, path: str, id_col: str = "id", cache: dict | None = None) -> dict:
+    """Reusable serving state for REPEATED searches of one stored PQ
+    index — the per-trigger fixed cost of the streaming serve sinks
+    (VERDICT r8 #2): loading both codebooks is two collect jobs and
+    pq_index_rows re-lists the layout, all invariant while the index is
+    unchanged. Pass a caller-owned ``cache`` dict (e.g. held by a
+    foreachBatch closure): the context rebuilds only when the on-disk
+    generation fingerprint changes (_index_generation — any append/
+    retire/compact touches a top-level entry), so a stream serving a
+    static index pays the load once, and one serving a stream-GROWN
+    index revalidates per trigger for the cost of a listdir."""
+    gen = _index_generation(path)
+    if cache is not None and cache.get("gen") == gen and cache.get("path") == path:
+        return cache
+    book, res_book = _load_books(spark, path)
+    ctx = {
+        "path": path,
+        "gen": gen,
+        "book": book,
+        "res_book": res_book,
+        "idx": pq_index_rows(spark, path, id_col),
+    }
+    if cache is not None:
+        cache.clear()
+        cache.update(ctx)
+        return cache
+    return ctx
+
+
 def knn_ivfpq_from_index(
     spark,
     path: str,
@@ -1066,6 +1115,8 @@ def knn_ivfpq_from_index(
     vec_col: str = "data",
     round_to: int | None = None,
     n_probes: int = 1,
+    lut_backend: str = "auto",
+    serve_ctx: dict | None = None,
 ) -> DataFrame:
     """Search a write_pq_index table: the codebook reloads from
     ``<path>/_codebook`` (driver-sized), each probe's coarse list becomes
@@ -1090,8 +1141,21 @@ def knn_ivfpq_from_index(
     the probe tabulates distances from ITS residual q - c_list against
     the residual codebook, so the LUT genuinely differs per
     (probe, list); a raw index repeats the probe's one LUT per probed
-    list, keeping the join shape identical."""
-    book, res_book = _load_books(spark, path)
+    list, keeping the join shape identical.
+
+    ``lut_backend`` is the ONE tabulation switch (VERDICT r8 #2):
+    'auto' keeps the size gate (Python fold up to _LARGE_K entries —
+    the left-to-right sums the oracle legs hash-match — numpy past it),
+    'python'/'numpy' force a side (the streaming sinks force numpy:
+    their books sit under the gate but they pay the tabulation EVERY
+    trigger, and the numpy cells batch over all (probe, list) rows in
+    m reductions). ``serve_ctx`` (pq_serve_context) skips the per-call
+    codebook collects and index re-listing for repeated serves of an
+    unchanged index."""
+    if serve_ctx is not None and serve_ctx.get("path") == path:
+        book, res_book = serve_ctx["book"], serve_ctx["res_book"]
+    else:
+        book, res_book = _load_books(spark, path)
     items = sorted(book.items())
     d = len(items[0][1])
     sd = d // m
@@ -1107,7 +1171,10 @@ def knn_ivfpq_from_index(
             acc = acc + (x - y) * (x - y)
         return acc
 
-    idx = pq_index_rows(spark, path, id_col)
+    if serve_ctx is not None and serve_ctx.get("path") == path:
+        idx = serve_ctx["idx"]
+    else:
+        idx = pq_index_rows(spark, path, id_col)
     n_probes = max(1, min(int(n_probes), len(items)))
 
     # auto-sized coarse book: hoist the (k x d) matrix ONCE, not per
@@ -1150,46 +1217,62 @@ def knn_ivfpq_from_index(
     # tabulate via one numpy broadcast per (probe, list) instead of a
     # Python loop over k x m cells; small books keep the Python fold
     # whose left-to-right sums the oracle legs hash-match.
-    lut_np = None
-    if len(lut_items) > _LARGE_K:
-        import numpy as np
-
-        lut_np = (
-            np.array([code for code, _ in lut_items], dtype=np.int64),
-            np.array([c for _, c in lut_items], dtype=np.float64),
-        )
-    lut_rows = []
+    if lut_backend not in ("auto", "python", "numpy"):
+        raise ValueError(f"lut_backend must be auto|python|numpy, got {lut_backend!r}")
+    use_numpy = lut_backend == "numpy" or (
+        lut_backend == "auto" and len(lut_items) > _LARGE_K
+    )
+    # (pid, cid, qv) per (probe, probed list); for a RAW index qv is the
+    # probe itself — tabulate ONCE per probe and share the maps across
+    # its probed lists instead of recomputing identical cells per list.
+    pairs = []
     for row in probe_rows:
         q = [float(x) for x in row["__pv"]]
         for cid in _nearest(q):
             qv = (
                 [x - c for x, c in zip(q, cent_by_id[cid])]
                 if res_book is not None
-                else q
+                else None  # raw: shared per-probe LUT, tabulated below
             )
-            if lut_np is not None:
-                codes_np, cmat = lut_np
-                import numpy as np
+            pairs.append((int(row["__pid"]), int(cid), qv))
+    if res_book is None:
+        tab_keys = [(int(r["__pid"]), [float(x) for x in r["__pv"]]) for r in probe_rows]
+    else:
+        tab_keys = [(i, qv) for i, (_, _, qv) in enumerate(pairs)]
+    if use_numpy and tab_keys:
+        import numpy as np
 
-                qa = np.asarray(qv, dtype=np.float64)
-                luts = []
-                for j in range(m):
-                    d2 = (
-                        (cmat[:, j * sd : (j + 1) * sd] - qa[j * sd : (j + 1) * sd])
-                        ** 2
-                    ).sum(axis=1)
-                    luts.append(dict(zip(codes_np.tolist(), d2.tolist())))
-            else:
-                luts = [
-                    {
-                        int(code): _sqdist(
-                            qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
-                        )
-                        for code, c in lut_items
-                    }
-                    for j in range(m)
-                ]
-            lut_rows.append((int(row["__pid"]), int(cid), luts))
+        codes_py = [int(code) for code, _ in lut_items]
+        cmat = np.array([c for _, c in lut_items], dtype=np.float64)
+        qmat = np.array([qv for _, qv in tab_keys], dtype=np.float64)
+        # same squared-difference reduction (and therefore the same
+        # bits) as the per-row form this replaces — only batched over
+        # all rows, so a trigger pays m reductions, not rows x m loops
+        luts_by_key = {kid: [] for kid, _ in tab_keys}
+        for j in range(m):
+            d2 = (
+                (qmat[:, None, j * sd : (j + 1) * sd] - cmat[None, :, j * sd : (j + 1) * sd])
+                ** 2
+            ).sum(axis=2)
+            for r, (kid, _) in enumerate(tab_keys):
+                luts_by_key[kid].append(dict(zip(codes_py, d2[r].tolist())))
+    else:
+        luts_by_key = {
+            kid: [
+                {
+                    int(code): _sqdist(
+                        qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
+                    )
+                    for code, c in lut_items
+                }
+                for j in range(m)
+            ]
+            for kid, qv in tab_keys
+        }
+    lut_rows = []
+    for i, (pid, cid, qv) in enumerate(pairs):
+        luts = luts_by_key[pid] if res_book is None else luts_by_key[i]
+        lut_rows.append((pid, cid, luts))
     lut_df = spark.createDataFrame(
         lut_rows, "probe_id long, coarse long, __luts array<map<bigint,double>>"
     )
@@ -1229,6 +1312,8 @@ def knn_ivfpq_rerank(
     round_to: int | None = None,
     n_probes: int = 1,
     adc_round_to: int | None = None,
+    lut_backend: str = "auto",
+    serve_ctx: dict | None = None,
 ) -> DataFrame:
     """Exact re-ranking over a stored PQ index — the standard two-stage
     production ANN serve (scan compressed, re-rank few): stage 1 scores
@@ -1257,7 +1342,10 @@ def knn_ivfpq_rerank(
 
     ``adc_round_to`` rounds the stage-1 ADC scores BEFORE the candidate
     cut (cross-engine-reproducible candidate sets for the oracle);
-    ``round_to`` rounds the exact cosine output. Output:
+    ``round_to`` rounds the exact cosine output. ``lut_backend`` /
+    ``serve_ctx`` pass through to the stage-1 search (repeated serves —
+    the streaming sink — force numpy tabulation and reuse the loaded
+    books/index across triggers, see knn_ivfpq_from_index). Output:
     (probe_id, id_col, sim, rank) — sim is true cosine, rank descending
     by it within the probe's candidate set."""
     cand = knn_ivfpq_from_index(
@@ -1270,6 +1358,8 @@ def knn_ivfpq_rerank(
         vec_col=vec_col,
         round_to=adc_round_to,
         n_probes=n_probes,
+        lut_backend=lut_backend,
+        serve_ctx=serve_ctx,
     ).select("probe_id", id_col)
     # The broadcast hint sits behind an ENFORCED structural bound, not
     # prose: the stage-1 rank filter caps the candidate frame at

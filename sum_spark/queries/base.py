@@ -26,6 +26,23 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Late-bound oracle substitutions: a registered oracle may carry a
+# placeholder token (e.g. a per-process stored-artifact path the query
+# fn writes and DuckDB must READ — the trained-codebook serve leg,
+# VERDICT r8 #1) that cannot be a static string at import time. Every
+# oracle consumer (oracle_sql(), the oracle test suites, driver_sim via
+# oracle_sql) renders through render_oracle; the resolver runs in the
+# SAME process that ran the query fn, so pid-keyed artifact paths match.
+ORACLE_SUBS: dict[str, Callable[[], str]] = {}
+
+
+def render_oracle(sql: str) -> str:
+    """Substitute registered placeholder tokens into an oracle string."""
+    for token, resolve in ORACLE_SUBS.items():
+        if token in sql:
+            sql = sql.replace(token, resolve())
+    return sql
+
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""

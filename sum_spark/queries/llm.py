@@ -528,6 +528,85 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _duck_stored_book_ctes(p: str, tok: str, residual: bool, m: int = 8) -> str:
+    """CTE block scoring an IVF-PQ serve from STORED codebooks the
+    oracle READS (VERDICT r8 #1/#2): instead of re-deriving training in
+    SQL — impossible for a Lloyd-trained residual book — DuckDB
+    read_parquet's the index's ``_codebook`` (and ``_codebook_res``)
+    exactly as it reads index rows, then reproduces everything training
+    DOESN'T cover: the coarse argmin assignment, (residuals,) the
+    per-subspace code argmin, the probe LUT, the ADC sum in the serve's
+    left-to-right term order, and the candidate cut over the probed
+    list's survivors. ``tok`` is the placeholder token
+    queries.base.ORACLE_SUBS resolves to the per-process artifact dir at
+    oracle_sql() time (the same process ran the query fn, so the pid-
+    keyed path matches). ``p`` prefixes the CTE names; the final CTE is
+    ``{p}l`` with (probe_id, vec_id, sim, rank)."""
+    sub_src = (
+        f"""{p}v AS (
+      SELECT v.vec_id, list_transform(range(1, len(v.vv) + 1),
+                                      i -> v.vv[i] - c.cc[i]) AS rv
+      FROM v JOIN {p}a a USING (vec_id) JOIN {p}c c ON c.c0 = a.c0
+    ),
+    {p}b AS (
+      SELECT cluster AS code, centroid AS cc
+      FROM read_parquet('{tok}/_codebook_res/*.parquet')
+    )"""
+        if residual
+        else f"""{p}v AS (SELECT vec_id, vv AS rv FROM v),
+    {p}b AS (SELECT c0 AS code, cc FROM {p}c)"""
+    )
+    return f"""{p}c AS (
+      SELECT cluster AS c0, centroid AS cc
+      FROM read_parquet('{tok}/_codebook/*.parquet')
+    ),
+    {p}ad AS (
+      SELECT v.vec_id, t.c0,
+             list_sum(list_transform(range(1, len(v.vv) + 1),
+                      i -> (v.vv[i] - t.cc[i]) * (v.vv[i] - t.cc[i]))) AS d
+      FROM v CROSS JOIN {p}c t
+    ),
+    {p}a AS (
+      SELECT vec_id, c0 FROM {p}ad
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c0) = 1
+    ),
+    {sub_src},
+    {p}sub AS (
+      SELECT r.vec_id, s.j, b.code,
+             list_sum(list_transform(
+               range((s.j - 1) * (len(r.rv) // {m}) + 1,
+                     s.j * (len(r.rv) // {m}) + 1),
+               i -> (r.rv[i] - b.cc[i]) * (r.rv[i] - b.cc[i]))) AS d
+      FROM {p}v r
+      CROSS JOIN {p}b b
+      CROSS JOIN (SELECT unnest(range(1, {m} + 1)) AS j) s
+    ),
+    {p}code AS (
+      SELECT vec_id, j, code FROM {p}sub
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, code) = 1
+    ),
+    {p}cand AS (
+      SELECT pr.vec_id AS probe_id, e.vec_id
+      FROM {p}a pr JOIN {p}a e ON e.c0 = pr.c0 AND e.vec_id <> pr.vec_id
+      WHERE pr.vec_id <= 3 AND e.vec_id % 10 <> 7
+    ),
+    {p}sc AS (
+      SELECT c.probe_id, c.vec_id,
+             ROUND(list_sum(list(lu.d ORDER BY lu.j)), 4) AS sim
+      FROM {p}cand c
+      JOIN {p}code tc ON tc.vec_id = c.vec_id
+      JOIN {p}sub lu ON lu.vec_id = c.probe_id AND lu.j = tc.j
+                    AND lu.code = tc.code
+      GROUP BY c.probe_id, c.vec_id
+    ),
+    {p}l AS (
+      SELECT probe_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY sim ASC, vec_id) AS rank
+      FROM {p}sc QUALIFY rank <= 5
+    )"""
+
+
 @query(
     "knn_search",
     oracle=f"""
@@ -666,12 +745,16 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
       FROM rrsims QUALIFY rank <= 5
     ),
+    {_duck_stored_book_ctes("tb", "__TB_DIR__", residual=True)},
+    {_duck_stored_book_ctes("gk", "__GK_DIR__", residual=False)},
     brute AS ({_duck_knn("p.vec_id <= 3", "", 10)}),
     ivf AS ({_duck_knn("p.vec_id <= 3", f" AND {_duck_bucket('e')} = {_duck_bucket('p')}", 5)}),
     filt AS ({_duck_knn("p.vec_id <= 3", " AND e.label % 2 = 0", 5)})
     SELECT 'brute' AS mode, probe_id, vec_id, sim, rank FROM brute
     UNION ALL
     SELECT 'filt', probe_id, vec_id, sim, rank FROM filt
+    UNION ALL
+    SELECT 'gk', probe_id, vec_id, sim, rank FROM gkl
     UNION ALL
     SELECT 'incr', probe_id, vec_id, sim, rank FROM incr
     UNION ALL
@@ -682,6 +765,8 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     SELECT 'res', probe_id, vec_id, sim, rank FROM resl
     UNION ALL
     SELECT 'rr', probe_id, vec_id, sim, rank FROM rr
+    UNION ALL
+    SELECT 'tb', probe_id, vec_id, sim, rank FROM tbl
     ORDER BY mode, probe_id, rank
     """,
     doc="Tagged ANN quad (consolidated knn_bruteforce + knn_filtered + "
@@ -726,8 +811,16 @@ def _duck_bucket(alias: str, n_bits: int = 8) -> str:
     "residuals), both per-subspace code assignments, and the probe's "
     "residual LUT, so the hash match covers the entire residual chain: "
     "encode at write, O(delta) encode at append, bit-exact negation at "
-    "retire, netting, and residual ADC at serve. All seven operators "
-    "execute; one checked result.",
+    "retire, netting, and residual ADC at serve. 'tb'/'gk' = the "
+    "PRODUCTION-SHAPED stored serves (VERDICT r8 #1/#2): n_cells='auto' "
+    "coarse books past _LARGE_K (the numpy/GEMM/join-residualize "
+    "backends engage), m=8 subspaces, and for 'tb' a res_iters>=4 "
+    "Lloyd-trained residual book — the oracle READS the stored "
+    "_codebook/_codebook_res parquet instead of re-deriving training, "
+    "then reproduces assignment, codes, LUTs, ADC, and the candidate "
+    "cut from the books as data (_duck_stored_book_ctes), so the hash "
+    "match covers trained-book and large-k serving end-to-end. All "
+    "nine operators execute; one checked result.",
 )
 def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -852,13 +945,61 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc").alias("sim"),
         "rank",
     )
+    # 'tb'/'gk': the PRODUCTION-SHAPED stored indexes (VERDICT r8 #1/#2)
+    # — n_cells='auto' coarse quantizer (past _LARGE_K, so the large-k
+    # machinery engages: numpy _nearest + join-residualize at build,
+    # GEMM code assignment and numpy LUT tabulation on the raw 'gk'
+    # index), m=8 subspaces, and for 'tb' a res_iters=4 LLOYD-TRAINED
+    # residual book — with the same A/append/retire maintenance history
+    # as 'incr'. No SQL re-derives Lloyd or matches GEMM bit-for-bit;
+    # the oracle instead READS the stored _codebook/_codebook_res
+    # parquet (exactly like it reads index rows) and reproduces encode
+    # argmins, residuals, probe LUTs, ADC, and the candidate cut from
+    # them (_duck_stored_book_ctes). The artifact dir is keyed by pid
+    # only — oracle strings cannot know sf_dir — so the fn tracks the
+    # sf it last built for and rebuilds on change (_TB_BUILT).
+    for tag, kwargs, memo_dir in (
+        ("tb", {"residual": True, "res_iters": 4}, _tb_dir()),
+        ("gk", {}, _gk_dir()),
+    ):
+        if _TB_BUILT.get(memo_dir) != sf_dir:
+            import shutil as _shutil
+
+            _shutil.rmtree(memo_dir, ignore_errors=True)
+            write_pq_index(
+                emb2.where("id % 3 != 0"), memo_dir, m=8, n_codes=8,
+                n_cells="auto", **kwargs,
+            )
+            append_to_pq_index(emb2.where("id % 3 = 0"), memo_dir, m=8)
+            retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
+            _TB_BUILT[memo_dir] = sf_dir
+    tb = knn_ivfpq_from_index(
+        spark, _tb_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4
+    ).select(
+        F.lit("tb").alias("mode"),
+        "probe_id",
+        F.col("id").alias("vec_id"),
+        F.col("adc").alias("sim"),
+        "rank",
+    )
+    gk = knn_ivfpq_from_index(
+        spark, _gk_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4
+    ).select(
+        F.lit("gk").alias("mode"),
+        "probe_id",
+        F.col("id").alias("vec_id"),
+        F.col("adc").alias("sim"),
+        "rank",
+    )
     return (
         brute.unionAll(filt)
+        .unionAll(gk)
         .unionAll(incr)
         .unionAll(ivf)
         .unionAll(ivfpq)
         .unionAll(res)
         .unionAll(rr)
+        .unionAll(tb)
         .orderBy("mode", "probe_id", "rank")
     )
 
@@ -869,6 +1010,35 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _II_INCR_BUILT: set[str] = set()
 _INCR_STATE_BUILT: set[str] = set()
 _PQ_INCR_BUILT: set[str] = set()
+
+# Trained-book ('tb') / large-k raw ('gk') stored indexes: dir -> the
+# sf_dir it was built for. Unlike the sets above, the memo REBUILDS on a
+# SF CHANGE: these dirs are keyed by pid only (their oracle reads the
+# stored codebooks via a pid-resolved placeholder that cannot carry
+# sf_dir), so within a process the dir always holds the index for the
+# LAST sf the fn ran at — the fn-then-oracle harness order guarantees
+# the oracle reads the book its query served from.
+_TB_BUILT: dict[str, str] = {}
+
+
+def _tb_dir() -> str:
+    """Per-process trained-residual-book index dir ('tb' leg)."""
+    return _artifact_dir("pq_tb", "/sum_spark-pid-keyed")
+
+
+def _gk_dir() -> str:
+    """Per-process large-k raw index dir ('gk' leg)."""
+    return _artifact_dir("pq_gk", "/sum_spark-pid-keyed")
+
+
+def _register_oracle_subs() -> None:
+    from sum_spark.queries.base import ORACLE_SUBS
+
+    ORACLE_SUBS["__TB_DIR__"] = _tb_dir
+    ORACLE_SUBS["__GK_DIR__"] = _gk_dir
+
+
+_register_oracle_subs()
 
 
 _ARTIFACT_DIRS: set[str] = set()

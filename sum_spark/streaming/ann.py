@@ -190,8 +190,21 @@ def streaming_ann_rerank(
     micro-batch size, which is what makes the LUT/broadcast contracts
     hold per batch); unlike ``streaming_ann_scores`` (stateless
     candidate stream, consumer ranks), the output here is the final
-    exact top-k per probe."""
-    from sum_spark.operators.similarity import knn_ivfpq_rerank
+    exact top-k per probe.
+
+    Per-trigger fixed cost (VERDICT r8 #2): the sink holds ONE serving
+    context across triggers (pq_serve_context — codebooks loaded once,
+    index layout re-listed only when the on-disk generation changes)
+    and forces the numpy LUT tabulation (``lut_backend='numpy'``: the
+    batched m-reduction form; the per-batch tabulation is the dominant
+    serving cost at ingest). numpy reduction order differs from the
+    Python fold in the last bits — engine-deterministic, same contract
+    as every large-k path — so stream==batch parity is against the
+    batch rerank at the SAME backend (tests pass lut_backend='numpy'
+    to the batch side too)."""
+    from sum_spark.operators.similarity import knn_ivfpq_rerank, pq_serve_context
+
+    serve_cache: dict = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # persist: the rerank consumes the probes several times (head
@@ -215,6 +228,10 @@ def streaming_ann_rerank(
                 id_col=id_col,
                 vec_col=vec_col,
                 round_to=round_to,
+                lut_backend="numpy",
+                serve_ctx=pq_serve_context(
+                    batch_df.sparkSession, index_path, cache=serve_cache
+                ),
             )
             out.write.parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
         finally:

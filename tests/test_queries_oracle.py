@@ -24,6 +24,8 @@ def duck(sf_smoke):
 def test_query_matches_oracle(spark, sf_smoke, duck, name):
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_smoke)
-    ddf = duck.execute(q.oracle).df()
+    from sum_spark.queries.base import render_oracle
+
+    ddf = duck.execute(render_oracle(q.oracle)).df()
     errs = compare(sdf, ddf, name)
     assert not errs, "\n".join(errs)

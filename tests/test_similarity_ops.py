@@ -1358,3 +1358,72 @@ def test_numpy_backend_refuses_non_integral_ids(spark):
         df, m=2, k=4, id_col="id", vec_col="data", centroids=book
     )
     assert codes.count() == 50
+
+
+def test_lut_backend_switch_and_serve_context(spark, tmp_path):
+    """VERDICT r8 #2: the unified LUT gate — lut_backend='numpy' batches
+    the tabulation but must return the same neighbors as the Python fold
+    at output rounding; 'auto' keeps the size gate (oracle legs stay
+    put). pq_serve_context reuses loaded books/index across repeated
+    serves of an UNCHANGED index and rebuilds when the on-disk
+    generation changes."""
+    import numpy as np
+    import pytest
+
+    import sum_spark.operators.similarity as S
+
+    rng = np.random.default_rng(71)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(200)],
+        "id long, data array<double>",
+    )
+    p = str(tmp_path / "pq_lut")
+    S.write_pq_index(df, p, m=2, n_codes=8)
+    probes = df.where("id <= 2")
+
+    base = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=5, m=2, round_to=4, n_probes=2
+            ).collect(),
+        )
+    )
+    via_np = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=5, m=2, round_to=4, n_probes=2,
+                lut_backend="numpy",
+            ).collect(),
+        )
+    )
+    assert base == via_np and base
+    with pytest.raises(ValueError, match="lut_backend"):
+        S.knn_ivfpq_from_index(spark, p, probes, k=5, m=2, lut_backend="gpu")
+
+    # serve context: reuse while unchanged, same results through it
+    cache: dict = {}
+    ctx = S.pq_serve_context(spark, p, cache=cache)
+    idx_obj = ctx["idx"]
+    via_ctx = sorted(
+        map(
+            tuple,
+            S.knn_ivfpq_from_index(
+                spark, p, probes, k=5, m=2, round_to=4, n_probes=2,
+                serve_ctx=S.pq_serve_context(spark, p, cache=cache),
+            ).collect(),
+        )
+    )
+    assert via_ctx == base
+    assert S.pq_serve_context(spark, p, cache=cache)["idx"] is idx_obj
+    # a mutation (retire) changes the generation -> context rebuilds and
+    # the served result reflects the netted index
+    S.retire_from_pq_index(df.where("id % 7 = 0"), p, m=2)
+    ctx2 = S.pq_serve_context(spark, p, cache=cache)
+    assert ctx2["idx"] is not idx_obj
+    after = S.knn_ivfpq_from_index(
+        spark, p, probes, k=5, m=2, round_to=4, n_probes=2, serve_ctx=ctx2
+    )
+    live = {r["id"] for r in after.collect()}
+    assert live and all(i % 7 != 0 for i in live)
