@@ -50,6 +50,7 @@ def streaming_index_vectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate the PQ index over an embedding stream — vectors become
     searchable as they arrive (the vector twin of streaming/search.
@@ -66,14 +67,35 @@ def streaming_index_vectors(
     sample); it is immutable after. Snapshot-boundary maintenance with
     the stream stopped: retire/append with a NEGATIVE ``batch_dir``,
     compact with ``compact_pq_index(keep_batch_layout=True)`` — both
-    preserve the batch layout, so the stream can resume."""
+    preserve the batch layout, so the stream can resume.
+
+    ``auto_compact_after``: once the index has accumulated that many
+    batch directories, the sink folds the COMMITTED prefix into one
+    (compact_pq_index keep_batch_layout=True partial=True) before
+    writing the arriving batch, keeping search-side netting and file
+    counts bounded on a long-lived stream (VERDICT r8 #3). Writer-safe
+    inside the sink (foreachBatch serializes); a stale dir from a
+    mid-batch crash rides through as the uncommitted tail."""
     from sum_spark.operators.similarity import (
         _attest,
         _encode_with_stored_book,
         _rowless,
+        compact_pq_index,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if auto_compact_after is not None:
+            from sum_spark.streaming.compact import _batch_dirs
+
+            if len(_batch_dirs(path)) >= auto_compact_after:
+                compact_pq_index(
+                    batch_df.sparkSession,
+                    path,
+                    id_col=id_col,
+                    keep_batch_layout=True,
+                    checkpoint=checkpoint,
+                    partial=True,
+                )
         # attesting is only safe while the index holds no rows this
         # version didn't write — a resumed stream over a LEGACY index
         # (pre-marker rows present, no sentinel) must keep netting

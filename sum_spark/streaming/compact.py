@@ -1,5 +1,5 @@
 """Batch-directory compaction for the merge-at-read streaming families
-(sketch grids, KMV sketches, histograms, rollup partials).
+(sketch grids, KMV sketches, histograms, rollup partials, corpus state).
 
 Those sinks write one tiny parquet dir per micro-batch — the layout that
 makes redelivery idempotent — so a stream running for months accumulates
@@ -9,18 +9,30 @@ more metadata. Compaction folds every committed batch directory into one
 (the merge functions are exactly the per-family roll-ups the readers
 already use), after which reads are O(1) directories again.
 
-Run it OFFLINE — with the stream stopped. Safety argument:
+Run it with NO CONCURRENT WRITER — either offline (stream stopped) or
+from inside the stream's own ``foreachBatch`` sink, which Spark
+serializes (the auto-compaction hooks in streaming/state.py,
+streaming/search.py, streaming/ann.py do exactly that). Safety argument:
 - New batches after restart get ids strictly above every committed id
   (checkpoint monotonicity), and a committed batch is never redelivered,
-  so folding committed directories into ``batch_id=<max_id>`` cannot
-  collide with a future or replayed batch.
+  so folding committed directories into ``batch_id=<max committed id>``
+  cannot collide with a future or replayed batch.
+- A batch the stream WROTE but never COMMITTED (crash mid-batch) IS
+  redelivered, and the sink's idempotent overwrite would replace the
+  folded directory with one micro-batch's rows — silent data loss. Pass
+  the stream's ``checkpoint`` so such tail dirs are detected
+  (``<checkpoint>/commits``); they abort the compaction by default, or
+  with ``partial=True`` are left untouched while the committed prefix
+  folds (the same contract as operators/search._batch_fold_plan).
 - The merged cells are written under ``<path>/_compacted`` first — an
   underscore directory, INVISIBLE to the family readers — then the old
   batch directories are removed and the compacted one is renamed into
   place. A crash in the window between removal and rename is recoverable
-  by re-running: the function detects a completed ``_compacted`` with no
-  batch directories and finishes the rename (the merged data was durable
-  before anything was deleted).
+  by re-running: the marker records the target id and the folded ids,
+  so recovery removes any folded stragglers and finishes the rename
+  (the merged data was durable before anything was deleted).
+- Concurrent READERS can transiently fail during the remove/rename
+  window; reads racing an active stream were never isolation-safe.
 """
 
 from __future__ import annotations
@@ -29,6 +41,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _batch_dirs(path: str) -> list[tuple[int, str]]:
@@ -44,39 +57,102 @@ def _batch_dirs(path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+def _pending_ids(ids: list[int], checkpoint: str | None, partial: bool) -> list[int]:
+    """Ids newer than the stream's last committed micro-batch — unsafe to
+    fold (their redelivery would overwrite the fold). Mirrors
+    operators/search._batch_fold_plan for the single-frame layout."""
+    if partial and checkpoint is None:
+        raise ValueError(
+            "partial=True needs the stream's checkpoint to know which "
+            "batches are committed"
+        )
+    if checkpoint is None:
+        return []
+    commits_dir = os.path.join(checkpoint, "commits")
+    committed = (
+        [int(n) for n in os.listdir(commits_dir) if n.isdigit()]
+        if os.path.isdir(commits_dir)
+        else []
+    )
+    top = max(committed, default=-1)
+    pending = sorted(i for i in ids if i > top)
+    if pending and not partial:
+        raise ValueError(
+            f"batch dirs {pending} are newer than the last committed "
+            f"micro-batch ({top}): the stream stopped mid-batch; resume "
+            "it to commit, stop cleanly, then compact — or pass "
+            "partial=True to fold the committed prefix and leave the "
+            "tail in place"
+        )
+    return pending
+
+
 def compact_batches(
-    spark: SparkSession, path: str, merged: DataFrame | None = None
+    spark: SparkSession,
+    path: str,
+    merged: DataFrame | None = None,
+    checkpoint: str | None = None,
+    partial: bool = False,
+    n_files: int | None = 1,
 ) -> int:
     """Fold all ``batch_id=N`` directories under ``path`` into the
-    highest one. ``merged`` is the family's merged view of ``path`` (e.g.
-    ``read_count_min(spark, path)``); when None the rows are unioned
-    as-is (correct for families whose reader is a plain cell merge the
-    next read re-applies — the sketch/histogram/rollup families all
-    re-aggregate at read, so pre-merging is an optimization, not a
-    requirement). Returns the surviving batch id, or -1 if there was
-    nothing to compact. The stream writing ``path`` must be stopped.
-    """
+    highest COMMITTED one. ``merged`` is the family's merged view of
+    ``path`` (e.g. ``read_count_min(spark, path)``); when None the rows
+    are unioned as-is (correct for families whose reader is a plain cell
+    merge the next read re-applies — the sketch/histogram/rollup/state
+    families all re-aggregate at read, so pre-merging is an
+    optimization, not a requirement). ``checkpoint``/``partial`` guard
+    against folding a written-but-uncommitted tail (see module
+    docstring); ``merged`` cannot be combined with a pending tail (the
+    caller's merged view would bake the uncommitted rows in). ``n_files``
+    coalesces the fold (default 1 — right for kilobyte sketch states);
+    pass None to keep the plan's own partitioning for large frames.
+    Returns the surviving batch id, or -1 if there was nothing to
+    compact. No concurrent WRITER may be active (the stream's own sink
+    is fine — foreachBatch serializes)."""
     tmp = os.path.join(path, "_compacted")
     marker = os.path.join(tmp, "_SUCCESS")
     dirs = _batch_dirs(path)
-    if os.path.isdir(tmp) and os.path.isfile(marker) and not dirs:
-        # Crash-recovery: merged data was durable, old dirs already gone —
-        # finish the rename. The id was stashed in the marker.
+    pending = _pending_ids([i for i, _ in dirs], checkpoint, partial)
+    if merged is not None and pending:
+        raise ValueError(
+            f"batch dirs {pending} are uncommitted and `merged` was "
+            "given: the merged view cannot exclude them — pass "
+            "merged=None for a partial fold"
+        )
+    foldable = [(i, d) for i, d in dirs if i not in set(pending)]
+    if os.path.isdir(tmp) and os.path.isfile(marker):
+        # Crash-recovery: merged data was durable before any deletion.
+        # The marker stashed the target id and the folded ids — remove
+        # folded stragglers (crash mid-removal), then finish the rename.
         with open(marker) as fh:
-            max_id = int(fh.read().strip() or 0)
+            lines = fh.read().splitlines()
+        max_id = int(lines[0].strip() or 0)
+        folded = (
+            {int(x) for x in lines[1].split(",") if x.strip()}
+            if len(lines) > 1
+            else set()
+        )
+        for i, d in dirs:
+            if i in folded and os.path.isdir(d):
+                shutil.rmtree(d)
         os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
         return max_id
-    if len(dirs) <= 1:
-        return dirs[0][0] if dirs else -1
-    max_id = dirs[-1][0]
+    if len(foldable) <= 1:
+        return foldable[-1][0] if foldable else -1
+    max_id = foldable[-1][0]
     rows = merged if merged is not None else spark.read.parquet(path)
     if merged is None:
+        if pending:
+            rows = rows.where(~F.col("batch_id").isin(pending))
         rows = rows.drop("batch_id")
-    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
-    # Stash the target id in the _SUCCESS marker so recovery knows it.
+    if n_files is not None:
+        rows = rows.coalesce(n_files)
+    rows.write.mode("overwrite").parquet(tmp)
+    # Stash the target id and folded ids so recovery can finish the swap.
     with open(marker, "w") as fh:
-        fh.write(str(max_id))
-    for _, d in dirs:
+        fh.write(f"{max_id}\n{','.join(str(i) for i, _ in foldable)}")
+    for _, d in foldable:
         shutil.rmtree(d)
     os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
     return max_id

@@ -30,6 +30,7 @@ def streaming_index_documents(
     id_col: str = "doc_id",
     n_buckets: int = II_BUCKETS,
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate the inverted index over a document stream. Query the
     result at any time with ``bm25_from_index(spark, path, terms, k)``
@@ -41,10 +42,32 @@ def streaming_index_documents(
     and batch_id layouts must never mix (the read fails), so choose the
     compaction endgame: keep_batch_layout=True to RESUME the stream
     afterwards, default False to hand off to pure batch maintenance
-    (stream retired). The stream itself stays append-only either way."""
+    (stream retired). The stream itself stays append-only either way.
+
+    ``auto_compact_after``: once the index has accumulated that many
+    batch directories, the sink folds the COMMITTED prefix into one
+    (compact_inverted_index keep_batch_layout=True partial=True) before
+    writing the arriving batch, so query-side file counts stay bounded
+    on a long-lived stream without manual compaction (VERDICT r8 #3).
+    Writer-safe inside the sink (foreachBatch serializes); a stale dir
+    from a mid-batch crash rides through as the uncommitted tail and
+    its redelivery overwrites exactly itself."""
     from pyspark.sql import functions as F
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if auto_compact_after is not None:
+            from sum_spark.operators.search import compact_inverted_index
+            from sum_spark.streaming.compact import _batch_dirs
+
+            if len(_batch_dirs(f"{path}/postings")) >= auto_compact_after:
+                compact_inverted_index(
+                    batch_df.sparkSession,
+                    path,
+                    n_buckets,
+                    keep_batch_layout=True,
+                    checkpoint=checkpoint,
+                    partial=True,
+                )
         postings, terms, meta = build_inverted_index(batch_df, text_col, id_col)
         (
             postings.withColumn("bucket", _term_bucket(F.col("term"), n_buckets))

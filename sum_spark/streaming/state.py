@@ -57,14 +57,46 @@ def streaming_corpus_state(
     id_col: str = "doc_id",
     strat_col: str = "source",
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain corpus_state over a document stream: per batch, write
     meta/sig rows and the pair-set increment (and contamination verdicts
-    when ``benchmark`` is given) under ``path/<frame>/batch_id=N``."""
+    when ``benchmark`` is given) under ``path/<frame>/batch_id=N``.
+
+    ``auto_compact_after``: once any frame has accumulated that many
+    batch directories, the sink folds the COMMITTED prefix of every
+    frame into one directory (streaming/compact.compact_batches with
+    partial=True) before writing the arriving batch — the RecordStore
+    ``auto_compact_after`` treatment (VERDICT r8 #3), so a long-lived
+    stream's read-side merge stays O(1) directories without anyone
+    remembering to compact by hand. Running inside the sink is
+    writer-safe (foreachBatch serializes) and commit-safe (a stale dir
+    from a mid-batch crash is left for its redelivery to overwrite);
+    the cost is O(state) once every ``auto_compact_after`` batches.
+    The pair increment is unaffected: folded sig rows keep a batch_id
+    strictly below every future batch, so the prior-batch filter and
+    the produce-once rule still hold."""
     t = float(near_dup_threshold)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if auto_compact_after is not None:
+            from sum_spark.streaming.compact import _batch_dirs, compact_batches
+
+            frames = ("meta", "sig", "pairs", "contaminated")
+            if any(
+                len(_batch_dirs(f"{path}/{f}")) >= auto_compact_after
+                for f in frames
+            ):
+                for f in frames:
+                    if os.path.isdir(f"{path}/{f}"):
+                        compact_batches(
+                            spark,
+                            f"{path}/{f}",
+                            checkpoint=checkpoint,
+                            partial=True,
+                            n_files=None,
+                        )
         # persist: the batch feeds both the signature build and the meta
         # projection — unpersisted, each re-reads the micro-batch source.
         # try/finally: a failing batch body must not strand the cached
