@@ -188,6 +188,32 @@ def _best_of(fn_make_df, max_runs: int, time_build: bool = True) -> float:
     return round(best, 3)
 
 
+def _best_of_split(fn_make_df, max_runs: int) -> tuple[float, float, float]:
+    """Entry timing with the construction/execution attribution recorded
+    mechanically (VERDICT r8 #7): per run, construction is fn() returning
+    the DataFrame (py4j round-trips, eager driver work like kmeans fits
+    and pipeline counts), execution is the count() action. The entry
+    number is the best TOTAL per run — bit-identical semantics to the
+    pre-split bench — while construct/execute are each phase's own best
+    across runs (the reproducible steady-state cost of that phase), so
+    their sum can differ from the total by scheduler noise. A py4j
+    construction regression now shows up as a sidecar diff instead of a
+    profiling hunch."""
+    best = best_c = best_e = float("inf")
+    for attempt in range(max_runs):
+        if attempt == 2 and best <= 2.0:
+            break
+        t0 = time.perf_counter()
+        df = fn_make_df()
+        t1 = time.perf_counter()
+        df.count()
+        t2 = time.perf_counter()
+        best = min(best, t2 - t0)
+        best_c = min(best_c, t1 - t0)
+        best_e = min(best_e, t2 - t1)
+    return round(best, 3), round(best_c, 3), round(best_e, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -211,9 +237,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     legs: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        timings[name] = _best_of(lambda: fn(spark, sf_dir), max_runs)
+        timings[name], c, e = _best_of_split(lambda: fn(spark, sf_dir), max_runs)
+        split[name] = {"construct": c, "execute": e}
         if not time_legs:
             continue
         if name in TAGGED_LEGS:
@@ -237,14 +265,21 @@ def main() -> None:
                 )
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    if legs:
+    if legs or split:
         # Sidecar, not stdout: the harness's stdout capture window is
         # ~2,000 chars and the legs dict alone exceeds it (VERDICT r5 #1).
+        # "split" carries each entry's construction-vs-execution best
+        # (VERDICT r8 #7) so py4j regressions are caught by diff.
         legs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LEGS.json"
         )
         with open(legs_path, "w") as fh:
-            json.dump({"sf": sf_val, "legs": legs}, fh, indent=1, sort_keys=True)
+            json.dump(
+                {"sf": sf_val, "legs": legs, "split": split},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
         print(f"per-leg timings -> {legs_path}", file=sys.stderr)
         print(json.dumps(legs, sort_keys=True), file=sys.stderr)
     print(format_stdout_line(timings, sf_val))

@@ -681,9 +681,15 @@ def main() -> None:
         "factor": FACTOR,
         "base_sf_dir": BASE_SF_DIR,
     }
+    # SPARK_GRAFT_SCALE_ENTRIES="a,b,c" restricts the entries pass to a
+    # subset — the 30x replication (VERDICT r8 #5) re-measures only the
+    # steepest-exponent entries rather than paying the whole suite at 3x
+    # the 10x data volume.
+    subset = os.environ.get("SPARK_GRAFT_SCALE_ENTRIES", "")
+    run_entries = [e for e in subset.split(",") if e] or ENTRIES
     if "entries" in want:
         entries: dict[str, dict[str, float]] = {}
-        for name in ENTRIES:
+        for name in run_entries:
             fn = REGISTRY[name].fn
             base = _time(fn, spark, BASE_SF_DIR)
             scaled = _time(fn, spark, OUT_DIR)
@@ -693,6 +699,8 @@ def main() -> None:
                 "ratio": round(scaled / base, 2) if base > 0 else None,
             }
         result["entries"] = entries
+        if run_entries is not ENTRIES:
+            result["entries_subset"] = run_entries
     if "skew" in want:
         if rebuild and os.path.isdir(OUT_DIR_SKEW):
             shutil.rmtree(OUT_DIR_SKEW)

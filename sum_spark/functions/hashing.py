@@ -48,6 +48,18 @@ def hash32(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def hash60_sql(expr: str) -> str:
+    """Spark-SQL string form of :func:`hash60` — for builders that batch
+    a projection into ONE expr string (a transform lambda costs ~10 py4j
+    round trips as a Column; the parsed string costs one)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hash32_sql(expr: str) -> str:
+    """Spark-SQL string form of :func:`hash32`."""
+    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def duck_hash60(expr: str) -> str:
     """DuckDB SQL for hash60 of an expression."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
@@ -137,6 +149,79 @@ def duck_minhash_select(hash_col: str, doc_col: str, rel: str) -> str:
     FROM {rel}, (VALUES {values}) AS p(i, a, b)
     GROUP BY {doc_col}, p.i
     """
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Pure-Python XXH64 (Cyan4973's public xxHash, the algorithm Spark's
+    ``F.xxhash64`` implements), UNSIGNED 64-bit result. Seed defaults to
+    42 — Spark's fixed seed — so ``xxh64(s.encode()) & (2**64-1)`` equals
+    ``xxhash64(lit(s))`` reinterpreted unsigned (parity-pinned in
+    tests/test_sql_functions.py).
+
+    Exists so DRIVER-side planning can compute engine-internal xxhash64
+    partition keys (inverted-index term buckets, LSH band keys) without
+    paying a Spark job per lookup: bm25_from_index's bucket pruning used
+    a createDataFrame+distinct+collect round trip per query build. Never
+    use for oracle-checked values — portable hashing is md5-based
+    (hash60) by the CLAUDE.md rule; this is the internal-key path only."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M64
+        v2 = (seed + _XXH_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXH_P1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl64((v1 + int.from_bytes(data[i : i + 8], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v2 = (_rotl64((v2 + int.from_bytes(data[i + 8 : i + 16], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v3 = (_rotl64((v3 + int.from_bytes(data[i + 16 : i + 24], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v4 = (_rotl64((v4 + int.from_bytes(data[i + 24 : i + 32], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            h = ((h * _XXH_P1) + _XXH_P4) & _M64
+    else:
+        h = (seed + _XXH_P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((k * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+        h = ((_rotl64(h, 27) * _XXH_P1) + _XXH_P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XXH_P1) & _M64
+        h = ((_rotl64(h, 23) * _XXH_P2) + _XXH_P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _M64
+        h = (_rotl64(h, 11) * _XXH_P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_str(s: str, seed: int = 42) -> int:
+    """Signed-64 xxh64 of a string's UTF-8 bytes — bit-equal to Spark's
+    ``F.xxhash64(string_col)``."""
+    u = xxh64(s.encode("utf-8"), seed)
+    return u - (1 << 64) if u >= (1 << 63) else u
 
 
 def lsh_params(

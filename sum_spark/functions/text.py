@@ -56,6 +56,19 @@ def word_shingles(toks: Column, n: int = SHINGLE_N) -> Column:
     return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
 
 
+def word_shingles_sql(toks_expr: str, n: int = SHINGLE_N) -> str:
+    """Spark-SQL string form of :func:`word_shingles` — same expression
+    tree via the parser instead of ~20 py4j Column round trips per build
+    (the band_struct_array batching pattern, VERDICT r8 #4)."""
+    parts = ", ".join(f"element_at({toks_expr}, i + {k + 1})" for k in range(n))
+    return (
+        f"CASE WHEN size({toks_expr}) >= {n} "
+        f"THEN transform(sequence(0, size({toks_expr}) - {n}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def duck_word_shingles(words_expr: str, n: int = SHINGLE_N) -> str:
     """DuckDB list expression producing the same shingles (1-based lists)."""
     parts = " || ' ' || ".join(f"{words_expr}[i + {k}]" for k in range(n))

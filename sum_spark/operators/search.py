@@ -320,6 +320,62 @@ def bm25_postings_search(
     return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)
 
 
+def _ii_generation(path: str) -> tuple:
+    """On-disk generation fingerprint of an inverted index — the
+    pq_serve_context pattern (similarity._index_generation) adapted to
+    the II layout: flat-layout maintenance appends files INSIDE existing
+    ``bucket=`` dirs (which leaves the family dir's own mtime untouched),
+    so the fingerprint stats each family's immediate children — bucket=/
+    batch_id= dirs and meta files — whose mtimes every engine mutation
+    (build, append, retire, compaction's staged swap) does update."""
+    import os
+
+    ents: list[tuple] = []
+    for fam in _II_FAMILIES:
+        d = os.path.join(path, fam)
+        try:
+            for n in sorted(os.listdir(d)):
+                st = os.stat(os.path.join(d, n))
+                ents.append((fam, n, st.st_mtime_ns, st.st_size))
+        except OSError:
+            ents.append((fam, "missing"))
+    return tuple(ents)
+
+
+# (session id, index realpath) -> {"gen", "spark", "postings", "terms",
+# "meta", "stats": {(terms...): (dfs, n, sum_dl)}}. Serving state for
+# REPEATED queries of one stored index: the three schema-discovery reads
+# (~100 ms each) and the two bounded stats collects are invariant while
+# the index is unchanged, and a query service pays them per request
+# without this (measured via the BENCH_LEGS construct split, VERDICT r8
+# #4/#7). Invalidated by the generation fingerprint; holds the session
+# strongly (the load_table memo aliasing rule); FIFO-bounded.
+_II_SERVE_MEMO: dict[tuple, dict] = {}
+_II_SERVE_MEMO_MAX = 32
+
+
+def _ii_serve_ctx(spark, path: str) -> dict:
+    import os
+
+    key = (id(spark), os.path.realpath(path))
+    gen = _ii_generation(path)
+    ctx = _II_SERVE_MEMO.get(key)
+    if ctx is not None and ctx["spark"] is spark and ctx["gen"] == gen:
+        return ctx
+    ctx = {
+        "spark": spark,
+        "gen": gen,
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "terms": spark.read.parquet(f"{path}/terms"),
+        "meta": spark.read.parquet(f"{path}/meta"),
+        "stats": {},
+    }
+    while len(_II_SERVE_MEMO) >= _II_SERVE_MEMO_MAX:
+        _II_SERVE_MEMO.pop(next(iter(_II_SERVE_MEMO)))
+    _II_SERVE_MEMO[key] = ctx
+    return ctx
+
+
 def bm25_from_index(
     spark,
     path: str,
@@ -332,24 +388,26 @@ def bm25_from_index(
     partition column, so the scan reads ONLY those buckets' files
     (PartitionFilters — asserted in tests) and the term predicate
     prunes row groups within them (PushedFilters, term-sorted layout).
-    Results equal bm25_search / bm25_postings_search exactly."""
+    Results equal bm25_search / bm25_postings_search exactly.
+
+    Per-query driver cost is O(terms): buckets are computed DRIVER-SIDE
+    (hashing.xxh64_str is bit-equal to the engine's xxhash64 — no
+    planning job), and the index reads + per-term stats collects are
+    memoized per (session, index, generation) via _ii_serve_ctx."""
     if not terms:
         raise ValueError("terms must be non-empty")
-    lt = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = [
-        r["b"]
-        for r in lt.select(_term_bucket(F.col("term"), n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    ]
+    from sum_spark.functions.hashing import xxh64_str
+
+    buckets = sorted({xxh64_str(t) % n_buckets for t in terms})
     prune = F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    ctx = _ii_serve_ctx(spark, path)
     # Posting rows are MERGEABLE PARTIALS, same contract as terms/meta:
     # append_to_inverted_index adds positive rows, retire_from_inverted_
     # index adds negated ones. Summing per (term, doc_id) nets deletions
     # out exactly; tf <= 0 means the doc no longer contains the term.
     # The groupBy touches only the query terms' pruned rows.
     matched = (
-        spark.read.parquet(f"{path}/postings")
+        ctx["postings"]
         .where(prune)
         .groupBy("term", "doc_id")
         .agg(
@@ -358,9 +416,12 @@ def bm25_from_index(
         )
         .where(F.col("tf") > 0)
     )
-    terms_df = spark.read.parquet(f"{path}/terms").where(prune)
-    meta = spark.read.parquet(f"{path}/meta")
-    dfs, n, sum_dl = _collect_stats(terms_df, meta, terms)
+    stats_key = tuple(terms)
+    if stats_key not in ctx["stats"]:
+        ctx["stats"][stats_key] = _collect_stats(
+            ctx["terms"].where(prune), ctx["meta"], terms
+        )
+    dfs, n, sum_dl = ctx["stats"][stats_key]
     return _bm25_over_postings(matched, terms, dfs, n, sum_dl, k)
 
 

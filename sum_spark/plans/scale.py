@@ -224,11 +224,57 @@ def spread_for_compute(df: DataFrame, partitioning_col: str | None = None) -> Da
         return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 > par:
+    if _scan_partitions(df) * 2 > par:
         return df
     if partitioning_col is not None:
         return df.repartition(par, F.col(partitioning_col))
     return df.repartition(par)
+
+
+# DataFrame -> its physical partition count. Keyed weakly on the exact
+# DataFrame object: load_table memoizes scans per (session, dir, table),
+# so the hot callers (shingle_sets per dedup entry, every bench/driver
+# build) probe the SAME object repeatedly — and the probe is the single
+# most expensive construction step they have (physical planning + RDD
+# DAG, ~0.5 s per call; measured via the BENCH_LEGS construct split,
+# VERDICT r8 #4/#7). Same staleness contract as the load_table memo: the
+# count reflects the plan at first probe; a caller that rewrites the
+# underlying dir in-place must build a fresh DataFrame.
+import weakref as _weakref
+
+_NPART_MEMO: "_weakref.WeakKeyDictionary[DataFrame, int]" = (
+    _weakref.WeakKeyDictionary()
+)
+# Second level, keyed by the ANALYZED plan's semanticHash: derived
+# frames (snapshot filters over a memoized scan, the incremental-dedup
+# shape) are fresh Python objects per build, so the identity level
+# misses — but their plans are semantically identical, and probing the
+# hash costs one analysis round trip instead of physical planning + RDD
+# DAG construction. Holds the session strongly (id-aliasing rule);
+# assumes session partitioning confs are stable, which is the same
+# assumption the parallelism guard itself makes. FIFO-bounded.
+_NPART_SH_MEMO: dict[tuple[int, int], tuple[object, int]] = {}
+_NPART_SH_MEMO_MAX = 256
+
+
+def _scan_partitions(df: DataFrame) -> int:
+    n = _NPART_MEMO.get(df)
+    if n is not None:
+        return n
+    spark = df.sparkSession
+    sh = df._jdf.queryExecution().analyzed().semanticHash()
+    hit = _NPART_SH_MEMO.get((id(spark), sh))
+    if hit is not None and hit[0] is spark:
+        n = hit[1]
+    else:
+        # JVM-side Dataset.rdd — skips PySpark's javaToPython wrapper
+        # (pickle serializer setup), which is most of df.rdd's cost.
+        n = df._jdf.rdd().getNumPartitions()
+        while len(_NPART_SH_MEMO) >= _NPART_SH_MEMO_MAX:
+            _NPART_SH_MEMO.pop(next(iter(_NPART_SH_MEMO)))
+        _NPART_SH_MEMO[(id(spark), sh)] = (spark, n)
+    _NPART_MEMO[df] = n
+    return n
 
 
 def bloom_prefilter_join(

@@ -68,3 +68,19 @@ def test_sidecar_leg_keys_map_to_declared_legs():
         legs = json.load(fh)["legs"]
     orphans = set(legs) - declared
     assert not orphans, f"sidecar legs no longer declared in bench.py: {sorted(orphans)}"
+
+
+def test_sidecar_split_covers_every_headline_entry():
+    """The sidecar's construction-vs-execution split (VERDICT r8 #7) must
+    cover exactly the timed entries with both phases present, so a py4j
+    construction regression is a mechanical sidecar diff — and it stays
+    OFF stdout (the stdout line shape is pinned above, unchanged)."""
+    import os
+
+    sidecar = os.path.join(os.path.dirname(bench.__file__), "BENCH_LEGS.json")
+    with open(sidecar) as fh:
+        split = json.load(fh)["split"]
+    assert set(split) == set(bench.HEADLINE)
+    for name, phases in split.items():
+        assert set(phases) == {"construct", "execute"}, name
+        assert all(v >= 0 for v in phases.values()), name

@@ -89,3 +89,30 @@ def test_dlit_exact_double_roundtrip(spark):
     for bad in (math.inf, -math.inf, math.nan):
         with pytest.raises(ValueError):
             dlit(bad)
+
+
+def test_python_xxh64_matches_spark_xxhash64(spark):
+    """hashing.xxh64_str must stay bit-equal to F.xxhash64 on strings —
+    bm25_from_index prunes partitions with driver-computed buckets, so a
+    divergence would silently drop posting rows from results."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.hashing import xxh64_str
+
+    rng = random.Random(93)
+    cases = [
+        "", "a", "the", "data", "zebra",
+        "x" * 3, "x" * 4, "x" * 7, "x" * 8, "x" * 31, "x" * 32, "x" * 33,
+        "é漢字🎉", "\x00\x01", " leading", "trailing ",
+        *(
+            "".join(rng.choices(string.printable, k=rng.randrange(0, 200)))
+            for _ in range(60)
+        ),
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", F.xxhash64("t").alias("h")).collect()}
+    for c in cases:
+        assert got[c] == xxh64_str(c), repr(c)

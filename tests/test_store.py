@@ -337,3 +337,46 @@ def test_auto_compact_fires_on_creates(spark, tmp_path):
     assert st._parquet_file_count() <= 4 + 5  # a fold ran mid-stream
     assert st.count() == 12
     assert {int(r["id"]) for r in st.df.collect()} == set(range(1, 13))
+
+
+def test_keyset_pagination_equals_offset_walk(spark, tmp_path):
+    """list_after pages through the store row-for-row identically to the
+    offset form, and its seek predicate reaches the parquet scan as a
+    pushed filter (O(page) per page, not O(offset))."""
+    store = RecordStore(spark, str(tmp_path / "records"))
+    for i in range(23):
+        store.create([float(i)], meta={"k": str(i % 3)})
+    # perturb the id space: deletes and an update mid-range
+    store.delete(5)
+    store.delete(18)
+    store.update(9, data=[99.0])
+
+    per_page = 4
+    offset_rows = []
+    page = 1
+    while True:
+        _, rows = store.list(page, per_page)
+        if not rows:
+            break
+        offset_rows.extend(rows)
+        page += 1
+
+    keyset_rows, last_id = [], None
+    while True:
+        rows = store.list_after(last_id, per_page)
+        if not rows:
+            break
+        keyset_rows.extend(rows)
+        last_id = rows[-1]["id"]
+
+    assert [tuple(r) for r in keyset_rows] == [tuple(r) for r in offset_rows]
+
+    from pyspark.sql import functions as F
+
+    plan = (
+        store.df.where(F.col("id") > 7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(id,7)" in plan
