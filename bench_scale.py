@@ -644,11 +644,18 @@ def cells_block(spark, k: int = 10) -> dict:
     return out
 
 
-def _time(fn, spark, sf_dir, runs: int = 2) -> float:
+def _time(fn, spark, sf_dir, runs: int | None = None, build_outside: bool = False) -> float:
+    if runs is None:
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     best = float("inf")
     for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        if build_outside:
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.count()
+        else:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
@@ -687,7 +694,19 @@ def main() -> None:
     # the 10x data volume.
     subset = os.environ.get("SPARK_GRAFT_SCALE_ENTRIES", "")
     run_entries = [e for e in subset.split(",") if e] or ENTRIES
+    # SPARK_GRAFT_SCALE_LEGS=1 times each tagged UNION ALL leg of the
+    # subset entries separately (execution-only, the bench.py leg
+    # contract) — the growth-exponent question is PER ALGORITHM, and an
+    # entry that carries a deliberately-quadratic exact baseline next to
+    # its scalable twin (dedup_embedding_cosine) answers it wrongly as a
+    # whole: at a high enough factor the baseline leg dominates the
+    # entry no matter how well the twins scale.
+    time_scale_legs = os.environ.get("SPARK_GRAFT_SCALE_LEGS", "0") == "1"
     if "entries" in want:
+        from pyspark.sql import functions as F
+
+        from bench import TAGGED_LEGS
+
         entries: dict[str, dict[str, float]] = {}
         for name in run_entries:
             fn = REGISTRY[name].fn
@@ -698,6 +717,22 @@ def main() -> None:
                 "scaled": scaled,
                 "ratio": round(scaled / base, 2) if base > 0 else None,
             }
+            if time_scale_legs and name in TAGGED_LEGS:
+                tag, values = TAGGED_LEGS[name]
+                for v in values:
+                    def leg(s, d, fn=fn, tag=tag, v=v):
+                        whole = fn(s, d)
+                        out = whole.where(F.col(tag) == v)
+                        out._bench_keepalive = whole
+                        return out
+
+                    lb = _time(leg, spark, BASE_SF_DIR, build_outside=True)
+                    ls = _time(leg, spark, OUT_DIR, build_outside=True)
+                    entries[f"{name}.{v}"] = {
+                        "base": lb,
+                        "scaled": ls,
+                        "ratio": round(ls / lb, 2) if lb > 0 else None,
+                    }
         result["entries"] = entries
         if run_entries is not ENTRIES:
             result["entries_subset"] = run_entries

@@ -228,10 +228,31 @@ def inertia(
     return float(row["s"] or 0.0)
 
 
+# k='auto' target cluster population: per-cluster pairwise work is
+# O(size^2), so holding size ~constant makes TOTAL work ~N * target —
+# linear in the corpus. 4096 f64x64 vectors is ~2 MB per cluster-side,
+# far under the 64 MB GEMM blocks.
+SEM_AUTO_TARGET = 4096
+SEM_AUTO_MAX_K = 1 << 16
+
+
+def sem_auto_k(n: int) -> int:
+    """Cluster count for a SemDeDup pass over ``n`` vectors: ~n/4096,
+    bounded [8, 65536]. With a FIXED k the per-cluster population grows
+    linearly in the corpus and the within-cluster pairwise stage grows
+    as N^2/k — measured super-linear at the round-9 30x point (53x for
+    30x data, BASELINE round-9 table); scaling k with N holds per-cluster
+    work constant, the same sizing philosophy as similarity.auto_cells.
+    More clusters narrow each cluster's recall horizon — the standard
+    SemDeDup trade (the reference method also scales cluster count with
+    corpus size); use dedup_embedding_lsh when global recall matters."""
+    return max(8, min(SEM_AUTO_MAX_K, -(-int(n) // SEM_AUTO_TARGET)))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.7,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -254,6 +275,13 @@ def semantic_dedup(
     the SemDeDup method; use dedup_embedding_lsh when global recall
     matters.
 
+    ``k='auto'`` sizes the cluster count to the corpus (one bounded
+    count + :func:`sem_auto_k`) so per-cluster population — and with it
+    the within-cluster pairwise stage — stays CONSTANT as the corpus
+    grows; a fixed k is only linear until clusters outgrow
+    SEM_AUTO_TARGET (the round-9 super-linear finding). Default stays 8
+    for small oracle-checked runs.
+
     Pass ``centroids`` (e.g. from a previous :func:`kmeans_fit` on a
     sample) to skip the fit — the production pattern: fit on 0.1%, assign
     + dedup the full corpus in one pass.
@@ -262,6 +290,10 @@ def semantic_dedup(
     import pandas as pd
 
     if centroids is None:
+        if k == "auto":
+            k = sem_auto_k(df.count())
+        elif not isinstance(k, int):
+            raise ValueError(f"k must be an int or 'auto', got {k!r}")
         centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     assigned = assign_clusters(df, centroids, id_col, vec_col, backend=assign_backend)
 

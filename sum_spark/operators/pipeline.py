@@ -65,7 +65,7 @@ def prepare_training_data(
     strat_col: str = "source",
     embeddings: DataFrame | None = None,
     semantic_threshold: float | None = None,
-    semantic_k: int = 8,
+    semantic_k: int | str = 8,
     vec_col: str = "embedding",
     max_mean_nll: float | None = None,
     lm_counts: DataFrame | None = None,

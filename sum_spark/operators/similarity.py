@@ -1105,6 +1105,121 @@ def pq_serve_context(spark, path: str, id_col: str = "id", cache: dict | None = 
     return ctx
 
 
+def _sqdist_py(q, c):
+    acc = 0.0
+    for x, y in zip(q, c):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _probe_luts(book, res_book, probe_rows, m, n_probes, lut_backend):
+    """Driver-side stage-1 serve planning shared by the plan-building
+    search (knn_ivfpq_from_index) and the driver serve backend
+    (_rerank_driver): per probe, its ``n_probes`` nearest coarse lists
+    and the m per-subspace code->distance LUT maps.
+
+    Returns ``(pairs, luts_by_key)``: pairs is [(pid, cid, qv)] one per
+    (probe, probed list) — qv is the probe's residual q - c_list for a
+    residual index, None for raw (one shared LUT per probe); luts_by_key
+    maps pid (raw) or pair index (residual) to the m maps.
+
+    LUT TABLE shape rationale (both encodings): for a residual index the
+    LUT genuinely differs per (probe, list); a raw index repeats the
+    probe's one LUT per probed list. Driver-held and bounded by the
+    small-probe contract (probes x n_probes x m x k doubles). Large
+    books (n_cells='auto': k ~ 4*sqrt(N)) tabulate via one numpy
+    broadcast per subspace instead of a Python loop over k x m cells;
+    small books keep the Python fold whose left-to-right sums the
+    oracle legs hash-match ('auto' gate at _LARGE_K; 'python'/'numpy'
+    force a side — the streaming sinks force numpy, paying tabulation
+    every trigger)."""
+    items = sorted(book.items())
+    d = len(items[0][1])
+    sd = d // m
+    cent_by_id = dict(items)
+    lut_items = sorted(res_book.items()) if res_book is not None else items
+    n_probes = max(1, min(int(n_probes), len(items)))
+
+    # auto-sized coarse book: hoist the (k x d) matrix ONCE, not per probe
+    nearest_np = None
+    if len(items) > _LARGE_K:
+        import numpy as np
+
+        nearest_np = (
+            np.array([cid for cid, _ in items], dtype=np.int64),
+            np.array([c for _, c in items], dtype=np.float64),
+        )
+
+    def _nearest(q):
+        if nearest_np is not None:
+            import numpy as np
+
+            keys, cmat = nearest_np
+            d2 = ((cmat - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
+            return keys[np.lexsort((keys, d2))][:n_probes].tolist()
+        return [
+            cid
+            for _, cid in sorted(
+                ((_sqdist_py(q, c), cid) for cid, c in items),
+                key=lambda t: (t[0], t[1]),
+            )[:n_probes]
+        ]
+
+    if lut_backend not in ("auto", "python", "numpy"):
+        raise ValueError(f"lut_backend must be auto|python|numpy, got {lut_backend!r}")
+    use_numpy = lut_backend == "numpy" or (
+        lut_backend == "auto" and len(lut_items) > _LARGE_K
+    )
+    # (pid, cid, qv) per (probe, probed list); for a RAW index qv is the
+    # probe itself — tabulate ONCE per probe and share the maps across
+    # its probed lists instead of recomputing identical cells per list.
+    pairs = []
+    for row in probe_rows:
+        q = [float(x) for x in row["__pv"]]
+        for cid in _nearest(q):
+            qv = (
+                [x - c for x, c in zip(q, cent_by_id[cid])]
+                if res_book is not None
+                else None  # raw: shared per-probe LUT, tabulated below
+            )
+            pairs.append((int(row["__pid"]), int(cid), qv))
+    if res_book is None:
+        tab_keys = [(int(r["__pid"]), [float(x) for x in r["__pv"]]) for r in probe_rows]
+    else:
+        tab_keys = [(i, qv) for i, (_, _, qv) in enumerate(pairs)]
+    if use_numpy and tab_keys:
+        import numpy as np
+
+        codes_py = [int(code) for code, _ in lut_items]
+        cmat = np.array([c for _, c in lut_items], dtype=np.float64)
+        qmat = np.array([qv for _, qv in tab_keys], dtype=np.float64)
+        # same squared-difference reduction (and therefore the same
+        # bits) as the per-row form this replaces — only batched over
+        # all rows, so a trigger pays m reductions, not rows x m loops
+        luts_by_key = {kid: [] for kid, _ in tab_keys}
+        for j in range(m):
+            d2 = (
+                (qmat[:, None, j * sd : (j + 1) * sd] - cmat[None, :, j * sd : (j + 1) * sd])
+                ** 2
+            ).sum(axis=2)
+            for r, (kid, _) in enumerate(tab_keys):
+                luts_by_key[kid].append(dict(zip(codes_py, d2[r].tolist())))
+    else:
+        luts_by_key = {
+            kid: [
+                {
+                    int(code): _sqdist_py(
+                        qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
+                    )
+                    for code, c in lut_items
+                }
+                for j in range(m)
+            ]
+            for kid, qv in tab_keys
+        }
+    return pairs, luts_by_key
+
+
 def knn_ivfpq_from_index(
     spark,
     path: str,
@@ -1156,119 +1271,17 @@ def knn_ivfpq_from_index(
         book, res_book = serve_ctx["book"], serve_ctx["res_book"]
     else:
         book, res_book = _load_books(spark, path)
-    items = sorted(book.items())
-    d = len(items[0][1])
-    sd = d // m
-    cent_by_id = dict(items)
-    lut_items = sorted(res_book.items()) if res_book is not None else items
     probe_rows = probes.select(
         F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
     ).collect()
-
-    def _sqdist(q, c):
-        acc = 0.0
-        for x, y in zip(q, c):
-            acc = acc + (x - y) * (x - y)
-        return acc
+    pairs, luts_by_key = _probe_luts(
+        book, res_book, probe_rows, m, n_probes, lut_backend
+    )
 
     if serve_ctx is not None and serve_ctx.get("path") == path:
         idx = serve_ctx["idx"]
     else:
         idx = pq_index_rows(spark, path, id_col)
-    n_probes = max(1, min(int(n_probes), len(items)))
-
-    # auto-sized coarse book: hoist the (k x d) matrix ONCE, not per
-    # probe (the LUT path below does the same)
-    nearest_np = None
-    if len(items) > _LARGE_K:
-        import numpy as np
-
-        nearest_np = (
-            np.array([cid for cid, _ in items], dtype=np.int64),
-            np.array([c for _, c in items], dtype=np.float64),
-        )
-
-    def _nearest(q):
-        if nearest_np is not None:
-            import numpy as np
-
-            keys, cmat = nearest_np
-            d2 = ((cmat - np.asarray(q, dtype=np.float64)) ** 2).sum(axis=1)
-            return keys[np.lexsort((keys, d2))][:n_probes].tolist()
-        return [
-            cid
-            for _, cid in sorted(
-                ((_sqdist(q, c), cid) for cid, c in items),
-                key=lambda t: (t[0], t[1]),
-            )[:n_probes]
-        ]
-
-    # LUT TABLE join (both encodings): one row per (probe, probed list)
-    # holding the m per-subspace code->distance maps — for a residual
-    # index the LUT is genuinely per (probe, list) (q - c_list); for a
-    # raw index the probe's one LUT is repeated per probed list so the
-    # join shape is identical. Driver-held and broadcast
-    # (probes x n_probes x m x k doubles — bounded by the small-probe
-    # contract), joined on the partition column: ONE scan pruned to the
-    # probed lists + one broadcast hash join at ANY probe count — a
-    # per-(probe,list) union of plan literals compiled for minutes at
-    # realistic probe counts, which is why this is the only form.
-    # Large LUT books (the n_cells='auto' raw index: k ~ 4*sqrt(N))
-    # tabulate via one numpy broadcast per (probe, list) instead of a
-    # Python loop over k x m cells; small books keep the Python fold
-    # whose left-to-right sums the oracle legs hash-match.
-    if lut_backend not in ("auto", "python", "numpy"):
-        raise ValueError(f"lut_backend must be auto|python|numpy, got {lut_backend!r}")
-    use_numpy = lut_backend == "numpy" or (
-        lut_backend == "auto" and len(lut_items) > _LARGE_K
-    )
-    # (pid, cid, qv) per (probe, probed list); for a RAW index qv is the
-    # probe itself — tabulate ONCE per probe and share the maps across
-    # its probed lists instead of recomputing identical cells per list.
-    pairs = []
-    for row in probe_rows:
-        q = [float(x) for x in row["__pv"]]
-        for cid in _nearest(q):
-            qv = (
-                [x - c for x, c in zip(q, cent_by_id[cid])]
-                if res_book is not None
-                else None  # raw: shared per-probe LUT, tabulated below
-            )
-            pairs.append((int(row["__pid"]), int(cid), qv))
-    if res_book is None:
-        tab_keys = [(int(r["__pid"]), [float(x) for x in r["__pv"]]) for r in probe_rows]
-    else:
-        tab_keys = [(i, qv) for i, (_, _, qv) in enumerate(pairs)]
-    if use_numpy and tab_keys:
-        import numpy as np
-
-        codes_py = [int(code) for code, _ in lut_items]
-        cmat = np.array([c for _, c in lut_items], dtype=np.float64)
-        qmat = np.array([qv for _, qv in tab_keys], dtype=np.float64)
-        # same squared-difference reduction (and therefore the same
-        # bits) as the per-row form this replaces — only batched over
-        # all rows, so a trigger pays m reductions, not rows x m loops
-        luts_by_key = {kid: [] for kid, _ in tab_keys}
-        for j in range(m):
-            d2 = (
-                (qmat[:, None, j * sd : (j + 1) * sd] - cmat[None, :, j * sd : (j + 1) * sd])
-                ** 2
-            ).sum(axis=2)
-            for r, (kid, _) in enumerate(tab_keys):
-                luts_by_key[kid].append(dict(zip(codes_py, d2[r].tolist())))
-    else:
-        luts_by_key = {
-            kid: [
-                {
-                    int(code): _sqdist(
-                        qv[j * sd : (j + 1) * sd], c[j * sd : (j + 1) * sd]
-                    )
-                    for code, c in lut_items
-                }
-                for j in range(m)
-            ]
-            for kid, qv in tab_keys
-        }
     lut_rows = []
     for i, (pid, cid, qv) in enumerate(pairs):
         luts = luts_by_key[pid] if res_book is None else luts_by_key[i]
@@ -1299,6 +1312,161 @@ def knn_ivfpq_from_index(
     )
 
 
+def _round_half_up_py(x: float, scale: int) -> float:
+    """Driver-side twin of Spark's ``F.round`` on doubles: Spark routes
+    through BigDecimal.valueOf (Double.toString — the SHORTEST decimal
+    repr) then HALF_UP; Python's repr() is the same shortest-round-trip
+    decimal, so Decimal(repr(x)) reproduces the exact rounding input
+    (parity-pinned incl. .xxx5 midpoints in test_similarity_ops)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    out = float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+    )
+    # BigDecimal has no signed zero — Spark returns +0.0 where Python's
+    # Decimal would keep -0.0.
+    return 0.0 if out == 0.0 else out
+
+
+def _rerank_driver(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    c: int,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    round_to: int | None,
+    n_probes: int,
+    adc_round_to: int | None,
+    lut_backend: str,
+    serve_ctx: dict | None,
+) -> DataFrame:
+    """The ``serve_backend='driver'`` micro-batch serve: every
+    intermediate of the two-stage rerank is DRIVER-BOUNDED by contract
+    (probes x n_probes LUTs, probed lists' code rows, probes x c
+    candidates, their raw vectors), so a small probe batch pays exactly
+    TWO Spark jobs — the uncached probed lists' code fetch (partition-
+    pruned, netted rows cached in the serve context per on-disk
+    generation, so hot lists amortize across triggers) and the candidate
+    raw-vector fetch (the same broadcast id-join stage 2 always runs) —
+    instead of the full composed plan's job/stage cascade per trigger
+    (measured ~5x per-trigger cost at bench_streaming's 200-probe
+    batches, BASELINE round-9 streaming table). Results are BIT-EQUAL to
+    the plan path at the same lut_backend: the ADC is the same
+    left-to-right sum of the same LUT doubles, the cosine is the same
+    fold order as functions/vector.cosine, rounding is the BigDecimal
+    HALF_UP twin, and both rank tie-breaks replicate exactly
+    (parity-tested)."""
+    ctx = (
+        serve_ctx
+        if serve_ctx is not None and serve_ctx.get("path") == path
+        else pq_serve_context(spark, path, id_col=id_col)
+    )
+    book, res_book, idx = ctx["book"], ctx["res_book"], ctx["idx"]
+    probe_rows = probes.select(
+        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
+    ).collect()
+    pairs, luts_by_key = _probe_luts(
+        book, res_book, probe_rows, m, n_probes, lut_backend
+    )
+    probed = sorted({cid for _, cid, _ in pairs})
+    lists = ctx.setdefault("lists", {})
+    missing = [cid for cid in probed if cid not in lists]
+    if missing:
+        for cid in missing:
+            lists[cid] = []
+        for r in (
+            idx.where(F.col("coarse").isin(missing))
+            .select("coarse", id_col, "codes")
+            .collect()
+        ):
+            lists[int(r["coarse"])].append((r[id_col], list(r["codes"])))
+
+    # Stage 1: ADC per (probe, candidate in probed lists) — the same
+    # left-to-right m-lookup sum as the plan's element_at chain — then
+    # the per-probe (adc asc, id asc) top-c cut.
+    by_probe: dict = {}
+    for i, (pid, cid, _qv) in enumerate(pairs):
+        luts = luts_by_key[pid] if res_book is None else luts_by_key[i]
+        bucket = by_probe.setdefault(pid, [])
+        for rid, codes in lists[cid]:
+            if rid == pid:
+                continue
+            adc = luts[0][codes[0]]
+            for j in range(1, m):
+                adc = adc + luts[j][codes[j]]
+            if adc_round_to is not None:
+                adc = _round_half_up_py(adc, adc_round_to)
+            bucket.append((adc, rid))
+    cands = {
+        pid: sorted(v, key=lambda t: (t[0], t[1]))[: int(c)]
+        for pid, v in by_probe.items()
+    }
+
+    # Stage 2: ONE bounded fetch of the candidates' raw vectors, then
+    # the exact cosine re-rank driver-side (same fold order as
+    # functions/vector.cosine: dot/(maga*magb), zero-den -> 0.0).
+    all_ids = sorted({rid for v in cands.values() for _, rid in v})
+    vecs: dict = {}
+    if all_ids:
+        from pyspark.sql.types import StructField, StructType
+
+        ids_df = spark.createDataFrame(
+            [(i,) for i in all_ids],
+            StructType([StructField(id_col, corpus.schema[id_col].dataType)]),
+        )
+        for r in (
+            corpus.join(F.broadcast(ids_df), id_col)
+            .select(id_col, vec_col)
+            .collect()
+        ):
+            vecs[r[id_col]] = [float(x) for x in r[vec_col]]
+
+    import math
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    out_rows = []
+    for r in probe_rows:
+        pid = r["__pid"]
+        pv = [float(x) for x in r["__pv"]]
+        mag_p = math.sqrt(_dot(pv, pv))
+        scored = []
+        for _, rid in cands.get(pid, []):
+            v = vecs.get(rid)
+            if v is None:
+                continue  # not in corpus (retired) — the plan path's inner join drops it too
+            den = math.sqrt(_dot(v, v)) * mag_p
+            s = 0.0 if den == 0.0 else _dot(v, pv) / den
+            if round_to is not None:
+                s = _round_half_up_py(s, round_to)
+            scored.append((s, rid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, rid) in enumerate(scored[: int(k)], 1):
+            out_rows.append((pid, rid, float(s), rk))
+    out_rows.sort(key=lambda t: (t[0], t[3]))
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("probe_id", probes.schema[id_col].dataType),
+            StructField(id_col, corpus.schema[id_col].dataType),
+            StructField("sim", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
+
+
 def knn_ivfpq_rerank(
     spark,
     path: str,
@@ -1314,6 +1482,7 @@ def knn_ivfpq_rerank(
     adc_round_to: int | None = None,
     lut_backend: str = "auto",
     serve_ctx: dict | None = None,
+    serve_backend: str = "plan",
 ) -> DataFrame:
     """Exact re-ranking over a stored PQ index — the standard two-stage
     production ANN serve (scan compressed, re-rank few): stage 1 scores
@@ -1347,7 +1516,20 @@ def knn_ivfpq_rerank(
     the streaming sink — force numpy tabulation and reuse the loaded
     books/index across triggers, see knn_ivfpq_from_index). Output:
     (probe_id, id_col, sim, rank) — sim is true cosine, rank descending
-    by it within the probe's candidate set."""
+    by it within the probe's candidate set.
+
+    ``serve_backend='driver'`` (:func:`_rerank_driver`) serves a SMALL
+    probe batch with two Spark jobs total — bit-equal results, built
+    for the per-trigger cost of the streaming sink; 'plan' (default)
+    composes the distributed plan, the right shape for large probe
+    frames."""
+    if serve_backend not in ("plan", "driver"):
+        raise ValueError(f"serve_backend must be plan|driver, got {serve_backend!r}")
+    if serve_backend == "driver":
+        return _rerank_driver(
+            spark, path, corpus, probes, k, c, m, id_col, vec_col,
+            round_to, n_probes, adc_round_to, lut_backend, serve_ctx,
+        )
     cand = knn_ivfpq_from_index(
         spark,
         path,

@@ -216,14 +216,20 @@ def streaming_ann_rerank(
 
     Per-trigger fixed cost (VERDICT r8 #2): the sink holds ONE serving
     context across triggers (pq_serve_context — codebooks loaded once,
-    index layout re-listed only when the on-disk generation changes)
-    and forces the numpy LUT tabulation (``lut_backend='numpy'``: the
-    batched m-reduction form; the per-batch tabulation is the dominant
-    serving cost at ingest). numpy reduction order differs from the
-    Python fold in the last bits — engine-deterministic, same contract
-    as every large-k path — so stream==batch parity is against the
-    batch rerank at the SAME backend (tests pass lut_backend='numpy'
-    to the batch side too)."""
+    index layout re-listed only when the on-disk generation changes),
+    forces the numpy LUT tabulation (``lut_backend='numpy'``: the
+    batched m-reduction form), and serves through the DRIVER backend
+    (``serve_backend='driver'``, similarity._rerank_driver): a
+    micro-batch's intermediates are all driver-bounded by contract, so
+    the serve pays two Spark jobs (uncached probed-list code fetch —
+    hot lists cached in the context per index generation — and the
+    candidate raw-vector fetch) instead of the composed plan's
+    job/stage cascade per trigger. numpy reduction order differs from
+    the Python fold in the last bits — engine-deterministic, same
+    contract as every large-k path — so stream==batch parity is against
+    the batch rerank at the SAME backend (tests pass
+    lut_backend='numpy' to the batch side too; driver==plan backend
+    bit-parity is pinned in test_similarity_ops)."""
     from sum_spark.operators.similarity import knn_ivfpq_rerank, pq_serve_context
 
     serve_cache: dict = {}
@@ -254,6 +260,7 @@ def streaming_ann_rerank(
                 serve_ctx=pq_serve_context(
                     batch_df.sparkSession, index_path, cache=serve_cache
                 ),
+                serve_backend="driver",
             )
             out.write.parquet(f"{path}/batch_id={batch_id}", mode="overwrite")
         finally:

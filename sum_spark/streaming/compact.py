@@ -156,3 +156,28 @@ def compact_batches(
         shutil.rmtree(d)
     os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
     return max_id
+
+
+def maybe_auto_compact(
+    spark: SparkSession,
+    path: str,
+    checkpoint: str,
+    auto_compact_after: int | None,
+    n_files: int | None = 1,
+) -> int | None:
+    """Sink-side auto-compaction hook (VERDICT r8 #3): called at the TOP
+    of a foreachBatch sink, folds the committed batch-dir prefix once the
+    directory count crosses ``auto_compact_after``. partial=True by
+    construction — a stale dir from a mid-batch crash is left for its own
+    redelivery — and running before the current batch's write means the
+    arriving batch is never part of the fold. No-op when the threshold is
+    None or not yet reached; returns the surviving batch id when a fold
+    ran. Amortized cost: O(state) once every ``auto_compact_after``
+    batches."""
+    if auto_compact_after is None:
+        return None
+    if len(_batch_dirs(path)) < auto_compact_after:
+        return None
+    return compact_batches(
+        spark, path, checkpoint=checkpoint, partial=True, n_files=n_files
+    )

@@ -30,13 +30,20 @@ def streaming_hourly_rollup(
     path: str,
     checkpoint: str,
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain hourly (h, event_type) partials over an event stream:
     one partial-rows parquet per micro-batch under ``path/batch_id=N``.
     Batch ids are checkpoint-scoped (path and checkpoint live and die
-    together)."""
+    together). ``auto_compact_after`` folds the committed batch-dir
+    prefix in-sink once that many dirs accumulate (streaming/compact.
+    maybe_auto_compact)."""
+    from sum_spark.streaming.compact import maybe_auto_compact
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         hourly_rollup(batch_df).write.mode("overwrite").parquet(
             f"{path}/batch_id={batch_id}"
         )

@@ -16,6 +16,15 @@ This is the fixed-space answer to "what are the hot tokens/domains in
 the stream so far" — the streaming twin of q31's 'cms' leg, sharing the
 same portable-hash build (stream-accumulated == batch-built,
 parity-tested).
+
+Every sink here takes ``auto_compact_after``: once that many batch
+directories accumulate, the sink folds the COMMITTED prefix into one
+before writing the arriving batch (streaming/compact.maybe_auto_compact
+— VERDICT r8 #3), so the read-side merge stays O(1) directories on a
+months-long stream. Folding unions the partial rows verbatim and every
+family's reader RE-APPLIES its merge law at read (cell sums, register
+max, priority top-k, MG counter-merge), so accumulated == batch-built
+parity is untouched.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from sum_spark.operators.sketch import count_min_build
+from sum_spark.streaming.compact import maybe_auto_compact
 
 
 def streaming_count_min(
@@ -34,6 +44,7 @@ def streaming_count_min(
     depth: int = 4,
     group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate a CMS over a stream: one grid parquet per micro-batch
     under ``path/batch_id=N``. Batch ids are checkpoint-scoped (path and
@@ -42,6 +53,9 @@ def streaming_count_min(
     grouped-read shape."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         grid = count_min_build(
             batch_df, item_col, width=width, depth=depth, group_cols=group_cols
         )
@@ -82,6 +96,7 @@ def streaming_kmv(
     seed: str = "kmv",
     group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate a KMV distinct sketch over a stream — the same
     per-batch/merge-at-read shape as streaming_count_min, resting on
@@ -98,6 +113,9 @@ def streaming_kmv(
     from sum_spark.operators.sketch import kmv_sketch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         sk = kmv_sketch(batch_df, item_col, k=k, seed=seed, group_cols=group_cols)
         sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
@@ -134,6 +152,7 @@ def streaming_histogram(
     scale: int = 100,
     group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain a fixed-bucket value histogram over a stream — the third
     member of the per-batch/merge-at-read sketch family, resting on
@@ -148,6 +167,9 @@ def streaming_histogram(
     from sum_spark.operators.sketch import histogram_fixed
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         h = histogram_fixed(
             batch_df, value_col, width=width, lo=lo, scale=scale,
             group_cols=group_cols,
@@ -189,6 +211,7 @@ def streaming_vocab(
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain corpus vocabulary counts over a document stream: each
     micro-batch writes its own per-token (w, tf, df) partial under
@@ -211,6 +234,9 @@ def streaming_vocab(
     groups = list(group_cols or [])
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         from pyspark.sql import functions as F
 
         vc = (
@@ -277,6 +303,7 @@ def streaming_hll(
     seed: str = "hll",
     group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate HyperLogLog registers over a stream — per-batch/
     merge-at-read like streaming_kmv, resting on the register MAX merge
@@ -290,6 +317,9 @@ def streaming_hll(
     from sum_spark.operators.sketch import hll_sketch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         sk = hll_sketch(batch_df, item_col, group_cols, seed=seed)
         sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
@@ -329,6 +359,7 @@ def streaming_weighted_sample(
     max_weight: int = 64,
     per_stratum: bool = False,
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain a weighted random sample (without replacement) over a
     stream — the streaming form of sampling.sample_weighted_k, resting
@@ -349,6 +380,9 @@ def streaming_weighted_sample(
     from sum_spark.operators.sampling import weighted_priorities
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
@@ -414,6 +448,7 @@ def streaming_mg(
     k: int = 64,
     weight_col: str | None = None,
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Accumulate a Misra-Gries heavy-hitter summary over a stream —
     per-batch partial / merge-at-read like streaming_hll: each
@@ -428,6 +463,9 @@ def streaming_mg(
     from sum_spark.operators.sketch import mg_summary
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         sk = mg_summary(batch_df, item_col, k=k, weight_col=weight_col)
         sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
@@ -464,6 +502,7 @@ def streaming_log_histogram(
     scale: int = 100,
     group_cols: tuple[str, ...] = (),
     trigger: dict | None = None,
+    auto_compact_after: int | None = None,
 ):
     """Maintain the UNKNOWN-RANGE log digest over a stream — the
     per-batch/merge-at-read shape of operators/sketch.log_histogram:
@@ -478,6 +517,9 @@ def streaming_log_histogram(
     from sum_spark.operators.sketch import log_histogram
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maybe_auto_compact(
+            batch_df.sparkSession, path, checkpoint, auto_compact_after
+        )
         cells = log_histogram(
             batch_df, value_col, bits=bits, scale=scale,
             group_cols=list(group_cols),

@@ -88,6 +88,9 @@ def streaming_corpus_state(
                 len(_batch_dirs(f"{path}/{f}")) >= auto_compact_after
                 for f in frames
             ):
+                # All four frames fold together (maybe_auto_compact per
+                # frame would leave the others fragmented until their own
+                # thresholds fire).
                 for f in frames:
                     if os.path.isdir(f"{path}/{f}"):
                         compact_batches(

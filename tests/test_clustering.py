@@ -138,3 +138,37 @@ def test_fit_quality_comparable_to_mllib_kmeans(spark, emb):
         to_mllib_vectors(emb.select("vec_id", F.col("embedding").cast("array<double>")))
     )
     assert our_cost <= m.summary.trainingCost * 1.5
+
+
+def test_semantic_dedup_auto_k(spark):
+    """k='auto' sizes the cluster count to the corpus (sem_auto_k) and,
+    at small N where auto resolves to the floor of 8, produces exactly
+    the fixed-k=8 pair set — the sizing changes placement, not the
+    within-cluster exact verification."""
+    import numpy as np
+
+    from sum_spark.operators.clustering import sem_auto_k, semantic_dedup
+
+    assert sem_auto_k(100) == 8
+    assert sem_auto_k(4096 * 8) == 8
+    assert sem_auto_k(4096 * 100) == 100
+    assert sem_auto_k(10**12) == 1 << 16  # bounded
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((60, 8))
+    rows = []
+    for i in range(60):
+        rows.append((i, [float(x) for x in base[i]]))
+        # planted near-dup twin
+        rows.append((1000 + i, [float(x) for x in base[i] + rng.standard_normal(8) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    fixed = sorted(map(tuple, semantic_dedup(emb, threshold=0.9, k=8).collect()))
+    auto = sorted(map(tuple, semantic_dedup(emb, threshold=0.9, k="auto").collect()))
+    assert fixed == auto
+    assert fixed  # planted twins found
+
+    import pytest
+
+    with pytest.raises(ValueError, match="auto"):
+        semantic_dedup(emb, k="bogus")

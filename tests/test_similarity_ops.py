@@ -1427,3 +1427,100 @@ def test_lut_backend_switch_and_serve_context(spark, tmp_path):
     )
     live = {r["id"] for r in after.collect()}
     assert live and all(i % 7 != 0 for i in live)
+
+
+def test_round_half_up_py_matches_spark_round(spark):
+    """_round_half_up_py must reproduce F.round on doubles exactly —
+    including the .xxx5 shortest-repr midpoints where engines disagree
+    (Spark rounds the Double.toString shortest repr via BigDecimal
+    HALF_UP; Decimal(repr(x)) is the same shortest repr)."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import _round_half_up_py
+
+    rng = np.random.default_rng(17)
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.12345, -0.12345, 0.123450000001,
+        0.00005, -0.00005, 0.99995, 2.5e-5, 7.00005, 1e-12, -1e-12,
+        0.1 + 0.2,  # classic repr-carrying sum
+        *(float(x) for x in rng.standard_normal(200)),
+        *(round(float(x), 5) for x in rng.uniform(-1, 1, 100)),
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [
+        r["r"]
+        for r in df.select(F.round("x", 4).alias("r")).collect()
+    ]
+    import struct
+
+    for v, g in zip(vals, got):
+        mine = _round_half_up_py(v, 4)
+        assert struct.pack("<d", g) == struct.pack("<d", mine), (v, g, mine)
+
+
+def test_rerank_driver_backend_bit_equals_plan(spark, tmp_path):
+    """serve_backend='driver' must return bit-identical rows to the plan
+    path at the same lut_backend — raw and residual indexes, through a
+    retire (netting), at round_to=4 and unrounded."""
+    import struct
+
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        knn_ivfpq_rerank,
+        pq_serve_context,
+        retire_from_pq_index,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(29)
+    d = 8
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(d).tolist()) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = corpus.where("vec_id < 5")
+    kw = dict(k=6, c=20, m=2, n_probes=3, id_col="vec_id", vec_col="embedding")
+
+    def packed(df):
+        return sorted(
+            (r["probe_id"], r["vec_id"], struct.pack("<d", r["sim"]), r["rank"])
+            for r in df.collect()
+        )
+
+    for tag, res in (("raw", False), ("res", True)):
+        idx = str(tmp_path / f"pq_{tag}")
+        write_pq_index(
+            corpus, idx, m=2, n_codes=8, id_col="vec_id", vec_col="embedding",
+            residual=res, res_iters=2 if res else 0,
+        )
+        retire_from_pq_index(
+            corpus.where("vec_id % 7 = 3"), idx, id_col="vec_id", vec_col="embedding"
+        )
+        cache: dict = {}
+        for lb in ("python", "numpy"):
+            for rt in (4, None):
+                plan = knn_ivfpq_rerank(
+                    spark, idx, corpus, probes, round_to=rt,
+                    lut_backend=lb, **kw,
+                )
+                drv = knn_ivfpq_rerank(
+                    spark, idx, corpus, probes, round_to=rt,
+                    lut_backend=lb, serve_backend="driver",
+                    serve_ctx=pq_serve_context(spark, idx, cache=cache),
+                    **kw,
+                )
+                assert packed(plan) == packed(drv), (tag, lb, rt)
+        # the cached context must invalidate on a further mutation
+        retire_from_pq_index(
+            corpus.where("vec_id % 11 = 5"), idx, id_col="vec_id", vec_col="embedding"
+        )
+        plan = knn_ivfpq_rerank(
+            spark, idx, corpus, probes, round_to=4, lut_backend="numpy", **kw
+        )
+        drv = knn_ivfpq_rerank(
+            spark, idx, corpus, probes, round_to=4, lut_backend="numpy",
+            serve_backend="driver",
+            serve_ctx=pq_serve_context(spark, idx, cache=cache), **kw,
+        )
+        assert packed(plan) == packed(drv), (tag, "post-retire")

@@ -254,3 +254,54 @@ def test_index_vectors_auto_compacts(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_sketch_sinks_auto_compact_keep_parity(spark, tmp_path):
+    """The merge-at-read sketch family with auto_compact_after: dirs stay
+    bounded and the accumulated read equals the single-batch build over
+    all ingested rows (the family parity law survives folding because
+    readers re-apply their merge at read)."""
+    from sum_spark.operators.sketch import count_min_build, hll_sketch
+    from sum_spark.streaming.sketch import (
+        read_count_min,
+        read_hll,
+        streaming_count_min,
+        streaming_hll,
+    )
+
+    rows = spark.createDataFrame(
+        [(i, f"item{i % 37}") for i in range(600)], "id long, item string"
+    )
+    drops = str(tmp_path / "drops")
+    n_batches = 12
+    for b in range(n_batches):
+        rows.where(F.col("id") % n_batches == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops)
+    schema = "id long, item string"
+
+    cms_out, hll_out = str(tmp_path / "cms"), str(tmp_path / "hll")
+    q = streaming_count_min(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops),
+        "item", cms_out, str(tmp_path / "ck1"), auto_compact_after=5,
+    )
+    q.awaitTermination()
+    q = streaming_hll(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(drops),
+        "item", hll_out, str(tmp_path / "ck2"), auto_compact_after=5,
+    )
+    q.awaitTermination()
+
+    for out in (cms_out, hll_out):
+        n_dirs = len(glob.glob(out + "/batch_id=*"))
+        assert 1 <= n_dirs <= 6, (out, n_dirs)
+
+    got_cms = sorted(map(tuple, read_count_min(spark, cms_out).collect()))
+    want_cms = sorted(map(tuple, count_min_build(rows, "item").collect()))
+    assert got_cms == want_cms
+
+    got_hll = sorted(map(tuple, read_hll(spark, hll_out).collect()))
+    want_hll = sorted(
+        map(tuple, hll_sketch(rows, "item", ()).select("idx", "rho").collect())
+    )
+    assert got_hll == want_hll
