@@ -881,7 +881,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         retire_from_pq_index(emb2.where("id % 10 = 7"), incr_path, m=2)
         _PQ_INCR_BUILT.add(incr_path)
     incr = knn_ivfpq_from_index(
-        spark, incr_path, emb2.where("id <= 3"), k=5, m=2, round_to=4
+        spark, incr_path, emb2.where("id <= 3"), k=5, m=2, round_to=4,
+        serve_ctx=_serve_ctx(spark, incr_path),
     ).select(
         F.lit("incr").alias("mode"),
         "probe_id",
@@ -908,6 +909,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=2,
         round_to=4,
         adc_round_to=4,
+        serve_ctx=_serve_ctx(spark, incr_path),
     ).select(
         F.lit("rr").alias("mode"),
         "probe_id",
@@ -937,7 +939,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
         _PQ_INCR_BUILT.add(res_path)
     res = knn_ivfpq_from_index(
-        spark, res_path, emb2.where("id <= 3"), k=5, m=2, round_to=4
+        spark, res_path, emb2.where("id <= 3"), k=5, m=2, round_to=4,
+        serve_ctx=_serve_ctx(spark, res_path),
     ).select(
         F.lit("res").alias("mode"),
         "probe_id",
@@ -974,7 +977,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
             _TB_BUILT[memo_dir] = sf_dir
     tb = knn_ivfpq_from_index(
-        spark, _tb_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4
+        spark, _tb_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4,
+        serve_ctx=_serve_ctx(spark, _tb_dir()),
     ).select(
         F.lit("tb").alias("mode"),
         "probe_id",
@@ -983,7 +987,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     gk = knn_ivfpq_from_index(
-        spark, _gk_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4
+        spark, _gk_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4,
+        serve_ctx=_serve_ctx(spark, _gk_dir()),
     ).select(
         F.lit("gk").alias("mode"),
         "probe_id",
@@ -1010,6 +1015,20 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _II_INCR_BUILT: set[str] = set()
 _INCR_STATE_BUILT: set[str] = set()
 _PQ_INCR_BUILT: set[str] = set()
+
+# Process-held serving contexts per stored index dir: the five stored-
+# index legs each reloaded both codebooks (driver collects) and re-listed
+# the netted layout PER BUILD (~0.4 s x 5 in knn_search's construction,
+# BENCH_LEGS split). pq_serve_context revalidates by the on-disk
+# generation fingerprint, so the once-per-process maintenance writes
+# above invalidate at most once and served values are identical.
+_SERVE_CACHES: dict[str, dict] = {}
+
+
+def _serve_ctx(spark, path: str) -> dict:
+    from sum_spark.operators.similarity import pq_serve_context
+
+    return pq_serve_context(spark, path, cache=_SERVE_CACHES.setdefault(path, {}))
 
 # Trained-book ('tb') / large-k raw ('gk') stored indexes: dir -> the
 # sf_dir it was built for. Unlike the sets above, the memo REBUILDS on a
