@@ -352,6 +352,7 @@ def _ii_generation(path: str) -> tuple:
 # strongly (the load_table memo aliasing rule); FIFO-bounded.
 _II_SERVE_MEMO: dict[tuple, dict] = {}
 _II_SERVE_MEMO_MAX = 32
+_II_STATS_MEMO_MAX = 256
 
 
 def _ii_serve_ctx(spark, path: str) -> dict:
@@ -416,8 +417,15 @@ def bm25_from_index(
         )
         .where(F.col("tf") > 0)
     )
-    stats_key = tuple(terms)
+    # _collect_stats is order-insensitive, so key on the SORTED term set
+    # (an order-sensitive key multiplies entries for the same set), and
+    # FIFO-bound the memo like _II_SERVE_MEMO — a long-running query
+    # service with many distinct term sets must not grow driver memory
+    # for the lifetime of an index generation.
+    stats_key = tuple(sorted(set(terms)))
     if stats_key not in ctx["stats"]:
+        while len(ctx["stats"]) >= _II_STATS_MEMO_MAX:
+            ctx["stats"].pop(next(iter(ctx["stats"])))
         ctx["stats"][stats_key] = _collect_stats(
             ctx["terms"].where(prune), ctx["meta"], terms
         )

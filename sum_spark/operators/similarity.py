@@ -1452,13 +1452,17 @@ def _rerank_driver(
             scored.append((s, rid))
         scored.sort(key=lambda t: (-t[0], t[1]))
         for rk, (s, rid) in enumerate(scored[: int(k)], 1):
-            out_rows.append((pid, rid, float(s), rk))
+            # probe_id is LongType with int() coercion — the SAME rule as
+            # the plan backend (knn_ivfpq_from_index's 'probe_id long' lut
+            # schema survives the using-join), so the two serve backends'
+            # outputs stay schema-interchangeable for any integer id_col.
+            out_rows.append((int(pid), rid, float(s), rk))
     out_rows.sort(key=lambda t: (t[0], t[3]))
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     schema = StructType(
         [
-            StructField("probe_id", probes.schema[id_col].dataType),
+            StructField("probe_id", LongType()),
             StructField(id_col, corpus.schema[id_col].dataType),
             StructField("sim", DoubleType()),
             StructField("rank", LongType()),

@@ -87,6 +87,29 @@ def _pending_ids(ids: list[int], checkpoint: str | None, partial: bool) -> list[
     return pending
 
 
+def _parse_marker(marker: str) -> tuple[int, set[int]] | None:
+    """Parse a recovery marker: ``(target id, folded ids)``. Two-line
+    stash -> non-empty folded set; legacy single-line -> empty set;
+    anything unparseable (notably Spark's own EMPTY _SUCCESS from the
+    job commit, written before the stash overwrite) -> None."""
+    with open(marker) as fh:
+        lines = fh.read().splitlines()
+    if not lines or not lines[0].strip():
+        return None
+    try:
+        max_id = int(lines[0].strip())
+        folded = (
+            {int(x) for x in lines[1].split(",") if x.strip()}
+            if len(lines) > 1
+            else set()
+        )
+    except ValueError:
+        return None
+    if len(lines) > 1 and not folded:
+        return None
+    return max_id, folded
+
+
 def compact_batches(
     spark: SparkSession,
     path: str,
@@ -122,22 +145,33 @@ def compact_batches(
         )
     foldable = [(i, d) for i, d in dirs if i not in set(pending)]
     if os.path.isdir(tmp) and os.path.isfile(marker):
-        # Crash-recovery: merged data was durable before any deletion.
-        # The marker stashed the target id and the folded ids — remove
-        # folded stragglers (crash mid-removal), then finish the rename.
-        with open(marker) as fh:
-            lines = fh.read().splitlines()
-        max_id = int(lines[0].strip() or 0)
-        folded = (
-            {int(x) for x in lines[1].split(",") if x.strip()}
-            if len(lines) > 1
-            else set()
-        )
-        for i, d in dirs:
-            if i in folded and os.path.isdir(d):
-                shutil.rmtree(d)
-        os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
-        return max_id
+        # Crash-recovery — but ONLY when the marker parses to the full
+        # two-line stash (target id + folded ids). Spark's parquet job
+        # commit creates an EMPTY _SUCCESS inside tmp BEFORE the stash
+        # overwrite lands, so a crash in that window leaves an empty
+        # marker; and a pre-stash-era single-line marker can't say which
+        # dirs were folded. In both cases NO deletion can have happened
+        # yet for the empty-marker case (deletions follow the stash
+        # write), so the safe move is to redo the fold — the overwrite
+        # of tmp is idempotent. A legacy single-line marker finishes the
+        # rename only under its original recovery condition (every batch
+        # dir already gone); otherwise it too falls through to redo.
+        stash = _parse_marker(marker)
+        if stash is not None:
+            max_id, folded = stash
+            if folded:
+                # Full two-line stash: deletions may have started —
+                # remove folded stragglers, then finish the rename.
+                for i, d in dirs:
+                    if i in folded and os.path.isdir(d):
+                        shutil.rmtree(d)
+                os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
+                return max_id
+            if not dirs:
+                # Legacy single-line marker, original self-heal shape.
+                os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
+                return max_id
+        shutil.rmtree(tmp)
     if len(foldable) <= 1:
         return foldable[-1][0] if foldable else -1
     max_id = foldable[-1][0]

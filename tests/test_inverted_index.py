@@ -55,6 +55,35 @@ def test_index_roundtrip_equals_scan_and_prunes(spark, sf_smoke, tmp_path):
     assert "term" in pushed
 
 
+def test_serve_stats_memo_bounded_and_order_insensitive(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """ADVICE r9: the serve context's per-query stats memo must not grow
+    without bound over an index generation, and must key on the SORTED
+    term set (permutations of one query share an entry — _collect_stats
+    is order-insensitive)."""
+    from sum_spark.operators import search as search_mod
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "ii_memo")
+    write_inverted_index(docs, path)
+
+    a = bm25_from_index(spark, path, ["data", "model"], k=5)
+    b = bm25_from_index(spark, path, ["model", "data"], k=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    ctx = search_mod._ii_serve_ctx(spark, path)
+    assert list(ctx["stats"]) == [("data", "model")]
+
+    # Flood with distinct term sets: the memo stays FIFO-bounded (cap
+    # shrunk so the test stays fast — the constant is read at call time).
+    monkeypatch.setattr(search_mod, "_II_STATS_MEMO_MAX", 6)
+    for i in range(10):
+        bm25_from_index(spark, path, [f"zz_unseen_{i}"], k=1).count()
+    assert len(ctx["stats"]) <= 6
+    # The oldest entries were evicted, the newest kept.
+    assert ("zz_unseen_9",) in ctx["stats"]
+
+
 def test_meta_counts_zero_token_documents(spark):
     """A document with no tokens has no postings but still counts
     toward N and sum_dl — meta must come from the document frame."""

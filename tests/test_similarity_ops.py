@@ -1429,6 +1429,39 @@ def test_lut_backend_switch_and_serve_context(spark, tmp_path):
     assert live and all(i % 7 != 0 for i in live)
 
 
+def test_rerank_backends_agree_on_probe_id_type(spark, tmp_path):
+    """ADVICE r9: with a NON-LONG id column the two serve backends must
+    emit the SAME output schema — probe_id is LongType by the plan
+    path's int() coercion rule ('probe_id long' lut schema survives the
+    using-join), and the driver backend mirrors that rule instead of
+    echoing probes.schema[id_col]."""
+    import numpy as np
+    from pyspark.sql.types import LongType
+
+    from sum_spark.operators.similarity import knn_ivfpq_rerank, write_pq_index
+
+    rng = np.random.default_rng(31)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(6).tolist()) for i in range(120)],
+        "vec_id int, embedding array<double>",
+    )
+    idx = str(tmp_path / "pq_int_id")
+    write_pq_index(corpus, idx, m=2, n_codes=8, id_col="vec_id", vec_col="embedding")
+    kw = dict(k=4, c=12, m=2, n_probes=2, id_col="vec_id", vec_col="embedding")
+    probes = corpus.where("vec_id < 3")
+    plan = knn_ivfpq_rerank(spark, idx, corpus, probes, round_to=4, **kw)
+    drv = knn_ivfpq_rerank(
+        spark, idx, corpus, probes, round_to=4, serve_backend="driver", **kw
+    )
+    assert isinstance(plan.schema["probe_id"].dataType, LongType)
+    assert [(f.name, f.dataType) for f in drv.schema.fields] == [
+        (f.name, f.dataType) for f in plan.schema.fields
+    ]
+    got_p = sorted((r[0], r[1], round(r[2], 4), r[3]) for r in plan.collect())
+    got_d = sorted((r[0], r[1], round(r[2], 4), r[3]) for r in drv.collect())
+    assert got_p == got_d
+
+
 def test_round_half_up_py_matches_spark_round(spark):
     """_round_half_up_py must reproduce F.round on doubles exactly —
     including the .xxx5 shortest-repr midpoints where engines disagree

@@ -99,6 +99,52 @@ def test_compact_batches_crash_recovery_with_pending(spark, tmp_path):
     assert got == [(i, i * 10) for i in range(4)]
 
 
+def test_compact_batches_recovers_from_empty_success_marker(spark, tmp_path):
+    """Spark's parquet job commit creates an EMPTY _SUCCESS under
+    _compacted BEFORE compact_batches overwrites it with the stash — a
+    crash in that window must NOT wedge recovery (ADVICE r9: lines[0]
+    IndexError on every re-run stalled the stream's auto-compaction
+    hooks forever). No deletion has happened yet in that state, so the
+    re-run simply redoes the fold."""
+    path = str(tmp_path / "fam")
+    _write_batches(spark, path, [0, 1, 2])
+    # Simulate the crash window: tmp written by Spark (empty _SUCCESS),
+    # stash overwrite never landed, no batch dir deleted.
+    merged = spark.read.parquet(path).drop("batch_id")
+    merged.coalesce(1).write.parquet(f"{path}/_compacted")  # empty _SUCCESS
+
+    surviving = compact_batches(spark, path)
+    assert surviving == 2
+    dirs = sorted(os.path.basename(d) for d in glob.glob(path + "/batch_id=*"))
+    assert dirs == ["batch_id=2"]
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v").collect()))
+    assert got == [(i, i * 10) for i in range(3)]
+    # And the hook path that was wedging: repeated calls stay idempotent.
+    assert compact_batches(spark, path) == 2
+
+
+def test_compact_batches_legacy_single_line_marker_with_survivors(spark, tmp_path):
+    """A pre-stash-era single-line marker can't say which dirs were
+    folded; with batch dirs still present the old code's rename collided
+    with a surviving batch_id dir. The fix falls back to redoing the
+    fold (legacy recovery fires only when every batch dir is gone —
+    that case is covered in test_streaming_sketch)."""
+    path = str(tmp_path / "fam")
+    _write_batches(spark, path, [0, 1, 2])
+    merged = spark.read.parquet(path).drop("batch_id")
+    tmp = f"{path}/_compacted"
+    merged.coalesce(1).write.parquet(tmp)
+    with open(f"{tmp}/_SUCCESS", "w") as fh:
+        fh.write("2")  # legacy format: target id only, no folded ids
+
+    surviving = compact_batches(spark, path)
+    assert surviving == 2
+    dirs = sorted(os.path.basename(d) for d in glob.glob(path + "/batch_id=*"))
+    assert dirs == ["batch_id=2"]
+    got = sorted(map(tuple, spark.read.parquet(path).select("k", "v").collect()))
+    assert got == [(i, i * 10) for i in range(3)]
+
+
 def test_corpus_state_auto_compacts_over_long_stream(spark, sf_smoke, tmp_path):
     """30 micro-batches with auto_compact_after=8: directory counts stay
     bounded (compaction fired, repeatedly) and the assembled state still
