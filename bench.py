@@ -96,7 +96,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q39_asof_join": ("mode", ["back", "fwd", "tol"]),
     "q28_sliding_window": ("mode", ["slide", "trail"]),
     "q44_range_join": ("mode", ["in", "over"]),
-    "knn_search": ("mode", ["brute", "filt", "incr", "ivf", "ivfpq", "res", "rr"]),
+    "knn_search": ("mode", ["brute", "filt", "incr", "ivf", "ivfpq", "res", "rr", "tb", "gk"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
     "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
     "corpus_mixture": ("mode", ["mix", "plan", "cap"]),
@@ -136,12 +136,15 @@ def _text_profile_component_legs():
     }
 
 
-def format_stdout_line(timings: dict[str, float], sf) -> str:
+def format_stdout_line(timings: dict[str, float], sf, stalls: int = 0) -> str:
     """The ONE stdout JSON line the external harness parses. Compact
     separators and NO legs dict — the harness's capture window keeps only
     the last ~2,000 chars of output, and round 5's legs-inclusive line
     (3.2 KB) overflowed it. Legs live in BENCH_LEGS.json instead.
-    tests/test_bench_contract.py pins the length budget."""
+    tests/test_bench_contract.py pins the length budget. ``stalls`` is
+    the total count of discarded stall-straddling runs — nonzero means
+    the host misbehaved during the run and per-entry detail is in the
+    sidecar's ``stall_discards``."""
     total = round(sum(timings.values()), 3)
     return json.dumps(
         {
@@ -150,21 +153,116 @@ def format_stdout_line(timings: dict[str, float], sf) -> str:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "stalls": stalls,
         },
         separators=(",", ":"),
     )
 
 
-def _best_of(fn_make_df, max_runs: int, time_build: bool = True) -> float:
-    """Best of up to ``max_runs`` executions of the plan ``fn_make_df``
-    returns: the first run pays per-plan codegen/JIT and any transient
-    host CPU contention (observed 3-5x swings on the heavy dedup joins
-    in this virtualized environment); the minimum is the reproducible
-    steady-state cost of the plan itself. Plans still over 2s after two
-    runs get a third attempt — the heavy plans are exactly where host
-    contention tails are widest. count() executes the full plan; the
-    driver-side result transfer (tiny) is excluded so we measure engine
-    work, not IPC.
+class _StallWatch:
+    """Monotonic heartbeat that detects HOST stalls (VERDICT r9 #1): a
+    daemon thread samples ``time.monotonic()`` every 50 ms; a gap far
+    beyond the interval between consecutive samples means the OS stalled
+    the Python scheduler itself — the round-9 pathology (host-wide
+    page-zeroing storms, vmstat 30-80%% sys / ~0%% user, multi-ten-second
+    freezes). The heartbeat thread holds no GIL-bound work and the main
+    thread sits in py4j socket recv during Spark actions (GIL released),
+    so under a HEALTHY host the gap stays in the tens of milliseconds
+    even with all 32 cores busy in the JVM; a multi-second gap measures
+    the box, not the engine. Runs that straddle such a gap are discarded
+    and re-run (bench policy in :func:`_run_attempts`)."""
+
+    def __init__(self, interval: float = 0.05):
+        import threading
+
+        self._interval = interval
+        self._lock = threading.Lock()
+        self._max_gap = 0.0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._beat, name="bench-stallwatch", daemon=True
+        )
+        self._thread.start()
+
+    def _beat(self) -> None:
+        last = time.monotonic()
+        while not self._stop.wait(self._interval):
+            now = time.monotonic()
+            gap = now - last
+            last = now
+            with self._lock:
+                if gap > self._max_gap:
+                    self._max_gap = gap
+
+    def reset(self) -> None:
+        # A gap in progress at reset time lands in the NEW window —
+        # conservative: a run that starts inside a stall is discarded too.
+        with self._lock:
+            self._max_gap = 0.0
+
+    def max_gap(self) -> float:
+        with self._lock:
+            return self._max_gap
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+# A run is stall-contaminated when the heartbeat saw a scheduler gap of
+# at least this many seconds (env-tunable; 0 disables the watch). The
+# observed round-9 stalls were multi-ten-second; 2 s sits an order of
+# magnitude above healthy-host jitter under full JVM load.
+_STALL_GAP = float(os.environ.get("SPARK_GRAFT_STALL_GAP", "2.0"))
+# Extra attempts a plan may earn when runs get discarded, so a long
+# storm can't spin the bench forever.
+_STALL_EXTRA = 2
+
+
+def _run_attempts(run_once, max_runs: int, watch: _StallWatch | None):
+    """Best-of-N with stall discards. ``run_once()`` returns a tuple of
+    phase durations (total first). Runs whose window contained a
+    heartbeat gap >= _STALL_GAP measured the host, not the plan: they
+    are discarded and re-run, up to ``max_runs + _STALL_EXTRA`` total
+    attempts. Early exit (unchanged from the pre-stall bench): two CLEAN
+    runs with the best total <= 2 s skip the third — the heavy plans are
+    exactly where contention tails are widest, so they keep all runs.
+    If EVERY attempt stalled, the stalled minima are returned (a number
+    must be produced) and the discard count says how much to trust it.
+    Returns (per-position minima over clean runs, discard count)."""
+    clean: list[tuple] = []
+    stalled: list[tuple] = []
+    discards = 0
+    attempts = 0
+    while attempts < max_runs + _STALL_EXTRA and len(clean) < max_runs:
+        if len(clean) >= 2 and min(t[0] for t in clean) <= 2.0:
+            break
+        if watch is not None:
+            watch.reset()
+        t = run_once()
+        attempts += 1
+        if watch is not None and watch.max_gap() >= _STALL_GAP:
+            stalled.append(t)
+            discards += 1
+            continue
+        clean.append(t)
+    pool = clean or stalled
+    best = tuple(round(min(t[i] for t in pool), 3) for i in range(len(pool[0])))
+    return best, discards
+
+
+def _best_of(
+    fn_make_df,
+    max_runs: int,
+    time_build: bool = True,
+    watch: _StallWatch | None = None,
+) -> tuple[float, int]:
+    """Best of up to ``max_runs`` CLEAN executions of the plan
+    ``fn_make_df`` returns: the first run pays per-plan codegen/JIT, the
+    minimum is the reproducible steady-state cost of the plan itself,
+    and stall-straddling runs are discarded (see _run_attempts — the
+    round-9 artifacts measured host freezes, not the engine). count()
+    executes the full plan; the driver-side result transfer (tiny) is
+    excluded so we measure engine work, not IPC.
 
     ``time_build=False`` excludes plan CONSTRUCTION from the timing —
     used for per-leg numbers, where a sibling leg's eager driver work
@@ -172,11 +270,9 @@ def _best_of(fn_make_df, max_runs: int, time_build: bool = True) -> float:
     regardless of which leg is filtered) would otherwise be charged to
     every leg and drown the attribution the per-leg pass exists for.
     Entry timings keep construction in (end-to-end, the driver contract).
-    """
-    best = float("inf")
-    for attempt in range(max_runs):
-        if attempt == 2 and best <= 2.0:
-            break
+    Returns (best seconds, discarded-run count)."""
+
+    def run_once():
         if time_build:
             t0 = time.perf_counter()
             fn_make_df().count()
@@ -184,34 +280,38 @@ def _best_of(fn_make_df, max_runs: int, time_build: bool = True) -> float:
             df = fn_make_df()
             t0 = time.perf_counter()
             df.count()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 3)
+        return (time.perf_counter() - t0,)
+
+    best, discards = _run_attempts(run_once, max_runs, watch)
+    return best[0], discards
 
 
-def _best_of_split(fn_make_df, max_runs: int) -> tuple[float, float, float]:
+def _best_of_split(
+    fn_make_df, max_runs: int, watch: _StallWatch | None = None
+) -> tuple[float, float, float, int]:
     """Entry timing with the construction/execution attribution recorded
     mechanically (VERDICT r8 #7): per run, construction is fn() returning
     the DataFrame (py4j round-trips, eager driver work like kmeans fits
     and pipeline counts), execution is the count() action. The entry
-    number is the best TOTAL per run — bit-identical semantics to the
-    pre-split bench — while construct/execute are each phase's own best
-    across runs (the reproducible steady-state cost of that phase), so
-    their sum can differ from the total by scheduler noise. A py4j
-    construction regression now shows up as a sidecar diff instead of a
-    profiling hunch."""
-    best = best_c = best_e = float("inf")
-    for attempt in range(max_runs):
-        if attempt == 2 and best <= 2.0:
-            break
+    number is the best TOTAL per clean run — while construct/execute are
+    each phase's own best across runs (the reproducible steady-state cost
+    of that phase), so their sum can differ from the total by scheduler
+    noise. A py4j construction regression now shows up as a sidecar diff
+    instead of a profiling hunch. Stall-straddling runs are discarded
+    (_run_attempts), which is what keeps entry totals consistent with
+    their own splits — the round-9 failure mode was entry >> c + e.
+    Returns (best total, best construct, best execute, discards)."""
+
+    def run_once():
         t0 = time.perf_counter()
         df = fn_make_df()
         t1 = time.perf_counter()
         df.count()
         t2 = time.perf_counter()
-        best = min(best, t2 - t0)
-        best_c = min(best_c, t1 - t0)
-        best_e = min(best_e, t2 - t1)
-    return round(best, 3), round(best_c, 3), round(best_e, 3)
+        return (t2 - t0, t1 - t0, t2 - t1)
+
+    (b, c, e), discards = _run_attempts(run_once, max_runs, watch)
+    return b, c, e, discards
 
 
 def main() -> None:
@@ -234,14 +334,24 @@ def main() -> None:
     # per-leg pass (entry totals only, the pre-round-5 behavior).
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     time_legs = os.environ.get("SPARK_GRAFT_BENCH_LEGS", "1") != "0"
+    # SPARK_GRAFT_BENCH_SIDECAR=0 suppresses the BENCH_LEGS.json write so
+    # a judge/driver re-run can't clobber the committed working-tree
+    # artifact (VERDICT r9 "what's wrong"); timings still print.
+    write_sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "1") != "0"
+    watch = _StallWatch() if _STALL_GAP > 0 else None
 
     timings: dict[str, float] = {}
     legs: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
+    stall_discards: dict[str, int] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        timings[name], c, e = _best_of_split(lambda: fn(spark, sf_dir), max_runs)
+        timings[name], c, e, disc = _best_of_split(
+            lambda: fn(spark, sf_dir), max_runs, watch=watch
+        )
         split[name] = {"construct": c, "execute": e}
+        if disc:
+            stall_discards[name] = disc
         if not time_legs:
             continue
         if name in TAGGED_LEGS:
@@ -255,34 +365,51 @@ def main() -> None:
                     out._bench_keepalive = whole
                     return out
 
-                legs[f"{name}.{v}"] = _best_of(leg_df, max_runs, time_build=False)
+                legs[f"{name}.{v}"], disc = _best_of(
+                    leg_df, max_runs, time_build=False, watch=watch
+                )
+                if disc:
+                    stall_discards[f"{name}.{v}"] = disc
         elif name == "text_profile":
             for leg_name, leg_fn in _text_profile_component_legs().items():
-                legs[f"{name}.{leg_name}"] = _best_of(
+                legs[f"{name}.{leg_name}"], disc = _best_of(
                     lambda leg_fn=leg_fn: leg_fn(spark, sf_dir),
                     max_runs,
                     time_build=False,
+                    watch=watch,
                 )
+                if disc:
+                    stall_discards[f"{name}.{leg_name}"] = disc
+    if watch is not None:
+        watch.stop()
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    if legs or split:
+    if write_sidecar and (legs or split):
         # Sidecar, not stdout: the harness's stdout capture window is
         # ~2,000 chars and the legs dict alone exceeds it (VERDICT r5 #1).
         # "split" carries each entry's construction-vs-execution best
-        # (VERDICT r8 #7) so py4j regressions are caught by diff.
+        # (VERDICT r8 #7) so py4j regressions are caught by diff;
+        # "stall_discards" records which rows needed host-stall re-runs
+        # (VERDICT r9 #1) — an empty dict is the clean-host signature.
         legs_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_LEGS.json"
         )
         with open(legs_path, "w") as fh:
             json.dump(
-                {"sf": sf_val, "legs": legs, "split": split},
+                {
+                    "sf": sf_val,
+                    "legs": legs,
+                    "split": split,
+                    "stall_gap_s": _STALL_GAP,
+                    "stall_discards": stall_discards,
+                },
                 fh,
                 indent=1,
                 sort_keys=True,
             )
         print(f"per-leg timings -> {legs_path}", file=sys.stderr)
         print(json.dumps(legs, sort_keys=True), file=sys.stderr)
-    print(format_stdout_line(timings, sf_val))
+    print(format_stdout_line(timings, sf_val, stalls=sum(stall_discards.values())))
 
 
 if __name__ == "__main__":

@@ -1330,6 +1330,13 @@ def _round_half_up_py(x: float, scale: int) -> float:
     return 0.0 if out == 0.0 else out
 
 
+# Cap on code rows held by a serve context's per-coarse-list LRU cache
+# (_rerank_driver): ~500k rows of (id, m uint8 codes) is a few tens of
+# MB driver-side — generous for hot-list amortization, bounded for a
+# long-lived stream probing diverse lists.
+_DRIVER_LISTS_CACHE_ROWS = 500_000
+
+
 def _rerank_driver(
     spark,
     path: str,
@@ -1349,11 +1356,14 @@ def _rerank_driver(
     """The ``serve_backend='driver'`` micro-batch serve: every
     intermediate of the two-stage rerank is DRIVER-BOUNDED by contract
     (probes x n_probes LUTs, probed lists' code rows, probes x c
-    candidates, their raw vectors), so a small probe batch pays exactly
-    TWO Spark jobs — the uncached probed lists' code fetch (partition-
-    pruned, netted rows cached in the serve context per on-disk
-    generation, so hot lists amortize across triggers) and the candidate
-    raw-vector fetch (the same broadcast id-join stage 2 always runs) —
+    candidates, their raw vectors), so a small probe batch pays a small
+    CONSTANT number of Spark jobs — the probe collect, the candidate
+    raw-vector fetch (the broadcast id-join stage 2, whose broadcast may
+    materialize as its own job under AQE), and on a COLD serve one
+    probed-list code fetch (partition-pruned, netted rows cached in the
+    serve context per on-disk generation, so hot lists amortize across
+    triggers; job accounting pinned by
+    test_rerank_driver_bounded_job_contract) —
     instead of the full composed plan's job/stage cascade per trigger
     (measured ~5x per-trigger cost at bench_streaming's 200-probe
     batches, BASELINE round-9 streaming table). Results are BIT-EQUAL to
@@ -1375,8 +1385,20 @@ def _rerank_driver(
         book, res_book, probe_rows, m, n_probes, lut_backend
     )
     probed = sorted({cid for _, cid, _ in pairs})
+    # Per-context LRU over coarse lists' code rows (VERDICT r9 #3): a
+    # months-long stream probing diverse lists must not converge on
+    # holding the whole codes table driver-side. dict preserves
+    # insertion order, so move-to-end on hit + evict-from-front bounds
+    # the cache at _DRIVER_LISTS_CACHE_ROWS rows — except the lists THIS
+    # serve needs, which are always kept (correctness over cap). The
+    # whole cache still drops on generation change (fresh ctx).
     lists = ctx.setdefault("lists", {})
-    missing = [cid for cid in probed if cid not in lists]
+    missing = []
+    for cid in probed:
+        if cid in lists:
+            lists[cid] = lists.pop(cid)  # LRU move-to-end
+        else:
+            missing.append(cid)
     if missing:
         for cid in missing:
             lists[cid] = []
@@ -1386,6 +1408,14 @@ def _rerank_driver(
             .collect()
         ):
             lists[int(r["coarse"])].append((r[id_col], list(r["codes"])))
+        total = sum(len(v) for v in lists.values())
+        needed = set(probed)
+        for cid in list(lists):
+            if total <= _DRIVER_LISTS_CACHE_ROWS:
+                break
+            if cid in needed:
+                continue
+            total -= len(lists.pop(cid))
 
     # Stage 1: ADC per (probe, candidate in probed lists) — the same
     # left-to-right m-lookup sum as the plan's element_at chain — then

@@ -896,7 +896,12 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus by id, true-cosine top-5. The oracle recomputes both stages
     # (rrcand = scoredi rank<=20; rr = exact cosine over rrcand), so the
     # hash match proves the two-stage serve returns the exact top-k of
-    # the ADC candidate set.
+    # the ADC candidate set. serve_backend='driver' (VERDICT r9 #2)
+    # routes this leg through _rerank_driver — the micro-batch serve the
+    # streaming ANN sink uses — so the driver backend earns its own
+    # hash-checked CORRECTNESS row: its results are bit-equal to the
+    # plan path by construction (parity-pinned incl. the HALF_UP
+    # rounding twin), so the SAME oracle SQL checks both backends.
     from sum_spark.operators.similarity import knn_ivfpq_rerank
 
     rr = knn_ivfpq_rerank(
@@ -910,6 +915,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to=4,
         adc_round_to=4,
         serve_ctx=_serve_ctx(spark, incr_path),
+        serve_backend="driver",
     ).select(
         F.lit("rr").alias("mode"),
         "probe_id",

@@ -221,10 +221,11 @@ def streaming_ann_rerank(
     batched m-reduction form), and serves through the DRIVER backend
     (``serve_backend='driver'``, similarity._rerank_driver): a
     micro-batch's intermediates are all driver-bounded by contract, so
-    the serve pays two Spark jobs (uncached probed-list code fetch —
-    hot lists cached in the context per index generation — and the
-    candidate raw-vector fetch) instead of the composed plan's
-    job/stage cascade per trigger. numpy reduction order differs from
+    the serve pays a small constant number of Spark jobs (probe
+    collect, candidate raw-vector fetch, plus ONE cold probed-list code
+    fetch per index generation — hot lists cached in the context; the
+    accounting is pinned by test_rerank_driver_bounded_job_contract)
+    instead of the composed plan's job/stage cascade per trigger. numpy reduction order differs from
     the Python fold in the last bits — engine-deterministic, same
     contract as every large-k path — so stream==batch parity is against
     the batch rerank at the SAME backend (tests pass

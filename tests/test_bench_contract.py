@@ -18,7 +18,7 @@ def _fake_timings() -> dict[str, float]:
 
 
 def test_stdout_line_under_capture_window():
-    line = bench.format_stdout_line(_fake_timings(), 0.1)
+    line = bench.format_stdout_line(_fake_timings(), 0.1, stalls=999)
     assert len(line) < 1800, (
         f"bench stdout line is {len(line)} chars; the harness tail capture "
         "is ~2000 — move data to BENCH_LEGS.json, don't widen this line"
@@ -35,6 +35,87 @@ def test_stdout_line_is_parseable_json_with_required_keys():
     assert set(parsed["queries"]) == set(bench.HEADLINE)
     assert parsed["value"] == round(sum(parsed["queries"].values()), 3)
     assert "legs" not in parsed  # legs belong to the sidecar file only
+
+
+class _FakeWatch:
+    """Scripted stand-in for bench._StallWatch: max_gap() returns the
+    next value from the script (one per run), so tests can declare which
+    attempts 'straddled a stall'."""
+
+    def __init__(self, gaps):
+        self._gaps = list(gaps)
+
+    def reset(self):
+        pass
+
+    def max_gap(self):
+        return self._gaps.pop(0) if self._gaps else 0.0
+
+
+def test_run_attempts_discards_stalled_runs_and_reruns():
+    """VERDICT r9 #1: a run whose window contained a heartbeat gap >=
+    the stall threshold measured the host, not the plan — it must not
+    fold into the best, and it earns a re-run."""
+    times = iter([50.0, 3.1, 3.2, 3.05])  # stalled, then three clean
+    runs = []
+
+    def run_once():
+        t = next(times)
+        runs.append(t)
+        return (t,)
+
+    # First attempt stalls (gap 30 s), the rest are clean.
+    best, discards = bench._run_attempts(
+        run_once, max_runs=3, watch=_FakeWatch([30.0])
+    )
+    assert discards == 1
+    assert best == (3.05,)  # the stalled 50 s run did NOT win or count
+    assert len(runs) == 4  # 3 clean runs + the discarded one
+
+
+def test_run_attempts_all_stalled_falls_back_with_discard_count():
+    """If every attempt stalled, a number must still be produced — the
+    stalled minima — and the discard count says how much to trust it.
+    The extra-attempt cap bounds the spin during a long storm."""
+    best, discards = bench._run_attempts(
+        lambda: (9.0,), max_runs=2, watch=_FakeWatch([30.0] * 10)
+    )
+    assert best == (9.0,)
+    assert discards == 2 + bench._STALL_EXTRA  # max_runs + extras, all burned
+
+
+def test_run_attempts_early_exit_counts_only_clean_runs():
+    """The <=2 s early exit (pre-stall behavior: two runs, skip the
+    third) must count CLEAN runs — a discarded run doesn't advance it."""
+    calls = []
+
+    def run_once():
+        calls.append(1)
+        return (0.5,)
+
+    best, discards = bench._run_attempts(
+        run_once, max_runs=3, watch=_FakeWatch([30.0, 0.0, 0.0])
+    )
+    assert best == (0.5,)
+    assert discards == 1
+    assert len(calls) == 3  # 1 discarded + 2 clean, early exit after 2 clean
+
+
+def test_stallwatch_heartbeat_stays_quiet_on_a_healthy_thread():
+    """The real heartbeat's gap under no load is ~the sample interval —
+    far below the 2 s discard threshold (sanity that the default can't
+    discard healthy runs)."""
+    import time as _t
+
+    w = bench._StallWatch(interval=0.01)
+    try:
+        _t.sleep(0.3)
+        assert w.max_gap() < bench._STALL_GAP / 4
+        w.reset()
+        _t.sleep(0.05)
+        assert w.max_gap() < bench._STALL_GAP / 4
+    finally:
+        w.stop()
 
 
 def test_legs_do_not_fit_and_therefore_must_stay_off_stdout():

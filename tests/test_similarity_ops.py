@@ -1429,6 +1429,104 @@ def test_lut_backend_switch_and_serve_context(spark, tmp_path):
     assert live and all(i % 7 != 0 for i in live)
 
 
+def test_rerank_driver_bounded_job_contract(spark, tmp_path):
+    """VERDICT r9 #2: the driver serve backend's per-call Spark-job
+    count is a small CONSTANT (probe collect + candidate raw-vector
+    fetch, plus at most a broadcast materialization), with exactly ONE
+    extra job on a cold serve — the probed-list code fetch, cached in
+    the serve context per on-disk generation so hot lists amortize
+    across micro-batches. The composed plan path pays a whole job/stage
+    cascade per trigger; this constant bound is the reason the
+    streaming ANN sink serves through the driver backend."""
+    import numpy as np
+
+    from sum_spark.operators.similarity import (
+        knn_ivfpq_rerank,
+        pq_serve_context,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(6).tolist()) for i in range(200)],
+        "id long, data array<double>",
+    )
+    idx = str(tmp_path / "pq_jobs")
+    write_pq_index(corpus, idx, m=2, n_codes=8)
+    probes = corpus.where("id < 3")
+    sc = spark.sparkContext
+    cache: dict = {}
+    ctx = pq_serve_context(spark, idx, cache=cache)
+
+    def jobs(tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            knn_ivfpq_rerank(
+                spark, idx, corpus, probes, k=4, c=10, m=2,
+                serve_backend="driver", serve_ctx=ctx,
+            )
+        finally:
+            sc.setJobGroup(None, None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    cold = jobs("rr-driver-cold")
+    warm = jobs("rr-driver-warm")
+    warm2 = jobs("rr-driver-warm2")
+    # One extra job cold: the probed-list code fetch, then never again
+    # for this index generation.
+    assert cold - warm == 1, (cold, warm)
+    # Warm serves pay a bounded constant — NOT a per-trigger cascade.
+    assert warm == warm2 <= 3, (warm, warm2)
+
+
+def test_rerank_driver_lists_cache_lru_bounded(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #3: the serve context's per-coarse-list codes cache is
+    LRU-bounded — a long-lived stream probing many DISTINCT lists holds
+    the cache under the row cap (while the lists the current serve needs
+    are always kept), and results are unchanged vs the plan backend."""
+    import numpy as np
+
+    from sum_spark.operators import similarity as sim
+    from sum_spark.operators.similarity import (
+        knn_ivfpq_rerank,
+        pq_serve_context,
+        write_pq_index,
+    )
+
+    rng = np.random.default_rng(13)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(6).tolist()) for i in range(400)],
+        "id long, data array<double>",
+    )
+    idx = str(tmp_path / "pq_lru")
+    # Many coarse cells so successive probe batches hit distinct lists.
+    write_pq_index(corpus, idx, m=2, n_codes=8, n_cells=16)
+    cap = 60
+    monkeypatch.setattr(sim, "_DRIVER_LISTS_CACHE_ROWS", cap)
+    cache: dict = {}
+    kw = dict(k=4, c=10, m=2, n_probes=2)
+    for lo in range(0, 400, 40):
+        probes = corpus.where(f"id >= {lo} and id < {lo + 4}")
+        ctx = pq_serve_context(spark, idx, cache=cache)
+        drv = knn_ivfpq_rerank(
+            spark, idx, corpus, probes, serve_backend="driver",
+            serve_ctx=ctx, **kw,
+        )
+        plan = knn_ivfpq_rerank(spark, idx, corpus, probes, **kw)
+        assert sorted(map(tuple, drv.collect())) == sorted(
+            map(tuple, plan.collect())
+        ), lo
+        lists = ctx["lists"]
+        held = sum(len(v) for v in lists.values())
+        # Eviction invariant: either the cache is under the cap, or
+        # everything still held was needed by THIS serve (at most
+        # |probes| * n_probes = 8 lists — correctness beats the cap).
+        if held > cap:
+            assert len(lists) <= 8, (lo, held, len(lists))
+    # The cache genuinely evicted: far fewer rows than the whole table.
+    assert sum(len(v) for v in ctx["lists"].values()) < 400
+
+
 def test_rerank_backends_agree_on_probe_id_type(spark, tmp_path):
     """ADVICE r9: with a NON-LONG id column the two serve backends must
     emit the SAME output schema — probe_id is LongType by the plan
