@@ -1206,12 +1206,17 @@ def dedup_clusters(
     Size-adaptive execution (the broadcast-join principle applied to
     iteration): the dup-pair graph is orders of magnitude smaller than the
     corpus — even a 100 TB corpus with 1% near-dup rate yields a graph
-    that fits in driver memory. Up to ``driver_max_edges`` (default 500k;
-    budget ~100-150 MB of driver RSS — a Python int-keyed parent dict plus
-    the result rows costs ~100-200 bytes per node, an order of magnitude
-    over the raw 16 B/edge) the components are solved with one bounded
-    collect + union-find (micro-seconds, zero iteration jobs); above it,
-    the distributed hash-min label propagation below runs unchanged. Pass
+    that fits in driver memory. Up to ``driver_max_edges`` RAW pairs
+    (default 500k; budget ~100-150 MB of driver RSS — a Python int-keyed
+    parent dict plus the result rows costs ~100-200 bytes per node, an
+    order of magnitude over the raw 16 B/edge) the components are solved
+    with ONE bounded limit-collect of the raw pair plan + union-find
+    (micro-seconds, zero iteration jobs; union-find is symmetric and
+    duplicate-tolerant, so the mirror+distinct the distributed rounds
+    need is skipped entirely — it used to cost a persist, a distinct
+    shuffle, a count job and per-partition toLocalIterator round-trips
+    before the first component came out). Above the cap, the distributed
+    hash-min label propagation below runs unchanged. Pass
     ``driver_max_edges=0`` to force the distributed path. Both paths
     return the same surface: (doc_id, cluster_id, cluster_size) ordered
     by doc_id.
@@ -1220,10 +1225,34 @@ def dedup_clusters(
     in a pair; cluster_id = min doc_id of the component (the keeper).
     """
     spark = pairs.sparkSession
+    raw = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    if driver_max_edges > 0:
+        # Bounded collect (the threshold caps driver memory like a
+        # broadcast-join threshold caps the build side): cap+1 rows tell
+        # us whether the graph fits WITHOUT a separate count job, and
+        # when it fits the collected rows ARE the input (limit returns
+        # every row when the plan has fewer than the limit, so the
+        # result is deterministic exactly when it is used).
+        head = raw.limit(int(driver_max_edges) + 1).collect()
+        if len(head) <= driver_max_edges:
+            labels_map = _cc_union_find((r[0], r[1]) for r in head)
+            sizes: dict[int, int] = {}
+            for lab in labels_map.values():
+                sizes[lab] = sizes.get(lab, 0) + 1
+            rows = sorted(
+                (node, lab, sizes[lab]) for node, lab in labels_map.items()
+            )
+            # Explicit orderBy so both execution paths guarantee the same
+            # ordering (createDataFrame row order is incidental, not a
+            # contract; the rows are pre-sorted so the sort is one cheap
+            # pass).
+            return spark.createDataFrame(
+                rows, "doc_id long, cluster_id long, cluster_size long"
+            ).orderBy("doc_id")
     # Persist the directed pair list BEFORE mirroring it: the union's two
     # branches otherwise both evaluate the (expensive — candidate join +
     # verify) upstream pair plan in the same job.
-    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
+    e = raw.persist()
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -1237,28 +1266,6 @@ def dedup_clusters(
     # free (it materializes the persist we need anyway).
     n_edges = edges.count()
     e.unpersist()
-    if n_edges <= driver_max_edges:
-        # Bounded collect (the threshold caps driver memory like a
-        # broadcast-join threshold caps the build side). toLocalIterator
-        # runs one job PER PARTITION, and the distinct above left the
-        # session's shuffle partition count — hundreds of scheduler
-        # round-trips for a tiny cached edge list. Compact to a handful
-        # of partitions first (reads the cache, no recompute).
-        compact = edges.coalesce(max(1, n_edges // 250_000 + 1))
-        labels_map = _cc_union_find((r[0], r[1]) for r in compact.toLocalIterator())
-        edges.unpersist()
-        sizes: dict[int, int] = {}
-        for lab in labels_map.values():
-            sizes[lab] = sizes.get(lab, 0) + 1
-        rows = sorted(
-            (node, lab, sizes[lab]) for node, lab in labels_map.items()
-        )
-        # Explicit orderBy so both execution paths guarantee the same
-        # ordering (createDataFrame row order is incidental, not a
-        # contract; the rows are pre-sorted so the sort is one cheap pass).
-        return spark.createDataFrame(
-            rows, "doc_id long, cluster_id long, cluster_size long"
-        ).orderBy("doc_id")
     p = int(max(8, min(n_edges // 100_000 + 1, 4096)))
     prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
     labels = edges.select(F.col("a").alias("node")).distinct().select(

@@ -467,6 +467,70 @@ def temperature_weights(
     }
 
 
+def _monotone_bucket(df: DataFrame, order_col: str, n: int):
+    """A deterministic integer bucket id, MONOTONE in ``order_col`` —
+    the layout-independent replacement for repartitionByRange +
+    spark_partition_id in the two-pass placement operators: rows are
+    quantized into ~``n`` contiguous key ranges by min/max arithmetic
+    (the bounds ride in as ONE broadcast row, no driver collect), so
+    per-bucket local order concatenates to exactly the global order.
+    Because the bucket is a pure function of the DATA (never of physical
+    partition layout), there is nothing for AQE to re-roll and nothing
+    to checkpoint — and unlike repartitionByRange there is NO hidden
+    sampling pass, which used to execute the upstream plan (token
+    counting over the full text column) twice per placement.
+
+    Monotone, not equi-populated: a lumpy key distribution yields
+    uneven buckets (bounded by the key range, still correct — same
+    failure shape as a hot range partition). Equal keys land in one
+    bucket, so a non-unique first order column never straddles.
+
+    The bucketed projection is hash-repartitioned on __b and
+    MATERIALIZED (localCheckpoint): the placement operators read it
+    from two branches (per-bucket stats and the data pass), and
+    unmaterialized each branch would re-run the upstream scan — for
+    packing, the full-text token count. Unlike the repartitionByRange
+    form this replaced, materialization is a pure PERFORMANCE choice: a
+    recompute reproduces identical buckets (data-derived, never
+    layout-derived), so nothing depends on the checkpoint for
+    correctness — and there is no range-sampling pass, which used to
+    execute that same upstream scan a second time before the shuffle.
+
+    Returns (checkpointed df ++ [__b], "__b"); supports integral,
+    floating and decimal keys (floor((x-mn)/w) is monotone under IEEE
+    rounding)."""
+    dt = df.schema[order_col].dataType.simpleString()
+    mn, mx = F.col("__mn"), F.col("__mx")
+    x = F.col(order_col)
+    bounds = df.agg(F.min(order_col).alias("__mn"), F.max(order_col).alias("__mx"))
+    d = df.crossJoin(F.broadcast(bounds))
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        # Integer end-to-end (DIV, never `/` + cast): width >= 1,
+        # bucket = (x-mn) DIV width — quotients of 60-bit keys lose low
+        # bits as doubles (the cap_domain_tokens lesson; monotonicity
+        # would survive, but integer ops make the bucketing exact).
+        b = F.expr(
+            f"CAST((CAST(`{order_col}` AS BIGINT) - CAST(__mn AS BIGINT)) DIV "
+            f"((CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT)) DIV {int(n)} + 1) "
+            f"AS BIGINT)"
+        )
+    else:
+        w = (mx.cast("double") - mn.cast("double")) / F.lit(float(n))
+        b = F.when(w <= 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.floor((x.cast("double") - mn.cast("double")) / w),
+                F.lit(n - 1),
+            )
+        ).cast("long")
+    out = (
+        d.withColumn("__b", b)
+        .drop("__mn", "__mx")
+        .repartition(n, F.col("__b"))
+        .localCheckpoint()
+    )
+    return out, "__b"
+
+
 def assign_contiguous_ids(
     df: DataFrame,
     order_cols: list[str],
@@ -477,47 +541,33 @@ def assign_contiguous_ids(
     single-partition sort — the scale-correct form of
     row_number() OVER (ORDER BY ...), which Spark executes on one task.
 
-    Two-pass: range-repartition on the order key (each partition holds a
-    contiguous key range), number rows locally per partition, then add
-    each partition's cumulative row-count offset (a tiny broadcast — one
-    row per partition). order_cols must be a unique key for the ids to be
-    deterministic (range boundaries are sample-based).
-
-    The range-partitioned frame is MATERIALIZED (localCheckpoint) before
-    the two branches (counts and data) read it: ``spark_partition_id()``
-    is otherwise re-evaluated per branch, and AQE may coalesce the shared
-    exchange differently in each (observed once exchange reuse breaks,
-    e.g. under an extra downstream window) — the offsets would then
-    disagree with the data's pids and silently corrupt the ids. A lazy
-    persist is NOT enough: composed queries drop the intermediate Python
-    reference before executing, and any recompute re-rolls the dice.
-    localCheckpoint pins the partitioning as stored blocks whose lifetime
-    Spark's ContextCleaner ties to the derived plans (on a cluster, swap
-    for checkpoint() to reliable storage — executor loss recomputes a
-    localCheckpoint non-deterministically).
-    """
+    Two-pass: quantize the leading order key into ~n contiguous ranges
+    (``_monotone_bucket`` — a pure data function, so no sampling pass,
+    no physical-layout dependence, nothing for AQE to re-roll), number
+    rows locally per bucket, then add each bucket's cumulative row-count
+    offset (a tiny broadcast — one row per bucket, structurally bounded
+    at ~n rows). order_cols must be a unique key for the ids to be
+    deterministic. The bucket groupBy and the local window share the
+    same key, so the plan needs ONE wide shuffle of the (key, id)
+    projection and the offsets reuse its exchange."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
-    d = (
-        df.repartitionByRange(n, *cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    local = Window.partitionBy("__pid").orderBy(*cols)
-    counts = d.groupBy("__pid").agg(F.count("*").alias("__c"))
-    # One row per partition: the running offset window is tiny by
-    # construction (single-partition over n rows, not over the data).
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    d, bcol = _monotone_bucket(df, order_cols[0], n)
+    local = Window.partitionBy(bcol).orderBy(*cols)
+    counts = d.groupBy(bcol).agg(F.count("*").alias("__c"))
+    # One row per bucket: the running offset window is tiny by
+    # construction (single-partition over ~n rows, not over the data).
+    off_w = Window.orderBy(bcol).rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+        bcol, F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
     )
     return (
-        d.join(F.broadcast(offsets), "__pid")
+        d.join(F.broadcast(offsets), bcol)
         .withColumn(id_name, (F.col("__off") + F.row_number().over(local)).cast("long"))
-        .drop("__pid", "__off")
+        .drop(bcol, "__off")
     )
 
 def pack_sequences(
@@ -537,9 +587,13 @@ def pack_sequences(
     not split).
 
     Scale shape: the global running token sum is computed the same
-    two-pass way as assign_contiguous_ids — range-partition on the order
-    key, partition-local cumulative sums, plus a broadcast of one
-    token-total row per partition. No single-task window, one shuffle.
+    two-pass way as assign_contiguous_ids — quantize doc_id into ~n
+    contiguous ranges (``_monotone_bucket``: a pure data function, so
+    no range-partitioner sampling pass re-running the token count over
+    the full text column, no localCheckpoint, no layout dependence),
+    bucket-local cumulative sums, plus a broadcast of one token-total
+    row per bucket. No single-task window; the bucket groupBy and the
+    local window share one shuffle key.
 
     Output: (doc_id, n_tokens, pack_id) ordered by doc_id.
     """
@@ -547,8 +601,6 @@ def pack_sequences(
 
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    # Materialized for the same reason as assign_contiguous_ids: __pid
-    # must be evaluated once, not per branch (AQE coalescing can differ).
     # NULL text packs as 0 tokens: packing must assign EVERY input row a
     # pack (a NULL pack_id would silently drop the doc from pack-grouped
     # training assembly); a no-token doc rides along in whatever pack the
@@ -561,21 +613,20 @@ def pack_sequences(
         nt = F.coalesce(
             F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
         )
-    d = (
-        df.select(F.col(id_col).alias("doc_id"), nt.alias("n_tokens"))
-        .repartitionByRange(n, F.col("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    d, bcol = _monotone_bucket(
+        df.select(F.col(id_col).alias("doc_id"), nt.alias("n_tokens")),
+        "doc_id",
+        n,
     )
     local = (
-        Window.partitionBy("__pid")
+        Window.partitionBy(bcol)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    sums = d.groupBy("__pid").agg(F.sum("n_tokens").alias("__c"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    sums = d.groupBy(bcol).agg(F.sum("n_tokens").alias("__c"))
+    off_w = Window.orderBy(bcol).rowsBetween(Window.unboundedPreceding, -1)
     offsets = sums.select(
-        "__pid", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+        bcol, F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
     )
     # token_base shifts the running sum's origin: a caller packing an
     # APPEND (streaming/pack.py) passes the token total of everything
@@ -590,7 +641,7 @@ def pack_sequences(
         - F.col("n_tokens")
     )
     return (
-        d.join(F.broadcast(offsets), "__pid")
+        d.join(F.broadcast(offsets), bcol)
         .select("doc_id", "n_tokens", cum_before.cast("long").alias("__before"))
         .select(
             "doc_id",
