@@ -60,11 +60,12 @@ def _shingle_hashes(
 
 def decontaminate(
     corpus: DataFrame | None,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None,
     n: int = SHINGLE_N,
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_hashes: DataFrame | None = None,
+    benchmark_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Contamination report: corpus documents sharing at least one word
     n-gram with any benchmark document, with the count of distinct
@@ -75,16 +76,27 @@ def decontaminate(
     shingle hashes, e.g. ``minhash_signatures``'s ``hh`` column exploded
     — to reuse hashes already computed for dedup instead of re-scanning
     corpus text (``corpus`` may then be None). The benchmark side is
-    tiny and is always hashed here. HARD PRECONDITION: the supplied
-    hashes must have been built at the SAME shingle width as ``n`` —
-    widths are not validated, and a mismatch silently produces a
-    near-empty contamination report (the equi-join finds no overlaps).
+    tiny and is hashed here unless ``benchmark_hashes`` supplies the
+    DISTINCT (__h) rows precomputed — a repeated caller (the streaming
+    corpus-state sink, which decontaminates every micro-batch against
+    the SAME static benchmark) persists them once instead of re-hashing
+    the benchmark per call; ``benchmark`` may then be None. HARD
+    PRECONDITION: any supplied hashes must have been built at the SAME
+    shingle width as ``n`` — widths are not validated, and a mismatch
+    silently produces a near-empty contamination report (the equi-join
+    finds no overlaps).
 
     Output: (doc_id, n_hits) ordered by doc_id.
     """
     if corpus is None and corpus_hashes is None:
         raise ValueError("decontaminate needs corpus or corpus_hashes")
-    bench = _shingle_hashes(benchmark, n, text_col, None).distinct()
+    if benchmark is None and benchmark_hashes is None:
+        raise ValueError("decontaminate needs benchmark or benchmark_hashes")
+    bench = (
+        benchmark_hashes
+        if benchmark_hashes is not None
+        else _shingle_hashes(benchmark, n, text_col, None).distinct()
+    )
     corp = (
         corpus_hashes
         if corpus_hashes is not None

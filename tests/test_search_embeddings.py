@@ -233,6 +233,36 @@ def test_decontaminate_planted_overlap(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_decontaminate_accepts_precomputed_benchmark_hashes(spark):
+    """The streaming corpus-state sink decontaminates every micro-batch
+    against the SAME static benchmark; ``benchmark_hashes`` lets it hash
+    the benchmark once (VERDICT r9 #4) — results must equal the
+    hash-it-here path exactly, and omitting both sides must raise."""
+    import pytest
+
+    from sum_spark.operators.decontam import _shingle_hashes, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "xx beta gamma delta epsilon yy"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    pre = _shingle_hashes(bench, 3, "text", None).distinct()
+    via_df = sorted(map(tuple, decontaminate(corpus, bench, n=3).collect()))
+    via_hashes = sorted(
+        map(
+            tuple,
+            decontaminate(corpus, None, n=3, benchmark_hashes=pre).collect(),
+        )
+    )
+    assert via_df == via_hashes and via_df
+    with pytest.raises(ValueError, match="benchmark"):
+        decontaminate(corpus, None, n=3)
+
+
 def test_decontaminate_broadcasts_benchmark(spark):
     import contextlib
     import io
