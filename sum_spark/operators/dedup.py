@@ -1225,16 +1225,24 @@ def dedup_clusters(
     in a pair; cluster_id = min doc_id of the component (the keeper).
     """
     spark = pairs.sparkSession
-    raw = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # Persist the directed pair list up front: the driver-path probe
+    # below computes (much of) it, and on fallback the distributed
+    # union's two branches would otherwise BOTH re-evaluate the
+    # (expensive — candidate join + verify) upstream pair plan — the
+    # round-10 30x point caught exactly that: crossing the cap cost a
+    # wasted full execution of the pair plan before the iteration began.
+    e = pairs.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).persist()
     if driver_max_edges > 0:
         # Bounded collect (the threshold caps driver memory like a
         # broadcast-join threshold caps the build side): cap+1 rows tell
         # us whether the graph fits WITHOUT a separate count job, and
         # when it fits the collected rows ARE the input (limit returns
         # every row when the plan has fewer than the limit, so the
-        # result is deterministic exactly when it is used).
-        head = raw.limit(int(driver_max_edges) + 1).collect()
+        # result is deterministic exactly when it is used). The probe's
+        # partial computation lands in the persist either way.
+        head = e.limit(int(driver_max_edges) + 1).collect()
         if len(head) <= driver_max_edges:
+            e.unpersist()
             labels_map = _cc_union_find((r[0], r[1]) for r in head)
             sizes: dict[int, int] = {}
             for lab in labels_map.values():
@@ -1249,10 +1257,6 @@ def dedup_clusters(
             return spark.createDataFrame(
                 rows, "doc_id long, cluster_id long, cluster_size long"
             ).orderBy("doc_id")
-    # Persist the directed pair list BEFORE mirroring it: the union's two
-    # branches otherwise both evaluate the (expensive — candidate join +
-    # verify) upstream pair plan in the same job.
-    e = raw.persist()
     edges = (
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
