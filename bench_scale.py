@@ -467,6 +467,59 @@ def build_clustered(spark) -> None:
     )
 
 
+def semrecall_block(spark) -> dict:
+    """SemDeDup found-pair recall vs cluster count (VERDICT r9 #7): the
+    k='auto' sizing keeps per-cluster population constant at scale, but
+    more clusters means more near-dup pairs straddling a cluster
+    boundary — the method's documented recall trade. This block measures
+    it on the clustered fixture: ground truth is the EXACT all-pairs
+    cosine (blocked numpy GEMM over the collected 20k x 64 matrix — the
+    fixture is driver-sized by design), and since semantic_dedup emits
+    only exact-verified within-cluster pairs, found-pairs are a subset
+    of truth and recall is a count ratio. Reported per (k, threshold),
+    k spanning the old fixed default (8), the auto sizing at this N, the
+    fixture's true cluster count (40) and an over-split (80); plus the
+    2-nearest-cluster probe mitigation (probes=2) where it matters."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators import clustering
+
+    emb = spark.read.parquet(os.path.join(CLUSTERED_DIR, "embeddings.parquet"))
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    n = len(x)
+    thresholds = (0.6, 0.7, 0.8, 0.9)
+    truth = {t: 0 for t in thresholds}
+    step = 2048
+    for i in range(0, n, step):
+        sims = xn[i : i + step] @ xn.T
+        for t in thresholds:
+            hit = sims >= t
+            # count j > i-block-global pairs only
+            for bi in range(hit.shape[0]):
+                truth[t] += int(hit[bi, i + bi + 1 :].sum())
+    ks = {"k8_fixed": 8, "k_auto": clustering.sem_auto_k(n), "k40_true": 40, "k80_over": 80}
+    out: dict = {"n": n, "truth_pairs": {str(t): truth[t] for t in thresholds},
+                 "auto_k_at_n": clustering.sem_auto_k(n)}
+    for tag, kk in ks.items():
+        cents = clustering.kmeans_fit(
+            emb, k=kk, iters=2, id_col="vec_id", vec_col="embedding"
+        )
+        for probes in (1, 2):
+            row = {}
+            for t in thresholds:
+                found = clustering.semantic_dedup(
+                    emb, threshold=t, id_col="vec_id", vec_col="embedding",
+                    centroids=cents, probes=probes,
+                ).count()
+                row[str(t)] = round(found / truth[t], 4) if truth[t] else None
+            out[f"{tag}_p{probes}"] = row
+    return out
+
+
 def clustered_block(spark, k: int = 10) -> dict:
     """Recall@k on the clustered fixture: trained-coarse-book rerank
     with RAW vs RESIDUAL PQ codes at equal candidate fetch C (the
@@ -675,8 +728,9 @@ def main() -> None:
     REGISTRY["dedup_exact"].fn(spark, BASE_SF_DIR).count()
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")  # '', 'entries',
-    # 'skew', 'recall', 'clustered', 'cells' — or comma-combinations;
-    # empty runs everything.
+    # 'skew', 'recall', 'clustered', 'cells', 'semrecall' — or
+    # comma-combinations; empty runs everything except semrecall (it is
+    # a design-question block, not a per-round regression row).
     want = (
         set(only.split(","))
         if only
@@ -753,6 +807,10 @@ def main() -> None:
         ):
             build_clustered(spark)
         result["clustered"] = clustered_block(spark)
+    if "semrecall" in want:
+        if not os.path.isdir(os.path.join(CLUSTERED_DIR, "embeddings.parquet")):
+            build_clustered(spark)
+        result["semrecall"] = semrecall_block(spark)
     if "cells" in want:
         result["cells"] = cells_block(spark)
     print(json.dumps(result))

@@ -151,6 +151,49 @@ def assign_clusters(
     )
 
 
+def assign_clusters_topp(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    probes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Multi-probe assignment: one output row per (point, cluster) for
+    the point's ``probes`` NEAREST centroids (squared L2, ties to the
+    lower cluster id). The SemDeDup boundary-recall mitigation
+    (semantic_dedup(probes=2)): a near-dup pair straddling a cluster
+    boundary meets in the shared second-nearest cluster. Cost is exactly
+    ``probes``x the single-probe candidate mass — still bounded
+    per-cluster, never a global pair search."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    items = sorted(centroids.items())
+    if not items:
+        raise ValueError("assign_clusters_topp needs at least one centroid")
+    p = min(int(probes), len(items))
+    keys = np.array([j for j, _ in items], dtype=np.int64)
+    cmat = np.array([c for _, c in items], dtype=np.float64)
+
+    def _assign(vec):
+        out = []
+        for cell in vec:
+            vv = np.asarray(cell, dtype=np.float64)
+            d = ((cmat - vv[None, :]) ** 2).sum(axis=1)
+            # lexicographic (distance, cluster id): deterministic ties
+            order = np.lexsort((keys, d))[:p]
+            out.append([int(keys[i]) for i in order])
+        return pd.Series(out)
+
+    _assign.__annotations__ = {"vec": pd.Series, "return": pd.Series}
+    probed = df.withColumn(
+        "__cls", pandas_udf(_assign, "array<long>")(F.col(vec_col).cast("array<double>"))
+    )
+    return probed.withColumn(cluster_col, F.explode("__cls")).drop("__cls")
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -259,10 +302,19 @@ def semantic_dedup(
     centroids: dict[int, list[float]] | None = None,
     n_subblocks: int | None = None,
     assign_backend: str = "numpy",
+    probes: int = 1,
 ) -> DataFrame:
     """SemDeDup: cluster, then exact cosine near-dup pairs WITHIN each
     cluster only. Output: (id_a, id_b, sim, cluster) with id_a < id_b,
     sim rounded to 4 places, ordered.
+
+    ``probes`` > 1 assigns each point to its ``probes`` nearest clusters
+    (assign_clusters_topp) — the standard mitigation for the method's
+    boundary-recall trade (a near-dup pair split across a cluster
+    boundary meets in a shared second-nearest cluster). Candidate mass
+    scales by exactly ``probes``; pairs found in more than one shared
+    cluster are emitted once (min cluster id). Measured recall-vs-k/
+    probes table: BASELINE.md round-10 semrecall block.
 
     Scale shape — the reason this beats whole-corpus near-dup at 100 TB:
     after assignment, each cluster splits into S hash sub-blocks sized to
@@ -295,7 +347,12 @@ def semantic_dedup(
         elif not isinstance(k, int):
             raise ValueError(f"k must be an int or 'auto', got {k!r}")
         centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    assigned = assign_clusters(df, centroids, id_col, vec_col, backend=assign_backend)
+    if int(probes) > 1:
+        assigned = assign_clusters_topp(df, centroids, probes, id_col, vec_col)
+    else:
+        assigned = assign_clusters(
+            df, centroids, id_col, vec_col, backend=assign_backend
+        )
 
     par = max(2, df.sparkSession.sparkContext.defaultParallelism)
     if n_subblocks:
@@ -372,7 +429,14 @@ def semantic_dedup(
                     }
                 )
 
-    return (
-        pairs.mapInPandas(gemm, schema="id_a long, id_b long, sim double, cluster long")
-        .orderBy("id_a", "id_b")
+    out = pairs.mapInPandas(
+        gemm, schema="id_a long, id_b long, sim double, cluster long"
     )
+    if int(probes) > 1:
+        # A pair whose BOTH members share two probed clusters is found
+        # twice with identical sim (same exact cosine of the same
+        # vectors); emit it once, attributed to the lower cluster id.
+        out = out.groupBy("id_a", "id_b").agg(
+            F.min("sim").alias("sim"), F.min("cluster").alias("cluster")
+        )
+    return out.orderBy("id_a", "id_b")
