@@ -1456,8 +1456,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS sample_id
     FROM documents ORDER BY sample_id
     """,
-    doc="Contiguous global ids in (n_chars, doc_id) order via range-"
-    "partition + per-partition offsets — no single-task global sort.",
+    doc="Contiguous global ids in (n_chars, doc_id) order via monotone "
+    "key buckets + per-bucket offsets — no single-task global sort, no "
+    "range-sampling pass.",
 )
 def q_assign_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -2229,8 +2230,8 @@ def _duck_pipeline_leg() -> str:
     FROM c ORDER BY mode, doc_id
     """,
     doc=f"Tagged pair: 'pack' = sequence packing into {_PACK_BUDGET}-token "
-    "training examples (two-pass global running token sum — range "
-    "partition + broadcast offsets, no single-task window); 'pipeline' = "
+    "training examples (two-pass global running token sum — monotone "
+    "key buckets + broadcast offsets, no single-task window); 'pipeline' = "
     "the full prepare_training_data composition (exact dedup -> "
     "MinHash-LSH near-dup clusters -> decontamination -> stratified "
     "sampling -> packing -> seeded global shuffle) hash-checked "

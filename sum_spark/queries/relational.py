@@ -419,8 +419,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_window_misc): top-K per group via a partitioned ROW_NUMBER plus "
     "ntile / percent_rank / cume_dist over the global ordering, all "
     "computed before the rank filter. The global-ordering functions are "
-    "DERIVED from a distributed global row number (two-pass range "
-    "partition + broadcast offsets, sampling.assign_contiguous_ids) "
+    "DERIVED from a distributed global row number (two-pass monotone "
+    "key buckets + broadcast offsets, sampling.assign_contiguous_ids) "
     "instead of an empty-partitionBy window: the ordering is unique, so "
     "percent_rank = (rn-1)/(n-1), cume_dist = rn/n, and ntile follows the "
     "big-buckets-first rule arithmetically — no Exchange SinglePartition "

@@ -155,9 +155,11 @@ def test_contiguous_ids_stable_under_downstream_window(spark):
     """Regression (round 3): spark_partition_id-based ids were evaluated
     per plan-branch; when a downstream window broke AQE exchange reuse,
     the offsets branch and the data branch could coalesce differently and
-    silently corrupt the ids. The range-partitioned frame is now
-    materialized (localCheckpoint), so composing with further windows
-    must be deterministic and correct."""
+    silently corrupt the ids. Round 10 removed the hazard at the root —
+    placement groups by a MONOTONE DATA-DERIVED bucket (_monotone_bucket),
+    so no physical-layout value exists for branches to disagree on — and
+    this test keeps pinning the user-visible property: composing with
+    further windows is deterministic and the ids are true global ranks."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
@@ -184,6 +186,43 @@ def test_contiguous_ids_stable_under_downstream_window(spark):
         for i, (v, k) in enumerate(sorted((v, k) for k, _, v in rows))
     }
     assert all(gid == expect_gid[k] for k, (gid, _) in a.items())
+
+
+def test_monotone_bucket_placement_edge_keys(spark):
+    """_monotone_bucket edge cases through the public placement ops:
+    a CONSTANT leading key (every row one bucket — ties fall to the
+    tiebreak column), NEGATIVE ids spanning zero (the integer DIV
+    bucketing must stay monotone across the sign change), and a tiny
+    frame (rows << buckets). pack_sequences must cover every input row
+    with contiguous budget rollover in all three."""
+    from sum_spark.operators.sampling import assign_contiguous_ids, pack_sequences
+
+    # constant leading key, unique tiebreak
+    const = spark.createDataFrame(
+        [(0.5, i) for i in range(40)], "v double, k long"
+    ).repartition(7)
+    got = {
+        r["k"]: r["gid"]
+        for r in assign_contiguous_ids(const, ["v", "k"], id_name="gid").collect()
+    }
+    assert got == {i: i + 1 for i in range(40)}
+
+    # negative ids spanning zero
+    neg = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(-25, 25)], "doc_id long, text string"
+    ).repartition(5)
+    rows = pack_sequences(neg, budget=7).collect()
+    assert [r["doc_id"] for r in rows] == list(range(-25, 25))
+    # ids in order, running token sum DIV budget: recompute exactly
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] == cum // 7, r
+        cum += r["n_tokens"]
+
+    # tiny frame (fewer rows than buckets)
+    tiny = spark.createDataFrame([(3, "a b"), (9, "c")], "doc_id long, text string")
+    t = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in pack_sequences(tiny, 100).collect()}
+    assert t == {3: (2, 0), 9: (1, 0)}
 
 
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
