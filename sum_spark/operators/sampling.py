@@ -509,10 +509,17 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
         # bucket = (x-mn) DIV width — quotients of 60-bit keys lose low
         # bits as doubles (the cap_domain_tokens lesson; monotonicity
         # would survive, but integer ops make the bucketing exact).
+        # The subtractions run in DECIMAL(38,0): a full-range BIGINT key
+        # set makes (mx - mn) exceed int64 (ANSI: ARITHMETIC_OVERFLOW;
+        # non-ANSI: silent wrap — property-tested with +-2^63 keys), and
+        # DIV by a literal >= 2 brings the quotient back into long range
+        # (DIV 1 on the full range would wrap, hence the clamp — two
+        # buckets instead of one is harmless).
         b = F.expr(
-            f"CAST((CAST(`{order_col}` AS BIGINT) - CAST(__mn AS BIGINT)) DIV "
-            f"((CAST(__mx AS BIGINT) - CAST(__mn AS BIGINT)) DIV {int(n)} + 1) "
-            f"AS BIGINT)"
+            f"CAST((CAST(`{order_col}` AS DECIMAL(38,0)) - "
+            f"CAST(__mn AS DECIMAL(38,0))) DIV "
+            f"((CAST(__mx AS DECIMAL(38,0)) - CAST(__mn AS DECIMAL(38,0))) "
+            f"DIV {max(2, int(n))} + 1) AS BIGINT)"
         )
     else:
         w = (mx.cast("double") - mn.cast("double")) / F.lit(float(n))

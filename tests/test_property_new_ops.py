@@ -125,3 +125,32 @@ def test_mg_summary_guarantee_randomized(spark, stream, k, parts):
         assert true - e <= bound
         if true > bound:
             assert w in got
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.integers(-(2**63), 2**63 - 1) | st.sampled_from(
+            [-(2**63), 2**63 - 1, -(2**62), 2**62, 0, 1, -1]
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+)
+def test_assign_contiguous_ids_equals_rank_on_extreme_keys(spark, keys):
+    """Property net for the monotone-bucket placement (round 10): for ANY
+    unique int64 key set — INCLUDING the type's extreme values, where
+    (mx - mn) exceeds int64 and a BIGINT subtraction overflows (caught by
+    this test's first version; the bucketing now subtracts in
+    DECIMAL(38,0)) — assign_contiguous_ids must equal the
+    row_number-over-global-order rank exactly."""
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(5)
+    got = {
+        r["k"]: r["gid"]
+        for r in assign_contiguous_ids(df, ["k"], id_name="gid").collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
