@@ -496,6 +496,13 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
     correctness — and there is no range-sampling pass, which used to
     execute that same upstream scan a second time before the shuffle.
 
+    NULL keys map to a dedicated bucket -1 (below every data bucket):
+    window ORDER BY sorts NULLS FIRST ascending, so bucket -1 first is
+    exactly the global NULL position — and a NULL bucket id would
+    otherwise silently DROP those rows at the offsets equi-join
+    (integer path: NULL arithmetic; float path: F.least skips the NULL
+    floor and misplaces them at n-1). ADVICE r10 (medium).
+
     Returns (checkpointed df ++ [__b], "__b"); supports integral,
     floating and decimal keys (floor((x-mn)/w) is monotone under IEEE
     rounding)."""
@@ -530,7 +537,7 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
             )
         ).cast("long")
     out = (
-        d.withColumn("__b", b)
+        d.withColumn("__b", F.when(x.isNull(), F.lit(-1)).otherwise(b).cast("long"))
         .drop("__mn", "__mx")
         .repartition(n, F.col("__b"))
         .localCheckpoint()
@@ -597,7 +604,8 @@ def pack_sequences(
     two-pass way as assign_contiguous_ids — quantize doc_id into ~n
     contiguous ranges (``_monotone_bucket``: a pure data function, so
     no range-partitioner sampling pass re-running the token count over
-    the full text column, no localCheckpoint, no layout dependence),
+    the full text column, no layout dependence; its checkpoint is
+    performance-only — recompute reproduces identical buckets),
     bucket-local cumulative sums, plus a broadcast of one token-total
     row per bucket. No single-task window; the bucket groupBy and the
     local window share one shuffle key.

@@ -225,6 +225,52 @@ def test_monotone_bucket_placement_edge_keys(spark):
     assert t == {3: (2, 0), 9: (1, 0)}
 
 
+def test_monotone_bucket_null_keys_survive_and_sort_first(spark):
+    """ADVICE r10 (medium): NULL leading order keys used to yield a NULL
+    __b — the offsets equi-join silently DROPPED those rows on the
+    integer path, and the float path misordered them into bucket n-1.
+    NULLs must (a) survive, (b) take the NULLS-FIRST ranks the window's
+    ORDER BY semantics promise, on both the integer and float paths."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    # integer path: 60 rows, every third key NULL
+    rows = [(None if i % 3 == 0 else (i * 37) % 1000, i) for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, t long").repartition(8)
+    got = assign_contiguous_ids(df, ["k", "t"], id_name="gid")
+    assert got.count() == 60  # no silent row loss
+    by_t = {r["t"]: r["gid"] for r in got.collect()}
+    expect = {
+        t: i + 1
+        for i, (k, t) in enumerate(
+            sorted(rows, key=lambda r: (r[0] is not None, r[0] or 0, r[1]))
+        )
+    }
+    assert by_t == expect
+
+    # float path: same contract
+    frows = [(None if i % 4 == 0 else float((i * 13) % 97), i) for i in range(40)]
+    fdf = spark.createDataFrame(frows, "k double, t long").repartition(8)
+    fgot = assign_contiguous_ids(fdf, ["k", "t"], id_name="gid")
+    assert fgot.count() == 40
+    fby_t = {r["t"]: r["gid"] for r in fgot.collect()}
+    fexpect = {
+        t: i + 1
+        for i, (k, t) in enumerate(
+            sorted(frows, key=lambda r: (r[0] is not None, r[0] or 0.0, r[1]))
+        )
+    }
+    assert fby_t == fexpect
+
+    # all-NULL key column: every row lands in the NULL bucket, tiebreak
+    # column alone determines the ranks
+    nrows = [(None, i) for i in range(10)]
+    ndf = spark.createDataFrame(nrows, "k long, t long")
+    ngot = {r["t"]: r["gid"] for r in assign_contiguous_ids(ndf, ["k", "t"], id_name="gid").collect()}
+    assert ngot == {i: i + 1 for i in range(10)}
+
+
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
     """The reduced join returns exactly the plain join's rows (no false
     negatives; join removes Bloom false positives), and the map-side
