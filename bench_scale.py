@@ -219,7 +219,19 @@ def skew_block(spark) -> dict:
     from sum_spark.sources.tables import load_table
 
     out: dict[str, dict] = {}
-    for name in ("corpus_mixture", "sample_stratified"):
+    # Placement family added round 11 (VERDICT r10 #1): assign_ids
+    # orders by n_chars, which the boilerplate plant makes bimodal-lumpy
+    # (~half the corpus shifted up by a constant) — exactly the key
+    # shape that degenerated the round-10 equi-width buckets into one
+    # hot bucket; the skew-adaptive refinement must keep these ratios
+    # near the replication factor.
+    for name in (
+        "corpus_mixture",
+        "sample_stratified",
+        "assign_ids",
+        "pack_sequences",
+        "global_shuffle",
+    ):
         fn = REGISTRY[name].fn
         base = _time(fn, spark, BASE_SF_DIR)
         skew = _time(fn, spark, OUT_DIR_SKEW)
@@ -229,7 +241,36 @@ def skew_block(spark) -> dict:
             "ratio": round(skew / base, 2) if base else None,
         }
 
-    docs_skew = load_table(spark, OUT_DIR_SKEW, "documents")
+    # Adversarial decile plant for placement (VERDICT r10 #1 "done"
+    # criterion): HALF the corpus lands in [0, 1000) of a ~1e9 key range
+    # — under equi-width buckets that is ONE bucket holding 50% of the
+    # rows (a single-task sort); the refinement must hold the 10x ratio
+    # near 10.
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    def decile_ids(docs):
+        keyed = docs.select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+                F.pmod(F.col("doc_id"), F.lit(1000)),
+            )
+            .otherwise(F.pmod(F.col("doc_id") * 104729, F.lit(10**9)))
+            .alias("k"),
+        )
+        return lambda s, d: assign_contiguous_ids(keyed, ["k", "doc_id"])
+
+    docs_base = load_table(spark, BASE_SF_DIR, "documents")
+    docs_skew10 = load_table(spark, OUT_DIR_SKEW, "documents")
+    b_dec = _time(decile_ids(docs_base), spark, None)
+    s_dec = _time(decile_ids(docs_skew10), spark, None)
+    out["assign_ids_decile"] = {
+        "base": b_dec,
+        "skew": s_dec,
+        "ratio": round(s_dec / b_dec, 2) if b_dec else None,
+    }
+
+    docs_skew = docs_skew10
     base_mh = _time(REGISTRY["dedup_minhash_lsh"].fn, spark, BASE_SF_DIR)
     t_uns = _time(lambda s, d: dedup.dedup_minhash_lsh(docs_skew, 0.8), spark, None)
     t_salt = _time(

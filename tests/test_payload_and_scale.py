@@ -271,6 +271,74 @@ def test_monotone_bucket_null_keys_survive_and_sort_first(spark):
     assert ngot == {i: i + 1 for i in range(10)}
 
 
+def test_monotone_bucket_skew_refinement_bounds_hot_buckets(spark):
+    """VERDICT r10 #1: equi-width buckets degenerate on lumpy keys (half
+    the corpus in one key decile -> one bucket -> single-task sort). The
+    refinement must (a) keep ranks exact on every distribution, and (b)
+    bound the max bucket population at _HOT_FACTOR x the equi-depth
+    target whenever buckets are splittable (multi-key)."""
+    from sum_spark.operators.sampling import (
+        _HOT_FACTOR,
+        _monotone_bucket,
+        assign_contiguous_ids,
+    )
+
+    n = 8
+
+    def check(keys, expect_bounded):
+        rows = [(k, i) for i, k in enumerate(keys)]
+        df = spark.createDataFrame(rows, "k long, t long").repartition(7)
+        d, bcol, counts = _monotone_bucket(df.select("k", "t"), "k", n)
+        assert sum(counts.values()) == len(rows)  # census is exact
+        # the histogram matches the frame's actual final buckets
+        actual = {
+            r[bcol]: r["c"]
+            for r in d.groupBy(bcol).count().withColumnRenamed("count", "c").collect()
+        }
+        assert counts == actual
+        target = -(-len(rows) // n)
+        if expect_bounded:
+            assert max(counts.values()) <= _HOT_FACTOR * target, counts
+        got = {
+            r["t"]: r["gid"]
+            for r in assign_contiguous_ids(df, ["k", "t"], id_name="gid").collect()
+        }
+        want = {
+            t: i + 1
+            for i, (k, t) in enumerate(sorted(rows))
+        }
+        assert got == want
+
+    # 95% of keys inside [0, 100), 5% spread over [0, 1e9): the round-10
+    # form put ~95% of rows in bucket 0
+    lumpy = [((i * 37) % 100) * 3 + i % 3 for i in range(1900)] + [
+        (i * 104729) % (10**9) for i in range(100)
+    ]
+    check(lumpy, expect_bounded=True)
+
+    # Zipf-ish: key = 10^6 // rank — heavy mass at the large end
+    zipf = [10**6 // (1 + (i % 500)) for i in range(2000)]
+    check(zipf, expect_bounded=True)
+
+    # Half the corpus is ONE key value: irreducible (min == max inside
+    # the hot bucket) — ranks must still be exact, boundedness waived
+    const_hot = [5] * 1000 + [(i * 9973) % (10**9) for i in range(1000)]
+    check(const_hot, expect_bounded=False)
+
+    # float path with the same lumpy shape
+    frows = [(float(k), i) for i, k in enumerate(lumpy)]
+    fdf = spark.createDataFrame(frows, "k double, t long").repartition(7)
+    _, _, fcounts = _monotone_bucket(fdf, "k", n)
+    ftarget = -(-len(frows) // n)
+    assert max(fcounts.values()) <= _HOT_FACTOR * ftarget, fcounts
+    fgot = {
+        r["t"]: r["gid"]
+        for r in assign_contiguous_ids(fdf, ["k", "t"], id_name="gid").collect()
+    }
+    fwant = {t: i + 1 for i, (k, t) in enumerate(sorted(frows))}
+    assert fgot == fwant
+
+
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
     """The reduced join returns exactly the plain join's rows (no false
     negatives; join removes Bloom false positives), and the map-side
