@@ -138,17 +138,49 @@ def assign_clusters(
     cmat = np.array([c for _, c in items], dtype=np.float64)  # k x d
 
     def _assign(vec):
-        out = np.empty(len(vec), dtype=np.int64)
-        for i, cell in enumerate(vec):
-            vv = np.asarray(cell, dtype=np.float64)
-            d = ((cmat - vv[None, :]) ** 2).sum(axis=1)
-            out[i] = keys[int(np.argmin(d))]  # argmin -> first = lowest id
-        return pd.Series(out)
+        # One (rows x k) distance matrix per Arrow batch via the
+        # ||x||^2 - 2 x.c + ||c||^2 GEMM identity (VERDICT r10 #4: the
+        # per-row (k x d) subtract paid python+allocation overhead per
+        # POINT; the GEMM pays one BLAS call per batch). Chunked so the
+        # distance matrix stays ~64 MB at k up to 2^16. Ties still break
+        # to the LOWEST cluster id: keys is sorted ascending and argmin
+        # returns the first minimum.
+        D = _batched_sq_dists(vec, cmat)
+        return pd.Series(keys[np.argmin(D, axis=1)])
 
     _assign.__annotations__ = {"vec": pd.Series, "return": pd.Series}
     return df.withColumn(
         cluster_col, pandas_udf(_assign, "long")(F.col(vec_col).cast("array<double>"))
     )
+
+
+def _batched_sq_dists(vec, cmat):
+    """(len(vec) x k) squared-L2 distance matrix from an Arrow batch of
+    array cells against centroid matrix ``cmat``, computed as one GEMM
+    per ~64 MB row chunk. Shared by assign_clusters / assign_clusters_topp
+    (their hot path: the per-point pass every SemDeDup / IVF build pays).
+    Distances differ from the per-row subtract form only in float
+    rounding — fine for assignment (parity unit-tested on random data);
+    oracle-checked legs use the 'catalyst' backends, whose fold order
+    DuckDB reproduces bit-for-bit."""
+    import numpy as np
+
+    mats = np.asarray(
+        [np.asarray(cell, dtype=np.float64) for cell in vec], dtype=np.float64
+    )
+    if mats.ndim != 2:  # ragged cells: per-row fallback (never on real data)
+        return np.stack(
+            [((cmat - m[None, :]) ** 2).sum(axis=1) for m in mats], axis=0
+        )
+    c_sq = (cmat * cmat).sum(axis=1)[None, :]
+    out = np.empty((mats.shape[0], cmat.shape[0]), dtype=np.float64)
+    rows_per_chunk = max(1, (64 << 20) // (8 * max(1, cmat.shape[0])))
+    for s in range(0, mats.shape[0], rows_per_chunk):
+        b = mats[s : s + rows_per_chunk]
+        out[s : s + rows_per_chunk] = (
+            (b * b).sum(axis=1)[:, None] - 2.0 * (b @ cmat.T) + c_sq
+        )
+    return out
 
 
 def assign_clusters_topp(
@@ -158,6 +190,7 @@ def assign_clusters_topp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
+    backend: str = "numpy",
 ) -> DataFrame:
     """Multi-probe assignment: one output row per (point, cluster) for
     the point's ``probes`` NEAREST centroids (squared L2, ties to the
@@ -165,27 +198,69 @@ def assign_clusters_topp(
     (semantic_dedup(probes=2)): a near-dup pair straddling a cluster
     boundary meets in the shared second-nearest cluster. Cost is exactly
     ``probes``x the single-probe candidate mass — still bounded
-    per-cluster, never a global pair search."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    per-cluster, never a global pair search.
 
+    ``backend='catalyst'`` mirrors assign_clusters' catalyst path —
+    (dist, id) structs sorted lexicographically inside one expression,
+    left-to-right fold distances that a SQL oracle reproduces
+    bit-for-bit (the hash-checked sem2 leg); 'numpy' is the fast Arrow
+    GEMM path for production assignment."""
     items = sorted(centroids.items())
     if not items:
         raise ValueError("assign_clusters_topp needs at least one centroid")
     p = min(int(probes), len(items))
+
+    if backend == "catalyst":
+        from sum_spark.functions.litsql import darray
+
+        cent_lit = F.expr(
+            "array("
+            + ", ".join(
+                f"struct({darray(c)} AS c, CAST({int(j)} AS BIGINT) AS j)"
+                for j, c in items
+            )
+            + ")"
+        )
+        v = F.col(vec_col).cast("array<double>")
+        # array_sort on (d, j) structs = lexicographic (distance, id)
+        # order; slice keeps the p nearest. Same fold as assign_clusters.
+        ranked = F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_lit,
+                    lambda s: F.struct(
+                        F.aggregate(
+                            F.zip_with(v, s["c"], lambda x, c: (x - c) * (x - c)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        s["j"].alias("j"),
+                    ),
+                )
+            ),
+            1,
+            p,
+        )
+        probed = df.withColumn(
+            "__cls", F.transform(ranked, lambda s: s["j"])
+        )
+        return probed.withColumn(cluster_col, F.explode("__cls")).drop("__cls")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     keys = np.array([j for j, _ in items], dtype=np.int64)
     cmat = np.array([c for _, c in items], dtype=np.float64)
 
     def _assign(vec):
-        out = []
-        for cell in vec:
-            vv = np.asarray(cell, dtype=np.float64)
-            d = ((cmat - vv[None, :]) ** 2).sum(axis=1)
-            # lexicographic (distance, cluster id): deterministic ties
-            order = np.lexsort((keys, d))[:p]
-            out.append([int(keys[i]) for i in order])
-        return pd.Series(out)
+        # Batched GEMM distances (VERDICT r10 #4), then a stable argsort
+        # per row: keys is sorted ascending, so kind='stable' breaks
+        # distance ties to the lower cluster id — exactly the old
+        # per-row lexsort((keys, d)) order.
+        D = _batched_sq_dists(vec, cmat)
+        order = np.argsort(D, axis=1, kind="stable")[:, :p]
+        return pd.Series([keys[row].tolist() for row in order])
 
     _assign.__annotations__ = {"vec": pd.Series, "return": pd.Series}
     probed = df.withColumn(
@@ -348,7 +423,9 @@ def semantic_dedup(
             raise ValueError(f"k must be an int or 'auto', got {k!r}")
         centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     if int(probes) > 1:
-        assigned = assign_clusters_topp(df, centroids, probes, id_col, vec_col)
+        assigned = assign_clusters_topp(
+            df, centroids, probes, id_col, vec_col, backend=assign_backend
+        )
     else:
         assigned = assign_clusters(
             df, centroids, id_col, vec_col, backend=assign_backend
