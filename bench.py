@@ -98,7 +98,7 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "q44_range_join": ("mode", ["in", "over"]),
     "knn_search": ("mode", ["brute", "filt", "incr", "ivf", "ivfpq", "res", "rr", "tb", "gk"]),
     "dedup_exact": ("mode", ["doc", "gram", "line", "span"]),
-    "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem"]),
+    "dedup_embedding_cosine": ("mode", ["exact", "lsh", "sem", "sem2"]),
     "corpus_mixture": ("mode", ["mix", "plan", "cap"]),
     "decontaminate": ("mode", ["exact", "bloom"]),
     "sample_stratified": ("mode", ["bern", "topk", "wk"]),
@@ -218,36 +218,108 @@ _STALL_GAP = float(os.environ.get("SPARK_GRAFT_STALL_GAP", "2.0"))
 _STALL_EXTRA = 2
 
 
-def _run_attempts(run_once, max_runs: int, watch: _StallWatch | None):
-    """Best-of-N with stall discards. ``run_once()`` returns a tuple of
-    phase durations (total first). Runs whose window contained a
-    heartbeat gap >= _STALL_GAP measured the host, not the plan: they
-    are discarded and re-run, up to ``max_runs + _STALL_EXTRA`` total
-    attempts. Early exit (unchanged from the pre-stall bench): two CLEAN
-    runs with the best total <= 2 s skip the third — the heavy plans are
-    exactly where contention tails are widest, so they keep all runs.
-    If EVERY attempt stalled, the stalled minima are returned (a number
-    must be produced) and the discard count says how much to trust it.
-    Returns (per-position minima over clean runs, discard count)."""
+class _CpuWindow:
+    """Per-run wall-vs-CPU sanity (VERDICT r10 #2): the heartbeat only
+    catches FREEZES (a >= 2 s scheduler gap), not slow-but-unstalled
+    windows — round 10's two same-HEAD clean runs disagreed 2-5x on
+    sub-second entries through windows the heartbeat called clean. The
+    documented host pathology (heap commit/uncommit page-zeroing churn)
+    has a distinctive host-wide CPU shape: 30-80% SYSTEM time with ~0%
+    user — a shape a healthy bench window (JVM busy => user-dominated)
+    never shows. This samples /proc/stat around each timing run and
+    flags windows matching that shape so they are discarded like stalls.
+    Thresholds are env-tunable; a /proc-less platform disables it."""
+
+    SYS_MIN = float(os.environ.get("SPARK_GRAFT_CPU_SYS_MIN", "0.30"))
+    USER_MAX = float(os.environ.get("SPARK_GRAFT_CPU_USER_MAX", "0.10"))
+
+    def __init__(self) -> None:
+        self.enabled = os.path.isfile("/proc/stat")
+        self._t0: tuple[int, int, int] | None = None
+        self.reset()
+
+    @staticmethod
+    def _read() -> tuple[int, int, int]:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:9]]  # user..steal
+        return vals[0] + vals[1], vals[2], sum(vals)
+
+    def reset(self) -> None:
+        if self.enabled:
+            try:
+                self._t0 = self._read()
+            except OSError:
+                self.enabled = False
+
+    def suspect(self) -> bool:
+        if not self.enabled or self._t0 is None:
+            return False
+        u0, s0, t0 = self._t0
+        try:
+            u1, s1, t1 = self._read()
+        except OSError:
+            return False
+        dt = t1 - t0
+        if dt <= 0:
+            return False
+        return (s1 - s0) / dt >= self.SYS_MIN and (u1 - u0) / dt <= self.USER_MAX
+
+
+def _run_attempts(
+    run_once,
+    max_runs: int,
+    watch: _StallWatch | None,
+    cpu: _CpuWindow | None = None,
+):
+    """Best-of-N with stall AND pathological-CPU discards. ``run_once()``
+    returns a tuple of phase durations (total first). Runs whose window
+    contained a heartbeat gap >= _STALL_GAP, or whose host-wide CPU
+    profile matched the documented sys-heavy/user-idle pathology
+    (_CpuWindow), measured the host, not the plan: they are discarded
+    and re-run, up to ``max_runs + _STALL_EXTRA`` total attempts.
+
+    Early exit: two CLEAN runs with the best total in (1, 2] s skip the
+    third. SUB-SECOND entries always take all ``max_runs`` clean runs
+    (VERDICT r10 #2: they are where same-HEAD artifacts disagreed 2-5x,
+    and a third sub-second run is nearly free); the heavy plans keep all
+    runs too — contention tails are widest exactly there.
+
+    If EVERY attempt was discarded, the contaminated minima are returned
+    (a number must be produced) and the counts say how much to trust it.
+    Returns (per-position minima over clean runs, per-position MEDIANS
+    over clean runs, stall discard count, cpu discard count)."""
+    import statistics
+
     clean: list[tuple] = []
-    stalled: list[tuple] = []
-    discards = 0
+    dirty: list[tuple] = []
+    stall_discards = 0
+    cpu_discards = 0
     attempts = 0
     while attempts < max_runs + _STALL_EXTRA and len(clean) < max_runs:
-        if len(clean) >= 2 and min(t[0] for t in clean) <= 2.0:
+        if len(clean) >= 2 and 1.0 < min(t[0] for t in clean) <= 2.0:
             break
         if watch is not None:
             watch.reset()
+        if cpu is not None:
+            cpu.reset()
         t = run_once()
         attempts += 1
         if watch is not None and watch.max_gap() >= _STALL_GAP:
-            stalled.append(t)
-            discards += 1
+            dirty.append(t)
+            stall_discards += 1
+            continue
+        if cpu is not None and cpu.suspect():
+            dirty.append(t)
+            cpu_discards += 1
             continue
         clean.append(t)
-    pool = clean or stalled
+    pool = clean or dirty
     best = tuple(round(min(t[i] for t in pool), 3) for i in range(len(pool[0])))
-    return best, discards
+    med = tuple(
+        round(statistics.median(t[i] for t in pool), 3) for i in range(len(pool[0]))
+    )
+    return best, med, stall_discards, cpu_discards
 
 
 def _best_of(
@@ -255,7 +327,8 @@ def _best_of(
     max_runs: int,
     time_build: bool = True,
     watch: _StallWatch | None = None,
-) -> tuple[float, int]:
+    cpu: _CpuWindow | None = None,
+) -> tuple[float, float, int, int]:
     """Best of up to ``max_runs`` CLEAN executions of the plan
     ``fn_make_df`` returns: the first run pays per-plan codegen/JIT, the
     minimum is the reproducible steady-state cost of the plan itself,
@@ -270,7 +343,7 @@ def _best_of(
     regardless of which leg is filtered) would otherwise be charged to
     every leg and drown the attribution the per-leg pass exists for.
     Entry timings keep construction in (end-to-end, the driver contract).
-    Returns (best seconds, discarded-run count)."""
+    Returns (best seconds, median seconds, stall discards, cpu discards)."""
 
     def run_once():
         if time_build:
@@ -282,13 +355,16 @@ def _best_of(
             df.count()
         return (time.perf_counter() - t0,)
 
-    best, discards = _run_attempts(run_once, max_runs, watch)
-    return best[0], discards
+    best, med, stalls, cpud = _run_attempts(run_once, max_runs, watch, cpu)
+    return best[0], med[0], stalls, cpud
 
 
 def _best_of_split(
-    fn_make_df, max_runs: int, watch: _StallWatch | None = None
-) -> tuple[float, float, float, int]:
+    fn_make_df,
+    max_runs: int,
+    watch: _StallWatch | None = None,
+    cpu: _CpuWindow | None = None,
+) -> tuple[float, float, float, float, int, int]:
     """Entry timing with the construction/execution attribution recorded
     mechanically (VERDICT r8 #7): per run, construction is fn() returning
     the DataFrame (py4j round-trips, eager driver work like kmeans fits
@@ -297,10 +373,11 @@ def _best_of_split(
     each phase's own best across runs (the reproducible steady-state cost
     of that phase), so their sum can differ from the total by scheduler
     noise. A py4j construction regression now shows up as a sidecar diff
-    instead of a profiling hunch. Stall-straddling runs are discarded
-    (_run_attempts), which is what keeps entry totals consistent with
-    their own splits — the round-9 failure mode was entry >> c + e.
-    Returns (best total, best construct, best execute, discards)."""
+    instead of a profiling hunch. Stall-straddling and cpu-pathological
+    runs are discarded (_run_attempts), which is what keeps entry totals
+    consistent with their own splits — the round-9 failure mode was
+    entry >> c + e. Returns (best total, best construct, best execute,
+    median total, stall discards, cpu discards)."""
 
     def run_once():
         t0 = time.perf_counter()
@@ -310,8 +387,10 @@ def _best_of_split(
         t2 = time.perf_counter()
         return (t2 - t0, t1 - t0, t2 - t1)
 
-    (b, c, e), discards = _run_attempts(run_once, max_runs, watch)
-    return b, c, e, discards
+    (b, c, e), (mb, _mc, _me), stalls, cpud = _run_attempts(
+        run_once, max_runs, watch, cpu
+    )
+    return b, c, e, mb, stalls, cpud
 
 
 def main() -> None:
@@ -339,19 +418,29 @@ def main() -> None:
     # artifact (VERDICT r9 "what's wrong"); timings still print.
     write_sidecar = os.environ.get("SPARK_GRAFT_BENCH_SIDECAR", "1") != "0"
     watch = _StallWatch() if _STALL_GAP > 0 else None
+    cpu = _CpuWindow()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     legs: dict[str, float] = {}
+    legs_median: dict[str, float] = {}
     split: dict[str, dict[str, float]] = {}
     stall_discards: dict[str, int] = {}
+    cpu_discards: dict[str, int] = {}
+
+    def note(key: str, stalls: int, cpud: int) -> None:
+        if stalls:
+            stall_discards[key] = stalls
+        if cpud:
+            cpu_discards[key] = cpud
+
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        timings[name], c, e, disc = _best_of_split(
-            lambda: fn(spark, sf_dir), max_runs, watch=watch
+        timings[name], c, e, medians[name], disc, cpud = _best_of_split(
+            lambda: fn(spark, sf_dir), max_runs, watch=watch, cpu=cpu
         )
         split[name] = {"construct": c, "execute": e}
-        if disc:
-            stall_discards[name] = disc
+        note(name, disc, cpud)
         if not time_legs:
             continue
         if name in TAGGED_LEGS:
@@ -365,21 +454,22 @@ def main() -> None:
                     out._bench_keepalive = whole
                     return out
 
-                legs[f"{name}.{v}"], disc = _best_of(
-                    leg_df, max_runs, time_build=False, watch=watch
+                key = f"{name}.{v}"
+                legs[key], legs_median[key], disc, cpud = _best_of(
+                    leg_df, max_runs, time_build=False, watch=watch, cpu=cpu
                 )
-                if disc:
-                    stall_discards[f"{name}.{v}"] = disc
+                note(key, disc, cpud)
         elif name == "text_profile":
             for leg_name, leg_fn in _text_profile_component_legs().items():
-                legs[f"{name}.{leg_name}"], disc = _best_of(
+                key = f"{name}.{leg_name}"
+                legs[key], legs_median[key], disc, cpud = _best_of(
                     lambda leg_fn=leg_fn: leg_fn(spark, sf_dir),
                     max_runs,
                     time_build=False,
                     watch=watch,
+                    cpu=cpu,
                 )
-                if disc:
-                    stall_discards[f"{name}.{leg_name}"] = disc
+                note(key, disc, cpud)
     if watch is not None:
         watch.stop()
 
@@ -399,9 +489,12 @@ def main() -> None:
                 {
                     "sf": sf_val,
                     "legs": legs,
+                    "legs_median": legs_median,
                     "split": split,
+                    "medians": medians,
                     "stall_gap_s": _STALL_GAP,
                     "stall_discards": stall_discards,
+                    "cpu_discards": cpu_discards,
                 },
                 fh,
                 indent=1,
@@ -409,7 +502,13 @@ def main() -> None:
             )
         print(f"per-leg timings -> {legs_path}", file=sys.stderr)
         print(json.dumps(legs, sort_keys=True), file=sys.stderr)
-    print(format_stdout_line(timings, sf_val, stalls=sum(stall_discards.values())))
+    print(
+        format_stdout_line(
+            timings,
+            sf_val,
+            stalls=sum(stall_discards.values()) + sum(cpu_discards.values()),
+        )
+    )
 
 
 if __name__ == "__main__":

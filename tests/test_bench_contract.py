@@ -65,11 +65,13 @@ def test_run_attempts_discards_stalled_runs_and_reruns():
         return (t,)
 
     # First attempt stalls (gap 30 s), the rest are clean.
-    best, discards = bench._run_attempts(
+    best, med, discards, cpud = bench._run_attempts(
         run_once, max_runs=3, watch=_FakeWatch([30.0])
     )
     assert discards == 1
+    assert cpud == 0
     assert best == (3.05,)  # the stalled 50 s run did NOT win or count
+    assert med == (3.1,)  # median over the three CLEAN runs only
     assert len(runs) == 4  # 3 clean runs + the discarded one
 
 
@@ -77,28 +79,93 @@ def test_run_attempts_all_stalled_falls_back_with_discard_count():
     """If every attempt stalled, a number must still be produced — the
     stalled minima — and the discard count says how much to trust it.
     The extra-attempt cap bounds the spin during a long storm."""
-    best, discards = bench._run_attempts(
+    best, med, discards, cpud = bench._run_attempts(
         lambda: (9.0,), max_runs=2, watch=_FakeWatch([30.0] * 10)
     )
     assert best == (9.0,)
+    assert med == (9.0,)
     assert discards == 2 + bench._STALL_EXTRA  # max_runs + extras, all burned
 
 
-def test_run_attempts_early_exit_counts_only_clean_runs():
-    """The <=2 s early exit (pre-stall behavior: two runs, skip the
-    third) must count CLEAN runs — a discarded run doesn't advance it."""
+def test_run_attempts_early_exit_only_above_one_second():
+    """VERDICT r10 #2: sub-second entries were where two same-HEAD clean
+    runs disagreed 2-5x, so they now take ALL max_runs clean runs — the
+    two-run early exit applies only to the (1, 2] s band (cheap enough
+    to want the skip, long enough to be stable). Discarded runs never
+    advance the exit either way."""
     calls = []
 
     def run_once():
         calls.append(1)
         return (0.5,)
 
-    best, discards = bench._run_attempts(
-        run_once, max_runs=3, watch=_FakeWatch([30.0, 0.0, 0.0])
+    best, med, discards, _ = bench._run_attempts(
+        run_once, max_runs=3, watch=_FakeWatch([30.0, 0.0, 0.0, 0.0])
     )
     assert best == (0.5,)
     assert discards == 1
-    assert len(calls) == 3  # 1 discarded + 2 clean, early exit after 2 clean
+    assert len(calls) == 4  # 1 discarded + 3 clean: NO early exit below 1 s
+
+    mid_calls = []
+
+    def run_mid():
+        mid_calls.append(1)
+        return (1.5,)
+
+    best, med, discards, _ = bench._run_attempts(
+        run_mid, max_runs=3, watch=_FakeWatch([0.0, 0.0, 0.0])
+    )
+    assert best == (1.5,)
+    assert len(mid_calls) == 2  # early exit after two clean 1-2 s runs
+
+
+class _FakeCpu:
+    """Scripted _CpuWindow: suspect() returns the next scripted value."""
+
+    def __init__(self, flags):
+        self._flags = list(flags)
+
+    def reset(self):
+        pass
+
+    def suspect(self):
+        return self._flags.pop(0) if self._flags else False
+
+
+def test_run_attempts_discards_cpu_pathological_runs():
+    """VERDICT r10 #2: a window whose host-wide CPU profile matched the
+    sys-heavy/user-idle pathology is discarded like a stall, counted
+    separately (the sidecar tells freezes from slow windows apart)."""
+    times = iter([4.0, 1.2, 1.3])
+    best, med, stalls, cpud = bench._run_attempts(
+        lambda: (next(times),),
+        max_runs=3,
+        watch=_FakeWatch([0.0, 0.0, 0.0]),
+        cpu=_FakeCpu([True, False, False]),
+    )
+    assert stalls == 0
+    assert cpud == 1
+    assert best == (1.2,)  # the 4.0 s pathological window did not count
+
+
+def test_cpu_window_suspect_shape():
+    """The detector fires exactly on the documented pathology shape
+    (sys >= 30%, user <= 10%) and stays quiet on healthy busy or idle
+    windows."""
+    w = bench._CpuWindow()
+    w.enabled = True
+
+    def shape(du, ds, dt):
+        w._t0 = (1000, 500, 100000)
+        w._read = lambda: (1000 + du, 500 + ds, 100000 + dt)
+        return w.suspect()
+
+    assert shape(du=20, ds=4000, dt=10000) is True  # 40% sys, 0.2% user
+    assert shape(du=8000, ds=1500, dt=10000) is False  # busy JVM: user-heavy
+    assert shape(du=100, ds=200, dt=10000) is False  # idle: both low
+    assert shape(du=900, ds=3500, dt=10000) is True  # 35% sys, 9% user
+    w.enabled = False
+    assert w.suspect() is False  # disabled platform never discards
 
 
 def test_stallwatch_heartbeat_stays_quiet_on_a_healthy_thread():
