@@ -171,6 +171,23 @@ def compact_batches(
                 # Legacy single-line marker, original self-heal shape.
                 os.rename(tmp, os.path.join(path, f"batch_id={max_id}"))
                 return max_id
+            # Legacy single-line marker WITH surviving batch dirs: the
+            # marker can't say which dirs were already folded, so if the
+            # legacy crash happened mid-deletion, tmp holds the ONLY
+            # complete copy and refolding from the survivors would
+            # silently lose the deleted batches' rows (ADVICE r10).
+            # Refuse and require a human decision instead of deleting
+            # the one durable fold.
+            raise RuntimeError(
+                f"{tmp} holds a completed fold with a legacy single-line "
+                f"marker while batch dirs {sorted(i for i, _ in dirs)} "
+                "still exist: the marker cannot prove those dirs were "
+                "all inputs to the fold, so neither the fold nor the "
+                "dirs can be safely discarded automatically. Inspect "
+                "and either remove the _compacted dir (if every batch "
+                "dir survived the crash) or rename it to its target "
+                "batch_id and delete the dirs it folded."
+            )
         shutil.rmtree(tmp)
     if len(foldable) <= 1:
         return foldable[-1][0] if foldable else -1

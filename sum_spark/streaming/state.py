@@ -34,9 +34,11 @@ tests/test_streaming_ann.py.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
 
 from sum_spark.operators.dedup import (
     _bands_from_sig,
@@ -58,6 +60,49 @@ from sum_spark.operators.pipeline import _doc_meta
 # re-read IS the right design; what the context DOES cache is the static
 # benchmark's shingle-hash set (below), which otherwise re-hashed the
 # benchmark text every micro-batch.
+
+
+class _TerminationCleanup(StreamingQueryListener):
+    """One listener per SparkSession: runs (and discards) a registered
+    cleanup callback when its streaming query terminates — the stream
+    analogue of the dedup operators' weakref-finalizer release pattern
+    (ADVICE r10: per-query persisted frames outliving their query
+    accumulate in sessions that run many corpus-state streams). A
+    callback for a query that never terminates simply stays registered;
+    the frame it guards is still in live use."""
+
+    _by_session: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+    def __init__(self) -> None:
+        self._cbs: dict[str, object] = {}
+
+    @classmethod
+    def register(cls, spark: SparkSession, query_id, cb) -> None:
+        inst = cls._by_session.get(spark)
+        if inst is None:
+            inst = cls()
+            spark.streams.addListener(inst)
+            cls._by_session[spark] = inst
+        inst._cbs[str(query_id)] = cb
+
+    def onQueryStarted(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryProgress(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryIdle(self, event) -> None:  # pragma: no cover - no-op
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        cb = self._cbs.pop(str(event.id), None)
+        if cb is not None:
+            try:
+                cb()
+            except Exception:
+                # Cleanup is best-effort: the session may already be
+                # shutting down when the termination event arrives.
+                pass
 
 
 def streaming_corpus_state(
@@ -208,12 +253,27 @@ def streaming_corpus_state(
         # leaving a sig batch whose pair increment never ran.
         sig.write.mode("overwrite").parquet(f"{path}/sig/batch_id={batch_id}")
 
-    return (
+    q = (
         doc_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+    # The benchmark hash cache lives as long as the query; release it on
+    # termination so sessions running many corpus-state queries don't
+    # accumulate persisted frames (ADVICE r10).
+    def _release_bench(ctx=ctx):
+        b = ctx.pop("bench", None)
+        if b is not None:
+            try:
+                b.unpersist()
+            except Exception:
+                pass
+
+    if benchmark is not None:
+        _TerminationCleanup.register(doc_stream.sparkSession, q.id, _release_bench)
+    return q
 
 
 def read_streaming_corpus_state(

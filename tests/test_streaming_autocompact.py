@@ -125,10 +125,15 @@ def test_compact_batches_recovers_from_empty_success_marker(spark, tmp_path):
 
 def test_compact_batches_legacy_single_line_marker_with_survivors(spark, tmp_path):
     """A pre-stash-era single-line marker can't say which dirs were
-    folded; with batch dirs still present the old code's rename collided
-    with a surviving batch_id dir. The fix falls back to redoing the
-    fold (legacy recovery fires only when every batch dir is gone —
-    that case is covered in test_streaming_sketch)."""
+    folded. With batch dirs still present there are two possibilities —
+    no deletion happened yet (refold is safe) or the crash was
+    MID-DELETION (tmp holds the only complete copy; refolding from the
+    survivors silently loses the deleted batches' rows). The marker
+    can't distinguish them, so compact_batches must refuse and leave
+    everything in place for manual inspection (ADVICE r10); the
+    all-dirs-gone legacy self-heal is covered in test_streaming_sketch."""
+    import shutil
+
     path = str(tmp_path / "fam")
     _write_batches(spark, path, [0, 1, 2])
     merged = spark.read.parquet(path).drop("batch_id")
@@ -137,10 +142,16 @@ def test_compact_batches_legacy_single_line_marker_with_survivors(spark, tmp_pat
     with open(f"{tmp}/_SUCCESS", "w") as fh:
         fh.write("2")  # legacy format: target id only, no folded ids
 
-    surviving = compact_batches(spark, path)
-    assert surviving == 2
+    with pytest.raises(RuntimeError, match="legacy single-line"):
+        compact_batches(spark, path)
+    # Nothing was deleted: both the fold and every batch dir survive.
     dirs = sorted(os.path.basename(d) for d in glob.glob(path + "/batch_id=*"))
-    assert dirs == ["batch_id=2"]
+    assert dirs == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert os.path.isdir(tmp)
+    # Operator resolution path A (no deletion had happened): drop the
+    # fold, rerun — compaction completes from the intact batch dirs.
+    shutil.rmtree(tmp)
+    assert compact_batches(spark, path) == 2
     got = sorted(map(tuple, spark.read.parquet(path).select("k", "v").collect()))
     assert got == [(i, i * 10) for i in range(3)]
 

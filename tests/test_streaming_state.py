@@ -120,6 +120,40 @@ def test_streaming_state_equals_batch_state(spark, sf_smoke, tmp_path):
     )
 
 
+def test_bench_hash_cache_released_on_query_termination(spark, sf_smoke, tmp_path):
+    """ADVICE r10: the per-query benchmark shingle-hash cache is
+    persisted once per streaming query — and used to outlive it, so
+    sessions running many corpus-state queries accumulated cached
+    frames. A termination listener must release it once the query stops
+    (listener events are async; poll briefly)."""
+    import time
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "text", "source"
+    )
+    bench = docs.where(F.col("doc_id") % 41 == 3).select("doc_id", "text")
+    drop_dir = str(tmp_path / "drops")
+    docs.coalesce(1).write.parquet(drop_dir)
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    baseline = n_cached()
+    stream = spark.readStream.schema(SCHEMA).parquet(drop_dir)
+    q = streaming_corpus_state(
+        stream,
+        str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        benchmark=bench,
+    )
+    q.awaitTermination()
+    for _ in range(100):  # <= 10 s for the async termination event
+        if n_cached() <= baseline:
+            break
+        time.sleep(0.1)
+    assert n_cached() <= baseline
+
+
 def test_failed_sig_build_does_not_strand_cached_batch(spark, tmp_path, monkeypatch):
     """ADVICE r8: an exception raised while CONSTRUCTING/persisting sig
     (before the try block opened) leaked the cached micro-batch on every
