@@ -323,6 +323,49 @@ def skew_block(spark) -> dict:
     return out
 
 
+def assign_block(spark) -> dict:
+    """Cluster-assignment throughput (VERDICT r10 #4): the per-point
+    pass every SemDeDup / IVF build pays, after the round-11 batched-
+    GEMM rewrite of the numpy backend. Times single-probe and top-2
+    assignment at k=64 over the base and FACTOR-scaled embeddings;
+    linear scaling = ratio ~ FACTOR, and scaled_vecs_per_s is the
+    100 TB sizing number (assignment is map-only, so the local[]
+    figure multiplies by executor count)."""
+    from sum_spark.operators import clustering
+    from sum_spark.sources.tables import load_table
+
+    emb1 = load_table(spark, BASE_SF_DIR, "embeddings")
+    emb10 = load_table(spark, OUT_DIR, "embeddings")
+    cents = clustering._centroids_from_sums(
+        clustering.centroid_sums(
+            clustering.hash_init_assign(emb1, 64), "cluster", "embedding",
+            fixed_point=6,
+        ).collect(),
+        6,
+    )
+    n10 = emb10.count()
+    out: dict[str, dict] = {}
+    for label, make in (
+        (
+            "assign_k64",
+            lambda e: clustering.assign_clusters(e, cents, backend="numpy"),
+        ),
+        (
+            "assign_top2_k64",
+            lambda e: clustering.assign_clusters_topp(e, cents, 2, backend="numpy"),
+        ),
+    ):
+        t1 = _time(lambda s, d, e=emb1, m=make: m(e), spark, None)
+        t10 = _time(lambda s, d, e=emb10, m=make: m(e), spark, None)
+        out[label] = {
+            "base": t1,
+            "scaled": t10,
+            "ratio": round(t10 / t1, 2) if t1 else None,
+            "scaled_vecs_per_s": round(n10 / t10) if t10 else None,
+        }
+    return out
+
+
 def recall_block(spark, sf_dir: str, k: int = 10) -> dict:
     """Measured ANN recall@k vs the brute-force ground truth (VERDICT r5
     #5): sign-bit IVF at n_probes 1/2/4 and IVF-PQ at m 4/8, over ~20
@@ -769,13 +812,13 @@ def main() -> None:
     REGISTRY["dedup_exact"].fn(spark, BASE_SF_DIR).count()
 
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")  # '', 'entries',
-    # 'skew', 'recall', 'clustered', 'cells', 'semrecall' — or
+    # 'skew', 'recall', 'clustered', 'cells', 'assign', 'semrecall' — or
     # comma-combinations; empty runs everything except semrecall (it is
     # a design-question block, not a per-round regression row).
     want = (
         set(only.split(","))
         if only
-        else {"entries", "skew", "recall", "clustered", "cells"}
+        else {"entries", "skew", "recall", "clustered", "cells", "assign"}
     )
 
     result: dict = {
@@ -852,6 +895,8 @@ def main() -> None:
         if not os.path.isdir(os.path.join(CLUSTERED_DIR, "embeddings.parquet")):
             build_clustered(spark)
         result["semrecall"] = semrecall_block(spark)
+    if "assign" in want:
+        result["assign"] = assign_block(spark)
     if "cells" in want:
         result["cells"] = cells_block(spark)
     print(json.dumps(result))

@@ -87,6 +87,80 @@ def _batch_stats(progress: list[dict], true_rows: int) -> dict:
     }
 
 
+def growth_main() -> None:
+    """Corpus-state per-trigger growth curve (VERDICT r10 #7): the
+    cross-batch pair term reads all prior signature batches, so
+    per-trigger cost grows with accumulated history BY DESIGN — this
+    measures the curve to ~SPARK_GRAFT_STREAM_BATCHES (default 100)
+    micro-batches under auto-compaction, the number a months-long
+    stream needs before relying on the sink. Reports per-decade median
+    trigger walls plus a linear-fit slope (s per batch) over the second
+    half, where the compaction steady-state holds.
+
+    Invoke: SPARK_GRAFT_STREAM_GROWTH=1 python bench_streaming.py
+    (optional SPARK_GRAFT_STREAM_BATCHES / SPARK_GRAFT_STREAM_COMPACT)."""
+    from sum_spark.session import get_spark
+    from sum_spark.sources.tables import load_table
+    from sum_spark.streaming.state import streaming_corpus_state
+
+    n = N_BATCHES
+    compact_after = int(os.environ.get("SPARK_GRAFT_STREAM_COMPACT", "16"))
+    spark = get_spark("sum_spark_bench_stream_growth")
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(n + 16))
+    root = ROOT + "_growth"
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    docs = load_table(spark, BASE_SF_DIR, "documents")
+    ddrops = os.path.join(root, "doc_drops")
+    _drops(docs, ["doc_id", "source", "text"], ddrops, n, "doc_id")
+    dstream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ddrops + "_flat")
+    )
+    t0 = time.perf_counter()
+    q = streaming_corpus_state(
+        dstream,
+        os.path.join(root, "state"),
+        os.path.join(root, "state_ck"),
+        auto_compact_after=compact_after,
+    )
+    q.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+    walls = [
+        p["durationMs"]["triggerExecution"] / 1000.0
+        for p in _progress(q)
+        if p["numInputRows"] > 0
+    ]
+    decades = {
+        f"b{10 * i:03d}": round(statistics.median(walls[10 * i : 10 * i + 10]), 3)
+        for i in range(len(walls) // 10)
+    }
+    half = walls[len(walls) // 2 :]
+    xs = range(len(half))
+    mx = sum(xs) / len(half)
+    my = sum(half) / len(half)
+    denom = sum((x - mx) ** 2 for x in xs) or 1.0
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, half)) / denom
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_state_growth",
+                "sf_dir": BASE_SF_DIR,
+                "n_batches": len(walls),
+                "auto_compact_after": compact_after,
+                "wall_s": wall,
+                "docs_per_s": round(docs.count() / sum(walls), 1),
+                "decade_median_s": decades,
+                "second_half_slope_s_per_batch": round(slope, 4),
+                "batch_s_first": round(walls[0], 3),
+                "batch_s_last": round(walls[-1], 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -160,4 +234,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_STREAM_GROWTH", "0") == "1":
+        growth_main()
+    else:
+        main()

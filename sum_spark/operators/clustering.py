@@ -260,7 +260,7 @@ def assign_clusters_topp(
         # per-row lexsort((keys, d)) order.
         D = _batched_sq_dists(vec, cmat)
         order = np.argsort(D, axis=1, kind="stable")[:, :p]
-        return pd.Series([keys[row].tolist() for row in order])
+        return pd.Series(keys[order].tolist())  # one (batch x p) gather
 
     _assign.__annotations__ = {"vec": pd.Series, "return": pd.Series}
     probed = df.withColumn(

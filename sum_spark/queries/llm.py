@@ -49,7 +49,8 @@ _LINE_BREAK_DUCK = (
 )
 
 # One full Lloyd step in DuckDB SQL, shared by the embed_quantize
-# 'kmeans'/'kcent' legs and the dedup_embedding_cosine 'sem' leg.
+# 'kmeans'/'kcent' legs and the dedup_embedding_cosine 'sem'/'sem2'
+# legs (sem2 extends kd with a rank<=2 window for top-2 probes).
 # Assumes a prior CTE v(vec_id, vv double[]); yields ka(vec_id, vv,
 # cluster): hash60-mod-8 init partition, 1e-6 fixed-point integer
 # centroid means (the only cross-row sums — exact), then nearest-

@@ -339,6 +339,29 @@ def test_monotone_bucket_skew_refinement_bounds_hot_buckets(spark):
     assert fgot == fwant
 
 
+def test_pack_sequences_pipeline_frame_memoized_per_session(spark, sf_smoke):
+    """VERDICT r10 #5: the pack_sequences query's pipeline leg pays real
+    eager prep at construction (signature persists, cluster collect) —
+    a deployment pays that once per corpus snapshot, so the query fn
+    memoizes the prepared frame per (session, sf_dir). Rebuilding must
+    not occur on a second construction, and the result must be
+    identical through the memo."""
+    from sum_spark.queries import REGISTRY, llm
+
+    llm._PIPE_MEMO.clear()
+    try:
+        df1 = REGISTRY["pack_sequences"].fn(spark, sf_smoke)
+        rows1 = sorted(map(tuple, df1.collect()))
+        assert len(llm._PIPE_MEMO) == 1
+        key, frame = next(iter(llm._PIPE_MEMO.items()))
+        assert key[1] == sf_smoke
+        df2 = REGISTRY["pack_sequences"].fn(spark, sf_smoke)
+        assert llm._PIPE_MEMO[key] is frame  # no rebuild
+        assert sorted(map(tuple, df2.collect())) == rows1
+    finally:
+        llm._PIPE_MEMO.clear()
+
+
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
     """The reduced join returns exactly the plain join's rows (no false
     negatives; join removes Bloom false positives), and the map-side
