@@ -65,7 +65,7 @@ def test_run_attempts_discards_stalled_runs_and_reruns():
         return (t,)
 
     # First attempt stalls (gap 30 s), the rest are clean.
-    best, med, discards, cpud = bench._run_attempts(
+    best, med, discards, cpud, spread = bench._run_attempts(
         run_once, max_runs=3, watch=_FakeWatch([30.0])
     )
     assert discards == 1
@@ -79,7 +79,7 @@ def test_run_attempts_all_stalled_falls_back_with_discard_count():
     """If every attempt stalled, a number must still be produced — the
     stalled minima — and the discard count says how much to trust it.
     The extra-attempt cap bounds the spin during a long storm."""
-    best, med, discards, cpud = bench._run_attempts(
+    best, med, discards, cpud, spread = bench._run_attempts(
         lambda: (9.0,), max_runs=2, watch=_FakeWatch([30.0] * 10)
     )
     assert best == (9.0,)
@@ -99,7 +99,7 @@ def test_run_attempts_early_exit_only_above_one_second():
         calls.append(1)
         return (0.5,)
 
-    best, med, discards, _ = bench._run_attempts(
+    best, med, discards, _, _sp = bench._run_attempts(
         run_once, max_runs=3, watch=_FakeWatch([30.0, 0.0, 0.0, 0.0])
     )
     assert best == (0.5,)
@@ -112,7 +112,7 @@ def test_run_attempts_early_exit_only_above_one_second():
         mid_calls.append(1)
         return (1.5,)
 
-    best, med, discards, _ = bench._run_attempts(
+    best, med, discards, _, _sp = bench._run_attempts(
         run_mid, max_runs=3, watch=_FakeWatch([0.0, 0.0, 0.0])
     )
     assert best == (1.5,)
@@ -137,7 +137,7 @@ def test_run_attempts_discards_cpu_pathological_runs():
     sys-heavy/user-idle pathology is discarded like a stall, counted
     separately (the sidecar tells freezes from slow windows apart)."""
     times = iter([4.0, 1.2, 1.3])
-    best, med, stalls, cpud = bench._run_attempts(
+    best, med, stalls, cpud, spread = bench._run_attempts(
         lambda: (next(times),),
         max_runs=3,
         watch=_FakeWatch([0.0, 0.0, 0.0]),
@@ -149,23 +149,48 @@ def test_run_attempts_discards_cpu_pathological_runs():
 
 
 def test_cpu_window_suspect_shape():
-    """The detector fires exactly on the documented pathology shape
-    (sys >= 30%, user <= 10%) and stays quiet on healthy busy or idle
-    windows."""
+    """The detector fires exactly on the documented pathology shapes —
+    sys-heavy/user-idle (page-zeroing churn) and steal-heavy (the VM
+    host descheduled, round-11 run-1's invisible slow phase) — and
+    stays quiet on healthy busy or idle windows."""
     w = bench._CpuWindow()
     w.enabled = True
 
-    def shape(du, ds, dt):
-        w._t0 = (1000, 500, 100000)
-        w._read = lambda: (1000 + du, 500 + ds, 100000 + dt)
+    def shape(du, ds, dt, dst=0):
+        w._t0 = (1000, 500, 50, 100000)
+        w._read = lambda: (1000 + du, 500 + ds, 50 + dst, 100000 + dt)
         return w.suspect()
 
     assert shape(du=20, ds=4000, dt=10000) is True  # 40% sys, 0.2% user
     assert shape(du=8000, ds=1500, dt=10000) is False  # busy JVM: user-heavy
     assert shape(du=100, ds=200, dt=10000) is False  # idle: both low
     assert shape(du=900, ds=3500, dt=10000) is True  # 35% sys, 9% user
+    assert shape(du=5000, ds=500, dt=10000, dst=2500) is True  # 25% steal
+    assert shape(du=5000, ds=500, dt=10000, dst=500) is False  # 5% steal ok
     w.enabled = False
     assert w.suspect() is False  # disabled platform never discards
+
+
+def test_run_attempts_spread_flags_wide_clean_runs():
+    """Clean runs disagreeing among themselves measured a slow window no
+    in-process watcher can prove (round-11 run-1: construct-side JVM
+    slowness, sys-light, heartbeat quiet). The returned spread is the
+    artifact-level flag — max/min of the STEADY-STATE clean totals: the
+    first run's one-time costs (codegen, memoized builds) are excluded,
+    or every memoizing entry would flag itself."""
+    times = iter([6.0, 2.4, 5.1])
+    best, med, stalls, cpud, spread = bench._run_attempts(
+        lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
+    )
+    assert best == (2.4,)
+    assert spread == 2.12  # 5.1 / 2.4 over runs 2-3; the cold 6.0 excluded
+
+    # cold-build shape: expensive first run, agreeing warm runs -> quiet
+    times = iter([108.0, 6.1, 6.3])
+    *_, spread = bench._run_attempts(
+        lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
+    )
+    assert spread < 2.0
 
 
 def test_stallwatch_heartbeat_stays_quiet_on_a_healthy_thread():
