@@ -339,6 +339,35 @@ def test_monotone_bucket_skew_refinement_bounds_hot_buckets(spark):
     assert fgot == fwant
 
 
+def test_monotone_bucket_nan_and_infinity_keys(spark):
+    """Float specials through the placement: Spark sorts NaN LAST
+    (greater than any double) and +-Inf at the extremes; the bucket
+    quantization must agree with the window's ORDER BY on all of them.
+    NaN lands in the last bucket via F.least's NaN semantics; -Inf
+    collapses the quantization to one bucket (width = inf) — degraded
+    parallelism, still exact ranks."""
+    import math
+
+    from sum_spark.operators.sampling import assign_contiguous_ids
+
+    vals = [3.5, -2.0, 0.0, 7.25, -100.5, 42.0]
+    rows = (
+        [(v, i) for i, v in enumerate(vals)]
+        + [(float("inf"), 100), (float("-inf"), 101)]
+        + [(float("nan"), 102), (float("nan"), 103)]
+    )
+    df = spark.createDataFrame(rows, "k double, t long").repartition(5)
+    got = {
+        r["t"]: r["gid"]
+        for r in assign_contiguous_ids(df, ["k", "t"], id_name="gid").collect()
+    }
+    expect_order = sorted(
+        rows, key=lambda r: (math.isnan(r[0]), 0.0 if math.isnan(r[0]) else r[0], r[1])
+    )
+    assert got == {t: i + 1 for i, (k, t) in enumerate(expect_order)}
+    assert len(got) == len(rows)  # no row lost
+
+
 def test_pack_sequences_pipeline_frame_memoized_per_session(spark, sf_smoke):
     """VERDICT r10 #5: the pack_sequences query's pipeline leg pays real
     eager prep at construction (signature persists, cluster collect) —
