@@ -781,6 +781,75 @@ def cells_block(spark, k: int = 10) -> dict:
     return out
 
 
+def pack_skew_block(spark) -> dict:
+    """VERDICT r11 #2: per-leg attribution of pack_sequences' planted-skew
+    cell. The round-11 entry-level 4.15x at 10x skew could hide either a
+    placement regression (pack leg) or the pipeline leg's LSH candidate
+    mass; this block times the two legs separately (execution-only — the
+    pipe memo holds after the first build, exactly bench.py's leg
+    contract) and records the pipeline PREP cost (the eager signature
+    persist + LSH pair pass + cluster collect a deployment pays once per
+    snapshot) as its own row. It also answers "does salt_bands='auto'
+    engage on the planted hot band": the measured hottest band bucket
+    and the resulting salt decision on both corpora (over the full
+    documents table; the pipeline's %97 corpus filter shifts counts by
+    ~1%)."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators import dedup
+    from sum_spark.queries import REGISTRY, llm
+    from sum_spark.sources.tables import load_table
+
+    fn = REGISTRY["pack_sequences"].fn
+    rows: dict[str, dict[str, float]] = {}
+    for label, d in (("base", BASE_SF_DIR), ("skew", OUT_DIR_SKEW)):
+        llm._PIPE_MEMO.clear()
+        t0 = time.perf_counter()
+        keepalive = fn(spark, d)  # cold build: pays the eager pipeline prep
+        prep = round(time.perf_counter() - t0, 3)
+        rec: dict[str, float] = {"prep_construct": prep}
+        for leg in ("pack", "pipeline"):
+
+            def leg_fn(s, _d, leg=leg, d=d):
+                w = fn(s, d)
+                o = w.where(F.col("mode") == leg)
+                o._bench_keepalive = w
+                return o
+
+            rec[leg] = _time(leg_fn, spark, d, build_outside=True)
+        rows[label] = rec
+        del keepalive
+    out: dict = {
+        "legs": rows,
+        "ratio": {
+            k: (
+                round(rows["skew"][k] / rows["base"][k], 2)
+                if rows["base"][k]
+                else None
+            )
+            for k in ("prep_construct", "pack", "pipeline")
+        },
+    }
+    salt: dict[str, dict] = {}
+    for label, d in (("base", BASE_SF_DIR), ("skew", OUT_DIR_SKEW)):
+        docs = load_table(spark, d, "documents")
+        sig = dedup.minhash_signatures(docs, "text", "doc_id").persist()
+        bands = dedup._bands_from_sig(sig)
+        hottest = (
+            bands.groupBy("key")
+            .agg(F.count("*").alias("c"))
+            .agg(F.max("c").alias("m"))
+            .first()["m"]
+        )
+        salt[label] = {
+            "hottest_bucket": int(hottest or 0),
+            "auto_salt": dedup._auto_band_salt(bands),
+        }
+        sig.unpersist()
+    out["auto_salt"] = salt
+    return out
+
+
 def _time(fn, spark, sf_dir, runs: int | None = None, build_outside: bool = False) -> float:
     if runs is None:
         runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
@@ -880,6 +949,12 @@ def main() -> None:
         if not os.path.isdir(os.path.join(OUT_DIR_SKEW, "documents.parquet")):
             build_skewed(spark)
         result["skew"] = skew_block(spark)
+    if "packskew" in want:
+        # Attribution block (VERDICT r11 #2), not a per-round row: run
+        # with SPARK_GRAFT_SCALE_ONLY=packskew.
+        if not os.path.isdir(os.path.join(OUT_DIR_SKEW, "documents.parquet")):
+            build_skewed(spark)
+        result["pack_skew"] = pack_skew_block(spark)
     if "recall" in want:
         result["recall"] = {
             "base": recall_block(spark, BASE_SF_DIR),

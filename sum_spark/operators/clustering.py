@@ -165,12 +165,22 @@ def _batched_sq_dists(vec, cmat):
     DuckDB reproduces bit-for-bit."""
     import numpy as np
 
-    mats = np.asarray(
-        [np.asarray(cell, dtype=np.float64) for cell in vec], dtype=np.float64
-    )
-    if mats.ndim != 2:  # ragged cells: per-row fallback (never on real data)
+    if len(vec) == 0:  # empty Arrow batch: (0 x k), argmin downstream is a no-op
+        return np.empty((0, cmat.shape[0]), dtype=np.float64)
+    try:
+        mats = np.asarray(
+            [np.asarray(cell, dtype=np.float64) for cell in vec], dtype=np.float64
+        )
+    except ValueError:  # inhomogeneous cells raise before any ndim check
+        mats = None
+    if mats is None or mats.ndim != 2:
+        # ragged cells: per-row fallback (never on real data)
         return np.stack(
-            [((cmat - m[None, :]) ** 2).sum(axis=1) for m in mats], axis=0
+            [
+                ((cmat - np.asarray(m, dtype=np.float64)[None, :]) ** 2).sum(axis=1)
+                for m in vec
+            ],
+            axis=0,
         )
     c_sq = (cmat * cmat).sum(axis=1)[None, :]
     out = np.empty((mats.shape[0], cmat.shape[0]), dtype=np.float64)

@@ -597,6 +597,12 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
             if r["__c"] > _HOT_FACTOR * target
             and r["__lo"] is not None
             and r["__lo"] != r["__hi"]
+            # A NaN __hi (finite rows sharing the last bucket with NaN
+            # keys) passes the != check (NaN != NaN) but the float width
+            # below would be NaN -> every row lands in sub __ssp-1, a
+            # no-op split retried each level. Skip: ranks stay exact,
+            # the bucket just keeps its mixed population.
+            and not (isinstance(r["__hi"], float) and math.isnan(r["__hi"]))
         ]
         if not hot:
             break

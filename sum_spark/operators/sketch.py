@@ -1220,17 +1220,41 @@ def mg_partials(
 
 def _mg_prune(summary: DataFrame, k: int) -> DataFrame:
     """Restore capacity ``k`` after a merge: subtract the (k+1)-th
-    largest counter from all counters, keep the strictly positive. The
-    threshold row is found with orderBy+limit (TakeOrdered — a k-row
-    per-partition heap merge, never a global sort) and broadcast."""
-    top = summary.orderBy(F.col("est").desc(), F.col("item")).limit(k + 1)
-    thr = top.selectExpr(
-        f"CAST(CASE WHEN count(*) = {k + 1} THEN min(est) ELSE 0 END"
-        " AS BIGINT) AS __t"
+    largest counter from all counters, keep the strictly positive.
+
+    Every survivor (est > threshold) is by construction inside the
+    global top-(k+1) by (est desc, item), so the prune pipelines as ONE
+    linear plan: orderBy+limit to the k+1 candidate rows (bounded —
+    never the summary's k x partitions width), then a single-partition
+    window over those <= k+1 rows reads off the threshold (row k+1's
+    est; 0 when the summary is already within capacity) and subtracts
+    it. The previous shape computed the threshold in a broadcast
+    subquery and joined it back to ``summary`` — two branches over the
+    same subtree, which Catalyst does NOT merge (the q31 ReusedExchange
+    finding, CLAUDE.md): the mapInPandas partials pass and everything
+    upstream of it executed TWICE per action (VERDICT r11 #3 — the mg
+    leg was the suite's largest, ~2x its true cost)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col("est").desc(), F.col("item")]
+    w_rn = Window.orderBy(*order)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        summary.join(F.broadcast(thr))
-        .where("est > __t")
+        summary.orderBy(*order)
+        .limit(k + 1)
+        .select("item", "est", F.row_number().over(w_rn).alias("__rn"))
+        .select(
+            "item",
+            "est",
+            F.max(
+                F.when(F.col("__rn") == k + 1, F.col("est")).otherwise(F.lit(0))
+            )
+            .over(w_all)
+            .alias("__t"),
+        )
+        .where(F.col("est") > F.col("__t"))
         .selectExpr("item", "CAST(est - __t AS BIGINT) AS est")
     )
 

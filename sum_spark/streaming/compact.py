@@ -155,7 +155,10 @@ def compact_batches(
         # write), so the safe move is to redo the fold — the overwrite
         # of tmp is idempotent. A legacy single-line marker finishes the
         # rename only under its original recovery condition (every batch
-        # dir already gone); otherwise it too falls through to redo.
+        # dir already gone); with surviving batch dirs it RAISES instead
+        # of refolding — the marker can't prove which dirs were inputs,
+        # so an automatic refold could silently drop rows
+        # (test_streaming_autocompact pins the refusal).
         stash = _parse_marker(marker)
         if stash is not None:
             max_id, folded = stash

@@ -85,6 +85,12 @@ class _TerminationCleanup(StreamingQueryListener):
             cls._by_session[spark] = inst
         inst._cbs[str(query_id)] = cb
 
+    @classmethod
+    def unregister(cls, spark: SparkSession, query_id) -> None:
+        inst = cls._by_session.get(spark)
+        if inst is not None:
+            inst._cbs.pop(str(query_id), None)
+
     def onQueryStarted(self, event) -> None:  # pragma: no cover - no-op
         pass
 
@@ -273,6 +279,14 @@ def streaming_corpus_state(
 
     if benchmark is not None:
         _TerminationCleanup.register(doc_stream.sparkSession, q.id, _release_bench)
+        if not q.isActive:
+            # The query terminated before the registration landed (tiny
+            # window for an empty availableNow stream): its Terminated
+            # event reached a listener that didn't know the id yet. Run
+            # the cleanup inline — _release_bench pops ctx, so a racing
+            # double run is a no-op — and drop the stale entry.
+            _TerminationCleanup.unregister(doc_stream.sparkSession, q.id)
+            _release_bench()
     return q
 
 

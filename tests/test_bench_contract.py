@@ -243,6 +243,37 @@ def test_sidecar_leg_keys_map_to_declared_legs():
     assert not orphans, f"sidecar legs no longer declared in bench.py: {sorted(orphans)}"
 
 
+def test_stdout_line_with_drift_stays_parseable_and_under_window():
+    """The run-level canary drift index (VERDICT r11 #1) rides on the
+    stdout line — it must not push the line past the capture window
+    even at worst-case widths, and must round-trip as a number."""
+    line = bench.format_stdout_line(_fake_timings(), 0.1, stalls=999, drift=99.99)
+    assert len(line) < 1800
+    parsed = json.loads(line)
+    assert parsed["drift"] == 99.99
+    # drift omitted entirely when not measured (legacy line shape).
+    assert "drift" not in json.loads(bench.format_stdout_line(_fake_timings(), 0.1))
+
+
+def test_sidecar_canary_bracket_covers_every_entry():
+    """The committed sidecar must carry the canary bracket (VERDICT r11
+    #1): the pin, the run-level drift index, and one FINAL bracket index
+    per timed entry — the row-level trust signal readers use to discount
+    (or normalize) windows the in-process watchers couldn't prove
+    clean."""
+    import os
+
+    sidecar = os.path.join(os.path.dirname(bench.__file__), "BENCH_LEGS.json")
+    with open(sidecar) as fh:
+        canary = json.load(fh)["canary"]
+    assert {"pin_s", "max_drift", "drift_index", "per_entry", "samples"} <= set(
+        canary
+    )
+    assert canary["pin_s"] > 0
+    assert set(canary["per_entry"]) == set(bench.HEADLINE)
+    assert len(canary["samples"]) >= len(bench.HEADLINE) + 1
+
+
 def test_sidecar_split_covers_every_headline_entry():
     """The sidecar's construction-vs-execution split (VERDICT r8 #7) must
     cover exactly the timed entries with both phases present, so a py4j

@@ -391,6 +391,120 @@ def test_pack_sequences_pipeline_frame_memoized_per_session(spark, sf_smoke):
         llm._PIPE_MEMO.clear()
 
 
+def test_pack_sequences_pipe_memo_invalidates_on_disk_mutation(
+    spark, sf_smoke, tmp_path
+):
+    """VERDICT r11 #4: the pipeline memo fingerprints the snapshot's
+    on-disk generation (the _ii_serve_ctx / pq_serve_context pattern) —
+    a documents table mutated between two builds IN ONE SESSION must
+    trigger a rebuild, never serve the stale frame. Immutable dirs
+    (same generation) keep the round-10 no-rebuild semantics, which the
+    test above pins."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sum_spark.queries import REGISTRY, llm
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    shutil.copy(
+        os.path.join(sf_smoke, "documents.parquet"), snap / "documents.parquet"
+    )
+    sf_dir = str(snap)
+    llm._PIPE_MEMO.clear()
+    try:
+        rows1 = REGISTRY["pack_sequences"].fn(spark, sf_dir).count()
+        (key, (gen1, frame1)) = next(iter(llm._PIPE_MEMO.items()))
+        assert key[1] == sf_dir
+        # Mutate the snapshot in place: drop two-thirds of the corpus.
+        t = pq.read_table(snap / "documents.parquet")
+        pq.write_table(
+            t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), 0)),
+            snap / "documents.parquet",
+        )
+        spark.catalog.clearCache()  # drop any parquet footer/relation cache
+        rows2 = REGISTRY["pack_sequences"].fn(spark, sf_dir).count()
+        gen2, frame2 = llm._PIPE_MEMO[key]
+        assert gen2 != gen1 and frame2 is not frame1  # rebuilt
+        assert rows2 < rows1  # and the result reflects the new snapshot
+    finally:
+        llm._PIPE_MEMO.clear()
+
+
+def test_monotone_bucket_refinement_job_and_scan_bound(spark):
+    """VERDICT r11 #6: the skew detector rides on the per-bucket
+    histogram the placement operators need anyway — refinement may add
+    at most ONE aggregate job per refinement level, and ZERO extra
+    scans of the FULL frame (every histogram reads the checkpointed
+    narrow projection, never the source). Pinned so a future edit can't
+    silently turn the detector into a second data pass. Scans are
+    counted by an accumulator-tracked UDF on the key column (the source
+    executes only where that UDF runs); jobs via the thread-local job
+    group, with AQE off for the measurement so one aggregate = one job
+    (AQE splits each exchange into its own job, which would make the
+    count a Spark-version artifact instead of a plan-shape pin)."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.operators import sampling
+
+    sc = spark.sparkContext
+    acc = sc.accumulator(0)
+
+    @F.udf("long")
+    def tracked(x):
+        acc.add(1)
+        return x
+
+    nrows = 1000
+    uniform = [(i * 1_000_000,) for i in range(nrows)]
+    # 900 DENSE rows in [0, 900) and 100 rows far away: bucket 0 of the
+    # 8-way equi-width split holds the dense mass (> _HOT_FACTOR x the
+    # 125-row target) and its observed key range IS [0, 899], so ONE
+    # re-quantization spreads it (~112 rows per sub-bucket < 500). The
+    # far rows start beyond the first bucket's width so none of them
+    # share the hot bucket (their presence would stretch its __hi and
+    # force a second level — the shape the two-level property tests
+    # cover; here we pin the per-level cost).
+    skewed = [(i,) for i in range(900)] + [
+        (1_000_000_000 + i * 10_000_000,) for i in range(nrows - 900)
+    ]
+
+    def run(tag, rows):
+        df = spark.createDataFrame(rows, "k long").withColumn("k", tracked("k"))
+        before = acc.value
+        sc.setJobGroup(tag, tag)
+        try:
+            _, _, counts = sampling._monotone_bucket(df, "k", 8)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        return jobs, acc.value - before, counts
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plain_jobs, plain_scans, plain_counts = run("mb-plain", uniform)
+        skew_jobs, skew_scans, skew_counts = run("mb-skew", skewed)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # The skew run really refined (finer bucket ids, hot bucket gone)...
+    assert len(skew_counts) > len(plain_counts), (plain_counts, skew_counts)
+    assert max(skew_counts.values()) < 900, skew_counts
+    # ...for at most a bounded constant of extra jobs per refinement
+    # level: the level's histogram collect plus the broadcast of its
+    # driver-built param table (+1 headroom for a runner job Spark may
+    # add) — never a re-aggregation of the data or a second scan.
+    assert skew_jobs <= plain_jobs + 3, (plain_jobs, skew_jobs)
+    # ...and ZERO extra executions of the source frame: both runs invoke
+    # the tracked UDF the same number of times (bounds + checkpoint
+    # materialization; refinement reads only the checkpoint).
+    assert skew_scans == plain_scans, (plain_scans, skew_scans)
+    assert plain_scans >= nrows  # the tracker actually saw the data
+
+
 def test_bloom_prefilter_join_equals_plain_join(spark, sf_smoke):
     """The reduced join returns exactly the plain join's rows (no false
     negatives; join removes Bloom false positives), and the map-side
