@@ -388,6 +388,7 @@ def semantic_dedup(
     n_subblocks: int | None = None,
     assign_backend: str = "numpy",
     probes: int = 1,
+    ordered: bool = True,
 ) -> DataFrame:
     """SemDeDup: cluster, then exact cosine near-dup pairs WITHIN each
     cluster only. Output: (id_a, id_b, sim, cluster) with id_a < id_b,
@@ -526,4 +527,4 @@ def semantic_dedup(
         out = out.groupBy("id_a", "id_b").agg(
             F.min("sim").alias("sim"), F.min("cluster").alias("cluster")
         )
-    return out.orderBy("id_a", "id_b")
+    return out.orderBy("id_a", "id_b") if ordered else out

@@ -66,6 +66,7 @@ def decontaminate(
     id_col: str = "doc_id",
     corpus_hashes: DataFrame | None = None,
     benchmark_hashes: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Contamination report: corpus documents sharing at least one word
     n-gram with any benchmark document, with the count of distinct
@@ -106,7 +107,7 @@ def decontaminate(
         corp.join(F.broadcast(bench), "__h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
 
 
@@ -139,6 +140,7 @@ def decontaminate_bloom(
     m_bits: int | None = None,
     k: int | None = None,
     corpus_hashes: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Contamination report via a Bloom filter of the benchmark's shingle
     hashes — the fixed-size form of ``decontaminate`` for when even the
@@ -180,7 +182,7 @@ def decontaminate_bloom(
         flagged.where(F.col("maybe"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
 
 

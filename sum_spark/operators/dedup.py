@@ -55,6 +55,7 @@ def duplicate_ngrams(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated word n-grams: every n-gram appearing in
     at least ``min_df`` distinct documents, with the count and the first
@@ -78,7 +79,7 @@ def duplicate_ngrams(
     return (
         _dup_grams_from_hashes(sh, min_df)
         .select(F.col("__h").alias("gram_h"), "first_doc", "n_docs")
-        .orderBy("gram_h")
+        .transform(lambda d: d.orderBy("gram_h") if ordered else d)
     )
 
 
@@ -102,6 +103,7 @@ def duplicated_span_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokenized: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-span coverage: for each document, the
     number of its distinct word n-grams and how many of those appear in
@@ -146,7 +148,7 @@ def duplicated_span_stats(
             F.count("*").alias("n_grams"),
             F.count("__dup").alias("n_dup_grams"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
     return _release_with(out, sh)
 
@@ -164,6 +166,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_boiler: bool | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """CCNet-style line/paragraph dedup: remove every line that occurs in
     at least ``min_df`` distinct documents (headers, footers, cookie
@@ -230,7 +233,7 @@ def dedup_lines(
                 line_sep,
             ).alias("clean_text"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
     return _release_with(out, cached) if cached is not None else out
 
@@ -242,6 +245,7 @@ def remove_duplicate_spans(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN removal — the acting half of
     suffix-array corpus dedup (Lee et al. 2022, ExactSubstr): every
@@ -312,7 +316,7 @@ def remove_duplicate_spans(
             F.size("__cov").cast("long").alias("n_removed"),
             F.array_join(kept, " ").alias("clean_text"),
         )
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
     return _release_with(out, occ) if dup_grams is None else out
 
@@ -581,6 +585,7 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     corpus_sig: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """O(delta) ingestion dedup: near-dups of the NEW batch against the
     EXISTING corpus (new-vs-corpus pairs only; compose with
@@ -625,7 +630,7 @@ def dedup_incremental(
         .select("new_id", "corpus_id", j.alias("__j"))
         .where(F.col("__j") >= t)
         .select("new_id", "corpus_id", F.round("__j", 4).alias("jaccard"))
-        .orderBy("new_id", "corpus_id")
+        .transform(lambda d: d.orderBy("new_id", "corpus_id") if ordered else d)
     )
     # Only release what we persisted: a caller-supplied corpus_sig's
     # cache lifetime belongs to the caller.
@@ -642,6 +647,7 @@ def incremental_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     delta_sig: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Maintain the FULL near-dup pair set across a snapshot transition
     from the previous snapshot's stored artifacts plus the delta only —
@@ -718,7 +724,7 @@ def incremental_pairs(
         kept.select("doc_a", "doc_b", "jaccard")
         .unionByName(cross)
         .unionByName(within)
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: d.orderBy("doc_a", "doc_b") if ordered else d)
     )
     return out if delta_sig is not None else _release_with(out, sig_d)
 
@@ -923,6 +929,7 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold (exact).
 
@@ -1026,7 +1033,7 @@ def dedup_embedding_cosine(
 
     return (
         pairs.mapInPandas(gemm, schema="id_a long, id_b long, sim double")
-        .orderBy("id_a", "id_b")
+        .transform(lambda d: d.orderBy("id_a", "id_b") if ordered else d)
     )
 
 
@@ -1074,6 +1081,7 @@ def dedup_embedding_lsh(
     n_bits: int = 16,
     n_bands: int = 4,
     seed: str = "srp",
+    ordered: bool = True,
 ) -> DataFrame:
     """Embedding near-dup via signed-random-projection LSH — the O(N·K)
     prune path where :func:`dedup_embedding_cosine` is the O(N²) exact
@@ -1174,7 +1182,7 @@ def dedup_embedding_lsh(
     return (
         packed.mapInPandas(bucket_gemm, schema="id_a long, id_b long, sim double")
         .distinct()
-        .orderBy("id_a", "id_b")
+        .transform(lambda d: d.orderBy("id_a", "id_b") if ordered else d)
     )
 
 

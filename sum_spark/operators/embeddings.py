@@ -16,7 +16,8 @@ from sum_spark.plans.scale import spread_for_compute
 
 
 def quantize_int8(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    ordered: bool = True,
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization.
 
@@ -61,11 +62,12 @@ def quantize_int8(
         scale.alias("scale"),
         F.array_join(F.transform("__q", lambda x: x.cast("string")), ",").alias("q_str"),
         err.alias("max_abs_err"),
-    ).orderBy("vec_id")
+    ).transform(lambda d: d.orderBy("vec_id") if ordered else d)
 
 
 def l2_normalize(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    ordered: bool = True,
 ) -> DataFrame:
     """Unit-norm embeddings (the preprocessing step before cosine-based
     ANN: normalized once, every downstream similarity is a plain dot).
@@ -95,7 +97,7 @@ def l2_normalize(
     ).otherwise(F.transform("__v", lambda x: F.lit(0.0)))
     return a.select(
         "vec_id", F.col("__n").alias("norm"), unit.alias("unit")
-    ).orderBy("vec_id")
+    ).transform(lambda d: d.orderBy("vec_id") if ordered else d)
 
 
 def random_project(
@@ -152,6 +154,7 @@ def mean_pool(
     group_col: str = "label",
     vec_col: str = "embedding",
     fixed_point: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Group-wise mean embedding — chunk->document or document->class
     pooling. Distributed shape: posexplode to (group, pos, val), ONE
@@ -195,7 +198,7 @@ def mean_pool(
                 lambda s: s["m"],
             ).alias(out_col),
         )
-        .orderBy("group")
+        .transform(lambda d: d.orderBy("group") if ordered else d)
     )
 
 
@@ -208,6 +211,7 @@ def product_quantize(
     fixed_point: int = 6,
     centroids: dict[int, list[float]] | None = None,
     backend: str = "catalyst",
+    ordered: bool = True,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Product quantization (PQ — Jégou et al. 2011): split each vector
     into ``m`` contiguous subvectors and quantize each against its own
@@ -270,11 +274,32 @@ def product_quantize(
             centroid_sums(init, "cluster", vec_col, fixed_point).collect(), fixed_point
         )
     items = sorted(cents.items())
+    if backend == "numpy":
+        _pq_check_dims(items, m)
+        return _pq_codes_numpy(df, m, items, id_col, vec_col), cents
+    codes = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*pq_code_cols(items, m, vec_col)).alias("codes"),
+    ).transform(lambda d: d.orderBy("vec_id") if ordered else d)
+    return codes, cents
+
+
+def _pq_check_dims(items: list, m: int) -> int:
     d = len(items[0][1])
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
-    if backend == "numpy":
-        return _pq_codes_numpy(df, m, items, id_col, vec_col), cents
+    return d
+
+
+def pq_code_cols(items: list, m: int, vec_col: str) -> list:
+    """The ``m`` catalyst PQ-code Columns over ``vec_col`` for a sorted
+    (cluster, centroid) item list — product_quantize's assignment
+    expressions factored out so an index build can attach codes in the
+    SAME projection that carries the coarse id: the previous
+    write/maintain shape re-derived codes in a second frame and JOINED
+    it back on id (one shuffle join + its exchanges per build/append/
+    retire, guide §2.4 — removed)."""
+    d = _pq_check_dims(items, m)
     sd = d // m
     v = F.col(vec_col).cast("array<double>")
     from sum_spark.functions.litsql import darray
@@ -308,14 +333,16 @@ def product_quantize(
 
         best = F.array_min(F.transform(cent_lit, _dist_struct(sub)))
         code_cols.append(best["j"])
-    codes = df.select(
-        F.col(id_col).alias("vec_id"), F.array(*code_cols).alias("codes")
-    ).orderBy("vec_id")
-    return codes, cents
+    return code_cols
 
 
 def _pq_codes_numpy(
-    df: DataFrame, m: int, items: list, id_col: str, vec_col: str
+    df: DataFrame,
+    m: int,
+    items: list,
+    id_col: str,
+    vec_col: str,
+    carry_coarse: bool = False,
 ) -> DataFrame:
     """Arrow-batched GEMM PQ assignment (the large-k encode): per
     subspace, ||x||^2 - 2 x.c + ||c||^2 over the whole batch, argmin to
@@ -361,12 +388,23 @@ def _pq_codes_numpy(
                     + (cs * cs).sum(axis=1)[None, :]
                 )
                 out[:, j] = keys[np.argmin(d2, axis=1)]
-            yield pd.DataFrame(
-                {"vec_id": pdf["__id"].values, "codes": list(out)}
-            )
+            cols = {"vec_id": pdf["__id"].values, "codes": list(out)}
+            if carry_coarse:
+                cols["coarse"] = pdf["__coarse"].values
+            yield pd.DataFrame(cols)
 
+    # carry_coarse ships the precomputed coarse id through the batch so a
+    # residual index build/maintain emits (id, coarse, codes) in ONE
+    # python pass — the old shape joined a separate codes frame back on
+    # id (guide §2.4).
     src = df.select(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
+        *([F.col("coarse").cast("long").alias("__coarse")] if carry_coarse else []),
     )
-    return src.mapInPandas(_codes, schema="vec_id long, codes array<bigint>")
+    schema = (
+        "vec_id long, codes array<bigint>, coarse long"
+        if carry_coarse
+        else "vec_id long, codes array<bigint>"
+    )
+    return src.mapInPandas(_codes, schema=schema)

@@ -31,6 +31,7 @@ def sample_stratified(
     default_rate: float = 0.0,
     strat_col: str = "source",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Keep each row of stratum s with probability rates[s] (default_rate
     for unlisted strata), decided by a deterministic hash of
@@ -57,7 +58,7 @@ def sample_stratified(
         )
         .where(F.col("bucket") < F.col("__thr"))
         .select("doc_id", "stratum", "bucket")
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
 
 
@@ -130,6 +131,7 @@ def sample_exact_k(
     k: int,
     strat_col: str = "source",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum — the fixed-budget twin
     of sample_stratified's fixed-rate Bernoulli ("give me 10k docs per
@@ -165,7 +167,7 @@ def sample_exact_k(
         .withColumn("pick", F.row_number().over(w))
         .where(F.col("pick") <= k)
         .select("doc_id", "stratum", "pick")
-        .orderBy("doc_id")
+        .transform(lambda d: d.orderBy("doc_id") if ordered else d)
     )
 
 
@@ -224,6 +226,7 @@ def sample_weighted_k(
     seed: str = "wk",
     max_weight: int = 64,
     per_stratum: bool = False,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exactly min(k, n) rows drawn WITHOUT replacement with probability
     proportional to integer weights — the weighted twin of
@@ -273,7 +276,9 @@ def sample_weighted_k(
                 F.row_number().over(Window.orderBy("__pri", "doc_id")).cast("long"),
             )
         )
-    return ranked.select("doc_id", "stratum", "pick").orderBy("doc_id")
+    return ranked.select("doc_id", "stratum", "pick").transform(
+        lambda d: d.orderBy("doc_id") if ordered else d
+    )
 
 
 def duck_sample_weighted_k_sql(

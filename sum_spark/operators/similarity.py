@@ -73,6 +73,7 @@ def knn_bruteforce(
     probe_id_col: str | None = None,
     probe_vec_col: str | None = None,
     round_to: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe row.
 
@@ -95,7 +96,7 @@ def knn_bruteforce(
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -123,6 +124,7 @@ def knn_ivf(
     n_bits: int = 8,
     round_to: int | None = None,
     n_probes: int = 1,
+    ordered: bool = True,
 ) -> DataFrame:
     """Approximate k-NN: search only records in the probe's coarse bucket(s).
 
@@ -155,7 +157,7 @@ def knn_ivf(
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -450,6 +452,7 @@ def knn_ivf_from_index(
     round_to: int | None = None,
     predicate=None,
     n_probes: int = 1,
+    ordered: bool = True,
 ) -> DataFrame:
     """k-NN against a write-time IVF index (write_ivf_index): the probes'
     buckets are collected (bounded — probes are small by contract, as in
@@ -503,7 +506,7 @@ def knn_ivf_from_index(
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -516,6 +519,7 @@ def knn_ivf_kmeans(
     id_col: str = "id",
     vec_col: str = "data",
     round_to: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Trained-coarse-quantizer IVF — the FAISS IVFFlat shape, composed
     from the engine's own pieces: ``centroids`` comes from
@@ -588,7 +592,7 @@ def knn_ivf_kmeans(
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -603,6 +607,7 @@ def knn_ivfpq(
     round_to: int | None = None,
     centroids: dict[int, list[float]] | None = None,
     residual: bool = False,
+    ordered: bool = True,
 ) -> DataFrame:
     """IVF-PQ search (Jégou et al. 2011): coarse-quantize the corpus into
     inverted lists, PQ-encode every vector to m small codes, and answer a
@@ -751,7 +756,7 @@ def knn_ivfpq(
     return (
         out.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -915,8 +920,6 @@ def write_pq_index(
     py4j and blow codegen; the large-k encode is engine-deterministic
     (identical reruns — what deletion-as-negation needs), not
     oracle-reproducible. Resize = retrain_pq_index(n_cells='auto')."""
-    from sum_spark.operators.embeddings import product_quantize
-
     if n_cells == "auto":
         n_cells = auto_cells(records.count())
     cells = int(n_cells) if n_cells is not None else int(n_codes)
@@ -932,23 +935,39 @@ def write_pq_index(
     large = len(centroids) > _LARGE_K
     spark = records.sparkSession
     if residual:
+        from sum_spark.operators.embeddings import _pq_codes_numpy, pq_code_cols
+
         # persisted: the residual frame feeds the seed collect, every
-        # Lloyd iteration, the PQ encode, and both join branches — a
-        # full-corpus assign_clusters each without the cache
+        # Lloyd iteration, and the encode+write — a full-corpus
+        # assign_clusters each without the cache
         res = _residualize(
             records, centroids, id_col, vec_col,
             backend="join" if large else "catalyst",
         ).persist()
         try:
             trained = _train_residual_book(res, n_codes, id_col, res_iters)
-            codes, res_book = product_quantize(
-                res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
-                centroids=trained,
-                backend="numpy" if int(n_codes) > _LARGE_K else "catalyst",
+            # iters=0: the one-step book product_quantize would train —
+            # the same hash-init fixed-point aggregate, computed here so
+            # the encode below is one projection with no codes-join
+            # (guide §2.4; _pq_rows is the maintenance twin).
+            res_book = (
+                trained
+                if trained is not None
+                else train_pq_codebook(res, int(n_codes), id_col, "__res")
             )
-            rows = res.select(F.col(id_col), "coarse").join(
-                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-            )
+            if len(res_book) > _LARGE_K:
+                rows = _pq_codes_numpy(
+                    res, m, sorted(res_book.items()), id_col, "__res",
+                    carry_coarse=True,
+                ).select(F.col("vec_id").alias(id_col), "coarse", "codes")
+            else:
+                rows = res.select(
+                    F.col(id_col),
+                    "coarse",
+                    F.array(
+                        *pq_code_cols(sorted(res_book.items()), m, "__res")
+                    ).alias("codes"),
+                )
             rows.withColumn("w", F.lit(1)).write.partitionBy("coarse").parquet(
                 path, mode="overwrite"
             )
@@ -959,19 +978,8 @@ def write_pq_index(
         _write_res_iters(path, res_iters)
         _attest(path)
         return centroids
-    from sum_spark.operators.clustering import assign_clusters
-
-    coarse = assign_clusters(
-        records, centroids, id_col, vec_col, cluster_col="coarse",
-        backend="numpy" if large else "catalyst",
-    )
-    codes, _ = product_quantize(
-        records, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
-        centroids=centroids, backend="numpy" if large else "catalyst",
-    )
     (
-        coarse.select(F.col(id_col), "coarse")
-        .join(codes.select(F.col("vec_id").alias(id_col), "codes"), id_col)
+        _pq_rows(records, centroids, None, m, id_col, vec_col)
         .withColumn("w", F.lit(1))
         .write.partitionBy("coarse")
         .parquet(path, mode="overwrite")
@@ -1232,6 +1240,8 @@ def knn_ivfpq_from_index(
     n_probes: int = 1,
     lut_backend: str = "auto",
     serve_ctx: dict | None = None,
+    probe_rows: list | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Search a write_pq_index table: the codebook reloads from
     ``<path>/_codebook`` (driver-sized), each probe's coarse list becomes
@@ -1266,14 +1276,19 @@ def knn_ivfpq_from_index(
     trigger, and the numpy cells batch over all (probe, list) rows in
     m reductions). ``serve_ctx`` (pq_serve_context) skips the per-call
     codebook collects and index re-listing for repeated serves of an
-    unchanged index."""
+    unchanged index. ``probe_rows`` (rows of (__pid, __pv) — the exact
+    projection collected here) lets a caller serving SEVERAL indexes for
+    one probe set pay the probe collect once instead of per index
+    (guide §1.2: q_knn_search's five stored legs share one collect)."""
     if serve_ctx is not None and serve_ctx.get("path") == path:
         book, res_book = serve_ctx["book"], serve_ctx["res_book"]
     else:
         book, res_book = _load_books(spark, path)
-    probe_rows = probes.select(
-        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
-    ).collect()
+    if probe_rows is None:
+        probe_rows = probes.select(
+            F.col(id_col).alias("__pid"),
+            F.col(vec_col).cast("array<double>").alias("__pv"),
+        ).collect()
     pairs, luts_by_key = _probe_luts(
         book, res_book, probe_rows, m, n_probes, lut_backend
     )
@@ -1308,7 +1323,7 @@ def knn_ivfpq_from_index(
     return (
         out.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
     )
 
 
@@ -1352,6 +1367,7 @@ def _rerank_driver(
     adc_round_to: int | None,
     lut_backend: str,
     serve_ctx: dict | None,
+    probe_rows: list | None = None,
 ) -> DataFrame:
     """The ``serve_backend='driver'`` micro-batch serve: every
     intermediate of the two-stage rerank is DRIVER-BOUNDED by contract
@@ -1378,9 +1394,11 @@ def _rerank_driver(
         else pq_serve_context(spark, path, id_col=id_col)
     )
     book, res_book, idx = ctx["book"], ctx["res_book"], ctx["idx"]
-    probe_rows = probes.select(
-        F.col(id_col).alias("__pid"), F.col(vec_col).cast("array<double>").alias("__pv")
-    ).collect()
+    if probe_rows is None:
+        probe_rows = probes.select(
+            F.col(id_col).alias("__pid"),
+            F.col(vec_col).cast("array<double>").alias("__pv"),
+        ).collect()
     pairs, luts_by_key = _probe_luts(
         book, res_book, probe_rows, m, n_probes, lut_backend
     )
@@ -1517,6 +1535,8 @@ def knn_ivfpq_rerank(
     lut_backend: str = "auto",
     serve_ctx: dict | None = None,
     serve_backend: str = "plan",
+    probe_rows: list | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact re-ranking over a stored PQ index — the standard two-stage
     production ANN serve (scan compressed, re-rank few): stage 1 scores
@@ -1563,6 +1583,7 @@ def knn_ivfpq_rerank(
         return _rerank_driver(
             spark, path, corpus, probes, k, c, m, id_col, vec_col,
             round_to, n_probes, adc_round_to, lut_backend, serve_ctx,
+            probe_rows=probe_rows,
         )
     cand = knn_ivfpq_from_index(
         spark,
@@ -1576,6 +1597,7 @@ def knn_ivfpq_rerank(
         n_probes=n_probes,
         lut_backend=lut_backend,
         serve_ctx=serve_ctx,
+        probe_rows=probe_rows,
     ).select("probe_id", id_col)
     # The broadcast hint sits behind an ENFORCED structural bound, not
     # prose: the stage-1 rank filter caps the candidate frame at
@@ -1585,7 +1607,9 @@ def knn_ivfpq_rerank(
     # index scan and always reads huge — so the row bound is the honest
     # gate; past it the hint comes OFF and AQE's measured sizing
     # decides (the CLAUDE.md corpus-derived-broadcast rule).
-    cand_rows = probes.count() * int(c)
+    cand_rows = (
+        len(probe_rows) if probe_rows is not None else probes.count()
+    ) * int(c)
     if cand_rows * 64 < (8 << 20):  # ~64 B per (probe_id, id) row
         cand = F.broadcast(cand)
     p = probes.select(
@@ -1601,7 +1625,117 @@ def knn_ivfpq_rerank(
         .select("probe_id", F.col(id_col), sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
-        .orderBy("probe_id", "rank")
+        .transform(lambda d: d.orderBy("probe_id", "rank") if ordered else d)
+    )
+
+
+def _pq_encode_raw_numpy(
+    records: DataFrame, m: int, items: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, coarse, codes) for a RAW large-k index in ONE mapInPandas
+    pass: the coarse argmin (the book IS the coarse quantizer) and the m
+    subspace code argmins share each Arrow batch. The previous shape ran
+    TWO python passes (assign_clusters + _pq_codes_numpy) and a shuffle
+    join on id to recombine them (guide §2.4/§4). Arithmetic is
+    bit-identical to both: coarse uses the same _batched_sq_dists GEMM +
+    first-minimum argmin over ascending keys; codes use the same
+    per-subspace GEMM identity as _pq_codes_numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from sum_spark.operators.clustering import _batched_sq_dists
+    from sum_spark.operators.embeddings import _pq_check_dims
+
+    id_type = records.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"large-k PQ encode needs an integral id column; {id_col!r} "
+            f"is {id_type.simpleString()} (the _pq_codes_numpy contract)."
+        )
+    d = _pq_check_dims(items, m)
+    sd = d // m
+    keys = np.array([j for j, _ in items], dtype=np.int64)
+    cmat = np.array([c for _, c in items], dtype=np.float64)
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            D = _batched_sq_dists(list(x), cmat)
+            coarse = keys[np.argmin(D, axis=1)]
+            out = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sd : (j + 1) * sd]
+                cs = cmat[:, j * sd : (j + 1) * sd]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ cs.T)
+                    + (cs * cs).sum(axis=1)[None, :]
+                )
+                out[:, j] = keys[np.argmin(d2, axis=1)]
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].values, "coarse": coarse, "codes": list(out)}
+            )
+
+    src = records.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    return src.mapInPandas(
+        _encode, schema="__id long, coarse long, codes array<bigint>"
+    ).withColumnRenamed("__id", id_col)
+
+
+def _pq_rows(
+    records: DataFrame,
+    book: dict,
+    res_book: dict | None,
+    m: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The (id, coarse, codes) frame an index stores, computed WITHOUT
+    the historical codes-join: coarse assignment and PQ codes are both
+    map-side functions of the same row, so they belong in one projection
+    (small books: catalyst exprs; large books: one GEMM pass). Shared by
+    build and maintenance so stored rows stay bit-identical across both
+    (the deletion-as-negation contract)."""
+    from sum_spark.operators.clustering import assign_clusters
+    from sum_spark.operators.embeddings import _pq_codes_numpy, pq_code_cols
+
+    large = len(book) > _LARGE_K
+    if res_book is not None:
+        res = _residualize(
+            records, book, id_col, vec_col,
+            backend="join" if large else "catalyst",
+        )
+        if len(res_book) > _LARGE_K:
+            return _pq_codes_numpy(
+                res, m, sorted(res_book.items()), id_col, "__res",
+                carry_coarse=True,
+            ).select(F.col("vec_id").alias(id_col), "coarse", "codes")
+        return res.select(
+            F.col(id_col),
+            "coarse",
+            F.array(*pq_code_cols(sorted(res_book.items()), m, "__res")).alias(
+                "codes"
+            ),
+        )
+    items = sorted(book.items())
+    if large:
+        return _pq_encode_raw_numpy(records, m, items, id_col, vec_col)
+    coarse = assign_clusters(
+        records, book, id_col, vec_col, cluster_col="coarse",
+        backend="catalyst",
+    )
+    return coarse.select(
+        F.col(id_col),
+        "coarse",
+        F.array(*pq_code_cols(items, m, vec_col)).alias("codes"),
     )
 
 
@@ -1615,39 +1749,13 @@ def _encode_with_stored_book(
     and used automatically). Encoding is DETERMINISTIC given the books,
     which is what makes deletion-as-negation exact: re-encoding a
     vector later reproduces its stored row bit-for-bit."""
-    from sum_spark.operators.clustering import assign_clusters
-    from sum_spark.operators.embeddings import product_quantize
-
-    spark = records.sparkSession
-    book, res_book = _load_books(spark, path)
     # Backend selection is a pure function of the STORED book size, so
     # append/retire re-encodes always take the same path the build took
-    # (bit-identical rows — the deletion-as-negation contract).
-    large = len(book) > _LARGE_K
-    if res_book is not None:
-        res = _residualize(
-            records, book, id_col, vec_col,
-            backend="join" if large else "catalyst",
-        )
-        codes, _ = product_quantize(
-            res, m=m, k=len(res_book), id_col=id_col, vec_col="__res",
-            centroids=res_book,
-            backend="numpy" if len(res_book) > _LARGE_K else "catalyst",
-        )
-        return res.select(F.col(id_col), "coarse").join(
-            codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-        )
-    coarse = assign_clusters(
-        records, book, id_col, vec_col, cluster_col="coarse",
-        backend="numpy" if large else "catalyst",
-    )
-    codes, _ = product_quantize(
-        records, m=m, k=len(book), id_col=id_col, vec_col=vec_col,
-        centroids=book, backend="numpy" if large else "catalyst",
-    )
-    return coarse.select(F.col(id_col), "coarse").join(
-        codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-    )
+    # (bit-identical rows — the deletion-as-negation contract). The
+    # encode itself is _pq_rows — one projection / one GEMM pass, no
+    # codes-join (the build uses the same helper).
+    book, res_book = _load_books(records.sparkSession, path)
+    return _pq_rows(records, book, res_book, m, id_col, vec_col)
 
 
 def append_to_pq_index(
@@ -1970,8 +2078,7 @@ def retrain_pq_index(
     OFFLINE. Returns the new codebook."""
     import os
 
-    from sum_spark.operators.clustering import assign_clusters
-    from sum_spark.operators.embeddings import product_quantize
+    from sum_spark.operators.embeddings import _pq_codes_numpy, pq_code_cols
     from sum_spark.operators.search import _batch_fold_plan
 
     def _write(staged: str) -> None:
@@ -2025,26 +2132,28 @@ def retrain_pq_index(
                 backend="join" if large else "catalyst",
             ).persist()
             trained = _train_residual_book(res, n_codes, id_col, ri)
-            codes, res_book = product_quantize(
-                res, m=m, k=n_codes, id_col=id_col, vec_col="__res",
-                centroids=trained,
-                backend="numpy" if int(n_codes) > _LARGE_K else "catalyst",
+            res_book = (
+                trained
+                if trained is not None
+                else train_pq_codebook(res, int(n_codes), id_col, "__res")
             )
-            rows = res.select(F.col(id_col), "coarse").join(
-                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-            )
+            # one projection, no codes-join — the write_pq_index /
+            # _pq_rows encode shape (guide §2.4)
+            if len(res_book) > _LARGE_K:
+                rows = _pq_codes_numpy(
+                    res, m, sorted(res_book.items()), id_col, "__res",
+                    carry_coarse=True,
+                ).select(F.col("vec_id").alias(id_col), "coarse", "codes")
+            else:
+                rows = res.select(
+                    F.col(id_col),
+                    "coarse",
+                    F.array(
+                        *pq_code_cols(sorted(res_book.items()), m, "__res")
+                    ).alias("codes"),
+                )
         else:
-            coarse = assign_clusters(
-                survivors, book, id_col, vec_col, cluster_col="coarse",
-                backend="numpy" if large else "catalyst",
-            )
-            codes, _ = product_quantize(
-                survivors, m=m, k=n_codes, id_col=id_col, vec_col=vec_col,
-                centroids=book, backend="numpy" if large else "catalyst",
-            )
-            rows = coarse.select(F.col(id_col), "coarse").join(
-                codes.select(F.col("vec_id").alias(id_col), "codes"), id_col
-            )
+            rows = _pq_rows(survivors, book, None, m, id_col, vec_col)
         try:
             (
                 rows.withColumn("w", F.lit(1))
@@ -2084,6 +2193,7 @@ def knn_filtered(
     strategy: str = "brute",
     n_bits: int = 8,
     round_to: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Filtered k-NN: metadata predicate + similarity search in one query
     ("find the k nearest neighbors among records WHERE ...") — the shape
@@ -2110,7 +2220,8 @@ def knn_filtered(
     filtered = records.where(predicate)
     if strategy == "brute":
         return knn_bruteforce(
-            filtered, probes, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+            filtered, probes, k, id_col=id_col, vec_col=vec_col,
+            round_to=round_to, ordered=ordered,
         )
     if strategy == "ivf":
         return knn_ivf(
@@ -2121,5 +2232,6 @@ def knn_filtered(
             vec_col=vec_col,
             n_bits=n_bits,
             round_to=round_to,
+            ordered=ordered,
         )
     raise ValueError(f"unknown strategy: {strategy!r}")

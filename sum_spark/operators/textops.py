@@ -223,6 +223,7 @@ def chunk_documents(
     stride: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Overlapping token-window chunking — the context-length prep step of
     a training pipeline (split each document into chunk_size-token windows
@@ -257,7 +258,7 @@ def chunk_documents(
         "chunk_id",
         F.array_join("__chunk", " ").alias("chunk_text"),
         F.size("__chunk").cast("long").alias("n_tokens"),
-    ).orderBy("doc_id", "chunk_id")
+    ).transform(lambda d: d.orderBy("doc_id", "chunk_id") if ordered else d)
 
 
 def chunk_by_lines(
@@ -266,6 +267,7 @@ def chunk_by_lines(
     line_sep: str = "\n",
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Boundary-aware chunking: pack CONSECUTIVE LINES (paragraphs) into
     chunks of ~``budget`` tokens without ever splitting a line — the
@@ -313,7 +315,7 @@ def chunk_by_lines(
             ).alias("chunk_text"),
             F.sum("__nt").cast("long").alias("n_tokens"),
         )
-        .orderBy("doc_id", "chunk_id")
+        .transform(lambda d: d.orderBy("doc_id", "chunk_id") if ordered else d)
     )
 
 

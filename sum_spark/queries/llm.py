@@ -198,7 +198,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from sum_spark.plans.scale import release_with
 
-    dg = dedup.duplicate_ngrams(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    dg = dedup.duplicate_ngrams(docs, ordered=False).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gram_leg = dg.select(
         F.lit("gram").alias("mode"),
         F.col("first_doc").alias("keep_id"),
@@ -221,13 +223,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    line_leg = dedup.dedup_lines(aug).select(
+    line_leg = dedup.dedup_lines(aug, ordered=False).select(
         F.lit("line").alias("mode"),
         F.col("doc_id").alias("keep_id"),
         F.col("n_dup_lines").alias("n_dups"),
         hash60(F.col("clean_text")).alias("gram_h"),
     )
-    span_leg = dedup.remove_duplicate_spans(docs, dup_grams=dg).select(
+    span_leg = dedup.remove_duplicate_spans(
+        docs, dup_grams=dg, ordered=False
+    ).select(
         F.lit("span").alias("mode"),
         F.col("doc_id").alias("keep_id"),
         F.col("n_removed").alias("n_dups"),
@@ -450,10 +454,12 @@ def _duck_srp_cte(n_bits: int = 16, n_bands: int = 4, dims: int = 64) -> str:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = dedup.dedup_embedding_cosine(emb, threshold=0.45).select(
+    exact = dedup.dedup_embedding_cosine(emb, threshold=0.45, ordered=False).select(
         F.lit("exact").alias("mode"), "id_a", "id_b", "sim"
     )
-    lsh = dedup.dedup_embedding_lsh(emb, threshold=0.45, dims=64).select(
+    lsh = dedup.dedup_embedding_lsh(
+        emb, threshold=0.45, dims=64, ordered=False
+    ).select(
         F.lit("lsh").alias("mode"), "id_a", "id_b", "sim"
     )
     cents0 = clustering._centroids_from_sums(
@@ -463,10 +469,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     sem = clustering.semantic_dedup(
-        emb, threshold=0.45, centroids=cents0, assign_backend="catalyst"
+        emb, threshold=0.45, centroids=cents0, assign_backend="catalyst",
+        ordered=False,
     ).select(F.lit("sem").alias("mode"), "id_a", "id_b", "sim")
     sem2 = clustering.semantic_dedup(
-        emb, threshold=0.45, centroids=cents0, assign_backend="catalyst", probes=2
+        emb, threshold=0.45, centroids=cents0, assign_backend="catalyst",
+        probes=2, ordered=False,
     ).select(F.lit("sem2").alias("mode"), "id_a", "id_b", "sim")
     return (
         exact.unionAll(lsh)
@@ -848,7 +856,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") <= 3)
     brute = knn_bruteforce(
-        emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4
+        emb, probes, k=10, id_col="vec_id", vec_col="embedding", round_to=4,
+        ordered=False,
     ).select(F.lit("brute").alias("mode"), "probe_id", "vec_id", "sim", "rank")
     from sum_spark.operators.similarity import knn_filtered
 
@@ -860,15 +869,17 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
         round_to=4,
+        ordered=False,
     ).select(F.lit("filt").alias("mode"), "probe_id", "vec_id", "sim", "rank")
     ivf = knn_ivf(
-        emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4
+        emb, probes, k=5, id_col="vec_id", vec_col="embedding", round_to=4,
+        ordered=False,
     ).select(F.lit("ivf").alias("mode"), "probe_id", "vec_id", "sim", "rank")
     from sum_spark.operators.similarity import knn_ivfpq
 
     ivfpq = knn_ivfpq(
         emb, probes, k=5, m=2, n_codes=8, id_col="vec_id", vec_col="embedding",
-        round_to=4,
+        round_to=4, ordered=False,
     ).select(
         F.lit("ivfpq").alias("mode"),
         "probe_id",
@@ -902,9 +913,19 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_to_pq_index(emb2.where("id % 3 = 0"), incr_path, m=2)
         retire_from_pq_index(emb2.where("id % 10 = 7"), incr_path, m=2)
         _PQ_INCR_BUILT.add(incr_path)
+    # ONE probe collect shared by all five stored-index legs (they serve
+    # the same probe set; each leg used to run its own small probe scan
+    # job per construct — guide §1.2). The projection matches the one
+    # knn_ivfpq_from_index/_rerank_driver would collect themselves.
+    stored_probes = emb2.where("id <= 3")
+    probe_rows = stored_probes.select(
+        F.col("id").alias("__pid"),
+        F.col("data").cast("array<double>").alias("__pv"),
+    ).collect()
     incr = knn_ivfpq_from_index(
-        spark, incr_path, emb2.where("id <= 3"), k=5, m=2, round_to=4,
-        serve_ctx=_serve_ctx(spark, incr_path),
+        spark, incr_path, stored_probes, k=5, m=2, round_to=4,
+        serve_ctx=_serve_ctx(spark, incr_path), probe_rows=probe_rows,
+        ordered=False,
     ).select(
         F.lit("incr").alias("mode"),
         "probe_id",
@@ -930,7 +951,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         incr_path,
         emb2,
-        emb2.where("id <= 3"),
+        stored_probes,
         k=5,
         c=20,
         m=2,
@@ -938,6 +959,8 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc_round_to=4,
         serve_ctx=_serve_ctx(spark, incr_path),
         serve_backend="driver",
+        probe_rows=probe_rows,
+        ordered=False,
     ).select(
         F.lit("rr").alias("mode"),
         "probe_id",
@@ -967,8 +990,9 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
         _PQ_INCR_BUILT.add(res_path)
     res = knn_ivfpq_from_index(
-        spark, res_path, emb2.where("id <= 3"), k=5, m=2, round_to=4,
-        serve_ctx=_serve_ctx(spark, res_path),
+        spark, res_path, stored_probes, k=5, m=2, round_to=4,
+        serve_ctx=_serve_ctx(spark, res_path), probe_rows=probe_rows,
+        ordered=False,
     ).select(
         F.lit("res").alias("mode"),
         "probe_id",
@@ -1005,8 +1029,9 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
             _TB_BUILT[memo_dir] = sf_dir
     tb = knn_ivfpq_from_index(
-        spark, _tb_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4,
-        serve_ctx=_serve_ctx(spark, _tb_dir()),
+        spark, _tb_dir(), stored_probes, k=5, m=8, round_to=4,
+        serve_ctx=_serve_ctx(spark, _tb_dir()), probe_rows=probe_rows,
+        ordered=False,
     ).select(
         F.lit("tb").alias("mode"),
         "probe_id",
@@ -1015,8 +1040,9 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     gk = knn_ivfpq_from_index(
-        spark, _gk_dir(), emb2.where("id <= 3"), k=5, m=8, round_to=4,
-        serve_ctx=_serve_ctx(spark, _gk_dir()),
+        spark, _gk_dir(), stored_probes, k=5, m=8, round_to=4,
+        serve_ctx=_serve_ctx(spark, _gk_dir()), probe_rows=probe_rows,
+        ordered=False,
     ).select(
         F.lit("gk").alias("mode"),
         "probe_id",
@@ -1182,14 +1208,17 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bern = sampling.sample_stratified(docs, _MIX_RATES, default_rate=0.05).select(
+    bern = sampling.sample_stratified(
+        docs, _MIX_RATES, default_rate=0.05, ordered=False
+    ).select(
         F.lit("bern").alias("mode"), "doc_id", "stratum", F.col("bucket").alias("pick")
     )
-    topk = sampling.sample_exact_k(docs, 7).select(
+    topk = sampling.sample_exact_k(docs, 7, ordered=False).select(
         F.lit("topk").alias("mode"), "doc_id", "stratum", "pick"
     )
     wk = sampling.sample_weighted_k(
-        docs.withColumn("weight", F.lit(1) + F.col("n_chars") % 5), k=25
+        docs.withColumn("weight", F.lit(1) + F.col("n_chars") % 5), k=25,
+        ordered=False,
     ).select(F.lit("wk").alias("mode"), "doc_id", "stratum", "pick")
     return bern.unionAll(topk).unionAll(wk).orderBy("mode", "doc_id")
 
@@ -1440,7 +1469,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # 'pair' leg: new-batch-vs-corpus only, against the stored signatures.
     new = docs.where(F.col("doc_id") % 10 == 0)
-    pair_raw = dedup.dedup_incremental(new, corpus_sig=a_sig, threshold=0.8)
+    pair_raw = dedup.dedup_incremental(
+        new, corpus_sig=a_sig, threshold=0.8, ordered=False
+    )
     pair = pair_raw.select(
         F.lit("pair").alias("mode"),
         F.col("new_id").alias("id_a"),
@@ -1455,7 +1486,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     retired = d.where(F.col("status").isin("removed", "changed")).select("id")
     incr_raw = dedup.incremental_pairs(
-        a_sig, a_pairs, delta, retired, threshold=0.8
+        a_sig, a_pairs, delta, retired, threshold=0.8, ordered=False
     )
     incr = incr_raw.select(
         F.lit("incr").alias("mode"),
@@ -1698,7 +1729,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = embeddings.quantize_int8(emb).select(
+    quant = embeddings.quantize_int8(emb, ordered=False).select(
         F.lit("quant").alias("mode"),
         "vec_id",
         "scale",
@@ -1706,7 +1737,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_err",
         F.lit(None).cast("long").alias("n_vecs"),
     )
-    norm = embeddings.l2_normalize(emb).select(
+    norm = embeddings.l2_normalize(emb, ordered=False).select(
         F.lit("norm").alias("mode"),
         "vec_id",
         F.round("norm", 4).alias("scale"),
@@ -1720,7 +1751,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_abs_err"),
         F.lit(None).cast("long").alias("n_vecs"),
     )
-    pool = embeddings.mean_pool(emb, "label", "embedding", fixed_point=6).select(
+    pool = embeddings.mean_pool(
+        emb, "label", "embedding", fixed_point=6, ordered=False
+    ).select(
         F.lit("pool").alias("mode"),
         F.col("group").cast("long").alias("vec_id"),
         F.lit(None).cast("double").alias("scale"),
@@ -1757,7 +1790,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("max_abs_err"),
         "n_vecs",
     )
-    pq_codes, _pq_book = embeddings.product_quantize(emb, m=2, k=k)
+    # cents0 IS the one-step book product_quantize would train (same
+    # hash-init, same fixed-point aggregate): pass it instead of letting
+    # the train re-run — one full eager aggregate per construct saved
+    # (guide §1.2: don't compute things you throw away). Bit-identical.
+    pq_codes, _pq_book = embeddings.product_quantize(
+        emb, m=2, k=k, centroids=cents0, ordered=False
+    )
     pq = pq_codes.select(
         F.lit("pq").alias("mode"),
         "vec_id",
@@ -1991,13 +2030,15 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators import bpe as bpe_mod
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = textops.chunk_documents(docs, chunk_size=64, stride=48).select(
+    tok = textops.chunk_documents(
+        docs, chunk_size=64, stride=48, ordered=False
+    ).select(
         F.lit("tok").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
     )
     lined = docs.select(
         "doc_id", tokens("text").alias("__w")
     ).select("doc_id", F.expr(_LINE_BREAK_SPARK).alias("text"))
-    line = textops.chunk_by_lines(lined, budget=24).select(
+    line = textops.chunk_by_lines(lined, budget=24, ordered=False).select(
         F.lit("line").alias("mode"), "doc_id", "chunk_id", "chunk_text", "n_tokens"
     )
     merges = bpe_mod.train_bpe(bpe_mod.word_counts(docs), num_merges=50)
@@ -2110,10 +2151,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate union branches — no exchange reuse across them), released
     # by the finalizer with the result.
     corp_h = _shingle_hashes(corpus, SHINGLE_N, "text", "doc_id").persist()
-    exact = decontaminate(None, bench, corpus_hashes=corp_h).select(
+    exact = decontaminate(None, bench, corpus_hashes=corp_h, ordered=False).select(
         F.lit("exact").alias("mode"), "doc_id", "n_hits"
     )
-    bloom = decontaminate_bloom(None, bench, corpus_hashes=corp_h).select(
+    bloom = decontaminate_bloom(
+        None, bench, corpus_hashes=corp_h, ordered=False
+    ).select(
         F.lit("bloom").alias("mode"), "doc_id", "n_hits"
     )
     return release_with(exact.unionAll(bloom).orderBy("mode", "doc_id"), corp_h)
