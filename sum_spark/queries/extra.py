@@ -821,7 +821,22 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(pos - F.floor(pos)).alias(f"f_{name}"),
             F.percentile_approx("v", p, 10000).alias(f"ap_{name}"),
         ]
-    g = r.groupBy("l_returnflag").agg(*aggs)
+    # The winsorize bounds are conditional mins over the SAME window
+    # rows — fold them into this one aggregate instead of a second
+    # window pass (guide §2.4; the window sort is the entry's dominant
+    # exchange). lo/hi values are identical to the former separate
+    # `bounds` aggregate.
+    lo_rank = F.expr("(n * 5 + 99) DIV 100")
+    hi_rank = F.expr("(n * 95 + 99) DIV 100")
+    aggs += [
+        F.min(F.when(F.col("rn") == lo_rank, F.col("c"))).alias("lo_c"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("c"))).alias("hi_c"),
+    ]
+    # Persisted: g feeds both the output row and the clip pass's bounds;
+    # without the cache each branch would re-run the full window sort
+    # (CLAUDE.md: identical subtrees in separate branches are not
+    # merged). 3 group rows.
+    g = r.groupBy("l_returnflag").agg(*aggs).persist()
     finals = [
         F.round(
             F.col(f"a_{name}") * (1 - F.col(f"f_{name}"))
@@ -839,14 +854,15 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for name in ("med", "p90")
     ]
-    lo_rank = F.expr("(n * 5 + 99) DIV 100")
-    hi_rank = F.expr("(n * 95 + 99) DIV 100")
-    bounds = r.groupBy("l_returnflag").agg(
-        F.min(F.when(F.col("rn") == lo_rank, F.col("c"))).alias("lo_c"),
-        F.min(F.when(F.col("rn") == hi_rank, F.col("c"))).alias("hi_c"),
+    # The clip pass needs only (l_returnflag, c) per row — no rank — so
+    # it reads a windowless projection of lineitem instead of re-running
+    # the window (one full per-group sort removed; same rows, same sums).
+    raw = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
     clip = (
-        r.join(F.broadcast(bounds), "l_returnflag")
+        raw.join(F.broadcast(g.select("l_returnflag", "lo_c", "hi_c")), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.sum(F.greatest("lo_c", F.least("hi_c", F.col("c"))))
@@ -856,10 +872,13 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("c") > F.col("hi_c")).cast("int")).cast("long").alias("n_hi"),
         )
     )
-    return (
+    from sum_spark.plans.scale import release_with
+
+    return release_with(
         staged.select("l_returnflag", "med", "p90", *oks)
         .join(clip, "l_returnflag")
-        .orderBy("l_returnflag")
+        .orderBy("l_returnflag"),
+        g,
     )
 
 
@@ -992,11 +1011,18 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.operators.sketch import hll_estimate, hll_regsum, hll_sketch
 
+    from sum_spark.plans.scale import release_with
+
     orders = load_table(spark, sf_dir, "orders")
+    # Both aggregates are referenced from TWO union branches each (the
+    # 'acd' leg + the hll join; regsum + estimate) and Catalyst does not
+    # merge identical aggregation subtrees across branches (CLAUDE.md,
+    # the q31 vc pattern) — persist the two tiny grouped frames so the
+    # orders table is scanned twice, not four times (guide §2.4).
     exact = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"),
         F.countDistinct("o_custkey").alias("cd"),
-    )
+    ).persist()
     acd = exact.select(
         F.lit("acd").alias("mode"),
         "o_orderpriority",
@@ -1004,7 +1030,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.05)).alias("ok"),
         F.lit(0).cast("long").alias("regsum"),
     )
-    sk = hll_sketch(orders, "o_custkey", ("o_orderpriority",), seed="q38")
+    sk = hll_sketch(orders, "o_custkey", ("o_orderpriority",), seed="q38").persist()
     hll = (
         hll_regsum(sk, ("o_orderpriority",))
         .join(hll_estimate(sk, ("o_orderpriority",)), "o_orderpriority")
@@ -1019,7 +1045,9 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regsum",
         )
     )
-    return acd.unionByName(hll).orderBy("mode", "o_orderpriority")
+    return release_with(
+        acd.unionByName(hll).orderBy("mode", "o_orderpriority"), exact, sk
+    )
 
 
 @query(

@@ -894,6 +894,7 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the oracle's ka/kc CTEs reproduce it.
     from sum_spark.operators.similarity import (
         append_to_pq_index,
+        auto_cells,
         knn_ivfpq_from_index,
         retire_from_pq_index,
         train_pq_codebook,
@@ -902,13 +903,35 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     incr_path = _artifact_dir("pq_incr", sf_dir)
     emb2 = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("data"))
-    if incr_path not in _PQ_INCR_BUILT:
+    res_path = _artifact_dir("pq_res", sf_dir)
+    need_incr = incr_path not in _PQ_INCR_BUILT
+    need_res = res_path not in _PQ_INCR_BUILT
+    need_tb = _TB_BUILT.get(_tb_dir()) != sf_dir
+    need_gk = _TB_BUILT.get(_gk_dir()) != sf_dir
+    # Shared build-phase inputs (guide §1.2 — don't compute things
+    # twice): the four index builds index the SAME base/delta/retire
+    # frames; the incr and res builds train the IDENTICAL 8-entry coarse
+    # book (same recipe, same input — deterministic, so one aggregate
+    # serves both); the auto-sized tb/gk builds need the same
+    # record count. Persist the base frame for the duration of the
+    # builds — each build otherwise re-scans it for book training /
+    # residualize / encode.
+    build_recs = build_book = None
+    n_auto: int | None = None
+    if need_incr or need_res or need_tb or need_gk:
+        build_recs = emb2.where("id % 3 != 0").persist()
+        if need_incr or need_res:
+            build_book = train_pq_codebook(
+                emb, 8, id_col="vec_id", vec_col="embedding"
+            )
+        if need_tb or need_gk:
+            n_auto = auto_cells(build_recs.count())
+    if need_incr:
         import shutil as _shutil
 
         _shutil.rmtree(incr_path, ignore_errors=True)
-        book = train_pq_codebook(emb, 8, id_col="vec_id", vec_col="embedding")
         write_pq_index(
-            emb2.where("id % 3 != 0"), incr_path, m=2, n_codes=8, centroids=book
+            build_recs, incr_path, m=2, n_codes=8, centroids=build_book
         )
         append_to_pq_index(emb2.where("id % 3 = 0"), incr_path, m=2)
         retire_from_pq_index(emb2.where("id % 10 = 7"), incr_path, m=2)
@@ -976,15 +999,13 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the residual book on the one-step fixed-point recipe the oracle
     # re-derives in SQL; a production res_iters>=4 book changes only the
     # book, not the encode/serve machinery checked here.
-    res_path = _artifact_dir("pq_res", sf_dir)
-    if res_path not in _PQ_INCR_BUILT:
+    if need_res:
         import shutil as _shutil
 
         _shutil.rmtree(res_path, ignore_errors=True)
-        book_r = train_pq_codebook(emb, 8, id_col="vec_id", vec_col="embedding")
         write_pq_index(
-            emb2.where("id % 3 != 0"), res_path, m=2, n_codes=8,
-            centroids=book_r, residual=True, res_iters=0,
+            build_recs, res_path, m=2, n_codes=8,
+            centroids=build_book, residual=True, res_iters=0,
         )
         append_to_pq_index(emb2.where("id % 3 = 0"), res_path, m=2)
         retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
@@ -1013,21 +1034,23 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them (_duck_stored_book_ctes). The artifact dir is keyed by pid
     # only — oracle strings cannot know sf_dir — so the fn tracks the
     # sf it last built for and rebuilds on change (_TB_BUILT).
-    for tag, kwargs, memo_dir in (
-        ("tb", {"residual": True, "res_iters": 4}, _tb_dir()),
-        ("gk", {}, _gk_dir()),
+    for tag, need, kwargs, memo_dir in (
+        ("tb", need_tb, {"residual": True, "res_iters": 4}, _tb_dir()),
+        ("gk", need_gk, {}, _gk_dir()),
     ):
-        if _TB_BUILT.get(memo_dir) != sf_dir:
+        if need:
             import shutil as _shutil
 
             _shutil.rmtree(memo_dir, ignore_errors=True)
             write_pq_index(
-                emb2.where("id % 3 != 0"), memo_dir, m=8, n_codes=8,
-                n_cells="auto", **kwargs,
+                build_recs, memo_dir, m=8, n_codes=8,
+                n_cells=n_auto, **kwargs,
             )
             append_to_pq_index(emb2.where("id % 3 = 0"), memo_dir, m=8)
             retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
             _TB_BUILT[memo_dir] = sf_dir
+    if build_recs is not None:
+        build_recs.unpersist()
     tb = knn_ivfpq_from_index(
         spark, _tb_dir(), stored_probes, k=5, m=8, round_to=4,
         serve_ctx=_serve_ctx(spark, _tb_dir()), probe_rows=probe_rows,

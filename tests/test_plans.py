@@ -512,3 +512,31 @@ def test_q44_no_nested_loop_join(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "q44_range_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q32_single_rank_window_pass(spark, sf_smoke):
+    """q32's per-flag rank window must be computed ONCE (r12): the
+    winsorize bounds are conditional mins folded into the same
+    aggregate, the 3-row result is cached, and the clip pass reads a
+    windowless (l_returnflag, c) projection. A revert to the separate
+    bounds aggregate or a windowed clip scan re-adds a full sorted pass
+    of lineitem per consumer (2+ Window nodes each)."""
+    p = plan_of(spark, sf_smoke, "q32_percentile")
+    # cached percentile+bounds aggregate serves both consumers
+    assert "InMemoryTableScan" in p
+    # one rank-window computation: 2 Window nodes (row_number + count)
+    # once live + the cached subtree reprinted per reference = 6 textual;
+    # the pre-r12 three-pass shape carried 8.
+    assert p.count("Window") <= 6, p.count("Window")
+
+
+def test_q38_shared_aggregates_cached(spark, sf_smoke):
+    """q38's exact-count aggregate and HLL sketch frame are each
+    referenced from two union branches; Catalyst does not merge the
+    identical subtrees, so both must be cached (r12) — otherwise orders
+    is scanned and aggregated four times instead of two."""
+    p = plan_of(spark, sf_smoke, "q38_approx_count_distinct")
+    assert p.count("InMemoryTableScan") >= 2
+    # 2 executed scans + cached-subtree reprints = 6 textual (was 8
+    # uncached); a regression re-adds at least one full scan+aggregate.
+    assert p.count("Scan parquet") <= 6, p.count("Scan parquet")
