@@ -29,17 +29,63 @@ def _unpersist_quietly(dfs: tuple[DataFrame, ...]) -> None:
             pass  # session already stopped — nothing to release
 
 
+# Live-holder refcounts for persisted intermediates, keyed by
+# (session id, analyzed-plan semanticHash). Spark's CacheManager
+# deduplicates persist() calls on semantically identical plans into ONE
+# shared entry, and unpersist() removes that entry by plan match — so
+# when a query fn is called repeatedly (the bench's best-of-N, any
+# query server), call N+1's persist() is a no-op against call N's
+# entry, and call N's finalizer then KILLED the cache out from under
+# call N+1 (measured r12: q38 ran every post-first bench run fully
+# uncached). The refcount makes the LAST holder release the shared
+# entry instead. Collisions of the 32-bit hash only delay a release
+# (both holders must drop), never free early — the safe side.
+_CACHE_HOLDERS: dict[tuple[int, int], int] = {}
+
+
+def _cache_key(df: DataFrame) -> tuple[int, int] | None:
+    try:
+        sh = df._jdf.queryExecution().analyzed().semanticHash()
+        return (id(df.sparkSession), sh)
+    except Exception:
+        return None  # session stopping — fall back to direct release
+
+
+def _release_refs(keyed: tuple) -> None:
+    for key, d in keyed:
+        try:
+            if key is not None:
+                n = _CACHE_HOLDERS.get(key, 1) - 1
+                if n > 0:
+                    _CACHE_HOLDERS[key] = n
+                    continue
+                _CACHE_HOLDERS.pop(key, None)
+            d.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie the lifetime of persisted intermediates to the returned plan:
     a weakref finalizer unpersists them when the caller drops the result
     (after its action — exactly when the cache stops being useful), so a
     long query-server session never accumulates stale cached tables.
 
+    Semantically identical intermediates from REPEATED calls share one
+    CacheManager entry; the refcount above keeps it alive until the last
+    returned plan is dropped.
+
     The finalizer lives on THIS object: a caller that derives a new frame
     (``.select()``, a join) and drops the original releases the caches
     before the derived plan ever runs — use ``carry_caches`` to move the
     lifetime onto the derived frame."""
-    weakref.finalize(result, _unpersist_quietly, cached)
+    keyed = []
+    for c in cached:
+        key = _cache_key(c)
+        if key is not None:
+            _CACHE_HOLDERS[key] = _CACHE_HOLDERS.get(key, 0) + 1
+        keyed.append((key, c))
+    weakref.finalize(result, _release_refs, tuple(keyed))
     return result
 
 

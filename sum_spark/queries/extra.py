@@ -1014,15 +1014,30 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sum_spark.plans.scale import release_with
 
     orders = load_table(spark, sf_dir, "orders")
-    # Both aggregates are referenced from TWO union branches each (the
-    # 'acd' leg + the hll join; regsum + estimate) and Catalyst does not
-    # merge identical aggregation subtrees across branches (CLAUDE.md,
-    # the q31 vc pattern) — persist the two tiny grouped frames so the
-    # orders table is scanned twice, not four times (guide §2.4).
-    exact = orders.groupBy("o_orderpriority").agg(
+    # Dedup (priority, custkey) ONCE, then aggregate the deduped frame.
+    # Mixing countDistinct with approx_count_distinct(rsd=0.01) in one
+    # aggregate plans a partial phase grouped by (priority, custkey)
+    # whose per-group state carries the 2^14-register HLL++ buffer —
+    # ~16 KB x ~100k partial groups of pure allocation/zeroing churn
+    # (measured 3.6 s vs 0.4 + 0.9 s split at sf0.1; at 100 TB the
+    # mixed form is a straight OOM). Over the deduped frame every
+    # aggregate is duplicate-insensitive, so results are bit-identical:
+    # count(col) of distinct pairs IS countDistinct, and HLL++/hll_sketch
+    # register state depends only on the per-group value SET.
+    # Only the deduped frame is persisted: it is the one multiply-
+    # referenced CORPUS-SIZED subtree (Catalyst does not merge identical
+    # subtrees across branches — CLAUDE.md, the q31 vc pattern). The
+    # grouped frames derived from it are NOT persisted: each consumer's
+    # re-aggregation over the cached dedup is a bounded-key pass, and a
+    # persist would force materializing aggregate columns a consumer
+    # (or a COUNT-shaped action) never reads.
+    dist = (
+        orders.select("o_orderpriority", "o_custkey").distinct().persist()
+    )
+    exact = dist.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("acd"),
-        F.countDistinct("o_custkey").alias("cd"),
-    ).persist()
+        F.count("o_custkey").alias("cd"),
+    )
     acd = exact.select(
         F.lit("acd").alias("mode"),
         "o_orderpriority",
@@ -1030,7 +1045,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("acd") - F.col("cd")) / F.col("cd") <= F.lit(0.05)).alias("ok"),
         F.lit(0).cast("long").alias("regsum"),
     )
-    sk = hll_sketch(orders, "o_custkey", ("o_orderpriority",), seed="q38").persist()
+    sk = hll_sketch(dist, "o_custkey", ("o_orderpriority",), seed="q38")
     hll = (
         hll_regsum(sk, ("o_orderpriority",))
         .join(hll_estimate(sk, ("o_orderpriority",)), "o_orderpriority")
@@ -1046,7 +1061,7 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return release_with(
-        acd.unionByName(hll).orderBy("mode", "o_orderpriority"), exact, sk
+        acd.unionByName(hll).orderBy("mode", "o_orderpriority"), dist
     )
 
 

@@ -573,3 +573,39 @@ def test_sweep_dead_artifact_dirs(tmp_path, monkeypatch):
     assert not dead.exists()  # dead pid -> removed
     assert live.exists()  # live pid -> kept
     assert other.exists()  # foreign name -> untouched
+
+
+def test_release_with_refcounts_shared_cache_entries(spark):
+    """Spark's CacheManager deduplicates persist() of semantically
+    identical plans into ONE shared entry, and unpersist() removes that
+    entry by plan match — so when release_with holders OVERLAP (a query
+    server calling the same fn twice, any construct-before-drop loop),
+    dropping the first result must NOT kill the cache the second still
+    reads; only the LAST holder releases it (r12: before the refcount,
+    q38 executed fully uncached on every post-first bench run because
+    run N's finalizer unpersisted run N+1's just-deduped entry)."""
+    import gc
+
+    from sum_spark.plans import scale
+
+    def grouped():
+        return spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+
+    def build():
+        df = grouped().persist()
+        return scale.release_with(df.select(F.sum("count").alias("s")), df)
+
+    a = build()
+    a.count()
+    b = build()  # persist() dedupes onto a's still-live entry
+    del a
+    gc.collect()
+    b.count()
+    # the shared entry must still be cached: a fresh semantically
+    # identical frame optimizes onto the InMemoryRelation
+    opt = grouped()._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in opt
+    del b
+    gc.collect()
+    opt2 = grouped()._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in opt2  # last holder released it

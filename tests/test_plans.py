@@ -531,12 +531,23 @@ def test_q32_single_rank_window_pass(spark, sf_smoke):
 
 
 def test_q38_shared_aggregates_cached(spark, sf_smoke):
-    """q38's exact-count aggregate and HLL sketch frame are each
-    referenced from two union branches; Catalyst does not merge the
-    identical subtrees, so both must be cached (r12) — otherwise orders
-    is scanned and aggregated four times instead of two."""
+    """q38 dedups (priority, custkey) ONCE into a cached frame that all
+    four aggregate consumers read (r12): Catalyst does not merge the
+    identical corpus-sized subtrees, so without the cache orders is
+    scanned per branch. Critically, approx_count_distinct(rsd=0.01) must
+    NEVER share an aggregate with a countDistinct: the mixed form plans
+    a partial phase keyed by (priority, custkey) whose per-group state
+    is the 2^14-register HLL++ buffer (~16 KB x one buffer per custkey —
+    measured 3.6 s vs 0.4 + 0.9 s split at sf0.1, an OOM at scale)."""
     p = plan_of(spark, sf_smoke, "q38_approx_count_distinct")
     assert p.count("InMemoryTableScan") >= 2
-    # 2 executed scans + cached-subtree reprints = 6 textual (was 8
-    # uncached); a regression re-adds at least one full scan+aggregate.
+    # 1 executed scan + cached-subtree reprints; a regression re-adds
+    # a full scan+aggregate per consumer branch.
     assert p.count("Scan parquet") <= 6, p.count("Scan parquet")
+    # the HLL++ buffer may only appear in aggregates whose keys do NOT
+    # include the counted column (i.e. never per-custkey buffers)
+    for block in p.split("\n\n"):
+        if "partial_approx_count_distinct" in block:
+            for ln in block.splitlines():
+                if ln.strip().startswith("Keys"):
+                    assert "o_custkey" not in ln, ln
