@@ -1112,6 +1112,8 @@ def dedup_embedding_lsh(
     import numpy as np
     import pandas as pd
 
+    from sum_spark.functions.litsql import darray, qid
+
     if n_bits % n_bands:
         raise ValueError("n_bits must be a multiple of n_bands")
     r = n_bits // n_bands
@@ -1120,32 +1122,33 @@ def dedup_embedding_lsh(
     planes = srp_planes(n_bits, dims, seed)
     v = F.col(vec_col).cast("array<double>")
 
-    def proj(row: list[int]):
-        # Factory closure: the literal hyperplane is captured per call
-        # (PySpark higher-order lambdas introspect arity — no default args).
-        lit = F.array(*[F.lit(float(c)) for c in row])
-        return F.aggregate(
-            F.zip_with(v, lit, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    # The n_bits x dims plane literals render into ONE F.expr string
+    # (litsql): built Column-by-Column this was ~n_bits*dims py4j round
+    # trips of pure driver latency per plan build (the VERDICT r7 #2
+    # codebook cost, here 16x64), for the identical Catalyst nodes.
+    vexpr = f"CAST({qid(vec_col)} AS ARRAY<DOUBLE>)"
+
+    def proj(row: list[int]) -> str:
+        arr = darray(float(c) for c in row)
+        return (
+            f"aggregate(zip_with({vexpr}, {arr}, (x, y) -> x * y), "
+            "0.0D, (a, x) -> a + x)"
         )
 
-    bits = [F.when(proj(row) > 0, F.lit(1)).otherwise(F.lit(0)) for row in planes]
+    bits = [f"(CASE WHEN {proj(row)} > 0 THEN 1 ELSE 0 END)" for row in planes]
     keys = []
     for b in range(n_bands):
-        k = F.lit(0)
-        for i in range(r):
-            k = k + bits[b * r + i] * F.lit(1 << i)
-        keys.append(k.cast("int"))
+        terms = ["0"] + [f"{bits[b * r + i]} * {1 << i}" for i in range(r)]
+        keys.append("CAST(" + " + ".join(terms) + " AS INT)")
+    bk = (
+        "explode(array("
+        + ", ".join(f"struct({b} AS band, {keys[b]} AS key)" for b in range(n_bands))
+        + "))"
+    )
     bands = df.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), keys[b].alias("key"))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(bk).alias("bk"),
     ).select("id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # Pack each bucket like dedup_embedding_cosine packs blocks: flat
     # double array (zero-copy through Arrow) + parallel id list.
