@@ -354,25 +354,31 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def _exact_jaccard_pairs(
-    cand: DataFrame, sets: DataFrame, threshold: float, feat_col: str = "shingles"
+    cand: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    feat_col: str = "shingles",
+    ordered: bool = True,
 ) -> DataFrame:
     """Verify candidate (doc_a, doc_b) pairs against exact feature-set
     Jaccard; emit pairs >= threshold with the rounded score. ``feat_col``
     may be the shingle strings or their sorted hash arrays (identical
-    counts up to negligible 60-bit collisions, far cheaper to intersect)."""
+    counts up to negligible 60-bit collisions, far cheaper to intersect).
+    ``ordered=False`` skips the presentation sort for callers that feed
+    a downstream sort of their own (the operators' ordered= pattern)."""
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col(feat_col).alias("__sa"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col(feat_col).alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
     union = F.size(F.array_union("__sa", "__sb")).cast("double")
     j = inter / union
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", j.alias("__j"))
         .where(F.col("__j") >= threshold)
         .select("doc_a", "doc_b", F.round("__j", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
+    return out.orderBy("doc_a", "doc_b") if ordered else out
 
 
 def dedup_ngram_jaccard(
@@ -666,10 +672,11 @@ def incremental_pairs(
     projections/joins over the stored tables. The result is exactly
     dedup_minhash_lsh(new_snapshot): stored pairs between surviving
     unchanged docs are reused verbatim (their signatures are identical
-    in both snapshots, so candidates and verified Jaccards are too),
-    cross delta-vs-retained pairs come from the dedup_incremental band
-    join, within-delta pairs from an LSH pass over the delta signatures
-    alone — the three sets are disjoint by construction.
+    in both snapshots, so candidates and verified Jaccards are too);
+    cross delta-vs-retained candidates come from the dedup_incremental
+    band join and within-delta candidates from a band self-join over
+    the delta signatures, unioned and exact-verified in one pass — the
+    three sets are disjoint by construction.
 
     ``threshold`` must be >= the threshold ``stored_pairs`` was built
     with: kept pairs are re-filtered at ``threshold`` here (so a HIGHER
@@ -699,11 +706,17 @@ def incremental_pairs(
         sig_d = minhash_signatures(delta_docs, text_col, id_col).persist()
     # 3. Retained corpus signatures: projection of the stored table.
     sig_r = corpus_sig.join(retired, F.col("doc_id") == F.col("__rid"), "left_anti")
-    # 4. Cross pairs: delta bands vs retained bands, exact-verified
-    #    (the dedup_incremental shape, normalized to doc_a < doc_b).
-    cand = (
-        _bands_from_sig(sig_d)
-        .select(F.col("doc_id").alias("__di"), "band", "key")
+    # 4.+5. Cross (delta vs retained — the dedup_incremental band join,
+    #    normalized to doc_a < doc_b) and within-delta (band self-join)
+    #    candidates, verified in ONE _exact_jaccard_pairs pass: the two
+    #    candidate sets are disjoint (delta and retained ids never
+    #    overlap — changed ids are retired from sig_r, added ids were
+    #    never in it), so each id resolves to exactly one signature row
+    #    in the unioned table and the per-pair Jaccards are identical to
+    #    the former two-pipeline form, for half the verify joins.
+    bands_d = _bands_from_sig(sig_d)
+    cross_cand = (
+        bands_d.select(F.col("doc_id").alias("__di"), "band", "key")
         .join(
             _bands_from_sig(sig_r).select(
                 F.col("doc_id").alias("__ri"), "band", "key"
@@ -714,16 +727,19 @@ def incremental_pairs(
             F.least("__di", "__ri").alias("doc_a"),
             F.greatest("__di", "__ri").alias("doc_b"),
         )
-        .distinct()
     )
+    within_cand = (
+        bands_d.select(F.col("doc_id").alias("doc_a"), "key")
+        .join(bands_d.select(F.col("doc_id").alias("doc_b"), "key"), ["key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = cross_cand.unionByName(within_cand).distinct()
     all_sig = sig_d.select("doc_id", "hh").unionByName(sig_r.select("doc_id", "hh"))
-    cross = _exact_jaccard_pairs(cand, all_sig, t, feat_col="hh")
-    # 5. Within-delta pairs.
-    within = minhash_lsh_from_sig(sig_d, t)
+    fresh = _exact_jaccard_pairs(cand, all_sig, t, feat_col="hh", ordered=False)
     out = (
         kept.select("doc_a", "doc_b", "jaccard")
-        .unionByName(cross)
-        .unionByName(within)
+        .unionByName(fresh)
         .transform(lambda d: d.orderBy("doc_a", "doc_b") if ordered else d)
     )
     return out if delta_sig is not None else _release_with(out, sig_d)
