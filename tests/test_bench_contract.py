@@ -192,6 +192,16 @@ def test_run_attempts_spread_flags_wide_clean_runs():
     )
     assert spread < 2.0
 
+    # sub-second jitter shape: ratio past 2x but the steady delta is
+    # under the 1 s absolute floor — this host's scheduler noise alone
+    # swings 0.2-0.5 s legs that far (r12 verdict runs), so the flag
+    # stays quiet rather than marking the noise floor as a slow window.
+    times = iter([0.5, 0.2, 0.45])
+    *_, spread = bench._run_attempts(
+        lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
+    )
+    assert spread == 1.0
+
 
 def test_stallwatch_heartbeat_stays_quiet_on_a_healthy_thread():
     """The real heartbeat's gap under no load is ~the sample interval —
