@@ -13,9 +13,11 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 # Heavy integration modules (multi-batch streaming, full-pipeline runs,
-# oracle side-by-sides, stress suites). `-m "not slow"` runs the fast
-# unit/plan tier (~4 min); the full suite is ~13 min on a quiet host
-# (measured 2026-08, 483 tests) and stays the pre-commit gate.
+# oracle side-by-sides, stress suites). The repo-root pytest.ini makes
+# `-m "not slow"` the DEFAULT (VERDICT r12 #1: the full suite grew past
+# the external verify window), so a bare `pytest tests/` runs the fast
+# unit/plan tier (~5 min). `-m slow` runs the heavy tier on demand and
+# `-m ""` runs everything (the pre-round gate).
 SLOW_TEST_MODULES = (
     "test_streaming",  # prefix: all streaming parity modules
     "test_skew_stress",
