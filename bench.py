@@ -107,6 +107,25 @@ TAGGED_LEGS: dict[str, tuple[str, list[str]]] = {
     "text_chunk": ("mode", ["tok", "line", "bpe"]),
 }
 
+# Entries whose FIRST fn() call builds per-process disk artifacts or
+# memos (stored PQ/inverted indexes, incremental snapshot state, the
+# pipeline memo — the _II_INCR_BUILT / _TB_BUILT / _PIPE_MEMO patterns).
+# The build is a deployment's ONE-TIME cost, not the per-query cost
+# best-of-N measures — but it used to run inside run 1 of the timed
+# bracket, making that group's window the noisiest in the suite
+# (knn_search's ~90 s build contaminating its own repeat runs, VERDICT
+# r12 #2/#3). Each now gets one warm-up call BEFORE the timed bracket;
+# its wall time is reported separately in the sidecar's "first_build"
+# block. The entry/leg numbers keep their exact meaning (best-of-N of
+# fn() construct + execute on a warm process — the min never included
+# the build anyway); only run 1's window is no longer contaminated.
+FIRST_BUILD = (
+    "knn_search",
+    "bm25_search",
+    "dedup_incremental",
+    "pack_sequences",
+)
+
 
 def _text_profile_component_legs():
     """text_profile's four components as standalone callables (no tag
@@ -221,6 +240,10 @@ _STALL_GAP = float(os.environ.get("SPARK_GRAFT_STALL_GAP", "2.0"))
 # Extra attempts a plan may earn when runs get discarded, so a long
 # storm can't spin the bench forever.
 _STALL_EXTRA = 2
+# Mid-run canary threshold: a single between-runs rep (no min-of-3)
+# jitters ~1.7x on a quiet host, so the dirty-window cut sits above
+# that and below the observed pathology range (2.5-4x+).
+_MID_MAX = float(os.environ.get("SPARK_GRAFT_CANARY_MID_MAX", "2.5"))
 
 
 class _CpuWindow:
@@ -343,6 +366,7 @@ def _run_attempts(
     max_runs: int,
     watch: _StallWatch | None,
     cpu: _CpuWindow | None = None,
+    canary: "_Canary | None" = None,
 ):
     """Best-of-N with stall AND pathological-CPU discards. ``run_once()``
     returns a tuple of phase durations (total first). Runs whose window
@@ -368,11 +392,16 @@ def _run_attempts(
     FIRST clean run is excluded from the spread: it legitimately pays
     one-time costs (per-plan codegen, memoized index/frame builds) that
     best-of-N exists to amortize, and would otherwise flag every
-    memoizing entry as unstable. Spreads whose steady max-min delta is
-    under 1 s report 1.0: sub-second legs swing 2x from this host's
-    per-run scheduler jitter alone (r12 verdict runs: clean-canary
-    0.2-0.5 s legs ranged to 0.9 s), and a ratio-only flag on them
-    marks the noise floor, not a slow window)."""
+    memoizing entry as unstable. The raw steady max-min DELTA is
+    returned alongside the ratio (ADVICE r12): the flag consumer keeps
+    the 1 s absolute floor — sub-second legs swing 2x from this host's
+    per-run scheduler jitter alone — but fast-leg drift stays visible
+    in the sidecar instead of being rounded to 1.0 here. MID = the
+    worst single canary rep taken BETWEEN attempts over the pin
+    (VERDICT r12 #7): the group-level bracket cannot see a slow phase
+    that starts and ends inside one entry's repeat runs — the r12
+    baseline's 43 s knn row passed a clean bracket; a mid-run sample
+    catches exactly that shape)."""
     import statistics
 
     clean: list[tuple] = []
@@ -380,6 +409,7 @@ def _run_attempts(
     stall_discards = 0
     cpu_discards = 0
     attempts = 0
+    mid = 0.0
     while attempts < max_runs + _STALL_EXTRA and len(clean) < max_runs:
         if len(clean) >= 2 and 1.0 < min(t[0] for t in clean) <= 2.0:
             break
@@ -389,6 +419,11 @@ def _run_attempts(
             cpu.reset()
         t = run_once()
         attempts += 1
+        if canary is not None:
+            # one rep (not min-of-3: this is a detector between runs,
+            # not a yardstick sample) — single reps jitter ~1.7x, so
+            # the consumer's threshold sits above that.
+            mid = max(mid, round(canary._rep() / _Canary.PIN, 2))
         if watch is not None and watch.max_gap() >= _STALL_GAP:
             dirty.append(t)
             stall_discards += 1
@@ -404,13 +439,13 @@ def _run_attempts(
         round(statistics.median(t[i] for t in pool), 3) for i in range(len(pool[0]))
     )
     steady = clean[1:] if len(clean) >= 3 else []
-    spread = 1.0
+    spread, delta = 1.0, 0.0
     if steady:
         s_max = max(t[0] for t in steady)
         s_min = min(t[0] for t in steady)
-        if s_max - s_min >= 1.0:
-            spread = round(s_max / max(s_min, 1e-9), 2)
-    return best, med, stall_discards, cpu_discards, spread
+        spread = round(s_max / max(s_min, 1e-9), 2)
+        delta = round(s_max - s_min, 3)
+    return best, med, stall_discards, cpu_discards, spread, delta, mid
 
 
 def _best_of(
@@ -435,7 +470,7 @@ def _best_of(
     every leg and drown the attribution the per-leg pass exists for.
     Entry timings keep construction in (end-to-end, the driver contract).
     Returns (best seconds, median seconds, stall discards, cpu discards,
-    steady-state spread — see _run_attempts)."""
+    steady-state spread, steady delta — see _run_attempts)."""
 
     def run_once():
         if time_build:
@@ -447,8 +482,10 @@ def _best_of(
             df.count()
         return (time.perf_counter() - t0,)
 
-    best, med, stalls, cpud, spread = _run_attempts(run_once, max_runs, watch, cpu)
-    return best[0], med[0], stalls, cpud, spread
+    best, med, stalls, cpud, spread, delta, _mid = _run_attempts(
+        run_once, max_runs, watch, cpu
+    )
+    return best[0], med[0], stalls, cpud, spread, delta
 
 
 def _best_of_split(
@@ -456,7 +493,8 @@ def _best_of_split(
     max_runs: int,
     watch: _StallWatch | None = None,
     cpu: _CpuWindow | None = None,
-) -> tuple[float, float, float, float, int, int, float]:
+    canary: "_Canary | None" = None,
+):
     """Entry timing with the construction/execution attribution recorded
     mechanically (VERDICT r8 #7): per run, construction is fn() returning
     the DataFrame (py4j round-trips, eager driver work like kmeans fits
@@ -469,8 +507,8 @@ def _best_of_split(
     runs are discarded (_run_attempts), which is what keeps entry totals
     consistent with their own splits — the round-9 failure mode was
     entry >> c + e. Returns (best total, best construct, best execute,
-    median total, stall discards, cpu discards, steady-state spread —
-    see _run_attempts)."""
+    median total, stall discards, cpu discards, steady-state spread,
+    steady delta, mid-run canary index — see _run_attempts)."""
 
     def run_once():
         t0 = time.perf_counter()
@@ -480,10 +518,10 @@ def _best_of_split(
         t2 = time.perf_counter()
         return (t2 - t0, t1 - t0, t2 - t1)
 
-    (b, c, e), (mb, _mc, _me), stalls, cpud, spread = _run_attempts(
-        run_once, max_runs, watch, cpu
+    (b, c, e), (mb, _mc, _me), stalls, cpud, spread, delta, mid = _run_attempts(
+        run_once, max_runs, watch, cpu, canary
     )
-    return b, c, e, mb, stalls, cpud, spread
+    return b, c, e, mb, stalls, cpud, spread, delta, mid
 
 
 def main() -> None:
@@ -521,6 +559,9 @@ def main() -> None:
     stall_discards: dict[str, int] = {}
     cpu_discards: dict[str, int] = {}
     unstable: dict[str, float] = {}
+    spread_wide: dict[str, dict[str, float]] = {}
+    mid_idx: dict[str, float] = {}
+    first_build: dict[str, float] = {}
 
     def measure_entry(name: str) -> dict:
         """One entry group (entry + its legs) measured into a fresh
@@ -538,27 +579,47 @@ def main() -> None:
             "stall": {},
             "cpud": {},
             "unstable": {},
+            "spread_wide": {},
+            "mid": {},
         }
+
+        # One-time per-process artifact builds run BEFORE the timed
+        # bracket and are reported separately (FIRST_BUILD above). On a
+        # re-measurement pass the memo is already built: the call is a
+        # cheap warm-up and the original build time is kept.
+        if name in FIRST_BUILD:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            first_build.setdefault(name, round(time.perf_counter() - t0, 3))
 
         # Clean runs disagreeing >= 2x among themselves measured a slow
         # window no in-process watcher can prove (round-11 run-1 shape:
         # construct-side JVM slowness, sys-light, heartbeat quiet) — flag
-        # the row so artifact readers discount it.
-        def note(key: str, stalls: int, cpud_n: int, spread: float) -> None:
+        # the row so artifact readers discount it. The unstable flag
+        # keeps its 1 s absolute floor (r12 change §10); wide-ratio rows
+        # under the floor stay visible in spread_wide with their raw
+        # delta (ADVICE r12) instead of being silently rounded away.
+        def note(
+            key: str, stalls: int, cpud_n: int, spread: float, delta: float
+        ) -> None:
             if stalls:
                 rec["stall"][key] = stalls
             if cpud_n:
                 rec["cpud"][key] = cpud_n
             if spread >= 2.0:
-                rec["unstable"][key] = spread
+                rec["spread_wide"][key] = {"spread": spread, "delta": delta}
+                if delta >= 1.0:
+                    rec["unstable"][key] = spread
 
-        t, c, e, m, disc, cpud_n, spread = _best_of_split(
-            lambda: fn(spark, sf_dir), max_runs, watch=watch, cpu=cpu
+        t, c, e, m, disc, cpud_n, spread, delta, mid = _best_of_split(
+            lambda: fn(spark, sf_dir), max_runs, watch=watch, cpu=cpu,
+            canary=canary,
         )
         rec["timings"][name] = t
         rec["medians"][name] = m
         rec["split"][name] = {"construct": c, "execute": e}
-        note(name, disc, cpud_n, spread)
+        rec["mid"][name] = mid
+        note(name, disc, cpud_n, spread, delta)
         if not time_legs:
             return rec
         if name in TAGGED_LEGS:
@@ -579,8 +640,9 @@ def main() -> None:
                     disc,
                     cpud_n,
                     spread,
+                    delta,
                 ) = _best_of(leg_df, max_runs, time_build=False, watch=watch, cpu=cpu)
-                note(key, disc, cpud_n, spread)
+                note(key, disc, cpud_n, spread, delta)
         elif name == "text_profile":
             for leg_name, leg_fn in _text_profile_component_legs().items():
                 key = f"{name}.{leg_name}"
@@ -590,6 +652,7 @@ def main() -> None:
                     disc,
                     cpud_n,
                     spread,
+                    delta,
                 ) = _best_of(
                     lambda leg_fn=leg_fn: leg_fn(spark, sf_dir),
                     max_runs,
@@ -597,11 +660,11 @@ def main() -> None:
                     watch=watch,
                     cpu=cpu,
                 )
-                note(key, disc, cpud_n, spread)
+                note(key, disc, cpud_n, spread, delta)
         return rec
 
     def apply_entry(name: str, rec: dict) -> None:
-        for d in (stall_discards, cpu_discards, unstable):
+        for d in (stall_discards, cpu_discards, unstable, spread_wide):
             for key in [
                 k for k in d if k == name or k.startswith(name + ".")
             ]:
@@ -614,6 +677,8 @@ def main() -> None:
         stall_discards.update(rec["stall"])
         cpu_discards.update(rec["cpud"])
         unstable.update(rec["unstable"])
+        spread_wide.update(rec["spread_wide"])
+        mid_idx.update(rec["mid"])
 
     # Canary bracket (VERDICT r11 #1): each entry group is bracketed by
     # absolute-yardstick samples; a group whose bracket drifted past
@@ -633,7 +698,10 @@ def main() -> None:
         drift = round(max(prev_c, cur_c) / _Canary.PIN, 2)
         apply_entry(name, rec)
         canary_idx[name] = drift
-        if drift > _Canary.MAX_DRIFT:
+        # a slow phase starting AND ending inside the entry's repeat
+        # runs passes a clean bracket; the between-runs sample (mid)
+        # catches it (VERDICT r12 #7 — the r12 baseline's 43 s knn row).
+        if drift > _Canary.MAX_DRIFT or rec["mid"].get(name, 0.0) > _MID_MAX:
             suspects.append(name)
         prev_c = cur_c
     for name in suspects:
@@ -641,7 +709,9 @@ def main() -> None:
         rec = measure_entry(name)
         ca = canary.run()
         drift = round(max(cb, ca) / _Canary.PIN, 2)
-        if drift < canary_idx[name]:
+        old_eff = max(canary_idx[name], mid_idx.get(name, 0.0))
+        new_eff = max(drift, rec["mid"].get(name, 0.0))
+        if new_eff < old_eff:  # keep the measurement with the cleaner window
             apply_entry(name, rec)
             canary_idx[name] = drift
     if watch is not None:
@@ -670,11 +740,15 @@ def main() -> None:
                     "stall_discards": stall_discards,
                     "cpu_discards": cpu_discards,
                     "unstable": unstable,
+                    "spread_wide": spread_wide,
+                    "first_build": first_build,
                     "canary": {
                         "pin_s": _Canary.PIN,
                         "max_drift": _Canary.MAX_DRIFT,
                         "drift_index": canary.drift_index(),
                         "per_entry": canary_idx,
+                        "mid_per_entry": mid_idx,
+                        "mid_max": _MID_MAX,
                         "samples": canary.samples,
                     },
                 },

@@ -65,7 +65,7 @@ def test_run_attempts_discards_stalled_runs_and_reruns():
         return (t,)
 
     # First attempt stalls (gap 30 s), the rest are clean.
-    best, med, discards, cpud, spread = bench._run_attempts(
+    best, med, discards, cpud, spread, delta, mid = bench._run_attempts(
         run_once, max_runs=3, watch=_FakeWatch([30.0])
     )
     assert discards == 1
@@ -79,7 +79,7 @@ def test_run_attempts_all_stalled_falls_back_with_discard_count():
     """If every attempt stalled, a number must still be produced — the
     stalled minima — and the discard count says how much to trust it.
     The extra-attempt cap bounds the spin during a long storm."""
-    best, med, discards, cpud, spread = bench._run_attempts(
+    best, med, discards, cpud, spread, delta, mid = bench._run_attempts(
         lambda: (9.0,), max_runs=2, watch=_FakeWatch([30.0] * 10)
     )
     assert best == (9.0,)
@@ -99,7 +99,7 @@ def test_run_attempts_early_exit_only_above_one_second():
         calls.append(1)
         return (0.5,)
 
-    best, med, discards, _, _sp = bench._run_attempts(
+    best, med, discards, *_ = bench._run_attempts(
         run_once, max_runs=3, watch=_FakeWatch([30.0, 0.0, 0.0, 0.0])
     )
     assert best == (0.5,)
@@ -112,7 +112,7 @@ def test_run_attempts_early_exit_only_above_one_second():
         mid_calls.append(1)
         return (1.5,)
 
-    best, med, discards, _, _sp = bench._run_attempts(
+    best, med, discards, *_ = bench._run_attempts(
         run_mid, max_runs=3, watch=_FakeWatch([0.0, 0.0, 0.0])
     )
     assert best == (1.5,)
@@ -137,7 +137,7 @@ def test_run_attempts_discards_cpu_pathological_runs():
     sys-heavy/user-idle pathology is discarded like a stall, counted
     separately (the sidecar tells freezes from slow windows apart)."""
     times = iter([4.0, 1.2, 1.3])
-    best, med, stalls, cpud, spread = bench._run_attempts(
+    best, med, stalls, cpud, spread, delta, mid = bench._run_attempts(
         lambda: (next(times),),
         max_runs=3,
         watch=_FakeWatch([0.0, 0.0, 0.0]),
@@ -177,30 +177,67 @@ def test_run_attempts_spread_flags_wide_clean_runs():
     slowness, sys-light, heartbeat quiet). The returned spread is the
     artifact-level flag — max/min of the STEADY-STATE clean totals: the
     first run's one-time costs (codegen, memoized builds) are excluded,
-    or every memoizing entry would flag itself."""
+    or every memoizing entry would flag itself. The raw steady DELTA is
+    returned alongside (ADVICE r12): the unstable flag's 1 s absolute
+    floor now lives in the CONSUMER (bench.main's note()), so fast-leg
+    drift stays visible in the sidecar's spread_wide block instead of
+    being rounded away here."""
     times = iter([6.0, 2.4, 5.1])
-    best, med, stalls, cpud, spread = bench._run_attempts(
+    best, med, stalls, cpud, spread, delta, mid = bench._run_attempts(
         lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
     )
     assert best == (2.4,)
     assert spread == 2.12  # 5.1 / 2.4 over runs 2-3; the cold 6.0 excluded
+    assert delta == 2.7  # 5.1 - 2.4
 
     # cold-build shape: expensive first run, agreeing warm runs -> quiet
     times = iter([108.0, 6.1, 6.3])
-    *_, spread = bench._run_attempts(
+    *_, spread, delta, _mid = bench._run_attempts(
         lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
     )
     assert spread < 2.0
 
-    # sub-second jitter shape: ratio past 2x but the steady delta is
-    # under the 1 s absolute floor — this host's scheduler noise alone
-    # swings 0.2-0.5 s legs that far (r12 verdict runs), so the flag
-    # stays quiet rather than marking the noise floor as a slow window.
+    # sub-second jitter shape: the RATIO is now reported raw (the 1 s
+    # floor moved to the flag consumer) with the delta that lets a
+    # reader tell scheduler jitter from real fast-leg drift.
     times = iter([0.5, 0.2, 0.45])
-    *_, spread = bench._run_attempts(
+    *_, spread, delta, _mid = bench._run_attempts(
         lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
     )
-    assert spread == 1.0
+    assert spread == 2.25 and delta == 0.25
+
+
+class _FakeMidCanary:
+    """Scripted canary: _rep() returns the next scripted seconds."""
+
+    PIN = bench._Canary.PIN
+
+    def __init__(self, reps):
+        self._reps = list(reps)
+
+    def _rep(self):
+        return self._reps.pop(0) if self._reps else bench._Canary.PIN
+
+
+def test_run_attempts_mid_canary_catches_inside_window(monkeypatch):
+    """VERDICT r12 #7: a slow phase that starts AND ends inside one
+    entry's repeat runs passes a clean group bracket — the between-runs
+    canary rep is what sees it. mid = worst rep / pin."""
+    pin = bench._Canary.PIN
+    times = iter([3.0, 3.1, 3.2])
+    *_, mid = bench._run_attempts(
+        lambda: (next(times),),
+        max_runs=3,
+        watch=_FakeWatch([0.0] * 3),
+        canary=_FakeMidCanary([pin, 4 * pin, pin]),
+    )
+    assert mid == 4.0  # the dirty between-runs window is visible
+
+    times = iter([3.0, 3.1, 3.2])
+    *_, mid = bench._run_attempts(
+        lambda: (next(times),), max_runs=3, watch=_FakeWatch([0.0] * 3)
+    )
+    assert mid == 0.0  # no canary wired -> no mid index
 
 
 def test_stallwatch_heartbeat_stays_quiet_on_a_healthy_thread():
@@ -282,6 +319,24 @@ def test_sidecar_canary_bracket_covers_every_entry():
     assert canary["pin_s"] > 0
     assert set(canary["per_entry"]) == set(bench.HEADLINE)
     assert len(canary["samples"]) >= len(bench.HEADLINE) + 1
+    # mid-run detection (VERDICT r12 #7): one between-runs index per entry
+    assert set(canary["mid_per_entry"]) == set(bench.HEADLINE)
+    assert canary["mid_max"] >= 1.7  # above single-rep jitter
+
+
+def test_sidecar_first_build_covers_memoizing_entries():
+    """Entries with one-time per-process artifact builds (FIRST_BUILD)
+    report the build's wall time in its own sidecar row instead of
+    contaminating run 1 of the timed bracket (VERDICT r12 #3). Every
+    FIRST_BUILD name must be a real timed entry and have a row."""
+    import os
+
+    assert set(bench.FIRST_BUILD) <= set(bench.HEADLINE)
+    sidecar = os.path.join(os.path.dirname(bench.__file__), "BENCH_LEGS.json")
+    with open(sidecar) as fh:
+        fb = json.load(fh)["first_build"]
+    assert set(fb) == set(bench.FIRST_BUILD)
+    assert all(v >= 0 for v in fb.values())
 
 
 def test_sidecar_split_covers_every_headline_entry():
