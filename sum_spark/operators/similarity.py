@@ -548,14 +548,21 @@ def knn_ivf_kmeans(
     r = assign_clusters(
         records, centroids, id_col=id_col, vec_col=vec_col, cluster_col="__cluster"
     )
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
-                F.lit(int(j)).cast("long").alias("j"),
-            )
+    from sum_spark.functions.litsql import darray
+
+    # The k x dims centroid literals render into ONE F.expr string
+    # (litsql / VERDICT r12 #6): built Column-by-Column this was
+    # ~k*dims py4j round trips of pure driver latency per plan build,
+    # for the identical Catalyst literal nodes (plan-identity pinned in
+    # tests/test_plans.py).
+    cent_lit = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('c', {darray(float(x) for x in c)}, "
+            f"'j', CAST({int(j)} AS BIGINT))"
             for j, c in items
-        ]
+        )
+        + ")"
     )
     pv = F.col(vec_col).cast("array<double>")
     # (dist, id) structs sort lexicographically: array_sort + slice is the
@@ -1708,6 +1715,13 @@ def _pq_rows(
     from sum_spark.operators.embeddings import _pq_codes_numpy, pq_code_cols
 
     large = len(book) > _LARGE_K
+    # The numpy encode paths emit the id as BIGINT; cast back to the
+    # input id type so an index built before the one-pass encode (with a
+    # non-bigint id) keeps ONE parquet id type across all batch dirs —
+    # mixed types under one root break reads and deletion-as-negation
+    # schema matching. Values fit by construction (they ARE the input
+    # ids), so the downcast is exact.
+    id_type = records.schema[id_col].dataType
     if res_book is not None:
         res = _residualize(
             records, book, id_col, vec_col,
@@ -1717,7 +1731,7 @@ def _pq_rows(
             return _pq_codes_numpy(
                 res, m, sorted(res_book.items()), id_col, "__res",
                 carry_coarse=True,
-            ).select(F.col("vec_id").alias(id_col), "coarse", "codes")
+            ).select(F.col("vec_id").cast(id_type).alias(id_col), "coarse", "codes")
         return res.select(
             F.col(id_col),
             "coarse",
@@ -1727,7 +1741,8 @@ def _pq_rows(
         )
     items = sorted(book.items())
     if large:
-        return _pq_encode_raw_numpy(records, m, items, id_col, vec_col)
+        enc = _pq_encode_raw_numpy(records, m, items, id_col, vec_col)
+        return enc.withColumn(id_col, F.col(id_col).cast(id_type))
     coarse = assign_clusters(
         records, book, id_col, vec_col, cluster_col="coarse",
         backend="catalyst",

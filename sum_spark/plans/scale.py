@@ -29,18 +29,22 @@ def _unpersist_quietly(dfs: tuple[DataFrame, ...]) -> None:
             pass  # session already stopped — nothing to release
 
 
-# Live-holder refcounts for persisted intermediates, keyed by
-# (session id, analyzed-plan semanticHash). Spark's CacheManager
-# deduplicates persist() calls on semantically identical plans into ONE
-# shared entry, and unpersist() removes that entry by plan match — so
-# when a query fn is called repeatedly (the bench's best-of-N, any
-# query server), call N+1's persist() is a no-op against call N's
-# entry, and call N's finalizer then KILLED the cache out from under
-# call N+1 (measured r12: q38 ran every post-first bench run fully
-# uncached). The refcount makes the LAST holder release the shared
-# entry instead. Collisions of the 32-bit hash only delay a release
-# (both holders must drop), never free early — the safe side.
+# Live holders for persisted intermediates, keyed by (session id,
+# analyzed-plan semanticHash). Spark's CacheManager deduplicates
+# persist() calls on semantically identical plans into ONE shared
+# entry, and unpersist() removes that entry by plan match — so when a
+# query fn is called repeatedly (the bench's best-of-N, any query
+# server), call N+1's persist() is a no-op against call N's entry, and
+# call N's finalizer then KILLED the cache out from under call N+1
+# (measured r12: q38 ran every post-first bench run fully uncached).
+# Each key tracks a live-holder COUNT plus every registered FRAME: the
+# last holder to drop unpersists every tracked frame (unpersist on a
+# same-plan duplicate is a cheap no-op), so even a 32-bit-hash
+# collision between two DIFFERENT cached plans releases both entries —
+# a collision can only DELAY a release (all holders must drop), never
+# free early and never leak (ADVICE r12).
 _CACHE_HOLDERS: dict[tuple[int, int], int] = {}
+_CACHE_FRAMES: dict[tuple[int, int], list[DataFrame]] = {}
 
 
 def _cache_key(df: DataFrame) -> tuple[int, int] | None:
@@ -51,15 +55,38 @@ def _cache_key(df: DataFrame) -> tuple[int, int] | None:
         return None  # session stopping — fall back to direct release
 
 
+def _session_stopped(df) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _prune_dead_sessions() -> None:
+    """Drop holder entries whose session has stopped (VERDICT r12 #6):
+    a finalizer that never ran before its session died would otherwise
+    leave the key (and its strong frame refs) in the module dicts for
+    the life of the interpreter."""
+    for key in [
+        k for k, frames in _CACHE_FRAMES.items()
+        if frames and _session_stopped(frames[0])
+    ]:
+        _CACHE_HOLDERS.pop(key, None)
+        _CACHE_FRAMES.pop(key, None)
+
+
 def _release_refs(keyed: tuple) -> None:
     for key, d in keyed:
         try:
-            if key is not None:
-                n = _CACHE_HOLDERS.get(key, 1) - 1
+            if key is not None and key in _CACHE_HOLDERS:
+                n = _CACHE_HOLDERS[key] - 1
                 if n > 0:
                     _CACHE_HOLDERS[key] = n
-                    continue
+                    continue  # other live holders keep the entry
                 _CACHE_HOLDERS.pop(key, None)
+                for f in _CACHE_FRAMES.pop(key, []):
+                    if f is not d:
+                        _unpersist_quietly((f,))
             d.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
@@ -79,11 +106,13 @@ def release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     (``.select()``, a join) and drops the original releases the caches
     before the derived plan ever runs — use ``carry_caches`` to move the
     lifetime onto the derived frame."""
+    _prune_dead_sessions()
     keyed = []
     for c in cached:
         key = _cache_key(c)
         if key is not None:
             _CACHE_HOLDERS[key] = _CACHE_HOLDERS.get(key, 0) + 1
+            _CACHE_FRAMES.setdefault(key, []).append(c)
         keyed.append((key, c))
     weakref.finalize(result, _release_refs, tuple(keyed))
     return result

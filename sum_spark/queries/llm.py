@@ -918,139 +918,144 @@ def q_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # residualize / encode.
     build_recs = build_book = None
     n_auto: int | None = None
-    if need_incr or need_res or need_tb or need_gk:
-        build_recs = emb2.where("id % 3 != 0").persist()
-        if need_incr or need_res:
-            build_book = train_pq_codebook(
-                emb, 8, id_col="vec_id", vec_col="embedding"
-            )
-        if need_tb or need_gk:
-            n_auto = auto_cells(build_recs.count())
-    if need_incr:
-        import shutil as _shutil
-
-        _shutil.rmtree(incr_path, ignore_errors=True)
-        write_pq_index(
-            build_recs, incr_path, m=2, n_codes=8, centroids=build_book
-        )
-        append_to_pq_index(emb2.where("id % 3 = 0"), incr_path, m=2)
-        retire_from_pq_index(emb2.where("id % 10 = 7"), incr_path, m=2)
-        _PQ_INCR_BUILT.add(incr_path)
-    # ONE probe collect shared by all five stored-index legs (they serve
-    # the same probe set; each leg used to run its own small probe scan
-    # job per construct — guide §1.2). The projection matches the one
-    # knn_ivfpq_from_index/_rerank_driver would collect themselves.
-    stored_probes = emb2.where("id <= 3")
-    probe_rows = stored_probes.select(
-        F.col("id").alias("__pid"),
-        F.col("data").cast("array<double>").alias("__pv"),
-    ).collect()
-    incr = knn_ivfpq_from_index(
-        spark, incr_path, stored_probes, k=5, m=2, round_to=4,
-        serve_ctx=_serve_ctx(spark, incr_path), probe_rows=probe_rows,
-        ordered=False,
-    ).select(
-        F.lit("incr").alias("mode"),
-        "probe_id",
-        F.col("id").alias("vec_id"),
-        F.col("adc").alias("sim"),
-        "rank",
-    )
-    # 'rr': exact re-ranking over the SAME maintained index — ADC top-20
-    # candidates per probe (adc_round_to=4: the candidate CUT must be
-    # cross-engine reproducible), raw vectors fetched back from the
-    # corpus by id, true-cosine top-5. The oracle recomputes both stages
-    # (rrcand = scoredi rank<=20; rr = exact cosine over rrcand), so the
-    # hash match proves the two-stage serve returns the exact top-k of
-    # the ADC candidate set. serve_backend='driver' (VERDICT r9 #2)
-    # routes this leg through _rerank_driver — the micro-batch serve the
-    # streaming ANN sink uses — so the driver backend earns its own
-    # hash-checked CORRECTNESS row: its results are bit-equal to the
-    # plan path by construction (parity-pinned incl. the HALF_UP
-    # rounding twin), so the SAME oracle SQL checks both backends.
-    from sum_spark.operators.similarity import knn_ivfpq_rerank
-
-    rr = knn_ivfpq_rerank(
-        spark,
-        incr_path,
-        emb2,
-        stored_probes,
-        k=5,
-        c=20,
-        m=2,
-        round_to=4,
-        adc_round_to=4,
-        serve_ctx=_serve_ctx(spark, incr_path),
-        serve_backend="driver",
-        probe_rows=probe_rows,
-        ordered=False,
-    ).select(
-        F.lit("rr").alias("mode"),
-        "probe_id",
-        F.col("id").alias("vec_id"),
-        "sim",
-        "rank",
-    )
-    # 'res': the RESIDUAL stored index, same maintenance history as
-    # 'incr' (snapshot A, O(delta) append, deletion-as-negation retire —
-    # the retire must reproduce the stored rows bit-for-bit THROUGH the
-    # residual encode, which is what makes this leg's hash match the
-    # residual path's correctness row, VERDICT r7 #1). res_iters=0 keeps
-    # the residual book on the one-step fixed-point recipe the oracle
-    # re-derives in SQL; a production res_iters>=4 book changes only the
-    # book, not the encode/serve machinery checked here.
-    if need_res:
-        import shutil as _shutil
-
-        _shutil.rmtree(res_path, ignore_errors=True)
-        write_pq_index(
-            build_recs, res_path, m=2, n_codes=8,
-            centroids=build_book, residual=True, res_iters=0,
-        )
-        append_to_pq_index(emb2.where("id % 3 = 0"), res_path, m=2)
-        retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
-        _PQ_INCR_BUILT.add(res_path)
-    res = knn_ivfpq_from_index(
-        spark, res_path, stored_probes, k=5, m=2, round_to=4,
-        serve_ctx=_serve_ctx(spark, res_path), probe_rows=probe_rows,
-        ordered=False,
-    ).select(
-        F.lit("res").alias("mode"),
-        "probe_id",
-        F.col("id").alias("vec_id"),
-        F.col("adc").alias("sim"),
-        "rank",
-    )
-    # 'tb'/'gk': the PRODUCTION-SHAPED stored indexes (VERDICT r8 #1/#2)
-    # — n_cells='auto' coarse quantizer (past _LARGE_K, so the large-k
-    # machinery engages: numpy _nearest + join-residualize at build,
-    # GEMM code assignment and numpy LUT tabulation on the raw 'gk'
-    # index), m=8 subspaces, and for 'tb' a res_iters=4 LLOYD-TRAINED
-    # residual book — with the same A/append/retire maintenance history
-    # as 'incr'. No SQL re-derives Lloyd or matches GEMM bit-for-bit;
-    # the oracle instead READS the stored _codebook/_codebook_res
-    # parquet (exactly like it reads index rows) and reproduces encode
-    # argmins, residuals, probe LUTs, ADC, and the candidate cut from
-    # them (_duck_stored_book_ctes). The artifact dir is keyed by pid
-    # only — oracle strings cannot know sf_dir — so the fn tracks the
-    # sf it last built for and rebuilds on change (_TB_BUILT).
-    for tag, need, kwargs, memo_dir in (
-        ("tb", need_tb, {"residual": True, "res_iters": 4}, _tb_dir()),
-        ("gk", need_gk, {}, _gk_dir()),
-    ):
-        if need:
+    try:
+        if need_incr or need_res or need_tb or need_gk:
+            build_recs = emb2.where("id % 3 != 0").persist()
+            if need_incr or need_res:
+                build_book = train_pq_codebook(
+                    emb, 8, id_col="vec_id", vec_col="embedding"
+                )
+            if need_tb or need_gk:
+                n_auto = auto_cells(build_recs.count())
+        if need_incr:
             import shutil as _shutil
 
-            _shutil.rmtree(memo_dir, ignore_errors=True)
+            _shutil.rmtree(incr_path, ignore_errors=True)
             write_pq_index(
-                build_recs, memo_dir, m=8, n_codes=8,
-                n_cells=n_auto, **kwargs,
+                build_recs, incr_path, m=2, n_codes=8, centroids=build_book
             )
-            append_to_pq_index(emb2.where("id % 3 = 0"), memo_dir, m=8)
-            retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
-            _TB_BUILT[memo_dir] = sf_dir
-    if build_recs is not None:
-        build_recs.unpersist()
+            append_to_pq_index(emb2.where("id % 3 = 0"), incr_path, m=2)
+            retire_from_pq_index(emb2.where("id % 10 = 7"), incr_path, m=2)
+            _PQ_INCR_BUILT.add(incr_path)
+        # ONE probe collect shared by all five stored-index legs (they serve
+        # the same probe set; each leg used to run its own small probe scan
+        # job per construct — guide §1.2). The projection matches the one
+        # knn_ivfpq_from_index/_rerank_driver would collect themselves.
+        stored_probes = emb2.where("id <= 3")
+        probe_rows = stored_probes.select(
+            F.col("id").alias("__pid"),
+            F.col("data").cast("array<double>").alias("__pv"),
+        ).collect()
+        incr = knn_ivfpq_from_index(
+            spark, incr_path, stored_probes, k=5, m=2, round_to=4,
+            serve_ctx=_serve_ctx(spark, incr_path), probe_rows=probe_rows,
+            ordered=False,
+        ).select(
+            F.lit("incr").alias("mode"),
+            "probe_id",
+            F.col("id").alias("vec_id"),
+            F.col("adc").alias("sim"),
+            "rank",
+        )
+        # 'rr': exact re-ranking over the SAME maintained index — ADC top-20
+        # candidates per probe (adc_round_to=4: the candidate CUT must be
+        # cross-engine reproducible), raw vectors fetched back from the
+        # corpus by id, true-cosine top-5. The oracle recomputes both stages
+        # (rrcand = scoredi rank<=20; rr = exact cosine over rrcand), so the
+        # hash match proves the two-stage serve returns the exact top-k of
+        # the ADC candidate set. serve_backend='driver' (VERDICT r9 #2)
+        # routes this leg through _rerank_driver — the micro-batch serve the
+        # streaming ANN sink uses — so the driver backend earns its own
+        # hash-checked CORRECTNESS row: its results are bit-equal to the
+        # plan path by construction (parity-pinned incl. the HALF_UP
+        # rounding twin), so the SAME oracle SQL checks both backends.
+        from sum_spark.operators.similarity import knn_ivfpq_rerank
+
+        rr = knn_ivfpq_rerank(
+            spark,
+            incr_path,
+            emb2,
+            stored_probes,
+            k=5,
+            c=20,
+            m=2,
+            round_to=4,
+            adc_round_to=4,
+            serve_ctx=_serve_ctx(spark, incr_path),
+            serve_backend="driver",
+            probe_rows=probe_rows,
+            ordered=False,
+        ).select(
+            F.lit("rr").alias("mode"),
+            "probe_id",
+            F.col("id").alias("vec_id"),
+            "sim",
+            "rank",
+        )
+        # 'res': the RESIDUAL stored index, same maintenance history as
+        # 'incr' (snapshot A, O(delta) append, deletion-as-negation retire —
+        # the retire must reproduce the stored rows bit-for-bit THROUGH the
+        # residual encode, which is what makes this leg's hash match the
+        # residual path's correctness row, VERDICT r7 #1). res_iters=0 keeps
+        # the residual book on the one-step fixed-point recipe the oracle
+        # re-derives in SQL; a production res_iters>=4 book changes only the
+        # book, not the encode/serve machinery checked here.
+        if need_res:
+            import shutil as _shutil
+
+            _shutil.rmtree(res_path, ignore_errors=True)
+            write_pq_index(
+                build_recs, res_path, m=2, n_codes=8,
+                centroids=build_book, residual=True, res_iters=0,
+            )
+            append_to_pq_index(emb2.where("id % 3 = 0"), res_path, m=2)
+            retire_from_pq_index(emb2.where("id % 10 = 7"), res_path, m=2)
+            _PQ_INCR_BUILT.add(res_path)
+        res = knn_ivfpq_from_index(
+            spark, res_path, stored_probes, k=5, m=2, round_to=4,
+            serve_ctx=_serve_ctx(spark, res_path), probe_rows=probe_rows,
+            ordered=False,
+        ).select(
+            F.lit("res").alias("mode"),
+            "probe_id",
+            F.col("id").alias("vec_id"),
+            F.col("adc").alias("sim"),
+            "rank",
+        )
+        # 'tb'/'gk': the PRODUCTION-SHAPED stored indexes (VERDICT r8 #1/#2)
+        # — n_cells='auto' coarse quantizer (past _LARGE_K, so the large-k
+        # machinery engages: numpy _nearest + join-residualize at build,
+        # GEMM code assignment and numpy LUT tabulation on the raw 'gk'
+        # index), m=8 subspaces, and for 'tb' a res_iters=4 LLOYD-TRAINED
+        # residual book — with the same A/append/retire maintenance history
+        # as 'incr'. No SQL re-derives Lloyd or matches GEMM bit-for-bit;
+        # the oracle instead READS the stored _codebook/_codebook_res
+        # parquet (exactly like it reads index rows) and reproduces encode
+        # argmins, residuals, probe LUTs, ADC, and the candidate cut from
+        # them (_duck_stored_book_ctes). The artifact dir is keyed by pid
+        # only — oracle strings cannot know sf_dir — so the fn tracks the
+        # sf it last built for and rebuilds on change (_TB_BUILT).
+        for tag, need, kwargs, memo_dir in (
+            ("tb", need_tb, {"residual": True, "res_iters": 4}, _tb_dir()),
+            ("gk", need_gk, {}, _gk_dir()),
+        ):
+            if need:
+                import shutil as _shutil
+
+                _shutil.rmtree(memo_dir, ignore_errors=True)
+                write_pq_index(
+                    build_recs, memo_dir, m=8, n_codes=8,
+                    n_cells=n_auto, **kwargs,
+                )
+                append_to_pq_index(emb2.where("id % 3 = 0"), memo_dir, m=8)
+                retire_from_pq_index(emb2.where("id % 10 = 7"), memo_dir, m=8)
+                _TB_BUILT[memo_dir] = sf_dir
+    finally:
+        # Release even when a build raises mid-write (ADVICE r12): a
+        # leaked persist would add a duplicate cache entry per retry
+        # in a long-lived session.
+        if build_recs is not None:
+            build_recs.unpersist()
     tb = knn_ivfpq_from_index(
         spark, _tb_dir(), stored_probes, k=5, m=8, round_to=4,
         serve_ctx=_serve_ctx(spark, _tb_dir()), probe_rows=probe_rows,
