@@ -339,8 +339,14 @@ def inertia(
     fixed-point centroid quantization); used by tests to verify
     convergence, not part of any checked output (cross-row double sums
     are layout-dependent)."""
+    from sum_spark.functions.litsql import darray
+
     items = sorted(centroids.items())
-    cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for _, c in items])
+    # one expr string, not k*dims F.lit round trips (litsql / VERDICT
+    # r12 #6) — identical Catalyst literal nodes
+    cent_lit = F.expr(
+        "array(" + ", ".join(darray(float(x) for x in c) for _, c in items) + ")"
+    )
     v = F.col(vec_col).cast("array<double>")
     d = F.array_min(
         F.transform(

@@ -129,22 +129,21 @@ def random_project(
     dims = int(staged.select(F.size("__v")).limit(1).collect()[0][0])
     planes = srp_planes(int(out_dims), dims, seed=seed)
     scale = 1.0 / float(out_dims) ** 0.5
-    proj = F.array(
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        "__v",
-                        F.array(*[F.lit(float(x)) for x in p]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                * F.lit(scale)
-            )
-            for p in planes
-        ]
+
+    from sum_spark.functions.litsql import darray, dlit
+
+    # The out_dims x dims plane literals render into ONE F.expr string
+    # (litsql / VERDICT r12 #6) instead of out_dims*dims F.lit py4j
+    # round trips per plan build — identical Catalyst nodes (dlit/darray
+    # doubles are exact; plan-identity pinned in tests/test_plans.py).
+    def _dot(p) -> str:
+        return (
+            f"aggregate(zip_with(__v, {darray(float(x) for x in p)}, "
+            "(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    proj = F.expr(
+        "array(" + ", ".join(f"({_dot(p)} * {dlit(scale)})" for p in planes) + ")"
     )
     return staged.select("vec_id", proj.alias("proj")).orderBy("vec_id")
 

@@ -116,3 +116,87 @@ def test_python_xxh64_matches_spark_xxhash64(spark):
     got = {r["t"]: r["h"] for r in df.select("t", F.xxhash64("t").alias("h")).collect()}
     for c in cases:
         assert got[c] == xxh64_str(c), repr(c)
+
+def test_litsql_batched_constructs_match_column_api(spark):
+    """VERDICT r12 #6: the last three F.lit-loop constructs
+    (knn_ivf_kmeans centroids, inertia centroids, random_project
+    planes) now render as ONE expr string each. litsql doubles are
+    exact, so the batched columns must be BIT-identical to the old
+    Column-by-Column construction — asserted by exact value equality
+    of the rendered literals / projected outputs."""
+    from pyspark.sql import functions as F
+
+    from sum_spark.functions.litsql import darray, dlit
+
+    cents = {0: [0.25, -1.5, 3.0], 2: [1e-17, 7.125, -0.1]}
+    items = sorted(cents.items())
+
+    # inertia's cent_lit: array of double arrays
+    old_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for _, c in items]
+    )
+    new_arr = F.expr(
+        "array(" + ", ".join(darray(float(x) for x in c) for _, c in items) + ")"
+    )
+    row = spark.range(1).select(old_arr.alias("o"), new_arr.alias("n")).first()
+    assert row["o"] == row["n"]
+
+    # knn_ivf_kmeans's cent_lit: array of (c: array<double>, j: bigint)
+    old_st = F.array(
+        *[
+            F.struct(
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+                F.lit(int(j)).cast("long").alias("j"),
+            )
+            for j, c in items
+        ]
+    )
+    new_st = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('c', {darray(float(x) for x in c)}, "
+            f"'j', CAST({int(j)} AS BIGINT))"
+            for j, c in items
+        )
+        + ")"
+    )
+    row = spark.range(1).select(old_st.alias("o"), new_st.alias("n")).first()
+    assert row["o"] == row["n"]
+    assert row["n"][0]["j"] == 0 and row["n"][1]["c"][1] == 7.125
+
+    # random_project: batched projection vs the old per-plane lambdas
+    from sum_spark.operators.dedup import srp_planes
+    from sum_spark.operators.embeddings import random_project
+
+    dims, out_dims = 8, 4
+    vecs = [
+        (i, [((i * 31 + j * 7) % 13 - 6) / 3.0 for j in range(dims)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["proj"] for r in random_project(df, out_dims).collect()}
+
+    planes = srp_planes(out_dims, dims, seed="rp")
+    scale = 1.0 / float(out_dims) ** 0.5
+    old_proj = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in p]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                * F.lit(scale)
+            )
+            for p in planes
+        ]
+    )
+    want = {
+        r["vec_id"]: r["proj"]
+        for r in df.select("vec_id", old_proj.alias("proj")).collect()
+    }
+    assert got == want  # exact float equality: identical literal nodes
