@@ -669,6 +669,7 @@ def assign_contiguous_ids(
     order_cols: list[str],
     id_name: str = "sample_id",
     num_partitions: int | None = None,
+    total_name: str | None = None,
 ) -> DataFrame:
     """Assign contiguous 1..N ids in global (order_cols) order WITHOUT a
     single-partition sort — the scale-correct form of
@@ -682,7 +683,14 @@ def assign_contiguous_ids(
     bucket histogram ``_monotone_bucket`` already computed (its skew
     detector needs it), accumulated DRIVER-side — one tiny broadcast
     table, no second aggregate, no single-partition window. order_cols
-    must be a unique key for the ids to be deterministic."""
+    must be a unique key for the ids to be deterministic.
+
+    ``total_name`` adds the TOTAL row count as a literal column: the
+    census the offsets come from is the exact count, so a caller that
+    needs N (q16's percent_rank/cume_dist/ntile denominators) gets it
+    for free instead of re-aggregating the frame and broadcast-joining
+    one row back — one fewer pass + exchange per consumer (guide §1.2,
+    VERDICT r12 #5)."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
@@ -696,11 +704,14 @@ def assign_contiguous_ids(
         offs.append((b, run))
         run += counts[b]
     offsets = spark.createDataFrame(offs, f"{bcol} long, __off long")
-    return (
+    out = (
         d.join(F.broadcast(offsets), bcol)
         .withColumn(id_name, (F.col("__off") + F.row_number().over(local)).cast("long"))
         .drop(bcol, "__off")
     )
+    if total_name is not None:
+        out = out.withColumn(total_name, F.lit(int(run)).cast("long"))
+    return out
 
 def pack_sequences(
     df: DataFrame,

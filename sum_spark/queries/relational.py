@@ -431,8 +431,12 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    g = assign_contiguous_ids(orders, ["o_totalprice", "o_orderkey"], id_name="__g")
-    total = g.agg(F.count("*").alias("__n"))
+    # __n rides in as a LITERAL from the placement census (exact count,
+    # guide §1.2): the old g.agg(count) + broadcast join re-executed the
+    # whole placement subtree once more per action just to fetch N.
+    g = assign_contiguous_ids(
+        orders, ["o_totalprice", "o_orderkey"], id_name="__g", total_name="__n"
+    )
     rn = F.col("__g")
     n = F.col("__n")
     tiles = F.lit(4)
@@ -451,8 +455,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        g.join(F.broadcast(total))
-        .select(
+        g.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
