@@ -512,16 +512,20 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
     cannot split either — and is left alone. Equal keys land in one
     bucket, so a non-unique first order column never straddles.
 
-    The bucketed projection is hash-repartitioned on __b and
-    MATERIALIZED (localCheckpoint): the placement operators read it
-    from two branches (per-bucket stats and the data pass), and
-    unmaterialized each branch would re-run the upstream scan — for
-    packing, the full-text token count. Unlike the repartitionByRange
-    form this replaced, materialization is a pure PERFORMANCE choice: a
-    recompute reproduces identical buckets (data-derived, never
-    layout-derived), so nothing depends on the checkpoint for
-    correctness — and there is no range-sampling pass, which used to
-    execute that same upstream scan a second time before the shuffle.
+    The bucketed projection is MATERIALIZED (localCheckpoint) in the
+    scan's own layout: the placement operators read it from two
+    branches (per-bucket stats and the data pass), and unmaterialized
+    each branch would re-run the upstream scan — for packing, the
+    full-text token count. Unlike the repartitionByRange form this
+    replaced, materialization is a pure PERFORMANCE choice: a recompute
+    reproduces identical buckets (data-derived, never layout-derived),
+    so nothing depends on the checkpoint for correctness — and there is
+    no range-sampling pass, which used to execute that same upstream
+    scan a second time before the shuffle. There is deliberately NO
+    repartition before the checkpoint (r13): AQE-era checkpoints do not
+    preserve hash partitioning into consumers, so each consumer pays
+    its own __b exchange either way, and a pre-checkpoint shuffle was a
+    second full pass of the data over the wire for nothing.
 
     NULL keys map to a dedicated bucket -1 (below every data bucket):
     window ORDER BY sorts NULLS FIRST ascending, so bucket -1 first is
@@ -567,10 +571,18 @@ def _monotone_bucket(df: DataFrame, order_col: str, n: int):
                 F.lit(n - 1),
             )
         ).cast("long")
+    # NO pre-checkpoint repartition (guide §2.4, r13): the checkpoint
+    # does not preserve hash partitioning through LogicalRDD under AQE
+    # (and skew refinement rewrites __b anyway), so every consumer was
+    # re-exchanging by __b AFTER the checkpoint regardless — the
+    # repartition here was a second, wasted corpus-sized shuffle
+    # (verified: ENSURE_REQUIREMENTS hashpartitioning(__b) sits above
+    # Scan ExistingRDD in every committed placement plan). The window /
+    # histogram consumers pay the one required __b exchange themselves;
+    # the checkpoint materializes in the scan's own layout.
     out = (
         d.withColumn("__b", F.when(x.isNull(), F.lit(-1)).otherwise(b).cast("long"))
         .drop("__mn", "__mx")
-        .repartition(n, F.col("__b"))
         .localCheckpoint()
     )
     # Skew refinement: histogram (one aggregate over the checkpointed
