@@ -209,6 +209,15 @@ def test_assign_contiguous_ids_matches_global_row_number(spark):
     assert [k for _, k in got] == [k for _, k in expect]
     assert [s for s, _ in got] == list(range(1, 5001))  # contiguous, no gaps
 
+    # total_name (r13): the census total rides in as a literal column —
+    # exact row count, no extra aggregate pass (q16's denominators).
+    out2 = assign_contiguous_ids(
+        df, ["v", "k"], num_partitions=8, total_name="__n"
+    )
+    rows2 = out2.limit(3).collect()
+    assert all(r["__n"] == 5000 for r in rows2)
+    assert dict(out2.dtypes)["__n"] == "bigint"
+
 
 def test_decontaminate_planted_overlap(spark):
     from sum_spark.operators.decontam import decontaminate
